@@ -1,0 +1,37 @@
+"""xema_ray — a Ray-Data-native schema + constraint validation engine.
+
+A brand-new engine with the query/validation capabilities of the reference
+Elixir library Xema (egze/xema, JSON-Schema drafts 4/6/7 style validation),
+re-expressed Ray-Data-first: schemas compile to ASTs that are evaluated as
+vectorized Arrow compute predicates inside ``Dataset.map_batches`` actor
+pools, with table-level checks (column stats, uniqueness, referential
+integrity, distribution drift) built on streaming groupby-aggregate and
+explicitly partitioned shuffles.
+
+Layout:
+  schema/     schema AST, Python DSL builder, JSON-Schema loader, meta-validation
+  functions/  pure compute: scalar validator (semantics ground truth),
+              vectorized Arrow kernels, sketches (HLL/histogram/MinHash),
+              text analysis, cast/coercion
+  stages/     map_batches stage classes (validator actor pool, cast stage,
+              stats partials, dedup, similarity, multimodal)
+  sources/    data readers + the deterministic synthetic corpus generator
+  state/      checkpoint manifests, broadcast helpers
+  pipelines/  end-to-end pipelines (flagship corpus validation, dedup, ...)
+"""
+
+from xema_ray.schema.builder import compile_schema
+from xema_ray.schema.json_schema import from_json_schema
+from xema_ray.functions.scalar import validate_value, is_valid
+from xema_ray.stages.validate import validate_dataset, ValidationResult
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "compile_schema",
+    "from_json_schema",
+    "validate_value",
+    "is_valid",
+    "validate_dataset",
+    "ValidationResult",
+]
