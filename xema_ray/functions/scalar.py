@@ -54,6 +54,13 @@ class Violation:
         return {"path": self.path or "/", "keyword": self.keyword, "message": self.message}
 
 
+class Atom(str):
+    """Marker type standing in for Elixir atoms in Python data (the engine's
+    Arrow representation is a dictionary-encoded string column)."""
+
+    __slots__ = ()
+
+
 class _Stop(Exception):
     """Raised to unwind on the first violation in fail='immediately'."""
 
@@ -86,7 +93,9 @@ def type_check(type_name: str, v: Any) -> bool:
     if type_name == "any":
         return True
     if type_name == "atom":
-        return isinstance(v, (str, bool)) or v is None
+        # Elixir atoms are distinct from binaries; Python strings must NOT
+        # classify as atoms or the string keyword chain would be skipped.
+        return isinstance(v, (Atom, bool)) or v is None
     if type_name == "boolean":
         return isinstance(v, bool)
     if type_name == "string":
