@@ -1,0 +1,134 @@
+"""Vectorized kernels must agree with the scalar validator (the semantics
+ground truth) row by row, on tables including nulls and edge values."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from xema_ray.functions.kernels import compile_table_plan, evaluate_batch
+from xema_ray.functions.scalar import is_valid, validate_value
+from xema_ray.schema.builder import compile_schema
+
+# (schema keywords for column "x", pa array)
+COLUMN_CASES = [
+    (("integer", {"minimum": 0}), pa.array([1, -1, 0, None], type=pa.int64())),
+    (("integer", {"minimum": 0, "exclusive_minimum": True}), pa.array([0, 1, None])),
+    (("number", {"exclusive_maximum": 10}), pa.array([9.5, 10.0, 10.5, None])),
+    (("integer", {}), pa.array([1.0, 1.5, None], type=pa.float64())),  # like-integer
+    (("integer", {"multiple_of": 3}), pa.array([9, 10, 0, -3, None])),
+    (("number", {"multiple_of": 0.0001}), pa.array([0.0075, 0.00751, None])),
+    (("string", {"min_length": 2, "max_length": 3}), pa.array(["a", "ab", "abc", "abcd", None])),
+    (("string", {"pattern": "^a+$"}), pa.array(["aaa", "aab", "", None])),
+    (("string", {"enum": ["web", "books"]}), pa.array(["web", "bad", None])),
+    (("string", {"const": "web"}), pa.array(["web", "bad", None])),
+    (("integer", {"const": 5}), pa.array([5, 6, None])),
+    (("integer", {"enum": [1, 2, 3]}), pa.array([1, 4, None])),
+    (("string", {"format": "ipv4"}), pa.array(["1.2.3.4", "256.1.1.1", "x", None])),
+    (("string", {"format": "date"}), pa.array(["2021-01-31", "2021-02-30", "nope", None])),
+    (("string", {"format": "email"}), pa.array(["a@b.de", "a.b.de", None])),
+    (("string", {"format": "hostname"}), pa.array(["example.com", "-bad.com", "bad-.com", None])),
+    (("list", {"min_items": 2, "max_items": 3}), pa.array([[1], [1, 2], [1, 2, 3, 4], None])),
+    (("list", {"unique_items": True}), pa.array([[1, 2], [1, 1], [], None])),
+    (("list", {"items": ("integer", {"minimum": 0, "exclusive_maximum": 10})}),
+     pa.array([[1, 2], [-1, 3], [11], [], None])),
+    (("list", {"contains": ("integer", {"minimum": 5})}),
+     pa.array([[1, 6], [1, 2], [], None])),
+    (("list", {"items": ("integer", {"enum": [1, 2]})}), pa.array([[1, 2], [3]])),
+]
+
+
+@pytest.mark.parametrize("src,arr", COLUMN_CASES, ids=[str(c[0]) for c in COLUMN_CASES])
+def test_kernel_matches_scalar(src, arr):
+    table_schema = compile_schema(("map", {"properties": {"x": src}}))
+    col_schema = compile_schema(src)
+    tbl = pa.table({"x": arr})
+    plan = compile_table_plan(table_schema, tbl.schema)
+    valid, _ = evaluate_batch(plan, tbl)
+    for i, v in enumerate(arr.to_pylist()):
+        expected = True if v is None else is_valid(col_schema, v)
+        assert valid[i] == expected, (
+            f"row {i}={v!r}: kernel={valid[i]} scalar={expected} "
+            f"{validate_value(col_schema, v) if v is not None else ''}"
+        )
+
+
+def test_required_and_missing_column():
+    schema = compile_schema(("map", {
+        "properties": {"a": "integer"},
+        "required": ["a", "b"],
+    }))
+    tbl = pa.table({"a": pa.array([1, None, 3])})
+    plan = compile_table_plan(schema, tbl.schema)
+    valid, viols = evaluate_batch(plan, tbl)
+    assert not valid.any()  # column b missing entirely
+    kws = {v.keyword for v in viols}
+    assert kws == {"required"}
+
+
+def test_additional_properties_false():
+    schema = compile_schema(("map", {
+        "properties": {"a": "integer"},
+        "additional_properties": False,
+    }))
+    tbl = pa.table({"a": [1], "b": [2]})
+    plan = compile_table_plan(schema, tbl.schema)
+    valid, viols = evaluate_batch(plan, tbl)
+    assert not valid.any()
+    assert any(v.keyword == "additional_properties" for v in viols)
+
+
+def test_additional_properties_schema_applies_to_extra_columns():
+    schema = compile_schema(("map", {
+        "properties": {"a": "integer"},
+        "additional_properties": ("integer", {"minimum": 0}),
+    }))
+    tbl = pa.table({"a": [1, 1], "b": [2, -2]})
+    plan = compile_table_plan(schema, tbl.schema)
+    valid, _ = evaluate_batch(plan, tbl)
+    assert list(valid) == [True, False]
+
+
+def test_pattern_properties_select_columns():
+    schema = compile_schema(("map", {
+        "pattern_properties": {"^n_": ("integer", {"minimum": 0})},
+    }))
+    tbl = pa.table({"n_tok": [1, -1], "other": ["x", "y"]})
+    plan = compile_table_plan(schema, tbl.schema)
+    valid, _ = evaluate_batch(plan, tbl)
+    assert list(valid) == [True, False]
+
+
+def test_property_names_over_column_names():
+    schema = compile_schema(("map", {
+        "property_names": ("string", {"pattern": "^[a-z_]+$"}),
+    }))
+    good = pa.table({"abc": [1]})
+    bad = pa.table({"Bad": [1]})
+    assert evaluate_batch(compile_table_plan(schema, good.schema), good)[0].all()
+    assert not evaluate_batch(compile_table_plan(schema, bad.schema), bad)[0].any()
+
+
+def test_fallback_column_combinator():
+    # one_of is not vectorizable → scalar fallback per row
+    schema = compile_schema(("map", {"properties": {
+        "x": {"one_of": [("integer", {"minimum": 2}), ("integer", {"maximum": 0})]},
+    }}))
+    tbl = pa.table({"x": [3, 1, -1, None]})
+    plan = compile_table_plan(schema, tbl.schema)
+    assert plan.column_plans[0].fallback_node is not None
+    valid, viols = evaluate_batch(plan, tbl)
+    assert list(valid) == [True, False, True, True]
+    assert viols[0].keyword == "one_of"
+
+
+def test_violation_paths_and_rows():
+    schema = compile_schema(("map", {"properties": {
+        "tokens": ("list", {"items": ("integer", {"minimum": 0})}),
+    }}))
+    tbl = pa.table({"tokens": [[0, -1, 2], [5], [-7]]})
+    plan = compile_table_plan(schema, tbl.schema)
+    valid, viols = evaluate_batch(plan, tbl)
+    assert list(valid) == [False, True, False]
+    got = [(int(r), p) for v in viols for r, p in zip(v.row_idx, np.atleast_1d(v.paths))]
+    assert sorted(got) == [(0, "/tokens/1"), (2, "/tokens/0")]
+    assert all(v.keyword == "minimum" for v in viols)

@@ -1,0 +1,828 @@
+"""Vectorized Arrow kernels — per-column validation plans.
+
+Compiles a :class:`CompiledSchema` whose root is a map/object schema (table =
+map, columns = properties, SURVEY.md §1.3) into a :class:`TablePlan` of
+vectorized checks.  Each check is a closure ``pa.Array -> ok_mask`` built from
+``pyarrow.compute`` / numpy kernels — never a Python loop over rows — with a
+per-row scalar fallback (:mod:`xema_ray.functions.scalar`) for sub-schemas the
+vector layer can't express (nested combinators, circular refs, custom per-value
+validators).  Null cells count as "property absent": every keyword check passes
+on null (reference validator.ex:846-848) except ``required``
+(validator.ex:861-875 — presence = non-null).
+
+The plan is pure-Python, pickleable, and built ONCE (driver or actor
+``__init__``) — the analogue of Xema's compile-once/validate-many
+(behaviour.ex:58-75).  Per batch it produces a row ``valid`` mask plus
+violation arrays ``(row_index, path, keyword, message)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from xema_ray.functions import formats as fmt
+from xema_ray.functions.scalar import validate_value, _like_integer
+from xema_ray.schema.ast import UNSET, CompiledSchema, SchemaNode
+from xema_ray.schema.builder import resolve_pointer
+
+# ----------------------------------------------------------------------
+# check result containers
+# ----------------------------------------------------------------------
+
+
+@dataclass
+class CheckViolations:
+    """Violations from one check over one batch (columnar, not per-row)."""
+
+    row_idx: np.ndarray  # int64 row indices into the batch
+    keyword: str
+    paths: Any  # str (constant for all rows) or np.ndarray of str
+    message: str
+
+
+@dataclass
+class _Check:
+    keyword: str
+    # fn(col: pa.Array, tbl: pa.Table) -> np.ndarray[bool] ok-mask, or
+    # (ok_mask, CheckViolations) for element-level checks
+    fn: Callable
+    message: str
+    path: str
+    # optional numpy fast path: np_fn(vals: np.ndarray) -> bool mask; used by
+    # the list-element evaluator on null-free value buffers (zero-copy)
+    np_fn: Optional[Callable] = None
+
+
+@dataclass
+class ColumnPlan:
+    name: str
+    checks: list = field(default_factory=list)
+    # scalar fallback: validate each non-null value of this column per row
+    fallback_node: Optional[SchemaNode] = None
+    fallback_compiled: Optional[CompiledSchema] = None
+
+
+@dataclass
+class TableCheck:
+    """Cross-column vectorized UDF hook — the batch-level analogue of Xema's
+    custom ``validator`` keyword (reference validator.ex:1019-1041)."""
+
+    keyword: str
+    fn: Callable  # fn(tbl: pa.Table) -> np.ndarray[bool] ok mask
+    path: str
+    message: str
+
+
+@dataclass
+class TablePlan:
+    column_plans: list
+    required: list  # column names that must be non-null per row
+    missing_required: list  # required columns absent from the table schema
+    unexpected_columns: list  # additionalProperties: false violations
+    table_checks: list = field(default_factory=list)
+
+    def describe(self) -> str:
+        lines = []
+        for cp in self.column_plans:
+            kinds = [c.keyword for c in cp.checks]
+            if cp.fallback_node is not None:
+                kinds.append("scalar-fallback")
+            lines.append(f"{cp.name}: {', '.join(kinds) or 'no-op'}")
+        if self.required:
+            lines.append(f"required: {self.required}")
+        return "\n".join(lines)
+
+
+# ----------------------------------------------------------------------
+# helpers
+# ----------------------------------------------------------------------
+
+_VECTOR_SAFE_SLOTS = {
+    "types", "bool_schema", "const", "enum", "minimum", "maximum",
+    "exclusive_minimum", "exclusive_maximum", "multiple_of", "min_length",
+    "max_length", "pattern", "pattern_re", "format", "min_items", "max_items",
+    "unique_items", "items", "contains", "ref",
+}
+_IGNORED_SLOTS = {
+    "id", "schema", "title", "description", "comment", "examples", "default",
+    "definitions", "data", "content_encoding", "content_media_type", "keys",
+    "caster", "pattern_props_re",
+}
+
+
+def _np_bool(mask) -> np.ndarray:
+    if isinstance(mask, np.ndarray):
+        return mask
+    if isinstance(mask, pa.ChunkedArray):
+        mask = mask.combine_chunks()
+    return np.asarray(mask.to_numpy(zero_copy_only=False), dtype=bool)
+
+
+def _ok_with_nulls(result, col: pa.Array) -> np.ndarray:
+    """Kleene-fill: null cells pass every keyword check."""
+    ok = pc.fill_null(result, True)
+    return _np_bool(ok)
+
+
+def _is_vectorizable(node: SchemaNode, compiled: CompiledSchema, depth: int = 0) -> bool:
+    """Can this node be fully expressed with vector checks on one column?"""
+    if depth > 4:
+        return False
+    if node.bool_schema is not None:
+        return True
+    if node.ref is not None:
+        try:
+            target = resolve_pointer(compiled, node.ref)
+        except KeyError:
+            return False
+        if target is node:
+            return False
+        return _is_vectorizable(target, compiled, depth + 1)
+    for slot in node.keywords_present():
+        if slot == "validator":
+            return False
+        if slot not in _VECTOR_SAFE_SLOTS:
+            return False
+    if node.types and any(t in ("map", "keyword", "struct", "tuple", "atom") for t in node.types):
+        return False
+    if node.types and len(node.types) > 1:
+        return False
+    if isinstance(node.items, list):
+        return False  # positional items → fallback
+    if isinstance(node.items, SchemaNode) and not _is_scalar_vectorizable(node.items, compiled):
+        return False
+    if node.contains is not None and not _is_scalar_vectorizable(node.contains, compiled):
+        return False
+    return True
+
+
+def _is_scalar_vectorizable(node: SchemaNode, compiled: CompiledSchema) -> bool:
+    """Element sub-schema: scalar-only keyword set (no nested lists/maps)."""
+    if node.bool_schema is not None:
+        return True
+    if node.ref is not None:
+        try:
+            target = resolve_pointer(compiled, node.ref)
+        except KeyError:
+            return False
+        return target is not node and _is_scalar_vectorizable(target, compiled)
+    for slot in node.keywords_present():
+        if slot in ("items", "contains", "min_items", "max_items", "unique_items", "validator"):
+            return False
+        if slot not in _VECTOR_SAFE_SLOTS:
+            return False
+    if node.types and any(t not in ("integer", "float", "number", "string", "boolean", "nil", "any") for t in node.types):
+        return False
+    return True
+
+
+def _deref(node: SchemaNode, compiled: CompiledSchema) -> SchemaNode:
+    seen = set()
+    while node.ref is not None and id(node) not in seen:
+        seen.add(id(node))
+        node = resolve_pointer(compiled, node.ref)
+    return node
+
+
+# ----------------------------------------------------------------------
+# scalar-column check builders
+# ----------------------------------------------------------------------
+
+
+def _type_check(types: tuple, col_type: pa.DataType, path: str):
+    """Plan-time column type reconciliation + residual runtime check.
+
+    Returns (static_ok: Optional[bool], runtime_fn or None).  static_ok=True
+    → whole column satisfies the type; False → every non-null cell violates.
+    """
+    t = types[0]
+    if t == "any":
+        return True, None
+    if t == "integer":
+        if pa.types.is_integer(col_type):
+            return True, None
+        if pa.types.is_floating(col_type):
+            # like-integer floats pass (validator.ex:242,250)
+            return None, lambda col, tbl: _ok_with_nulls(pc.equal(pc.floor(col), col), col)
+        return False, None
+    if t == "float":
+        return bool(pa.types.is_floating(col_type)), None
+    if t == "number":
+        return bool(pa.types.is_integer(col_type) or pa.types.is_floating(col_type)), None
+    if t == "string":
+        return bool(pa.types.is_string(col_type) or pa.types.is_large_string(col_type)), None
+    if t == "boolean":
+        return bool(pa.types.is_boolean(col_type)), None
+    if t == "list":
+        return bool(
+            pa.types.is_list(col_type)
+            or pa.types.is_large_list(col_type)
+            or pa.types.is_fixed_size_list(col_type)
+        ), None
+    if t == "nil":
+        if pa.types.is_null(col_type):
+            return True, None
+        return None, lambda col, tbl: _np_bool(pc.is_null(col))
+    return False, None
+
+
+def _build_scalar_checks(node: SchemaNode, col_type: pa.DataType, path: str) -> list:
+    """Vector checks for scalar keywords of ``node`` against a column."""
+    checks: list = []
+
+    if node.types:
+        static_ok, runtime = _type_check(node.types, col_type, path)
+        if static_ok is False:
+            checks.append(_Check(
+                "type",
+                lambda col, tbl: _np_bool(pc.is_null(col)),  # only nulls pass
+                f"expected type {node.types[0]}", path))
+        elif runtime is not None:
+            checks.append(_Check("type", runtime, f"expected type {node.types[0]}", path))
+
+    if node.const is not UNSET:
+        const = node.const
+        def const_fn(col, tbl, const=const):
+            if const is None:
+                return _np_bool(pc.is_null(col))
+            try:
+                return _ok_with_nulls(pc.equal(col, pa.scalar(const)), col)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                return _np_bool(pc.is_null(col))  # type-incompatible const
+        checks.append(_Check("const", const_fn, f"expected const {node.const!r}", path))
+
+    if node.enum is not None:
+        members = node.enum
+        def enum_fn(col, tbl, members=members):
+            # strict membership plus int↔zero-fraction-float cross-equality
+            # (validator.ex:346-376); over a typed Arrow column the numeric
+            # members collapse into the column type when castable.
+            compat = []
+            for m in members:
+                if isinstance(m, bool):
+                    if pa.types.is_boolean(col.type):
+                        compat.append(m)
+                    continue
+                if isinstance(m, (int, float)):
+                    if pa.types.is_integer(col.type):
+                        if float(m) == int(m):
+                            compat.append(int(m))
+                    elif pa.types.is_floating(col.type):
+                        compat.append(float(m))
+                    continue
+                if isinstance(m, str) and (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+                    compat.append(m)
+            if not compat:
+                return _np_bool(pc.is_null(col))
+            try:
+                value_set = pa.array(compat, type=col.type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                value_set = pa.array(compat)
+            # is_in yields False (not null) for null cells — OR the null mask
+            # back in so null = property-absent passes
+            return _np_bool(pc.or_(pc.is_in(col, value_set=value_set), pc.is_null(col)))
+        checks.append(_Check("enum", enum_fn, f"not in enum {node.enum!r}", path))
+
+    if node.minimum is not None:
+        m, excl = node.minimum, node.exclusive_minimum is True
+        op = pc.greater if excl else pc.greater_equal
+        npop = np.greater if excl else np.greater_equal
+        checks.append(_Check(
+            "minimum",
+            lambda col, tbl, op=op, m=m: _ok_with_nulls(op(col, m), col),
+            f"expected {'>' if excl else '>='} {m}", path,
+            np_fn=lambda vals, npop=npop, m=m: npop(vals, m)))
+    if node.maximum is not None:
+        m, excl = node.maximum, node.exclusive_maximum is True
+        op = pc.less if excl else pc.less_equal
+        npop = np.less if excl else np.less_equal
+        checks.append(_Check(
+            "maximum",
+            lambda col, tbl, op=op, m=m: _ok_with_nulls(op(col, m), col),
+            f"expected {'<' if excl else '<='} {m}", path,
+            np_fn=lambda vals, npop=npop, m=m: npop(vals, m)))
+    if node.exclusive_minimum is not None and not isinstance(node.exclusive_minimum, bool):
+        m = node.exclusive_minimum
+        checks.append(_Check(
+            "exclusive_minimum",
+            lambda col, tbl, m=m: _ok_with_nulls(pc.greater(col, m), col),
+            f"expected > {m}", path,
+            np_fn=lambda vals, m=m: np.greater(vals, m)))
+    if node.exclusive_maximum is not None and not isinstance(node.exclusive_maximum, bool):
+        m = node.exclusive_maximum
+        checks.append(_Check(
+            "exclusive_maximum",
+            lambda col, tbl, m=m: _ok_with_nulls(pc.less(col, m), col),
+            f"expected < {m}", path,
+            np_fn=lambda vals, m=m: np.less(vals, m)))
+
+    if node.multiple_of is not None:
+        m = node.multiple_of
+        def mult_fn(col, tbl, m=m):
+            if pa.types.is_integer(col.type) and isinstance(m, int):
+                # bit-exact for ints; (v/m) - floor(v/m) == 0 in the reference
+                vals = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                np_vals = vals.to_numpy(zero_copy_only=False)
+                ok = np.zeros(len(np_vals), dtype=bool)
+                valid = ~pc.is_null(vals).to_numpy(zero_copy_only=False)
+                v = np.where(valid, np_vals, 0).astype(np.int64)
+                ok[:] = (v % m) == 0
+                ok[~valid] = True
+                return ok
+            x = pc.divide(pc.cast(col, pa.float64()), float(m))
+            return _ok_with_nulls(pc.equal(pc.floor(x), x), col)
+        checks.append(_Check("multiple_of", mult_fn, f"not a multiple of {m}", path))
+
+    is_str_col = pa.types.is_string(col_type) or pa.types.is_large_string(col_type)
+    if node.min_length is not None and is_str_col:
+        n = node.min_length
+        checks.append(_Check(
+            "min_length",
+            lambda col, tbl, n=n: _length_mask(col, n, "ge"),
+            f"length < {n}", path))
+    if node.max_length is not None and is_str_col:
+        n = node.max_length
+        checks.append(_Check(
+            "max_length",
+            lambda col, tbl, n=n: _length_mask(col, n, "le"),
+            f"length > {n}", path))
+
+    if node.pattern is not None and is_str_col:
+        pat = node.pattern
+        def pattern_fn(col, tbl, pat=pat):
+            try:
+                return _ok_with_nulls(pc.match_substring_regex(col, pat), col)
+            except pa.ArrowInvalid:
+                # RE2-incompatible pattern (lookarounds etc.) → Python re
+                return _regex_fallback(col, pat)
+        checks.append(_Check("pattern", pattern_fn, f"does not match /{node.pattern}/", path))
+
+    if node.format is not None and is_str_col:
+        name = fmt.normalize_format(node.format)
+        if name in fmt.CHECKERS:
+            checks.append(_Check(
+                "format",
+                lambda col, tbl, name=name: _format_mask(col, name),
+                f"not a valid {name}", path))
+
+    return checks
+
+
+def _length_mask(col, n: int, op: str) -> np.ndarray:
+    """Grapheme-aware length bound: ASCII rows via utf8_length (code points =
+    graphemes), non-ASCII rows via the exact scalar grapheme counter."""
+    lengths = pc.utf8_length(col)
+    base = pc.greater_equal(lengths, n) if op == "ge" else pc.less_equal(lengths, n)
+    ok = _ok_with_nulls(base, col)
+    ascii_mask = _np_bool(pc.fill_null(pc.string_is_ascii(col), True))
+    if not ascii_mask.all():
+        from xema_ray.functions.scalar import grapheme_length
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        for i in np.nonzero(~ascii_mask)[0]:
+            v = arr[int(i)].as_py()
+            if v is None:
+                ok[i] = True
+            else:
+                glen = grapheme_length(v)
+                ok[i] = glen >= n if op == "ge" else glen <= n
+    return ok
+
+
+def _regex_fallback(col, pat: str) -> np.ndarray:
+    import re
+
+    rx = re.compile(pat)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    out = np.ones(len(arr), dtype=bool)
+    for i, v in enumerate(arr.to_pylist()):
+        if v is not None:
+            out[i] = rx.search(v) is not None
+    return out
+
+
+# anchored RE2-safe prefilters for the pure-regex formats; calendar formats
+# verify matches in Python (format.ex:88-145 does a real calendar check)
+_RE2_FORMAT_PATTERNS = {
+    "ipv4": fmt.IPV4_RE.pattern,
+    "ipv6": fmt.IPV6_RE.pattern,
+    "hostname": fmt.HOSTNAME_RE.pattern,
+    "json_pointer": fmt.JSON_POINTER_RE.pattern,
+    "uri_userinfo": fmt.URI_USERINFO_RE.pattern,
+    "uri_query": fmt.URI_QUERY_RE.pattern,
+    "uri_fragment": fmt.URI_QUERY_RE.pattern,
+    "uri_path": fmt.URI_PATH_RE.pattern,
+}
+
+
+def _format_mask(col, name: str) -> np.ndarray:
+    checker = fmt.CHECKERS[name]
+    pattern = _RE2_FORMAT_PATTERNS.get(name)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if pattern is not None:
+        extra = r"(?i)" if name == "hostname" else ""
+        try:
+            ok = _ok_with_nulls(pc.match_substring_regex(arr, extra + pattern), arr)
+            if name in ("hostname",):
+                ends_dash = _np_bool(pc.fill_null(pc.ends_with(arr, pattern="-"), False))
+                ok &= ~ends_dash
+            return ok
+        except pa.ArrowInvalid:
+            pass
+    if name in ("date", "date_time", "time"):
+        # regex prefilter via RE2, calendar-verify only the matches
+        pre = {
+            "date": r"^\d{4}-[01]\d-[0-3]\d$",
+            "date_time": fmt.DATE_TIME_RE.pattern,
+            "time": r"^[0-2]\d:[0-5]\d:[0-6]\d(?:\.\d+)?(?:[Zz]|[-+](?:[01]\d|2[0-3]):(?:[0-5]\d|60))$",
+        }[name]
+        ok = _ok_with_nulls(pc.match_substring_regex(arr, pre), arr)
+        for i in np.nonzero(ok & ~_np_bool(pc.is_null(arr)))[0]:
+            ok[i] = checker(arr[int(i)].as_py())
+        return ok
+    # generic Python fallback over unique values (email, uri, regex, ...)
+    uniq = pc.unique(arr.drop_null())
+    verdicts = {u.as_py(): checker(u.as_py()) for u in uniq}
+    out = np.ones(n, dtype=bool)
+    for i, v in enumerate(arr.to_pylist()):
+        if v is not None:
+            out[i] = verdicts[v]
+    return out
+
+
+# ----------------------------------------------------------------------
+# list-column check builders
+# ----------------------------------------------------------------------
+
+
+def _list_offsets(arr) -> tuple:
+    """(values, offsets) for a (Large)ListArray, zero-copy."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.LargeListArray):
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return arr.values, offsets
+
+
+def _segment_reduce(elem_ok: np.ndarray, offsets: np.ndarray, op, empty_value: bool) -> np.ndarray:
+    """Per-row reduce over element masks via ``ufunc.reduceat`` (short-circuits
+    per segment — orders of magnitude faster than cumsum on this hardware).
+    Empty segments get ``empty_value`` (reduceat returns a[i] for them)."""
+    nrows = len(offsets) - 1
+    if nrows == 0:
+        return np.ones(0, dtype=bool)
+    if len(elem_ok) == 0:
+        return np.full(nrows, empty_value, dtype=bool)
+    starts = np.minimum(offsets[:-1], len(elem_ok) - 1)
+    res = op.reduceat(elem_ok, starts)
+    empty = offsets[1:] == offsets[:-1]
+    if empty.any():
+        res[empty] = empty_value
+    return res
+
+
+def _segment_all(elem_ok: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row AND over element masks; empty rows → True."""
+    return _segment_reduce(elem_ok, offsets, np.logical_and, True)
+
+
+def _segment_any(elem_ok: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row OR over element masks; empty rows → False (contains on an
+    empty list fails, validator.ex:651-675)."""
+    return _segment_reduce(elem_ok, offsets, np.logical_or, False)
+
+
+def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
+                       compiled: CompiledSchema) -> list:
+    checks: list = []
+
+    if node.min_items is not None:
+        n = node.min_items
+        checks.append(_Check(
+            "min_items",
+            lambda col, tbl, n=n: _ok_with_nulls(pc.greater_equal(pc.list_value_length(col), n), col),
+            f"expected >= {n} items", path))
+    if node.max_items is not None:
+        n = node.max_items
+        checks.append(_Check(
+            "max_items",
+            lambda col, tbl, n=n: _ok_with_nulls(pc.less_equal(pc.list_value_length(col), n), col),
+            f"expected <= {n} items", path))
+
+    if node.unique_items:
+        def unique_fn(col, tbl):
+            values, offsets = _list_offsets(col)
+            nrows = len(offsets) - 1
+            if len(values) == 0:
+                return np.ones(nrows, dtype=bool)
+            vals = values.to_numpy(zero_copy_only=False)
+            row_ids = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(offsets))
+            order = np.lexsort((vals, row_ids))
+            sv, sr = vals[order], row_ids[order]
+            dup = (sr[1:] == sr[:-1]) & (sv[1:] == sv[:-1])
+            ok = np.ones(nrows, dtype=bool)
+            ok[np.unique(sr[1:][dup])] = False
+            null_rows = _np_bool(pc.is_null(col))
+            ok |= null_rows
+            return ok
+        checks.append(_Check("unique_items", unique_fn, "duplicate items in list", path))
+
+    elem_node = node.items if isinstance(node.items, SchemaNode) else None
+    if elem_node is not None:
+        elem_node = _deref(elem_node, compiled)
+        value_type = col_type.value_type
+        elem_checks = _build_scalar_checks(elem_node, value_type, path)
+        if elem_node.bool_schema is False:
+            checks.append(_Check(
+                "items",
+                lambda col, tbl: _ok_with_nulls(pc.equal(pc.list_value_length(col), 0), col),
+                "items: false accepts only the empty list", path))
+        elif elem_checks:
+            def items_fn(col, tbl, elem_checks=elem_checks, path=path):
+                values, offsets = _list_offsets(col)
+                n_vals = len(values)
+                elem_ok = np.ones(n_vals, dtype=bool)
+                kw_of_fail = np.zeros(n_vals, dtype=np.int32)
+                np_vals = None
+                if values.null_count == 0 and all(c.np_fn is not None for c in elem_checks):
+                    # zero-copy numpy over the raw values buffer
+                    np_vals = values.to_numpy(zero_copy_only=True)
+                for ci, chk in enumerate(elem_checks):
+                    m = chk.np_fn(np_vals) if np_vals is not None else chk.fn(values, None)
+                    newly = elem_ok & ~m
+                    kw_of_fail[newly] = ci
+                    elem_ok &= m
+                row_ok = _segment_all(elem_ok, offsets)
+                null_rows = _np_bool(pc.is_null(col))
+                row_ok |= null_rows
+                bad = np.nonzero(~elem_ok)[0]
+                if len(bad) == 0:
+                    return row_ok, None
+                rows = np.searchsorted(offsets, bad, side="right") - 1
+                if col.null_count:
+                    # elements under a NULL list cell are not real data; the
+                    # row already passes (property-absent semantics)
+                    keep = ~null_rows[rows]
+                    bad, rows = bad[keep], rows[keep]
+                    if len(bad) == 0:
+                        return row_ok, None
+                local = bad - offsets[rows]
+                paths = np.array([f"{path}/{i}" for i in local], dtype=object)
+                # one violation group per failing leaf keyword, so rows carry
+                # the leaf keyword at the element path (Xema's nested
+                # items→index→keyword reason tree flattened, SURVEY §2.1)
+                groups = []
+                bad_kw = kw_of_fail[bad]
+                for ci in np.unique(bad_kw):
+                    sel = bad_kw == ci
+                    groups.append(CheckViolations(
+                        rows[sel], elem_checks[ci].keyword, paths[sel],
+                        elem_checks[ci].message))
+                return row_ok, groups
+            checks.append(_Check("items", items_fn, "invalid list element", path))
+
+    if node.contains is not None:
+        contains_node = _deref(node.contains, compiled)
+        value_type = col_type.value_type
+        c_checks = _build_scalar_checks(contains_node, value_type, path)
+        def contains_fn(col, tbl, c_checks=c_checks):
+            values, offsets = _list_offsets(col)
+            elem_ok = np.ones(len(values), dtype=bool)
+            for chk in c_checks:
+                elem_ok &= chk.fn(values, None)
+            row_ok = _segment_any(elem_ok, offsets)
+            row_ok |= _np_bool(pc.is_null(col))
+            return row_ok
+        checks.append(_Check("contains", contains_fn, "no item matches contains schema", path))
+
+    return checks
+
+
+# ----------------------------------------------------------------------
+# table plan compilation
+# ----------------------------------------------------------------------
+
+
+def compile_table_plan(
+    compiled: CompiledSchema,
+    table_schema: pa.Schema,
+    table_checks: Optional[list] = None,
+) -> TablePlan:
+    """Compile the root map-schema into vectorized per-column plans.
+
+    Plan-time work (once): column-name keyword handling — ``required``
+    presence, ``additional_properties`` on unexpected Parquet columns,
+    ``pattern_properties`` by column-name regex, ``property_names`` over
+    column names (SURVEY.md §2.1 #19-24) — then per-column check compilation.
+    """
+    root = _deref(compiled.root, compiled)
+    names = set(table_schema.names)
+
+    col_nodes: dict = {}
+    if root.properties:
+        for name, sub in root.properties.items():
+            if name in names:
+                col_nodes[name] = _deref(sub, compiled)
+    if root.pattern_props_re:
+        for regex, sub in root.pattern_props_re:
+            for name in names:
+                if regex.search(name) and name not in col_nodes:
+                    col_nodes[name] = _deref(sub, compiled)
+
+    required = sorted(k for k in (root.required or ()) if k in names)
+    missing_required = sorted(k for k in (root.required or ()) if k not in names)
+
+    unexpected: list = []
+    ap = root.additional_properties
+    if ap is False:
+        declared = set(root.properties or ())
+        pattern_res = [r for r, _ in (root.pattern_props_re or [])]
+        unexpected = sorted(
+            n for n in names
+            if n not in declared and not any(r.search(n) for r in pattern_res)
+        )
+    elif isinstance(ap, SchemaNode):
+        declared = set(root.properties or ())
+        pattern_res = [r for r, _ in (root.pattern_props_re or [])]
+        for n in sorted(names):
+            if n not in declared and not any(r.search(n) for r in pattern_res):
+                col_nodes.setdefault(n, _deref(ap, compiled))
+
+    if root.property_names is not None:
+        from xema_ray.functions.scalar import is_valid as _scalar_is_valid
+        pn = CompiledSchema(root=_deref(root.property_names, compiled), refs=compiled.refs)
+        bad = [n for n in sorted(names) if not _scalar_is_valid(pn, n)]
+        unexpected.extend(f"property_names:{n}" for n in bad)
+
+    plans: list = []
+    for name, node in col_nodes.items():
+        field_type = table_schema.field(name).type
+        cp = ColumnPlan(name=name)
+        if node.is_trivial():
+            plans.append(cp)
+            continue
+        if _is_vectorizable(node, compiled):
+            is_list_col = (
+                pa.types.is_list(field_type)
+                or pa.types.is_large_list(field_type)
+                or pa.types.is_fixed_size_list(field_type)
+            )
+            cp.checks = _build_scalar_checks(node, field_type, f"/{name}")
+            if is_list_col:
+                cp.checks.extend(_build_list_checks(node, field_type, f"/{name}", compiled))
+        else:
+            cp.fallback_node = node
+            cp.fallback_compiled = compiled
+        plans.append(cp)
+
+    return TablePlan(
+        column_plans=plans,
+        required=required,
+        missing_required=missing_required,
+        unexpected_columns=unexpected,
+        table_checks=list(table_checks or ()),
+    )
+
+
+# ----------------------------------------------------------------------
+# batch evaluation
+# ----------------------------------------------------------------------
+
+
+def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
+    """Evaluate one Arrow batch.  Returns ``(valid_mask, violations)`` where
+    ``violations`` is a list of :class:`CheckViolations` (columnar).
+
+    ``fail='immediately'`` stops at the first failing check (cheapest);
+    ``'early'`` (default) evaluates every check but skips element-level
+    detail collection for rows already invalid; ``'finally'`` collects all.
+    """
+    n = tbl.num_rows
+    valid = np.ones(n, dtype=bool)
+    out: list = []
+
+    def add(rows: np.ndarray, keyword: str, paths, message: str):
+        if len(rows):
+            out.append(CheckViolations(rows, keyword, paths, message))
+
+    for col_name in plan.missing_required:
+        valid[:] = False
+        add(np.arange(n, dtype=np.int64), "required",
+            f"/{col_name}", f"required column {col_name!r} missing from table")
+        if fail == "immediately":
+            return valid, out
+
+    for col_name in plan.unexpected_columns:
+        valid[:] = False
+        kw = "property_names" if col_name.startswith("property_names:") else "additional_properties"
+        cname = col_name.split(":", 1)[-1]
+        add(np.arange(n, dtype=np.int64), kw, f"/{cname}",
+            f"column {cname!r} not allowed by schema")
+        if fail == "immediately":
+            return valid, out
+
+    for col_name in plan.required:
+        nulls = _np_bool(pc.is_null(tbl[col_name]))
+        if nulls.any():
+            valid &= ~nulls
+            add(np.nonzero(nulls)[0].astype(np.int64), "required",
+                f"/{col_name}", f"required property {col_name!r} is null")
+            if fail == "immediately":
+                return valid, out
+
+    for cp in plan.column_plans:
+        if cp.name not in tbl.column_names:
+            continue
+        col = tbl[cp.name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for chk in cp.checks:
+            res = chk.fn(col, tbl)
+            if isinstance(res, tuple):
+                ok, elem_viol = res[0], res[1]
+                valid &= ok
+                if elem_viol is not None and fail != "immediately":
+                    if isinstance(elem_viol, list):
+                        out.extend(elem_viol)
+                    else:
+                        out.append(elem_viol)
+            else:
+                ok = res
+                valid &= ok
+                bad = np.nonzero(~ok)[0].astype(np.int64)
+                add(bad, chk.keyword, chk.path, chk.message)
+            if fail == "immediately" and not valid.all():
+                return valid, out
+        if cp.fallback_node is not None:
+            # slow path: per-row scalar validation of this column only
+            schema_ctx = cp.fallback_compiled or CompiledSchema(root=cp.fallback_node)
+            ctx = CompiledSchema(root=cp.fallback_node, refs=schema_ctx.refs)
+            pylist = col.to_pylist()
+            for i, v in enumerate(pylist):
+                if v is None:
+                    continue
+                viols = validate_value(ctx, v, fail=fail)
+                if viols:
+                    valid[i] = False
+                    for vv in viols:
+                        add(np.array([i], dtype=np.int64), vv.keyword,
+                            f"/{cp.name}{vv.path}", vv.message)
+
+    for tc in plan.table_checks:
+        ok = _np_bool(tc.fn(tbl))
+        valid &= ok
+        add(np.nonzero(~ok)[0].astype(np.int64), tc.keyword, tc.path, tc.message)
+
+    return valid, out
+
+
+def violations_to_table(
+    violations: list,
+    tbl: pa.Table,
+    id_col: Optional[str] = None,
+    extra_cols: tuple = (),
+) -> pa.Table:
+    """Assemble violation rows ``(doc_id, path, keyword, message, row_index)``
+    from columnar check results — the engine's error-reason output
+    (SURVEY.md §2.1 error assembly; validation_error.ex analogue)."""
+    all_rows: list = []
+    all_paths: list = []
+    all_kw: list = []
+    all_msg: list = []
+    for cv in violations:
+        k = len(cv.row_idx)
+        all_rows.append(cv.row_idx)
+        if isinstance(cv.paths, np.ndarray):
+            all_paths.append(cv.paths)
+        else:
+            all_paths.append(np.full(k, cv.paths, dtype=object))
+        all_kw.append(np.full(k, cv.keyword, dtype=object))
+        all_msg.append(np.full(k, cv.message, dtype=object))
+    if all_rows:
+        rows = np.concatenate(all_rows)
+        paths = np.concatenate(all_paths)
+        kws = np.concatenate(all_kw)
+        msgs = np.concatenate(all_msg)
+    else:
+        rows = np.empty(0, dtype=np.int64)
+        paths = np.empty(0, dtype=object)
+        kws = np.empty(0, dtype=object)
+        msgs = np.empty(0, dtype=object)
+    cols = {}
+    if id_col is not None and id_col in tbl.column_names:
+        cols["doc_id"] = tbl[id_col].take(pa.array(rows, type=pa.int64()))
+    cols["path"] = pa.array(paths, type=pa.string())
+    cols["keyword"] = pa.array(kws, type=pa.string())
+    cols["message"] = pa.array(msgs, type=pa.string())
+    cols["row_index"] = pa.array(rows, type=pa.int64())
+    for name in extra_cols:
+        if name in tbl.column_names:
+            cols[name] = tbl[name].take(pa.array(rows, type=pa.int64()))
+    return pa.table(cols)
