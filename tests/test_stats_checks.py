@@ -1,0 +1,109 @@
+"""Stats engine + table-level checks vs DuckDB oracle on the synthetic
+corpus (uniqueness, referential, stats, drift)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+from xema_ray.sources.corpus import SOURCES, corpus_paths, write_corpus
+
+CORPUS = "/tmp/xema_test_corpus"  # shared with test_validate_dataset
+N_ROWS = 20_000
+
+
+@pytest.fixture(scope="module")
+def corpus_dir():
+    return write_corpus(CORPUS, N_ROWS, n_files=4, seed=42)
+
+
+@pytest.fixture(scope="module")
+def ds(ray_session, corpus_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(corpus_paths(corpus_dir))
+
+
+@pytest.fixture(scope="module")
+def con(corpus_dir):
+    c = duckdb.connect()
+    glob = os.path.join(corpus_dir, "seq-*.parquet")
+    c.execute(f"CREATE VIEW seq AS SELECT * FROM read_parquet('{glob}')")
+    return c
+
+
+def test_column_stats_match_duckdb(ds, con):
+    from xema_ray.stages.stats import column_stats
+
+    stats = column_stats(ds)
+    row = con.execute("""
+        SELECT count(*), count(*) - count(n_tok), min(n_tok), max(n_tok),
+               avg(n_tok), count(DISTINCT doc_id), count(DISTINCT source)
+        FROM seq
+    """).fetchone()
+    n, ntok_nulls, mn, mx, avg, d_doc, d_src = row
+    assert stats["n_tok"]["count"] == n
+    assert stats["n_tok"]["nulls"] == ntok_nulls
+    assert stats["n_tok"]["min"] == mn
+    assert stats["n_tok"]["max"] == mx
+    assert abs(stats["n_tok"]["mean"] - avg) < 1e-9
+    # HLL estimates within 3%
+    assert abs(stats["doc_id"]["distinct"] - d_doc) / d_doc < 0.03
+    assert stats["source"]["distinct"] == d_src  # tiny cardinality → exact-ish
+    # list column stats = length stats
+    lrow = con.execute("SELECT min(len(tokens)), max(len(tokens)) FROM seq").fetchone()
+    assert stats["tokens"]["min"] == lrow[0]
+    assert stats["tokens"]["max"] == lrow[1]
+
+
+def test_duplicate_doc_ids_match_duckdb(ds, con):
+    from xema_ray.stages.checks import duplicate_values
+
+    got = {r["doc_id"]: r["n_occurrences"] for r in duplicate_values(ds, "doc_id").take_all()}
+    want = dict(con.execute(
+        "SELECT doc_id, count(*) FROM seq WHERE doc_id IS NOT NULL "
+        "GROUP BY doc_id HAVING count(*) > 1"
+    ).fetchall())
+    assert got == want
+    assert len(got) > 0  # injection rate 1e-3 → ~20 dups expected
+
+
+def test_referential_matches_duckdb(ds, con):
+    from xema_ray.sources.corpus import sources_dim_table
+    from xema_ray.stages.checks import referential_violations
+
+    viol = referential_violations(ds, sources_dim_table(), col="source").take_all()
+    want = con.execute(
+        "SELECT count(*) FROM seq WHERE source IS NOT NULL AND source NOT IN "
+        "('web','books','code','wiki','forums')"
+    ).fetchone()[0]
+    assert len(viol) == want
+    assert all(v["keyword"] == "ref" for v in viol)
+
+
+def test_drift_flags_shifted_web_only(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.checks import capture_reference, drift_report
+
+    ref_dir = write_corpus("/tmp/xema_drift_ref", 30_000, n_files=2, seed=42, clean=True)
+    cur_dir = write_corpus("/tmp/xema_drift_cur", 30_000, n_files=2, seed=43,
+                           shifted=True, clean=True)
+    ref = capture_reference(rd.read_parquet(corpus_paths(ref_dir)))
+    rep = drift_report(rd.read_parquet(corpus_paths(cur_dir)), ref)
+    assert rep["web"]["drifted"], rep
+    for k in ("books", "code", "wiki"):
+        assert not rep[k]["drifted"], (k, rep[k])
+
+
+def test_grouped_histogram_totals(ds, con):
+    from xema_ray.stages.stats import grouped_length_histograms
+
+    hists = grouped_length_histograms(ds)
+    want = dict(con.execute(
+        "SELECT source, count(*) FROM seq WHERE source IS NOT NULL AND tokens IS NOT NULL "
+        "GROUP BY source"
+    ).fetchall())
+    got = {k: h.total for k, h in hists.items()}
+    assert got == want

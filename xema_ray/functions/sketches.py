@@ -1,0 +1,236 @@
+"""Mergeable sketches — associative per-batch partials for streaming
+aggregation (SURVEY.md §2.4, §4): HyperLogLog for distinct counts,
+fixed-bin histograms for distributions/drift, MinHash signatures for
+near-duplicate detection.  All are numpy-vectorized and serialize to plain
+bytes/lists so they ride through Ray object store + groupby merges.
+
+Public-knowledge algorithms: HyperLogLog (Flajolet et al. 2007), MinHash
+(Broder 1997), two-sample KS statistic / PSI from standard references.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ----------------------------------------------------------------------
+# 64-bit hashing (splitmix64 — public domain algorithm)
+# ----------------------------------------------------------------------
+
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(30)
+        x *= _M1
+        x ^= x >> np.uint64(27)
+        x *= _M2
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def hash_strings(values, seed: int = 0) -> np.ndarray:
+    """Vectorized 64-bit hashes of a string sequence (pandas-backed)."""
+    import pandas as pd
+
+    s = pd.Series(values, dtype="object")
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy().astype(np.uint64)
+    if seed:
+        with np.errstate(over="ignore"):
+            h ^= np.uint64(seed) * _M1
+        h = splitmix64(h)
+    return h
+
+
+# ----------------------------------------------------------------------
+# HyperLogLog
+# ----------------------------------------------------------------------
+
+
+class HyperLogLog:
+    """Fixed-size HLL with dense uint8 registers; merge = elementwise max."""
+
+    __slots__ = ("p", "registers")
+
+    def __init__(self, p: int = 14, registers=None):
+        self.p = p
+        self.registers = (
+            registers if registers is not None else np.zeros(1 << p, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        p = self.p
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64(1 << (p - 1))  # sentinel bit
+        # rank = leading zeros of remaining bits + 1, capped at 64-p+1
+        lz = np.zeros(len(h), dtype=np.uint8)
+        x = rest.copy()
+        # count leading zeros via float exponent trick is imprecise; use
+        # bit-length: lz = 64 - bit_length(x)
+        bl = np.zeros(len(h), dtype=np.uint8)
+        xx = x.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = xx >= (np.uint64(1) << np.uint64(shift))
+            bl[mask] += shift
+            xx[mask] >>= np.uint64(shift)
+        bl[xx > 0] += 1
+        lz = (np.uint8(64) - bl).astype(np.uint8) + 1
+        np.maximum.at(self.registers, idx, lz)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(len(self.registers))
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.ldexp(1.0, -self.registers.astype(np.int32))
+        e = alpha * m * m / inv.sum()
+        if e <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                e = m * np.log(m / zeros)
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HyperLogLog":
+        p = b[0]
+        return cls(p, np.frombuffer(b[1:], dtype=np.uint8).copy())
+
+
+# ----------------------------------------------------------------------
+# mergeable histogram
+# ----------------------------------------------------------------------
+
+
+class Histogram:
+    """Fixed-edge histogram; merge = vector add.  Used for token-length
+    distributions and drift (KS/PSI) per source partition."""
+
+    __slots__ = ("edges", "counts")
+
+    def __init__(self, edges: np.ndarray, counts=None):
+        self.edges = np.asarray(edges, dtype=np.float64)
+        self.counts = (
+            counts
+            if counts is not None
+            else np.zeros(len(self.edges) - 1, dtype=np.int64)
+        )
+
+    @classmethod
+    def log_bins(cls, lo: float = 1, hi: float = 4096, n: int = 64) -> "Histogram":
+        return cls(np.unique(np.round(np.geomspace(lo, hi + 1, n + 1))))
+
+    def add(self, values: np.ndarray) -> "Histogram":
+        c, _ = np.histogram(values, bins=self.edges)
+        self.counts += c
+        return self
+
+    def merge(self, other: "Histogram") -> "Histogram":
+        self.counts += other.counts
+        return self
+
+    @property
+    def total(self) -> int:
+        return int(self.counts.sum())
+
+    def cdf(self) -> np.ndarray:
+        t = self.total
+        if t == 0:
+            return np.zeros(len(self.counts))
+        return np.cumsum(self.counts) / t
+
+    def to_list(self) -> list:
+        return self.counts.tolist()
+
+
+def ks_statistic(a: Histogram, b: Histogram) -> float:
+    """Two-sample KS statistic over shared-edge histograms (sup |CDF diff|)."""
+    return float(np.abs(a.cdf() - b.cdf()).max()) if a.total and b.total else 0.0
+
+
+def psi(a: Histogram, b: Histogram, eps: float = 1e-6) -> float:
+    """Population Stability Index between two shared-edge histograms."""
+    if not a.total or not b.total:
+        return 0.0
+    pa_ = a.counts / a.total + eps
+    pb_ = b.counts / b.total + eps
+    return float(np.sum((pa_ - pb_) * np.log(pa_ / pb_)))
+
+
+# ----------------------------------------------------------------------
+# MinHash
+# ----------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """k-permutation MinHash over 64-bit shingle hashes (Broder 1997).
+
+    Universal hashing h_i(x) = (a_i * x + b_i) mod p; signatures are
+    uint64[k]; banded LSH groups signatures into (band, band_hash) keys.
+    """
+
+    def __init__(self, k: int = 128, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.k = k
+        self.a = rng.integers(1, _MERSENNE, size=k, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=k, dtype=np.uint64)
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        """uint64[k] signature of one document's shingle-hash set."""
+        if len(shingle_hashes) == 0:
+            return np.full(self.k, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = shingle_hashes.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            # (a*x + b) mod p on uint64 with wraparound is fine for minhash
+            vals = self.a[None, :] * x[:, None] + self.b[None, :]
+        return vals.min(axis=0)
+
+    def signatures(self, hash_lists) -> np.ndarray:
+        return np.stack([self.signature(h) for h in hash_lists])
+
+    @staticmethod
+    def band_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
+        """(n_docs, bands) uint64 band-bucket hashes of signatures."""
+        n, k = sigs.shape
+        r = k // bands
+        out = np.empty((n, bands), dtype=np.uint64)
+        for b in range(bands):
+            seg = sigs[:, b * r : (b + 1) * r]
+            acc = np.zeros(n, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(r):
+                    acc = (acc * np.uint64(1099511628211)) ^ seg[:, j]
+            out[:, b] = splitmix64(acc)
+        return out
+
+
+def simhash(shingle_hashes: np.ndarray, weights=None) -> np.uint64:
+    """64-bit SimHash of one document's feature-hash multiset (Charikar)."""
+    if len(shingle_hashes) == 0:
+        return np.uint64(0)
+    bits = ((shingle_hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    w = np.ones(len(shingle_hashes)) if weights is None else np.asarray(weights)
+    score = (w[:, None] * (2 * bits - 1)).sum(axis=0)
+    out = np.uint64(0)
+    for i in np.nonzero(score > 0)[0]:
+        out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt

@@ -1,0 +1,205 @@
+"""Streaming per-column statistics + distribution capture (SURVEY.md §2.4).
+
+Pattern: per-batch PARTIAL aggregates inside ``map_batches`` (one tiny row
+per batch), then a driver-side merge of the partials — a tree-reduce without
+an all-to-all shuffle.  For grouped stats the partials carry one row per
+(batch × key) and merge through a small ``groupby(key)``; a skewed key
+(``source`` is 90% "web") therefore costs nothing: the shuffle moves
+pre-aggregated sketch rows, not data rows.
+
+Per column: count, null count, min, max, mean (numeric), distinct estimate
+(HyperLogLog partial, merged associatively).  Token-length histograms feed
+the drift checks in :mod:`xema_ray.stages.checks`.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from xema_ray.functions.sketches import Histogram, HyperLogLog, hash_strings
+
+
+def _batch_column_partial(col: pa.ChunkedArray, hll_p: int) -> dict:
+    n = len(col)
+    nulls = col.null_count
+    out = {
+        "count": n,
+        "nulls": nulls,
+        "min": None,
+        "max": None,
+        "sum": None,
+        "hll": None,
+    }
+    t = col.type
+    nn = col.drop_null()
+    if len(nn) == 0:
+        return out
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        mm = pc.min_max(nn).as_py()
+        out["min"], out["max"] = mm["min"], mm["max"]
+        out["sum"] = pc.sum(nn).as_py()
+        h = HyperLogLog(hll_p)
+        vals = nn.combine_chunks().to_numpy(zero_copy_only=False)
+        from xema_ray.functions.sketches import splitmix64
+        h.add_hashes(splitmix64(vals.astype(np.int64).view(np.uint64)))
+        out["hll"] = h.to_bytes()
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        mm = pc.min_max(nn).as_py()
+        out["min"], out["max"] = mm["min"], mm["max"]
+        h = HyperLogLog(hll_p)
+        h.add_hashes(hash_strings(nn.to_pylist()))
+        out["hll"] = h.to_bytes()
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        lengths = pc.list_value_length(nn)
+        mm = pc.min_max(lengths).as_py()
+        out["min"], out["max"] = mm["min"], mm["max"]
+        out["sum"] = pc.sum(lengths).as_py()
+    return out
+
+
+class _StatsPartials:
+    """map_batches fn: one partial-stats row per (batch, column)."""
+
+    def __init__(self, columns, hll_p: int = 14):
+        self.columns = columns
+        self.hll_p = hll_p
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        rows = {"column": [], "count": [], "nulls": [], "min": [], "max": [],
+                "sum": [], "hll": []}
+        for c in self.columns:
+            if c not in tbl.column_names:
+                continue
+            p = _batch_column_partial(tbl[c], self.hll_p)
+            rows["column"].append(c)
+            rows["count"].append(p["count"])
+            rows["nulls"].append(p["nulls"])
+            rows["min"].append(json.dumps(p["min"]))
+            rows["max"].append(json.dumps(p["max"]))
+            rows["sum"].append(None if p["sum"] is None else float(p["sum"]))
+            rows["hll"].append(p["hll"])
+        return pa.table({
+            "column": pa.array(rows["column"], type=pa.string()),
+            "count": pa.array(rows["count"], type=pa.int64()),
+            "nulls": pa.array(rows["nulls"], type=pa.int64()),
+            "min": pa.array(rows["min"], type=pa.string()),
+            "max": pa.array(rows["max"], type=pa.string()),
+            "sum": pa.array(rows["sum"], type=pa.float64()),
+            "hll": pa.array(rows["hll"], type=pa.binary()),
+        })
+
+
+def column_stats(ds, columns: Optional[list] = None, hll_p: int = 14) -> dict:
+    """Full-corpus per-column stats in one streaming pass.
+
+    Returns ``{column: {count, nulls, null_rate, min, max, mean, distinct}}``.
+    The driver merges one tiny partial row per (batch × column) — no shuffle.
+    """
+    if columns is None:
+        columns = [f.name for f in ds.schema().base_schema]
+    partials = ds.map_batches(
+        _StatsPartials(columns, hll_p), batch_format="pyarrow"
+    ).take_all()
+
+    out: dict = {}
+    hlls: dict = {}
+    for row in partials:
+        c = row["column"]
+        s = out.setdefault(c, {"count": 0, "nulls": 0, "min": None, "max": None, "sum": 0.0, "has_sum": False})
+        s["count"] += row["count"]
+        s["nulls"] += row["nulls"]
+        mn, mx = json.loads(row["min"]), json.loads(row["max"])
+        if mn is not None:
+            s["min"] = mn if s["min"] is None else min(s["min"], mn)
+        if mx is not None:
+            s["max"] = mx if s["max"] is None else max(s["max"], mx)
+        if row["sum"] is not None:
+            s["sum"] += row["sum"]
+            s["has_sum"] = True
+        if row["hll"] is not None:
+            h = HyperLogLog.from_bytes(row["hll"])
+            if c in hlls:
+                hlls[c].merge(h)
+            else:
+                hlls[c] = h
+    result = {}
+    for c, s in out.items():
+        non_null = s["count"] - s["nulls"]
+        result[c] = {
+            "count": s["count"],
+            "nulls": s["nulls"],
+            "null_rate": s["nulls"] / s["count"] if s["count"] else 0.0,
+            "min": s["min"],
+            "max": s["max"],
+            "mean": (s["sum"] / non_null) if (s["has_sum"] and non_null) else None,
+            "distinct": round(hlls[c].estimate()) if c in hlls else None,
+        }
+    return result
+
+
+# ----------------------------------------------------------------------
+# grouped token-length histograms (drift input)
+# ----------------------------------------------------------------------
+
+
+class _GroupedHistPartials:
+    """Per-batch: one (key, counts[]) histogram-partial row per key value."""
+
+    def __init__(self, key: str, list_col: str, edges: np.ndarray):
+        self.key = key
+        self.list_col = list_col
+        self.edges = edges
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        key = tbl[self.key]
+        lengths = pc.list_value_length(tbl[self.list_col])
+        mask = pc.and_(pc.is_valid(key), pc.is_valid(lengths))
+        keep = tbl.filter(mask)
+        if keep.num_rows == 0:
+            return pa.table({
+                "key": pa.array([], type=pa.string()),
+                "counts": pa.array([], type=pa.list_(pa.int64())),
+                "n": pa.array([], type=pa.int64()),
+            })
+        k = keep[self.key].combine_chunks()
+        ln = pc.list_value_length(keep[self.list_col]).combine_chunks().to_numpy(zero_copy_only=False)
+        enc = k.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+        keys_out, counts_out, n_out = [], [], []
+        for ci, name in enumerate(uniq):
+            sel = ln[codes == ci]
+            c, _ = np.histogram(sel, bins=self.edges)
+            keys_out.append(name)
+            counts_out.append(c.tolist())
+            n_out.append(int(len(sel)))
+        return pa.table({
+            "key": pa.array(keys_out, type=pa.string()),
+            "counts": pa.array(counts_out, type=pa.list_(pa.int64())),
+            "n": pa.array(n_out, type=pa.int64()),
+        })
+
+
+def grouped_length_histograms(
+    ds, key: str = "source", list_col: str = "tokens", edges: Optional[np.ndarray] = None
+) -> dict:
+    """Token-length histogram per ``key`` value → ``{key: Histogram}``.
+
+    Pre-aggregated per batch (partials), so the skewed groupby shuffles only
+    sketch rows (SURVEY.md §4 skew note).
+    """
+    if edges is None:
+        edges = Histogram.log_bins().edges
+    partials = ds.map_batches(
+        _GroupedHistPartials(key, list_col, edges), batch_format="pyarrow"
+    ).take_all()
+    merged: dict = {}
+    for row in partials:
+        h = merged.setdefault(row["key"], Histogram(edges))
+        h.counts += np.asarray(row["counts"], dtype=np.int64)
+    return merged
