@@ -1,0 +1,626 @@
+"""Query registry — one entry per implemented operator/pipeline
+(SURVEY.md §2), each with a DuckDB oracle where SQL-expressible.
+
+Contract (``__ray_entry__.py``): every ``QUERIES[name].fn`` takes ``sf_dir``
+and returns a Dataset / pandas DataFrame / pyarrow Table whose column NAMES
+AND VALUES match the oracle SQL run on the same inputs.  Floating-point
+aggregates are avoided or fixed-pointed (``floor(1e6·x)``) so order-of-
+accumulation can't break value-hash parity.
+
+The sequences corpus (BASELINE.json input_hint shape) is synthesized
+deterministically under ``/tmp/xema_ray_corpus/<sf>`` (seed 42, idempotent)
+— both the Ray pipelines and the oracle SQL read the same files.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from xema_ray.sources.corpus import corpus_paths, write_corpus
+
+CORPUS_ROOT = "/tmp/xema_ray_corpus"
+VALID_SOURCES = "('web','books','code','wiki','forums')"
+
+
+def corpus_rows_for_sf(sf: float) -> int:
+    return max(20_000, int(6_000_000 * sf))
+
+
+def corpus_files_for_sf(sf: float) -> int:
+    return 64 if sf >= 0.1 else (16 if sf >= 0.01 else 8)
+
+
+def sf_of_dir(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+def ensure_corpus(sf_dir: str) -> str:
+    sf = sf_of_dir(sf_dir)
+    out = os.path.join(CORPUS_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    return write_corpus(out, corpus_rows_for_sf(sf), n_files=corpus_files_for_sf(sf), seed=42)
+
+
+def _corpus_glob(sf_dir: str) -> str:
+    return os.path.join(ensure_corpus(sf_dir), "seq-*.parquet")
+
+
+def _read_seq(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(corpus_paths(ensure_corpus(sf_dir)))
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+@dataclass
+class QueryDef:
+    fn: Callable
+    sql: Optional[str]  # None → rows-only check (non-SQL-expressible)
+    doc: str = ""
+
+
+QUERIES: dict = {}
+
+
+def register(name: str, sql: Optional[str], doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QueryDef(fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+# The oracle SQL is a fixed string evaluated at sf0.01 (driver contract);
+# the corpus path inside it must therefore be the sf0.01 corpus.
+_SEQ_SQL_GLOB = os.path.join(CORPUS_ROOT, "sf0.01", "seq-*.parquet")
+_SEQ_CTE = f"WITH seq AS (SELECT * FROM read_parquet('{_SEQ_SQL_GLOB}'))"
+
+_SEQ_INVALID_COND = f"""NOT (
+    doc_id IS NOT NULL AND tokens IS NOT NULL AND n_tok IS NOT NULL
+    AND source IS NOT NULL
+    AND length(doc_id) BETWEEN 5 AND 64
+    AND regexp_matches(doc_id, '^[a-z][a-z-]*-[0-9]{{12}}$')
+    AND len(tokens) BETWEEN 1 AND 4096
+    AND NOT EXISTS (SELECT 1 FROM unnest(seq.tokens) AS u(tok)
+                    WHERE u.tok < 0 OR u.tok >= 50257)
+    AND n_tok BETWEEN 1 AND 4096
+    AND source IN {VALID_SOURCES}
+    AND n_tok = len(tokens)
+)"""
+
+
+# ----------------------------------------------------------------------
+# sequences corpus: full-schema validation parity
+# ----------------------------------------------------------------------
+
+
+@register(
+    "seq_violations",
+    f"""{_SEQ_CTE}
+    SELECT doc_id, '/doc_id' AS path, 'required' AS keyword FROM seq WHERE doc_id IS NULL
+    UNION ALL SELECT doc_id, '/tokens', 'required' FROM seq WHERE tokens IS NULL
+    UNION ALL SELECT doc_id, '/n_tok', 'required' FROM seq WHERE n_tok IS NULL
+    UNION ALL SELECT doc_id, '/source', 'required' FROM seq WHERE source IS NULL
+    UNION ALL SELECT doc_id, '/doc_id', 'min_length' FROM seq
+        WHERE doc_id IS NOT NULL AND length(doc_id) < 5
+    UNION ALL SELECT doc_id, '/doc_id', 'max_length' FROM seq
+        WHERE doc_id IS NOT NULL AND length(doc_id) > 64
+    UNION ALL SELECT doc_id, '/doc_id', 'pattern' FROM seq
+        WHERE doc_id IS NOT NULL AND NOT regexp_matches(doc_id, '^[a-z][a-z-]*-[0-9]{{12}}$')
+    UNION ALL SELECT doc_id, '/tokens', 'min_items' FROM seq
+        WHERE tokens IS NOT NULL AND len(tokens) < 1
+    UNION ALL SELECT doc_id, '/tokens', 'max_items' FROM seq
+        WHERE tokens IS NOT NULL AND len(tokens) > 4096
+    UNION ALL SELECT doc_id, '/n_tok', 'minimum' FROM seq
+        WHERE n_tok IS NOT NULL AND n_tok < 1
+    UNION ALL SELECT doc_id, '/n_tok', 'maximum' FROM seq
+        WHERE n_tok IS NOT NULL AND n_tok > 4096
+    UNION ALL SELECT doc_id, '/source', 'enum' FROM seq
+        WHERE source IS NOT NULL AND source NOT IN {VALID_SOURCES}
+    UNION ALL SELECT doc_id, '/tokens/' || CAST(ord - 1 AS VARCHAR), 'minimum' FROM
+        (SELECT doc_id, unnest(tokens) AS tok, generate_subscripts(tokens, 1) AS ord
+         FROM seq WHERE tokens IS NOT NULL) WHERE tok < 0
+    UNION ALL SELECT doc_id, '/tokens/' || CAST(ord - 1 AS VARCHAR), 'exclusive_maximum' FROM
+        (SELECT doc_id, unnest(tokens) AS tok, generate_subscripts(tokens, 1) AS ord
+         FROM seq WHERE tokens IS NOT NULL) WHERE tok >= 50257
+    UNION ALL SELECT doc_id, '/n_tok', 'validator' FROM seq
+        WHERE n_tok IS NOT NULL AND tokens IS NOT NULL AND n_tok <> len(tokens)
+    """,
+    doc="full-schema validation violation rows (doc_id, path, keyword) — SURVEY §2.1",
+)
+def seq_violations(sf_dir: str):
+    from xema_ray.pipelines.flagship import validate_corpus
+
+    res = validate_corpus(corpus_paths(ensure_corpus(sf_dir)))
+    return res.violations().map_batches(
+        lambda t: t.select(["doc_id", "path", "keyword"]), batch_format="pyarrow"
+    )
+
+
+@register(
+    "seq_verdict_by_source",
+    f"""{_SEQ_CTE}
+    SELECT COALESCE(source, '__null__') AS source,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN {_SEQ_INVALID_COND} THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows
+    FROM seq GROUP BY COALESCE(source, '__null__')
+    """,
+    doc="per-partition (source) pass/fail verdict roll-up — SURVEY §2.4",
+)
+def seq_verdict_by_source(sf_dir: str):
+    from xema_ray.pipelines.flagship import validate_corpus
+
+    res = validate_corpus(corpus_paths(ensure_corpus(sf_dir)), keep_details=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = pc.fill_null(t["source"], "__null__")
+        g = pa.table({
+            "source": src,
+            "invalid": pc.cast(pc.invert(t["valid"]), pa.int64()),
+        }).group_by("source").aggregate([("invalid", "sum"), ("invalid", "count")])
+        return pa.table({
+            "source": g["source"],
+            "n_rows": pc.cast(g["invalid_count"], pa.int64()),
+            "invalid_rows": pc.cast(g["invalid_sum"], pa.int64()),
+        })
+
+    parts = res.annotated.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict = {}
+    for r in parts:
+        cur = agg.setdefault(r["source"], [0, 0])
+        cur[0] += r["n_rows"]
+        cur[1] += r["invalid_rows"]
+    return pa.table({
+        "source": pa.array(sorted(agg), type=pa.string()),
+        "n_rows": pa.array([agg[s][0] for s in sorted(agg)], type=pa.int64()),
+        "invalid_rows": pa.array([agg[s][1] for s in sorted(agg)], type=pa.int64()),
+    })
+
+
+@register(
+    "seq_duplicate_doc_ids",
+    f"""{_SEQ_CTE}
+    SELECT doc_id, count(*) AS n_occurrences FROM seq
+    WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING count(*) > 1
+    """,
+    doc="exact doc_id uniqueness via hash-partitioned groupby — SURVEY §2.4",
+)
+def seq_duplicate_doc_ids(sf_dir: str):
+    from xema_ray.stages.checks import duplicate_values
+
+    return duplicate_values(_read_seq(sf_dir), "doc_id")
+
+
+@register(
+    "seq_referential_violations",
+    f"""{_SEQ_CTE}
+    SELECT doc_id FROM seq
+    WHERE source IS NOT NULL AND source NOT IN {VALID_SOURCES}
+    """,
+    doc="referential check source ∈ dim via broadcast is_in — SURVEY §2.4",
+)
+def seq_referential_violations(sf_dir: str):
+    from xema_ray.sources.corpus import sources_dim_table
+    from xema_ray.stages.checks import referential_violations
+
+    v = referential_violations(_read_seq(sf_dir), sources_dim_table(), col="source")
+    return v.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+
+@register(
+    "seq_stats_n_tok",
+    f"""{_SEQ_CTE}
+    SELECT count(*) AS n_rows,
+           CAST(count(*) - count(n_tok) AS BIGINT) AS n_nulls,
+           CAST(min(n_tok) AS BIGINT) AS min_v,
+           CAST(max(n_tok) AS BIGINT) AS max_v,
+           avg(n_tok) AS mean_v
+    FROM seq
+    """,
+    doc="streaming per-column stats (count/nulls/min/max/mean) — SURVEY §2.4",
+)
+def seq_stats_n_tok(sf_dir: str):
+    from xema_ray.stages.stats import column_stats
+
+    s = column_stats(_read_seq(sf_dir), ["n_tok"])["n_tok"]
+    return pa.table({
+        "n_rows": pa.array([s["count"]], type=pa.int64()),
+        "n_nulls": pa.array([s["nulls"]], type=pa.int64()),
+        "min_v": pa.array([s["min"]], type=pa.int64()),
+        "max_v": pa.array([s["max"]], type=pa.int64()),
+        "mean_v": pa.array([s["mean"]], type=pa.float64()),
+    })
+
+
+@register(
+    "seq_token_length_by_source",
+    f"""{_SEQ_CTE}
+    SELECT source, count(*) AS n_rows,
+           CAST(min(len(tokens)) AS BIGINT) AS min_len,
+           CAST(max(len(tokens)) AS BIGINT) AS max_len,
+           CAST(sum(len(tokens)) AS BIGINT) AS sum_len
+    FROM seq WHERE source IS NOT NULL AND tokens IS NOT NULL
+    GROUP BY source
+    """,
+    doc="token-length distribution per source (drift input, partial-agg) — SURVEY §2.4",
+)
+def seq_token_length_by_source(sf_dir: str):
+    ds = _read_seq(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t["source"]), pc.is_valid(t["tokens"]))
+        t = t.filter(mask)
+        lens = pc.cast(pc.list_value_length(t["tokens"]), pa.int64())
+        g = pa.table({"source": t["source"], "len": lens}).group_by("source").aggregate(
+            [("len", "count"), ("len", "min"), ("len", "max"), ("len", "sum")]
+        )
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict = {}
+    for r in parts:
+        cur = agg.setdefault(r["source"], [0, None, None, 0])
+        cur[0] += r["len_count"]
+        cur[1] = r["len_min"] if cur[1] is None else min(cur[1], r["len_min"])
+        cur[2] = r["len_max"] if cur[2] is None else max(cur[2], r["len_max"])
+        cur[3] += r["len_sum"]
+    keys = sorted(agg)
+    return pa.table({
+        "source": pa.array(keys, type=pa.string()),
+        "n_rows": pa.array([agg[k][0] for k in keys], type=pa.int64()),
+        "min_len": pa.array([agg[k][1] for k in keys], type=pa.int64()),
+        "max_len": pa.array([agg[k][2] for k in keys], type=pa.int64()),
+        "sum_len": pa.array([agg[k][3] for k in keys], type=pa.int64()),
+    })
+
+
+@register(
+    "seq_inrow_dup_tokens",
+    f"""{_SEQ_CTE}
+    SELECT doc_id FROM seq
+    WHERE tokens IS NOT NULL AND len(tokens) <> len(list_distinct(tokens))
+    """,
+    doc="per-row uniqueItems over the tokens list (lexsort kernel) — SURVEY §2.1 #15",
+)
+def seq_inrow_dup_tokens(sf_dir: str):
+    from xema_ray.functions.kernels import _list_offsets
+
+    def find_dups(t: pa.Table) -> pa.Table:
+        col = t["tokens"].combine_chunks()
+        values, offsets = _list_offsets(col)
+        nrows = len(offsets) - 1
+        dup_rows = np.zeros(nrows, dtype=bool)
+        if len(values):
+            vals = values.to_numpy(zero_copy_only=False)
+            row_ids = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(offsets))
+            order = np.lexsort((vals, row_ids))
+            sv, sr = vals[order], row_ids[order]
+            d = (sr[1:] == sr[:-1]) & (sv[1:] == sv[:-1])
+            dup_rows[np.unique(sr[1:][d])] = True
+        null_rows = pc.is_null(col).to_numpy(zero_copy_only=False).astype(bool)
+        dup_rows &= ~null_rows
+        return t.filter(pa.array(dup_rows)).select(["doc_id"])
+
+    return _read_seq(sf_dir).map_batches(find_dups, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# documents: dedup + text analysis
+# ----------------------------------------------------------------------
+
+
+@register(
+    "doc_exact_dedup",
+    "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies "
+    "FROM documents GROUP BY text",
+    doc="exact dedup: content-hash partials + groupby(hash) — ray guide pattern",
+)
+def doc_exact_dedup(sf_dir: str):
+    from xema_ray.stages.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+@register(
+    "doc_token_counts",
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words, "
+    "CAST(length(text) AS BIGINT) AS n_chars_text FROM documents",
+    doc="token counting (regex word count, pure-Arrow kernel)",
+)
+def doc_token_counts(sf_dir: str):
+    from xema_ray.stages.text import token_counts
+
+    ds = token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.map_batches(
+        lambda t: t.select(["doc_id", "n_words", "n_chars_text"]), batch_format="pyarrow"
+    )
+
+
+@register(
+    "doc_quality",
+    """SELECT doc_id,
+       CAST(floor(1e6 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / greatest(length(text), 1)) AS BIGINT) AS alpha_m,
+       CAST(floor(1e6 * length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  / greatest(length(text), 1)) AS BIGINT) AS digit_m,
+       CAST(floor(1e6 * len(regexp_extract_all(text, '\\s'))
+                  / greatest(length(text), 1)) AS BIGINT) AS space_m
+    FROM documents""",
+    doc="quality scoring: char-class ratios, fixed-point for fp-safe parity",
+)
+def doc_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        denom = pc.max_element_wise(pc.cast(pc.utf8_length(text), pa.float64()), 1.0)
+
+        def fixed(pattern):
+            c = pc.cast(pc.count_substring_regex(text, pattern=pattern), pa.float64())
+            return pc.cast(pc.floor(pc.multiply(pc.divide(c, denom), 1e6)), pa.int64())
+
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "alpha_m": fixed(r"[A-Za-z]"),
+            "digit_m": fixed(r"[0-9]"),
+            "space_m": fixed(r"\s"),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@register("doc_langid", None,
+          doc="language-ID n-gram/stopword heuristic (non-SQL; rows-only check)")
+def doc_langid(sf_dir: str):
+    from xema_ray.stages.text import lang_id
+
+    ds = lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.map_batches(lambda t: t.select(["doc_id", "lang_pred"]),
+                          batch_format="pyarrow")
+
+
+@register("doc_fingerprints", None,
+          doc="document fingerprinting via winnowed rolling hash (rows-only)")
+def doc_fingerprints(sf_dir: str):
+    from xema_ray.stages.text import fingerprints
+
+    ds = fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.map_batches(lambda t: t.select(["doc_id", "fingerprint"]),
+                          batch_format="pyarrow")
+
+
+@register("doc_minhash_pairs", None,
+          doc="MinHash-LSH near-dup candidate pairs (banded shuffle; rows-only)")
+def doc_minhash_pairs(sf_dir: str):
+    from xema_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                             threshold=0.5)
+
+
+@register("doc_simhash_pairs", None,
+          doc="SimHash near-dup pairs (4×16-bit band buckets; rows-only)")
+def doc_simhash_pairs(sf_dir: str):
+    from xema_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+# ----------------------------------------------------------------------
+# embeddings: similarity search
+# ----------------------------------------------------------------------
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rows = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n)), batch_format="pyarrow"
+    ).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    qids = [r["vec_id"] for r in rows]
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return qids, qmat
+
+
+@register(
+    "emb_knn",
+    """SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])) DESC,
+                    e.vec_id) AS BIGINT) AS rank
+    FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+    QUALIFY rank <= 10""",
+    doc="brute-force cosine top-k (broadcast query matrix, per-batch matmul)",
+)
+def emb_knn(sf_dir: str):
+    from xema_ray.stages.similarity import knn_brute_force
+
+    queries = _query_vectors(sf_dir)
+    out = knn_brute_force(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                          queries, k=10)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+@register("emb_knn_lsh", None,
+          doc="LSH-bucketed approximate top-k (scale path; rows-only)")
+def emb_knn_lsh(sf_dir: str):
+    from xema_ray.stages.similarity import knn_lsh
+
+    queries = _query_vectors(sf_dir)
+    out = knn_lsh(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                  queries, k=10, n_bits=6, dim=64, multiprobe=1)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+@register("media_features", None,
+          doc="multimodal plumbing: binary payload → actor-pool feature extraction (stubbed decode; rows-only)")
+def media_features(sf_dir: str):
+    import ray.data as rd
+
+    from xema_ray.stages.multimodal import extract_features, synthetic_media_table
+
+    sf = sf_of_dir(sf_dir)
+    n = max(200, int(20_000 * sf))
+    ds = rd.from_arrow(synthetic_media_table(n, seed=42))
+    out = extract_features(ds, batch_size=128)
+    return out.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "mime": t["mime"],
+            "feat_dim": pc.list_value_length(t["features"]),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+# ----------------------------------------------------------------------
+# events / TPC-H-ish relational coverage
+# ----------------------------------------------------------------------
+
+
+@register(
+    "events_hourly",
+    """SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       count(*) AS n, min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+    doc="tumbling-window aggregate over the event stream (partial per batch + groupby merge)",
+)
+def events_hourly(sf_dir: str):
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        hour = pc.multiply(pc.divide(us, 3_600_000_000), 3600)
+        g = pa.table({
+            "event_type": t["event_type"],
+            "hour_epoch": pc.cast(hour, pa.int64()),
+            "value": t["value"],
+        }).group_by(["event_type", "hour_epoch"]).aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")]
+        )
+        return g
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "hour_epoch"]
+    ).aggregate(
+        Sum("value_count", alias_name="n"),
+        Min("value_min", alias_name="min_value"),
+        Max("value_max", alias_name="max_value"),
+    )
+    return merged
+
+
+@register(
+    "lineitem_pricing",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       count(*) AS n_rows,
+       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    doc="TPC-H-Q1-style grouped aggregate (partial per batch + groupby merge)",
+)
+def lineitem_pricing(sf_dir: str):
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count"),
+             ("l_extendedprice", "min"), ("l_extendedprice", "max")]
+        )
+        return g
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("l_quantity_sum", alias_name="sum_qty_f"),
+        Sum("l_quantity_count", alias_name="n_rows"),
+        Min("l_extendedprice_min", alias_name="min_price"),
+        Max("l_extendedprice_max", alias_name="max_price"),
+    )
+    return merged.map_batches(
+        lambda t: pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.cast(t["sum_qty_f"], pa.int64()),
+            "n_rows": pc.cast(t["n_rows"], pa.int64()),
+            "min_price": t["min_price"],
+            "max_price": t["max_price"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "orders_by_segment",
+    """SELECT c.c_mktsegment, count(*) AS n_orders,
+       min(o.o_totalprice) AS min_total, max(o.o_totalprice) AS max_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment""",
+    doc="broadcast hash join (small dim side via ray.put) + grouped aggregate",
+)
+def orders_by_segment(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).take_all()
+    seg_map = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
+    ref = ray.put(seg_map)
+
+    class AddSegment:
+        def __init__(self, ref):
+            self.seg = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            segs = [self.seg.get(k) for k in t["o_custkey"].to_pylist()]
+            return t.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        AddSegment, fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("c_mktsegment").aggregate(
+            [("o_totalprice", "count"), ("o_totalprice", "min"), ("o_totalprice", "max")]
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "c_mktsegment"
+    ).aggregate(
+        Sum("o_totalprice_count", alias_name="n_orders"),
+        Min("o_totalprice_min", alias_name="min_total"),
+        Max("o_totalprice_max", alias_name="max_total"),
+    )
+
+
+@register(
+    "top_parts",
+    """SELECT p_partkey, p_retailprice FROM part
+    ORDER BY p_retailprice DESC, p_partkey LIMIT 10""",
+    doc="distributed sort + top-k limit",
+)
+def top_parts(sf_dir: str):
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10)

@@ -1,0 +1,340 @@
+"""Deduplication stages — exact and near-duplicate detection at corpus scale.
+
+Shuffle strategy (SURVEY.md §4 / ray guide "Aggregation at scale"):
+
+* **exact**: content-hash per batch (vectorized), then ONE hash-partitioned
+  ``groupby(hash)`` over (hash, min_id, count) partials — data rows never
+  shuffle, only 16-byte digests.
+* **MinHash-LSH**: shingle → k-permutation MinHash signature per batch
+  (actor holds the permutation table) → explode to (band, band_hash, doc_id)
+  rows → ``groupby(band, band_hash)`` → candidate pairs within buckets →
+  exact-signature Jaccard verification.  Bucket sizes are bounded by
+  capping pairs per bucket (skew guard for degenerate buckets).
+* **SimHash**: 64-bit signature per doc; bucket by 4×16-bit bands (any pair
+  with Hamming distance ≤ 3 shares ≥1 band); verify Hamming in-bucket.
+* **n-gram Jaccard**: exact verification kernel used by both LSH paths, and
+  usable brute-force within small groups.
+* **embedding cosine**: see :mod:`xema_ray.stages.similarity` near-dup path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+
+
+def _content_hash_batch(tbl: pa.Table, col: str, id_col: str) -> pa.Table:
+    """(hash, doc_id) per row + per-batch partial (hash, min_id, cnt)."""
+    texts = tbl[col].to_pylist()
+    ids = tbl[id_col].to_pylist()
+    agg: dict = {}
+    for t, i in zip(texts, ids):
+        if t is None or i is None:
+            continue
+        h = hashlib.md5(t.encode("utf-8", "surrogatepass")).hexdigest()
+        cur = agg.get(h)
+        if cur is None:
+            agg[h] = [i, 1]
+        else:
+            cur[1] += 1
+            if i < cur[0]:
+                cur[0] = i
+    return pa.table({
+        "h": pa.array(list(agg.keys()), type=pa.string()),
+        "min_id": pa.array([v[0] for v in agg.values()]),
+        "cnt": pa.array([v[1] for v in agg.values()], type=pa.int64()),
+    })
+
+
+def exact_dedup_groups(ds, col: str = "text", id_col: str = "doc_id"):
+    """One row per distinct content: ``(doc_id=min id, n_copies)``.
+
+    Matches ``SELECT min(id), count(*) FROM t GROUP BY content`` (md5
+    collisions are negligible at any practical corpus size).
+    """
+    from ray.data.aggregate import Count, Min, Sum
+
+    partials = ds.map_batches(
+        lambda t: _content_hash_batch(t, col, id_col), batch_format="pyarrow"
+    )
+    merged = partials.groupby("h").aggregate(
+        Min("min_id", alias_name="doc_id"), Sum("cnt", alias_name="n_copies")
+    )
+    return merged.select_columns(["doc_id", "n_copies"])
+
+
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+    """Survivor rows (first id per distinct content), as a semi-join of the
+    survivor-id set back onto the data (broadcast when small)."""
+    import ray
+
+    survivors = exact_dedup_groups(ds, col, id_col)
+    ids = [r["doc_id"] for r in survivors.select_columns(["doc_id"]).take_all()]
+    ref = ray.put(set(ids))
+
+    class Keep:
+        def __init__(self, ref):
+            self.keep = ray.get(ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            mask = pa.array([i in self.keep for i in tbl[id_col].to_pylist()])
+            return tbl.filter(mask)
+
+    return ds.map_batches(Keep, fn_constructor_kwargs={"ref": ref},
+                          batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ----------------------------------------------------------------------
+# shingling + MinHash-LSH
+# ----------------------------------------------------------------------
+
+
+def _shingle_hashes(text: str, k: int, word_re) -> np.ndarray:
+    from xema_ray.functions.sketches import hash_strings
+
+    words = word_re.findall(text.lower())
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    if len(words) < k:
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return np.unique(hash_strings(np.array(grams, dtype=object)))
+
+
+class MinHashStage:
+    """Actor: emits (doc_id, band, band_hash) rows per document."""
+
+    def __init__(self, col: str, id_col: str, k: int = 128, bands: int = 16,
+                 shingle: int = 3, seed: int = 7):
+        import re
+
+        from xema_ray.functions.sketches import MinHasher
+
+        self.col, self.id_col = col, id_col
+        self.bands = bands
+        self.shingle = shingle
+        self.mh = MinHasher(k=k, seed=seed)
+        self.word_re = re.compile(r"[a-z0-9]+")
+
+    def signature_matrix(self, texts) -> np.ndarray:
+        sigs = np.empty((len(texts), self.mh.k), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sh = _shingle_hashes(t or "", self.shingle, self.word_re)
+            sigs[i] = self.mh.signature(sh)
+        return sigs
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        texts = tbl[self.col].to_pylist()
+        ids = tbl[self.id_col].to_pylist()
+        sigs = self.signature_matrix(texts)
+        from xema_ray.functions.sketches import MinHasher
+
+        bands = MinHasher.band_keys(sigs, self.bands)  # (n, bands)
+        n = len(texts)
+        doc = np.repeat(np.asarray(ids, dtype=object), self.bands)
+        band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        bh = bands.reshape(-1)
+        # signatures ride along (packed bytes) for in-bucket verification
+        sig_rows = np.repeat(np.arange(n), self.bands)
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "band": pa.array(band_id, type=pa.int32()),
+            "band_hash": pa.array(bh.view(np.int64), type=pa.int64()),
+            "sig": pa.array([sigs[r].tobytes() for r in sig_rows], type=pa.binary()),
+        })
+
+
+def minhash_lsh_pairs(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 128,
+    bands: int = 16,
+    shingle: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int = 64,
+):
+    """Candidate near-duplicate pairs via banded MinHash-LSH, verified with
+    estimated Jaccard (signature agreement) ≥ ``threshold``.
+
+    Returns a Dataset of ``(doc_a, doc_b, est_jaccard)`` with doc_a < doc_b,
+    deduplicated across bands.  ``max_bucket`` caps pairwise explosion in
+    degenerate buckets (boilerplate text) — the documented skew guard.
+    """
+    band_rows = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"col": col, "id_col": id_col, "k": k,
+                               "bands": bands, "shingle": shingle},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+        g = group.drop_duplicates("doc_id").head(max_bucket)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+        sigs = np.stack([np.frombuffer(b, dtype=np.uint64) for b in g["sig"]])
+        ids = g["doc_id"].to_numpy()
+        out_a, out_b, out_j = [], [], []
+        for i in range(n - 1):
+            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            hit = np.nonzero(agree >= threshold)[0]
+            for j in hit:
+                a, b = ids[i], ids[i + 1 + j]
+                if a == b:
+                    continue
+                if str(a) > str(b):
+                    a, b = b, a
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(float(agree[j]))
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_j})
+
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # dedupe pairs found in multiple bands
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ----------------------------------------------------------------------
+# SimHash near-dup
+# ----------------------------------------------------------------------
+
+
+class SimHashStage:
+    """Actor: 64-bit SimHash per doc + 4×16-bit band keys."""
+
+    def __init__(self, col: str, id_col: str, shingle: int = 3):
+        import re
+
+        self.col, self.id_col = col, id_col
+        self.shingle = shingle
+        self.word_re = re.compile(r"[a-z0-9]+")
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        from xema_ray.functions.sketches import simhash
+
+        texts = tbl[self.col].to_pylist()
+        ids = tbl[self.id_col].to_pylist()
+        n = len(texts)
+        sh = np.empty(n, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sh[i] = simhash(_shingle_hashes(t or "", self.shingle, self.word_re))
+        doc = np.repeat(np.asarray(ids, dtype=object), 4)
+        band = np.tile(np.arange(4, dtype=np.int32), n)
+        keys = np.empty(4 * n, dtype=np.int64)
+        sims = np.repeat(sh, 4)
+        for b in range(4):
+            keys[band == b] = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "band": pa.array(band, type=pa.int32()),
+            "band_key": pa.array(keys, type=pa.int64()),
+            "simhash": pa.array(sims.view(np.int64), type=pa.int64()),
+        })
+
+
+def simhash_pairs(ds, col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, max_bucket: int = 64):
+    """Near-duplicate pairs with SimHash Hamming distance ≤ ``max_hamming``
+    (any such pair shares at least one of the 4 16-bit bands)."""
+    from xema_ray.functions.sketches import hamming64
+
+    rows = ds.map_batches(
+        SimHashStage, fn_constructor_kwargs={"col": col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("doc_id").head(max_bucket)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        sims = g["simhash"].to_numpy().view(np.uint64)
+        ids = g["doc_id"].to_numpy()
+        out_a, out_b, out_h = [], [], []
+        for i in range(n - 1):
+            d = hamming64(np.full(n - i - 1, sims[i], dtype=np.uint64), sims[i + 1 :])
+            for j in np.nonzero(d <= max_hamming)[0]:
+                a, b = ids[i], ids[i + 1 + j]
+                if a == b:
+                    continue
+                if str(a) > str(b):
+                    a, b = b, a
+                out_a.append(a); out_b.append(b); out_h.append(int(d[j]))
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+
+    pairs = rows.groupby(["band", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ----------------------------------------------------------------------
+# exact n-gram Jaccard (verification kernel / brute-force small-group path)
+# ----------------------------------------------------------------------
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    import re
+
+    word_re = re.compile(r"[a-z0-9]+")
+    a = set(map(tuple, _ngrams(word_re.findall((text_a or "").lower()), n)))
+    b = set(map(tuple, _ngrams(word_re.findall((text_b or "").lower()), n)))
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def _ngrams(words, n):
+    if len(words) < n:
+        return [tuple(words)] if words else []
+    return [tuple(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
+                         id_col: str = "doc_id", n: int = 3,
+                         threshold: float = 0.6):
+    """Exact-Jaccard verification of candidate pairs.  Broadcast the needed
+    doc texts (candidate set is small relative to the corpus)."""
+    import ray
+
+    need: set = set()
+    pairs = pairs_ds.take_all()
+    for p in pairs:
+        need.add(p["doc_a"]); need.add(p["doc_b"])
+    texts: dict = {}
+    for batch in docs_ds.select_columns([id_col, col]).iter_batches(batch_format="pyarrow"):
+        for i, t in zip(batch[id_col].to_pylist(), batch[col].to_pylist()):
+            if i in need:
+                texts[i] = t
+    out = []
+    for p in pairs:
+        j = ngram_jaccard(texts.get(p["doc_a"], ""), texts.get(p["doc_b"], ""), n=n)
+        if j >= threshold:
+            out.append({**p, "jaccard": round(j, 6)})
+    import ray.data as rd
+
+    if not out:
+        return rd.from_pandas(pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}))
+    return rd.from_pandas(pd.DataFrame(out))

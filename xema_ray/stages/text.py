@@ -1,0 +1,166 @@
+"""Text-analysis stages over a document table (``documents``: doc_id, text,
+lang, source, n_chars) — the language-ID / quality / token-count /
+fingerprint components a training-data pipeline needs at corpus scale.
+
+All stages are ``map_batches`` callables: stateless functions where the
+kernel is pure Arrow/pandas, actor classes where state (stopword tables,
+compiled regexes, hash coefficients) should be built once per actor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+WORD_RE = r"[A-Za-z0-9]+"
+
+
+def token_count_batch(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``n_words`` (regex-word count — whitespace-robust) and
+    ``n_chars_text`` (code-point length).  Pure Arrow kernels."""
+    n_words = pc.count_substring_regex(tbl[text_col], pattern=WORD_RE)
+    return tbl.append_column(
+        "n_words", pc.cast(n_words, pa.int64())
+    ).append_column(
+        "n_chars_text", pc.cast(pc.utf8_length(tbl[text_col]), pa.int64())
+    )
+
+
+def quality_score_batch(tbl: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append vectorized quality signals: ``alpha_ratio``, ``digit_ratio``,
+    ``space_ratio``, ``mean_word_len`` (all double, 0 for empty text)."""
+    text = tbl[text_col]
+    n = pc.utf8_length(text)
+    n_f = pc.cast(n, pa.float64())
+    denom = pc.max_element_wise(n_f, 1.0)
+
+    def ratio(pattern: str):
+        c = pc.cast(pc.count_substring_regex(text, pattern=pattern), pa.float64())
+        return pc.divide(c, denom)
+
+    alpha = ratio(r"[A-Za-z]")
+    digit = ratio(r"[0-9]")
+    space = ratio(r"\s")
+    words = pc.cast(pc.count_substring_regex(text, pattern=WORD_RE), pa.float64())
+    word_chars = pc.cast(pc.count_substring_regex(text, pattern=r"[A-Za-z0-9]"), pa.float64())
+    mean_wl = pc.divide(word_chars, pc.max_element_wise(words, 1.0))
+    out = tbl
+    for name, arr in (("alpha_ratio", alpha), ("digit_ratio", digit),
+                      ("space_ratio", space), ("mean_word_len", mean_wl)):
+        out = out.append_column(name, pc.round(arr, ndigits=6))
+    return out
+
+
+# language-ID: tiny per-language stopword tables (common-knowledge lists)
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was",
+           "with", "as", "his", "on", "be", "at", "by", "this", "had", "not"},
+    "de": {"der", "die", "und", "das", "ist", "von", "mit", "den", "des", "im",
+           "ein", "eine", "auf", "nicht", "sich", "auch", "als", "dem", "zu"},
+    "fr": {"le", "la", "les", "et", "des", "est", "un", "une", "dans", "que",
+           "qui", "pour", "pas", "sur", "avec", "par", "au", "plus", "ne"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "en", "que",
+           "del", "por", "con", "para", "se", "su", "al", "como", "más"},
+}
+
+
+class LangId:
+    """Actor-pool stage: n-gram/stopword-vote language heuristic.
+
+    Tables and the word regex are compiled once per actor (``__init__``),
+    batches are scored with pandas vectorized string ops + one explode/
+    groupby per batch — no Python loop over rows.
+    """
+
+    def __init__(self, text_col: str = "text", min_votes: int = 2):
+        import re
+
+        self.text_col = text_col
+        self.min_votes = min_votes
+        self.word_re = re.compile(r"[a-záéíóúüäöñßà-ÿ]+")
+        self.lookup = {}
+        for lang, words in _LANG_STOPWORDS.items():
+            for w in words:
+                self.lookup.setdefault(w, []).append(lang)
+        self.langs = sorted(_LANG_STOPWORDS)
+
+    def __call__(self, batch):
+        import pandas as pd
+
+        texts = batch[self.text_col].fillna("").str.lower()
+        words = texts.str.findall(self.word_re)
+        n = len(batch)
+        votes = np.zeros((n, len(self.langs)), dtype=np.int32)
+        for li, lang in enumerate(self.langs):
+            sw = _LANG_STOPWORDS[lang]
+            votes[:, li] = words.map(lambda ws, sw=sw: sum(1 for w in ws if w in sw)).to_numpy()
+        best = votes.argmax(axis=1)
+        best_votes = votes.max(axis=1)
+        pred = np.where(
+            best_votes >= self.min_votes,
+            np.array(self.langs, dtype=object)[best],
+            "und",
+        )
+        batch = batch.copy()
+        batch["lang_pred"] = pred
+        batch["lang_votes"] = best_votes
+        return batch
+
+
+class Fingerprint:
+    """Actor-pool stage: document fingerprinting via winnowed rolling hash
+    (Rabin-Karp over word 3-grams, keep the minimum hash → stable 64-bit
+    fingerprint; equal fingerprints ⇒ near-identical word streams)."""
+
+    def __init__(self, text_col: str = "text", ngram: int = 3):
+        import re
+
+        self.text_col = text_col
+        self.ngram = ngram
+        self.word_re = re.compile(r"[A-Za-z0-9]+")
+
+    def __call__(self, batch):
+        from xema_ray.functions.sketches import hash_strings, splitmix64
+
+        out_fp = np.zeros(len(batch), dtype=np.uint64)
+        texts = batch[self.text_col].fillna("").str.lower()
+        words_all = texts.str.findall(self.word_re)
+        for i, words in enumerate(words_all):
+            if len(words) < self.ngram:
+                grams = [" ".join(words)] if words else [""]
+            else:
+                grams = [" ".join(words[j : j + self.ngram])
+                         for j in range(len(words) - self.ngram + 1)]
+            h = hash_strings(np.array(grams, dtype=object))
+            out_fp[i] = h.min() if len(h) else 0
+        batch = batch.copy()
+        batch["fingerprint"] = [format(v, "016x") for v in out_fp]
+        return batch
+
+
+def token_counts(ds, text_col: str = "text"):
+    """doc_id → word/char counts (pure-Arrow map_batches; no shuffle)."""
+    return ds.map_batches(
+        lambda t: token_count_batch(t, text_col), batch_format="pyarrow"
+    )
+
+
+def quality_scores(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: quality_score_batch(t, text_col), batch_format="pyarrow"
+    )
+
+
+def lang_id(ds, text_col: str = "text", concurrency=(1, 8)):
+    return ds.map_batches(
+        LangId, fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pandas", concurrency=concurrency,
+    )
+
+
+def fingerprints(ds, text_col: str = "text", concurrency=(1, 8)):
+    return ds.map_batches(
+        Fingerprint, fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pandas", concurrency=concurrency,
+    )
