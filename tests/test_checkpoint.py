@@ -1,0 +1,69 @@
+"""Checkpoint/resume semantics (FIXTURES.md F5): a run killed after k
+partitions must, on resume, process only the remaining partitions and
+produce identical global verdicts to an uninterrupted run."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from xema_ray.sources.corpus import corpus_paths, write_corpus
+
+CORPUS = "/tmp/xema_ckpt_corpus"
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    return write_corpus(CORPUS, 8000, n_files=8, seed=42)
+
+
+def test_run_and_resume(corpus, tmp_path):
+    from xema_ray.state.checkpoint import load_manifest, run_validation
+
+    paths = corpus_paths(corpus)
+    out_full = str(tmp_path / "full")
+    full = run_validation(paths, out_full)
+    assert full.partitions_done == 8
+    assert full.rows == 8000
+    assert full.violations > 0
+
+    # simulate a killed run: copy only the first 3 manifest entries
+    out_resume = str(tmp_path / "resumed")
+    os.makedirs(out_resume + "/violations", exist_ok=True)
+    entries = [json.loads(l) for l in open(full.manifest_path)][:3]
+    with open(out_resume + "/manifest.jsonl", "w") as f:
+        for e in entries:
+            dst = os.path.join(out_resume, "violations", e["partition"])
+            shutil.copy(e["out_file"], dst)
+            e = dict(e, out_file=dst)
+            f.write(json.dumps(e) + "\n")
+
+    resumed = run_validation(paths, out_resume)
+    assert resumed.partitions_skipped == 3
+    assert resumed.partitions_done == 5
+    # identical global verdict
+    assert resumed.rows == full.rows
+    assert resumed.valid_rows == full.valid_rows
+    assert resumed.violations == full.violations
+    assert resumed.keyword_counts == full.keyword_counts
+
+    # violation outputs byte-identical per partition
+    import pyarrow.parquet as pq
+
+    for e in load_manifest(out_resume).values():
+        a = pq.read_table(e["out_file"])
+        b = pq.read_table(os.path.join(out_full, "violations", e["partition"]))
+        assert a.equals(b)
+
+
+def test_rerun_skips_everything(corpus, tmp_path):
+    from xema_ray.state.checkpoint import run_validation
+
+    paths = corpus_paths(corpus)
+    out = str(tmp_path / "run")
+    first = run_validation(paths, out)
+    second = run_validation(paths, out)
+    assert second.partitions_done == 0
+    assert second.partitions_skipped == 8
+    assert second.rows == first.rows

@@ -46,22 +46,126 @@ def _batch_value_counts(col_name: str):
     return fn
 
 
-def duplicate_values(ds, col: str = "doc_id"):
-    """Dataset of ``(col, n_occurrences)`` for values appearing more than
-    once.  Column-pruned at the source; per-batch pre-aggregation bounds the
-    shuffle to distinct ids per batch."""
-    from ray.data.aggregate import Sum
+def _hash_count_blobs(col_name: str, bucket_bits: int):
+    """Per-batch partial: per hash-range bucket, one packed blob of
+    (sorted uint64 id-hashes, counts).  16 bytes per distinct id per batch
+    crosses the wire — never the strings themselves."""
+    from xema_ray.functions.sketches import hash_strings
 
-    counts = (
-        ds.select_columns([col])
-        .map_batches(_batch_value_counts(col), batch_format="pyarrow")
-        .groupby(col)
-        .aggregate(Sum("cnt", alias_name="n_occurrences"))
+    def fn(tbl: pa.Table) -> pa.Table:
+        ids = tbl[col_name].combine_chunks().drop_null()
+        out_b, out_blob = [], []
+        if len(ids):
+            h = hash_strings(ids.to_pylist())
+            uniq, cnt = np.unique(h, return_counts=True)
+            bucket = (uniq >> np.uint64(64 - bucket_bits)).astype(np.int32)
+            for b in np.unique(bucket):
+                sel = bucket == b
+                out_b.append(int(b))
+                out_blob.append(
+                    np.concatenate([uniq[sel].view(np.int64), cnt[sel]]).tobytes()
+                )
+        return pa.table({"bucket": pa.array(out_b, type=pa.int32()),
+                         "blob": pa.array(out_blob, type=pa.binary())})
+
+    return fn
+
+
+def _merge_blobs(blobs) -> tuple:
+    """Merge packed (hashes, counts) blobs; return (dup_hashes, dup_counts)."""
+    hs, cs = [], []
+    for blob in blobs:
+        a = np.frombuffer(blob, dtype=np.int64)
+        k = len(a) // 2
+        hs.append(a[:k])
+        cs.append(a[k:])
+    if not hs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    h = np.concatenate(hs)
+    c = np.concatenate(cs)
+    order = np.argsort(h, kind="stable")
+    h, c = h[order], c[order]
+    new = np.empty(len(h), dtype=bool)
+    new[0] = True
+    np.not_equal(h[1:], h[:-1], out=new[1:])
+    gidx = np.cumsum(new) - 1
+    sums = np.zeros(int(gidx[-1]) + 1, dtype=np.int64)
+    np.add.at(sums, gidx, c)
+    firsts = h[new]
+    dup = sums > 1
+    return firsts[dup], sums[dup]
+
+
+def duplicate_values(ds, col: str = "doc_id", strategy: str = "auto",
+                     bucket_bits: int = 4):
+    """Dataset of ``(col, n_occurrences)`` for values appearing more than
+    once — the table-scale exact-uniqueness shuffle.
+
+    Two-phase hash aggregation: per-batch partials carry only packed 64-bit
+    id-hash/count blobs (no strings move).  ``strategy='driver'`` merges the
+    blobs on the driver (right when Σdistinct-per-batch is small/medium);
+    ``'groupby'`` merges them through a hash-range ``groupby(bucket)``
+    (the multi-node path — bump ``bucket_bits`` with cluster size);
+    ``'auto'`` picks driver below ~64M distinct-per-batch rows.  A second
+    column-pruned pass resolves duplicate hashes back to the actual id
+    strings and exact counts (broadcast ``is_in`` semi-join).
+    """
+    import ray.data as rd
+    from xema_ray.functions.sketches import hash_strings
+
+    thin = ds.select_columns([col])
+    partials = thin.map_batches(
+        _hash_count_blobs(col, bucket_bits), batch_format="pyarrow"
     )
-    return counts.map_batches(
-        lambda t: t.filter(pc.greater(t["n_occurrences"], 1)),
-        batch_format="pyarrow",
-    )
+
+    if strategy == "auto":
+        strategy = "driver"  # single-node default; groupby path for clusters
+
+    if strategy == "driver":
+        blobs = [r["blob"] for r in partials.take_all()]
+        dup_h, _ = _merge_blobs(blobs)
+    else:
+        import pandas as pd
+
+        def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+            h, n = _merge_blobs(list(g["blob"]))
+            return pd.DataFrame({"h": h, "n": n})
+
+        rows = partials.groupby("bucket").map_groups(
+            merge_group, batch_format="pandas"
+        ).take_all()
+        dup_h = np.array([r["h"] for r in rows], dtype=np.int64)
+
+    if len(dup_h) == 0:
+        return rd.from_arrow(pa.table({
+            col: pa.array([], type=pa.string()),
+            "n_occurrences": pa.array([], type=pa.int64()),
+        }))
+
+    dup_set = pa.array(np.sort(dup_h), type=pa.int64())
+
+    def resolve(tbl: pa.Table) -> pa.Table:
+        ids = tbl[col].combine_chunks().drop_null()
+        if len(ids) == 0:
+            return pa.table({col: ids, "cnt": pa.array([], type=pa.int64())})
+        h = pa.array(hash_strings(ids.to_pylist()).view(np.int64), type=pa.int64())
+        hits = ids.filter(pc.is_in(h, value_set=dup_set))
+        vc = hits.value_counts()
+        if len(vc) == 0:
+            return pa.table({col: hits, "cnt": pa.array([], type=pa.int64())})
+        return pa.table({col: vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    resolved = thin.map_batches(resolve, batch_format="pyarrow").take_all()
+    agg: dict = {}
+    for r in resolved:
+        agg[r[col]] = agg.get(r[col], 0) + r["cnt"]
+    dups = {k: v for k, v in agg.items() if v > 1}
+    keys = sorted(dups)
+    return rd.from_arrow(pa.table({
+        col: pa.array(keys, type=pa.string()),
+        "n_occurrences": pa.array([dups[k] for k in keys], type=pa.int64()),
+    }))
 
 
 def uniqueness_violations(ds, col: str = "doc_id"):
@@ -88,42 +192,14 @@ def uniqueness_violations(ds, col: str = "doc_id"):
 # ----------------------------------------------------------------------
 
 
-class _RefCheck:
-    """Actor: holds the broadcast key set (fetched once per actor)."""
-
-    def __init__(self, col: str, values_ref):
-        import ray
-
-        self.col = col
-        vals = ray.get(values_ref) if not isinstance(values_ref, (list, set, tuple)) else values_ref
-        self.value_set = pa.array(sorted(set(vals)), type=pa.string())
-
-    def __call__(self, tbl: pa.Table) -> pa.Table:
-        col = tbl[self.col]
-        bad = pc.and_(
-            pc.invert(pc.is_in(col, value_set=self.value_set)),
-            pc.is_valid(col),
-        )
-        t = tbl.filter(bad)
-        n = t.num_rows
-        out = {
-            "doc_id": pc.cast(t["doc_id"], pa.string()) if "doc_id" in t.column_names
-            else pa.array([None] * n, type=pa.string()),
-            "path": pa.array([f"/{self.col}"] * n, type=pa.string()),
-            "keyword": pa.array(["ref"] * n, type=pa.string()),
-            "message": pa.array(
-                [f"{self.col}={v!r} not in dimension table" for v in t[self.col].to_pylist()],
-                type=pa.string()),
-        }
-        return pa.table(out)
-
-
 def referential_violations(ds, dim, col: str = "source", dim_col: Optional[str] = None):
     """Rows of ``ds`` whose ``col`` has no match in ``dim`` (anti-join).
 
-    ``dim`` may be a list/set of values, a pyarrow Table, or a (small)
-    ray Dataset; it is broadcast once via ``ray.put`` and read in each
-    actor's ``__init__`` — no shuffle of the fact side.
+    ``dim`` may be a list/set of values, a pyarrow Table, or a (small) ray
+    Dataset.  Small dims (≤ ~100k values) ship inside the task closure
+    (serialized once per task spec, cached in plasma); larger ones go
+    through ``ray.put`` + a stateful actor pool.  Either way the fact side
+    streams with NO shuffle — this is a broadcast anti-join.
     """
     import ray
 
@@ -134,13 +210,36 @@ def referential_violations(ds, dim, col: str = "source", dim_col: Optional[str] 
         values = dim[dim_col].to_pylist()
     else:  # ray Dataset
         values = [r[dim_col] for r in dim.select_columns([dim_col]).take_all()]
-    ref = ray.put(values)
-    return ds.map_batches(
-        _RefCheck,
-        fn_constructor_kwargs={"col": col, "values_ref": ref},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    value_set = pa.array(sorted({v for v in values if v is not None}), type=pa.string())
+
+    def check(tbl: pa.Table, vs: pa.Array) -> pa.Table:
+        c = tbl[col]
+        bad = pc.and_(pc.invert(pc.is_in(c, value_set=vs)), pc.is_valid(c))
+        t = tbl.filter(bad)
+        n = t.num_rows
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.string()) if "doc_id" in t.column_names
+            else pa.nulls(n, type=pa.string()),
+            "path": pa.array([f"/{col}"] * n, type=pa.string()),
+            "keyword": pa.array(["ref"] * n, type=pa.string()),
+            "message": pa.array(
+                [f"{col}={v!r} not in dimension table" for v in t[col].to_pylist()],
+                type=pa.string()),
+        })
+
+    if len(value_set) <= 100_000:
+        return ds.map_batches(lambda t: check(t, value_set), batch_format="pyarrow")
+
+    ref = ray.put(value_set)
+
+    class RefCheckActor:
+        def __init__(self):
+            self.value_set = ray.get(ref)  # one plasma read per actor
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            return check(tbl, self.value_set)
+
+    return ds.map_batches(RefCheckActor, batch_format="pyarrow", concurrency=(1, 8))
 
 
 # ----------------------------------------------------------------------
