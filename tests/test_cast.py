@@ -1,0 +1,170 @@
+"""Cast/coercion semantics (reference Xema.cast, SURVEY.md §2.2) — scalar
+path + vectorized normalize stage."""
+
+import datetime as dt
+from decimal import Decimal
+
+import pyarrow as pa
+import pytest
+
+from xema_ray.functions.cast import CastError, cast, cast_value
+from xema_ray.schema.builder import compile_schema
+
+OK_CASES = [
+    ("integer", "5", 5),
+    ("integer", 5, 5),
+    ("float", "5.5", 5.5),
+    ("float", "5", 5.0),
+    ("float", 5, 5.0),
+    ("number", "5", 5),
+    ("number", "5.5", 5.5),
+    ("string", 5, "5"),
+    ("string", 5.5, "5.5"),
+    ("string", "x", "x"),
+    ("boolean", "true", True),
+    ("boolean", "false", False),
+    (["integer", "string"], "abc", "abc"),   # union: first castable type
+    (["integer", "string"], "5", 5),
+    ("list", (1, 2), [1, 2]),
+    ("tuple", [1, 2], (1, 2)),
+    ("map", [("a", 1), ("b", 2)], {"a": 1, "b": 2}),
+    ("keyword", {"a": 1}, [("a", 1)]),
+]
+
+FAIL_CASES = [
+    ("integer", "5x"),
+    ("integer", "5.5"),
+    ("integer", 5.5),      # float→integer is not a cast
+    ("float", "x"),
+    ("boolean", "TRUE"),
+    ("boolean", 1),
+    ("string", None),
+    ("nil", 0),
+]
+
+
+@pytest.mark.parametrize("src,value,expected", OK_CASES,
+                         ids=[f"{c[0]}<-{c[1]!r}" for c in OK_CASES])
+def test_cast_ok(src, value, expected):
+    out = cast_value(compile_schema(src), value)
+    assert out == expected
+    assert type(out) is type(expected)
+
+
+@pytest.mark.parametrize("src,value", FAIL_CASES,
+                         ids=[f"{c[0]}<-{c[1]!r}" for c in FAIL_CASES])
+def test_cast_fail(src, value):
+    with pytest.raises(CastError):
+        cast_value(compile_schema(src), value)
+
+
+def test_cast_struct_modules():
+    assert cast_value(compile_schema(("struct", {"module": "Decimal"})), "1.5") == Decimal("1.5")
+    assert cast_value(compile_schema(("struct", {"module": "Date"})), "2021-03-04") == dt.date(2021, 3, 4)
+    assert cast_value(compile_schema(("struct", {"module": "Time"})), "08:30:00") == dt.time(8, 30)
+    with pytest.raises(CastError):
+        cast_value(compile_schema(("struct", {"module": "Date"})), "2021-13-04")
+
+
+def test_cast_recurses_into_containers():
+    schema = compile_schema(("map", {
+        "properties": {"a": "integer", "b": ("list", {"items": "float"})},
+    }))
+    out = cast_value(schema, {"a": "5", "b": ["1", "2.5"], "extra": "x"})
+    assert out == {"a": 5, "b": [1.0, 2.5], "extra": "x"}
+
+
+def test_cast_required_precheck():
+    schema = compile_schema(("map", {"properties": {"a": "integer"}, "required": ["a"]}))
+    with pytest.raises(CastError):
+        cast_value(schema, {})
+
+
+def test_cast_defaults_fill():
+    schema = compile_schema(("map", {"properties": {
+        "a": ("integer", {"default": 7}),
+        "b": "string",
+    }}))
+    assert cast_value(schema, {"b": "x"}) == {"b": "x", "a": 7}
+    # present values not overwritten
+    assert cast_value(schema, {"a": "3"}) == {"a": 3}
+
+
+def test_cast_delete_additionals():
+    schema = compile_schema(("map", {
+        "properties": {"a": "integer"},
+        "additional_properties": False,
+    }))
+    out = cast_value(schema, {"a": "1", "junk": 9}, additional_properties="delete")
+    assert out == {"a": 1}
+
+
+def test_cast_combiner_reverse_first_success():
+    schema = compile_schema({"any_of": [("integer", {}), ("string", {})]})
+    # reverse order: string branch tried first → "5" stays a string
+    out = cast_value(schema, "5")
+    assert out == "5"
+
+
+def test_cast_then_validate():
+    schema = compile_schema(("integer", {"minimum": 10}))
+    value, violations = cast(schema, "5")
+    assert value == 5
+    assert violations and violations[0].keyword == "minimum"
+    value, violations = cast(schema, "15")
+    assert value == 15 and not violations
+
+
+def test_positional_items_cast():
+    schema = compile_schema(("tuple", {"items": [("integer", {}), ("string", {})]}))
+    assert cast_value(schema, ["5", 6]) == (5, "6")
+
+
+# ----------------------------------------------------------------------
+# vectorized normalize stage
+# ----------------------------------------------------------------------
+
+
+def test_normalizer_batch():
+    from xema_ray.stages.cast import make_normalizer
+
+    schema = compile_schema(("map", {"properties": {
+        "n": "integer",
+        "x": "float",
+        "flag": "boolean",
+        "label": ("string", {"default": "unk"}),
+    }}))
+    tbl = pa.table({
+        "n": pa.array(["1", "2", None]),
+        "x": pa.array([1, 2, 3]),
+        "flag": pa.array(["true", "false", None]),
+        "label": pa.array(["a", None, None]),
+    })
+    out = make_normalizer(schema)(tbl)
+    assert out["n"].to_pylist() == [1, 2, None]
+    assert out["x"].to_pylist() == [1.0, 2.0, 3.0]
+    assert out["flag"].to_pylist() == [True, False, None]
+    assert out["label"].to_pylist() == ["a", "unk", "unk"]
+
+
+def test_normalizer_full_parse_error_and_null_mode():
+    from xema_ray.stages.cast import make_normalizer
+
+    schema = compile_schema(("map", {"properties": {"n": "integer"}}))
+    tbl = pa.table({"n": pa.array(["1", "5x"])})
+    with pytest.raises(CastError):
+        make_normalizer(schema)(tbl)
+    out = make_normalizer(schema, on_error="null")(tbl)
+    assert out["n"].to_pylist() == [1, None]
+
+
+def test_normalizer_delete_additionals():
+    from xema_ray.stages.cast import make_normalizer
+
+    schema = compile_schema(("map", {
+        "properties": {"a": "integer"},
+        "additional_properties": False,
+    }))
+    tbl = pa.table({"a": [1], "junk": ["x"]})
+    out = make_normalizer(schema, additional_properties="delete")(tbl)
+    assert out.column_names == ["a"]

@@ -1,0 +1,413 @@
+"""Cast / coercion — convert data *toward* the schema, then validate
+(reference ``Xema.cast/2``, lib/xema.ex:713-739; conversion tables
+lib/xema/castable.ex; recursion lib/xema.ex:741-945).
+
+Pinned semantics:
+
+* string→integer/float requires a FULL parse ("5x" fails;
+  castable/helper.ex:31-43); string→number picks float iff the string
+  contains "." (castable.ex:80-84); only "true"/"false" cast to boolean
+  (castable.ex:62-64).
+* int→float is exact ×1.0; float→integer is NOT a cast (castable.ex:138-155).
+* struct modules Decimal/Date/Time/DateTime/NaiveDateTime parse from ISO
+  strings (castable.ex:45-60); represented in Python by
+  decimal.Decimal / datetime.date / time / datetime.
+* containers recurse with per-key schema lookup properties →
+  pattern_properties → additional_properties (xema.ex:987-1005);
+  ``required`` is checked BEFORE casting children (xema.ex:947-975);
+  ``additional_properties: :delete`` strips undeclared keys
+  (xema.ex:1007-1019); ``default`` fills missing properties after
+  (xema.ex:1021-1069, value / callable forms).
+* combinators cast through their branches in REVERSE order, first success
+  wins (xema.ex:1078-1146).
+* a custom ``caster`` on the node runs before the Castable tables
+  (xema.ex:762-797).
+
+``cast(schema, value)`` validates the result (like ``Xema.cast``) and
+raises :class:`CastError` / returns violations accordingly.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal, InvalidOperation
+from typing import Any, Optional
+
+from xema_ray.functions.scalar import Atom, _is_keyword_list, validate_value
+from xema_ray.schema.ast import UNSET, CompiledSchema, SchemaNode
+from xema_ray.schema.builder import resolve_pointer
+
+
+class CastError(ValueError):
+    def __init__(self, path: tuple, to: Any, value: Any, message: Optional[str] = None):
+        self.path = "/" + "/".join(str(p) for p in path) if path else "/"
+        self.to = to
+        self.value = value
+        msg = message or f"cannot cast {value!r} to {to} at {self.path}"
+        super().__init__(msg)
+
+
+_STRUCT_MODULES = {"Decimal", "Date", "Time", "DateTime", "NaiveDateTime"}
+
+
+def cast_value(schema, value: Any, additional_properties: Optional[str] = None) -> Any:
+    """Cast ``value`` toward ``schema`` (no post-validation).  Raises
+    :class:`CastError` on inconvertible input."""
+    if isinstance(schema, CompiledSchema):
+        compiled, node = schema, schema.root
+    else:
+        compiled, node = None, schema
+    return _cast(node, value, compiled, (), additional_properties)
+
+
+def cast(schema, value: Any, additional_properties: Optional[str] = None,
+         fail: str = "early"):
+    """``Xema.cast``: convert then validate.  Returns ``(value, violations)``."""
+    out = cast_value(schema, value, additional_properties)
+    return out, validate_value(schema, out, fail=fail)
+
+
+def _deref(node: SchemaNode, compiled):
+    while node.ref is not None and compiled is not None:
+        node = resolve_pointer(compiled, node.ref)
+    return node
+
+
+def _cast(node: SchemaNode, value, compiled, path, ap_opt):
+    node = _deref(node, compiled)
+    if node.bool_schema is not None:
+        return value
+    if node.caster is not None:
+        value = node.caster(value)
+
+    if isinstance(value, (list, tuple, dict)):
+        value = _cast_children(node, value, compiled, path, ap_opt)
+
+    value = _castable(node, value, path)
+    value = _cast_combiner(node, value, compiled, path, ap_opt)
+    return value
+
+
+def _cast_combiner(node: SchemaNode, value, compiled, path, ap_opt):
+    """any_of/all_of/one_of branch casts — reverse order, first success
+    that also validates (xema.ex:1078-1146)."""
+    for slot in ("one_of", "any_of", "all_of"):
+        branches = getattr(node, slot)
+        if not branches:
+            continue
+        for sub in reversed(branches):
+            try:
+                out = _cast(_deref(sub, compiled), value, compiled, path, ap_opt)
+            except CastError:
+                continue
+            if not validate_value(
+                CompiledSchema(root=_deref(sub, compiled),
+                               refs=compiled.refs if compiled else {}),
+                out, fail="immediately",
+            ):
+                return out
+    return value
+
+
+# ----------------------------------------------------------------------
+# the Castable conversion tables
+# ----------------------------------------------------------------------
+
+
+def _castable(node: SchemaNode, value, path):
+    types = node.types
+    if types is None or types == ("any",):
+        return value
+    if len(types) == 1:
+        return _cast_to(types[0], node, value, path)
+    # union: first type that casts wins (castable/helper.ex:21-29)
+    for t in types:
+        try:
+            return _cast_to(t, node, value, path)
+        except CastError:
+            continue
+    raise CastError(path, list(types), value)
+
+
+def _full_int(s: str):
+    try:
+        return int(s, 10)
+    except ValueError:
+        return None
+
+
+def _full_float(s: str):
+    try:
+        # Elixir Float.parse accepts "5" (→5.0), "5.5", exponents
+        return float(s)
+    except ValueError:
+        return None
+
+
+def _cast_to(t: str, node: SchemaNode, v, path):
+    err = lambda: CastError(path, t, v)
+
+    if t == "any":
+        return v
+    if t == "nil":
+        if v is None:
+            return None
+        raise err()
+    if t == "boolean":
+        if isinstance(v, bool):
+            return v
+        if v == "true":
+            return True
+        if v == "false":
+            return False
+        raise err()
+    if t == "integer":
+        if isinstance(v, bool):
+            raise err()
+        if isinstance(v, int):
+            return v
+        if isinstance(v, str):
+            out = _full_int(v)
+            if out is None:
+                raise err()
+            return out
+        raise err()
+    if t == "float":
+        if isinstance(v, bool):
+            raise err()
+        if isinstance(v, float):
+            return v
+        if isinstance(v, int):
+            return v * 1.0
+        if isinstance(v, str):
+            out = _full_float(v)
+            if out is None:
+                raise err()
+            return out
+        raise err()
+    if t == "number":
+        if isinstance(v, bool):
+            raise err()
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, str):
+            out = _full_float(v) if "." in v else _full_int(v)
+            if out is None:
+                raise err()
+            return out
+        raise err()
+    if t == "string":
+        if isinstance(v, str) and not isinstance(v, Atom):
+            return v
+        if isinstance(v, Atom):
+            return str(v)
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return _num_to_string(v)
+        if v is None:
+            raise err()
+        raise err()
+    if t == "atom":
+        if isinstance(v, (Atom, bool)) or v is None:
+            return v
+        if isinstance(v, str):
+            return Atom(v)
+        raise err()
+    if t == "list":
+        if isinstance(v, list):
+            return v
+        if isinstance(v, tuple):
+            return list(v)
+        raise err()
+    if t == "tuple":
+        if isinstance(v, tuple):
+            return v
+        if isinstance(v, list):
+            if _is_keyword_list(v):
+                raise err()
+            return tuple(v)
+        raise err()
+    if t == "map":
+        if isinstance(v, dict):
+            return v
+        if isinstance(v, list):
+            if not v:
+                return {}
+            if _is_keyword_list(v):
+                out = {}
+                for k, val in v:
+                    if k in out:
+                        raise CastError(path, "map", v, f"ambiguous key {k!r}")
+                    out[k] = val
+                return out
+            raise err()
+        raise err()
+    if t == "keyword":
+        if isinstance(v, list):
+            if not v or _is_keyword_list(v):
+                return v
+            raise err()
+        if isinstance(v, dict):
+            return [(k, val) for k, val in v.items()]
+        raise err()
+    if t == "struct":
+        return _cast_struct(node.module, v, path)
+    raise err()
+
+
+def _num_to_string(v) -> str:
+    if isinstance(v, int):
+        return str(v)
+    return repr(v)  # float → shortest repr, like Elixir to_string/1
+
+
+def _cast_struct(module: Optional[str], v, path):
+    err = lambda to: CastError(path, to or "struct", v)
+    if module in (None, "") and isinstance(v, dict):
+        return v
+    if module == "Decimal":
+        if isinstance(v, Decimal):
+            return v
+        if isinstance(v, (int, float)):
+            return Decimal(str(v))
+        if isinstance(v, str):
+            try:
+                return Decimal(v)
+            except InvalidOperation:
+                raise err("Decimal") from None
+        raise err("Decimal")
+    if module == "Date":
+        if isinstance(v, dt.date) and not isinstance(v, dt.datetime):
+            return v
+        if isinstance(v, str):
+            try:
+                return dt.date.fromisoformat(v)
+            except ValueError:
+                raise err("Date") from None
+        raise err("Date")
+    if module == "Time":
+        if isinstance(v, dt.time):
+            return v
+        if isinstance(v, str):
+            try:
+                return dt.time.fromisoformat(v)
+            except ValueError:
+                raise err("Time") from None
+        raise err("Time")
+    if module in ("DateTime", "NaiveDateTime"):
+        if isinstance(v, dt.datetime):
+            return v
+        if isinstance(v, str):
+            try:
+                return dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+            except ValueError:
+                raise err(module) from None
+        raise err(module)
+    # user struct: tagged dict
+    if isinstance(v, dict):
+        out = dict(v)
+        out["__struct__"] = module
+        return out
+    if _is_keyword_list(v):
+        out = dict(v)
+        out["__struct__"] = module
+        return out
+    raise err(module)
+
+
+# ----------------------------------------------------------------------
+# container recursion (xema.ex:799-945)
+# ----------------------------------------------------------------------
+
+
+def _lookup_prop_schema(node: SchemaNode, key):
+    """properties → pattern_properties → additional (xema.ex:987-1005);
+    additional_properties False acts as 'no schema'."""
+    if node.properties and key in node.properties:
+        return node.properties[key]
+    if node.pattern_props_re:
+        for regex, sub in node.pattern_props_re:
+            if isinstance(key, str) and regex.search(key):
+                return sub
+    ap = node.additional_properties
+    if isinstance(ap, SchemaNode):
+        return ap
+    return None
+
+
+def _check_required(node: SchemaNode, data: dict, path):
+    if node.required is None:
+        return
+    missing = sorted(k for k in node.required if k not in data)
+    if missing:
+        raise CastError(path, node.types[0] if node.types else "map", data,
+                        f"missing required keys for cast: {missing}")
+
+
+def _cast_children(node: SchemaNode, value, compiled, path, ap_opt):
+    types = node.types or ()
+    if isinstance(value, dict) and ("map" in types or "struct" in types or "keyword" in types or not types):
+        _check_required(node, value, path)
+        out = {}
+        for k, v in value.items():
+            sub = _lookup_prop_schema(node, k)
+            if sub is not None:
+                out[k] = _cast(_deref(sub, compiled), v, compiled, path + (k,), ap_opt)
+            else:
+                out[k] = v
+        if ap_opt == "delete" and node.additional_properties is False:
+            declared = set(node.properties or ())
+            pattern_res = [r for r, _ in (node.pattern_props_re or [])]
+            out = {
+                k: v for k, v in out.items()
+                if k in declared
+                or any(r.search(k) for r in pattern_res if isinstance(k, str))
+            }
+        out = _add_defaults(node, out)
+        return out
+    if isinstance(value, (list, tuple)) and not _is_keyword_list(list(value)):
+        items = node.items
+        seq = list(value)
+        if isinstance(items, SchemaNode):
+            seq = [
+                _cast(_deref(items, compiled), v, compiled, path + (i,), ap_opt)
+                for i, v in enumerate(seq)
+            ]
+        elif isinstance(items, list):
+            out_seq = []
+            for i, v in enumerate(seq):
+                if i < len(items):
+                    out_seq.append(_cast(_deref(items[i], compiled), v, compiled,
+                                         path + (i,), ap_opt))
+                elif isinstance(node.additional_items, SchemaNode):
+                    out_seq.append(_cast(_deref(node.additional_items, compiled), v,
+                                         compiled, path + (i,), ap_opt))
+                else:
+                    out_seq.append(v)
+            seq = out_seq
+        return tuple(seq) if isinstance(value, tuple) else seq
+    if _is_keyword_list(value if isinstance(value, list) else []):
+        out = []
+        for k, v in value:
+            sub = _lookup_prop_schema(node, k)
+            if sub is not None:
+                out.append((k, _cast(_deref(sub, compiled), v, compiled,
+                                     path + (k,), ap_opt)))
+            else:
+                out.append((k, v))
+        return out
+    return value
+
+
+def _add_defaults(node: SchemaNode, data: dict) -> dict:
+    """Fill missing properties with defaults (value or callable,
+    xema.ex:1021-1069)."""
+    if not node.properties:
+        return data
+    for key, sub in node.properties.items():
+        if sub.default is UNSET or key in data:
+            continue
+        d = sub.default
+        data[key] = d() if callable(d) else d
+    return data
