@@ -1,0 +1,153 @@
+"""Dedup + similarity stages on constructed fixtures with known ground
+truth (near-dup recall, kNN vs exact oracle)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _doc_table(rng):
+    """60 docs: 20 unique, 20 exact dups of the first 10, 10 near-dups
+    (small edits), 10 unrelated."""
+    vocab = [f"w{i}" for i in range(500)]
+    base = [" ".join(rng.choice(vocab, size=80)) for _ in range(20)]
+    docs = []
+    for i, t in enumerate(base):
+        docs.append((f"d{i:03d}", t))
+    for i in range(10):  # exact dups
+        docs.append((f"x{i:03d}", base[i]))
+    for i in range(10):  # near dups: change 4 of 80 words
+        words = base[i].split()
+        for j in rng.choice(len(words), size=4, replace=False):
+            words[j] = "zz" + words[j]
+        docs.append((f"n{i:03d}", " ".join(words)))
+    for i in range(10):  # unrelated
+        docs.append((f"u{i:03d}", " ".join(rng.choice(vocab, size=80))))
+    return pd.DataFrame({"doc_id": [d[0] for d in docs],
+                         "text": [d[1] for d in docs]})
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    return rd.from_pandas(_doc_table(rng)), _doc_table(np.random.default_rng(5))
+
+
+def test_exact_dedup_groups(docs_ds):
+    ds, pdf = docs_ds
+    from xema_ray.stages.dedup import exact_dedup_groups
+
+    got = {r["doc_id"]: r["n_copies"] for r in exact_dedup_groups(ds).take_all()}
+    want = pdf.groupby("text")["doc_id"].agg(["min", "count"])
+    want = dict(zip(want["min"], want["count"]))
+    assert got == want
+    assert sum(v for v in got.values() if v > 1) == 20  # 10 pairs
+
+
+def test_minhash_finds_exact_and_near_dups(docs_ds):
+    ds, pdf = docs_ds
+    from xema_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(ds, threshold=0.5).take_all()
+    found = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    # all 10 exact-dup pairs must be found (jaccard 1.0)
+    for i in range(10):
+        assert (f"d{i:03d}", f"x{i:03d}") in found, f"missing exact pair {i}"
+    # most near-dup pairs should be found (4/80 word edits → high jaccard)
+    near = sum(1 for i in range(10) if (f"d{i:03d}", f"n{i:03d}") in found)
+    assert near >= 7, f"only {near}/10 near pairs found"
+
+
+def test_simhash_finds_exact_dups(docs_ds):
+    ds, _ = docs_ds
+    from xema_ray.stages.dedup import simhash_pairs
+
+    pairs = simhash_pairs(ds, max_hamming=3).take_all()
+    found = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    for i in range(10):
+        assert (f"d{i:03d}", f"x{i:03d}") in found
+
+
+def test_verify_pairs_jaccard(docs_ds):
+    ds, _ = docs_ds
+    from xema_ray.stages.dedup import minhash_lsh_pairs, ngram_jaccard, verify_pairs_jaccard
+
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    verified = verify_pairs_jaccard(pairs, ds, threshold=0.9).take_all()
+    ids = {(p["doc_a"], p["doc_b"]) for p in verified}
+    # exact dups survive 0.9; 4/80-edit near-dups (jaccard ~0.85) mostly don't
+    for i in range(10):
+        assert (f"d{i:03d}", f"x{i:03d}") in ids
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+
+
+def test_knn_brute_force_matches_numpy_oracle(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.similarity import knn_brute_force
+
+    rng = np.random.default_rng(3)
+    n, d = 400, 32
+    mat = rng.standard_normal((n, d))
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(mat)})
+    ds = rd.from_arrow(__import__("pyarrow").table({
+        "vec_id": np.arange(n),
+        "embedding": [row.tolist() for row in mat],
+    }))
+    qids = [0, 1]
+    out = knn_brute_force(ds, (qids, mat[qids]), k=5)
+    got = out.to_pandas()
+    # numpy oracle
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in qids:
+        sims = mn @ mn[q]
+        want = np.argsort(-sims, kind="stable")[:5]
+        g = got[got["query_id"] == q].sort_values("rank")["vec_id"].to_numpy()
+        assert set(g) == set(want.tolist())
+        assert g[0] == q  # self-match first
+
+
+def test_knn_lsh_recall(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.similarity import knn_brute_force, knn_lsh
+
+    rng = np.random.default_rng(4)
+    n, d = 500, 64
+    mat = rng.standard_normal((n, d))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": np.arange(n),
+        "embedding": [row.tolist() for row in mat],
+    }))
+    q = (list(range(3)), mat[:3])
+    exact = knn_brute_force(ds, q, k=5).to_pandas()
+    approx = knn_lsh(ds, q, k=5, n_bits=6, dim=d, multiprobe=1).to_pandas()
+    # recall@5 of the approximate index ≥ 0.5 with 1-bit multiprobe
+    hits = 0
+    for qid in range(3):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(e & a)
+    assert hits / 15 >= 0.5
+
+
+def test_media_feature_plumbing(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.multimodal import MediaFeatureExtractor, extract_features, synthetic_media_table
+
+    tbl = synthetic_media_table(64, seed=1)
+    out = extract_features(rd.from_arrow(tbl), batch_size=16).take_all()
+    assert len(out) == 64
+    assert all(len(r["features"]) == 64 for r in out)
+    # deterministic stub features
+    a = MediaFeatureExtractor()( tbl.slice(0, 4))
+    b = MediaFeatureExtractor()( tbl.slice(0, 4))
+    assert a.equals(b)
+    # non-stub mode raises at decode
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(decode_stub=False)(tbl.slice(0, 2))

@@ -1,0 +1,57 @@
+"""Text-analysis stages: langid on known-language samples, quality
+signals, token counts, fingerprints."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SAMPLES = {
+    "en": "the cat sat on the mat and it was not very happy with this at all",
+    "de": "der hund und die katze sind nicht mit dem auto zu dem haus gefahren",
+    "fr": "le chien et les chats ne sont pas dans la maison avec une souris",
+    "es": "el perro y los gatos no están en la casa con una taza de café",
+}
+
+
+def test_langid_batch():
+    from xema_ray.stages.text import LangId
+
+    df = pd.DataFrame({"doc_id": list(SAMPLES), "text": list(SAMPLES.values())})
+    out = LangId()(df)
+    assert list(out["lang_pred"]) == list(SAMPLES.keys())
+
+
+def test_langid_unknown_is_und():
+    from xema_ray.stages.text import LangId
+
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["zzz qqq xxx", ""]})
+    out = LangId()(df)
+    assert list(out["lang_pred"]) == ["und", "und"]
+
+
+def test_token_count_and_quality_kernels():
+    from xema_ray.stages.text import quality_score_batch, token_count_batch
+
+    tbl = pa.table({"text": ["Hello world 42", "", "a-b c"]})
+    out = token_count_batch(tbl)
+    assert out["n_words"].to_pylist() == [3, 0, 3]
+    assert out["n_chars_text"].to_pylist() == [14, 0, 5]
+    q = quality_score_batch(tbl)
+    assert q["alpha_ratio"].to_pylist()[0] == pytest.approx(10 / 14, abs=1e-6)
+    assert q["digit_ratio"].to_pylist()[0] == pytest.approx(2 / 14, abs=1e-6)
+    assert q["alpha_ratio"].to_pylist()[1] == 0.0
+
+
+def test_fingerprint_stability_and_sensitivity():
+    from xema_ray.stages.text import Fingerprint
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["the quick brown fox jumps over the lazy dog",
+                                "the quick brown fox jumps over the lazy dog",
+                                "an entirely different document body here"]})
+    out1 = Fingerprint()(df)
+    out2 = Fingerprint()(df)
+    assert list(out1["fingerprint"]) == list(out2["fingerprint"])  # deterministic
+    assert out1["fingerprint"][0] == out1["fingerprint"][1]        # same text
+    assert out1["fingerprint"][0] != out1["fingerprint"][2]        # diff text
