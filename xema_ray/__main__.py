@@ -1,0 +1,152 @@
+"""CLI — ``python -m xema_ray <command>``.
+
+Commands:
+  validate   checkpointed corpus validation (resumable)
+  stats      per-column statistics
+  drift      capture/compare token-length distributions
+  gen        generate the deterministic synthetic corpus
+
+The CLI owns its Ray session (ray.init/shutdown); library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _paths(spec: str) -> list:
+    if os.path.isdir(spec):
+        return sorted(
+            p for p in glob.glob(os.path.join(spec, "*.parquet"))
+            if not os.path.basename(p).startswith("sources")
+        )
+    out = sorted(glob.glob(spec))
+    if not out:
+        raise SystemExit(f"no parquet files match {spec!r}")
+    return out
+
+
+def cmd_validate(args):
+    _init_ray(args.num_cpus)
+    from xema_ray.schema.json_schema import from_json_schema
+    from xema_ray.state.checkpoint import run_validation
+
+    compiled = None
+    if args.schema:
+        with open(args.schema) as f:
+            compiled = from_json_schema(json.load(f))
+    summary = run_validation(
+        _paths(args.input), args.out, compiled=compiled,
+        fail=args.fail, batch_rows=args.batch_rows,
+    )
+    print(json.dumps({
+        "rows": summary.rows,
+        "valid_rows": summary.valid_rows,
+        "violations": summary.violations,
+        "pass": summary.passed,
+        "partitions_done": summary.partitions_done,
+        "partitions_skipped": summary.partitions_skipped,
+        "keyword_counts": summary.keyword_counts,
+        "manifest": summary.manifest_path,
+    }, indent=2))
+
+
+def cmd_stats(args):
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from xema_ray.stages.stats import column_stats
+
+    stats = column_stats(rd.read_parquet(_paths(args.input)))
+    print(json.dumps(stats, indent=2, default=str))
+
+
+def cmd_drift(args):
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from xema_ray.stages.checks import (
+        capture_reference, drift_report, reference_from_json, reference_to_json,
+    )
+
+    if args.capture:
+        ref = capture_reference(rd.read_parquet(_paths(args.input)),
+                                key=args.key, list_col=args.list_col)
+        with open(args.capture, "w") as f:
+            json.dump(reference_to_json(ref), f)
+        print(f"captured reference distributions for {len(ref)} keys -> {args.capture}")
+        return
+    with open(args.reference) as f:
+        ref = reference_from_json(json.load(f))
+    rep = drift_report(rd.read_parquet(_paths(args.input)), ref,
+                       key=args.key, list_col=args.list_col)
+    print(json.dumps(rep, indent=2))
+
+
+def cmd_gen(args):
+    from xema_ray.sources.corpus import write_corpus
+
+    out = write_corpus(args.out, args.rows, n_files=args.files, seed=args.seed,
+                       shifted=args.shifted, clean=args.clean)
+    print(out)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="xema_ray")
+    p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="checkpointed corpus validation")
+    v.add_argument("input", help="directory or glob of parquet shards")
+    v.add_argument("out", help="output dir (violations/ + manifest.jsonl)")
+    v.add_argument("--schema", help="JSON-Schema file (default: flagship sequences schema)")
+    v.add_argument("--fail", choices=["immediately", "early", "finally"], default="early")
+    v.add_argument("--batch-rows", type=int, default=8192)
+    v.set_defaults(fn=cmd_validate)
+
+    s = sub.add_parser("stats", help="per-column statistics")
+    s.add_argument("input")
+    s.set_defaults(fn=cmd_stats)
+
+    d = sub.add_parser("drift", help="capture or compare length distributions")
+    d.add_argument("input")
+    d.add_argument("--capture", help="write reference JSON here instead of comparing")
+    d.add_argument("--reference", help="reference JSON (from --capture)")
+    d.add_argument("--key", default="source")
+    d.add_argument("--list-col", default="tokens")
+    d.set_defaults(fn=cmd_drift)
+
+    g = sub.add_parser("gen", help="generate the synthetic sequences corpus")
+    g.add_argument("out")
+    g.add_argument("--rows", type=int, default=100_000)
+    g.add_argument("--files", type=int, default=8)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--shifted", action="store_true")
+    g.add_argument("--clean", action="store_true")
+    g.set_defaults(fn=cmd_gen)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
