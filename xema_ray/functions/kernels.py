@@ -85,6 +85,11 @@ class TablePlan:
     missing_required: list  # required columns absent from the table schema
     unexpected_columns: list  # additionalProperties: false violations
     table_checks: list = field(default_factory=list)
+    # vectorized root-level checks: dependencies (list form), min/max_properties
+    root_checks: list = field(default_factory=list)
+    # residual root keywords (combinators, schema-form dependencies, const,
+    # enum, custom validator at the MAP level) → per-row dict fallback
+    root_fallback: Optional[CompiledSchema] = None
 
     def describe(self) -> str:
         lines = []
@@ -661,6 +666,64 @@ def compile_table_plan(
         bad = [n for n in sorted(names) if not _scalar_is_valid(pn, n)]
         unexpected.extend(f"property_names:{n}" for n in bad)
 
+    # --- vectorized root-level checks ---------------------------------
+    root_checks: list = []
+    if root.dependencies:
+        for key, dep in sorted(root.dependencies.items()):
+            if not isinstance(dep, list):
+                continue  # schema-form → row fallback below
+            def dep_fn(tbl: pa.Table, key=key, dep=dep) -> np.ndarray:
+                n = tbl.num_rows
+                if key not in tbl.column_names:
+                    return np.ones(n, dtype=bool)
+                present = _np_bool(pc.is_valid(tbl[key]))
+                ok = np.ones(n, dtype=bool)
+                for d in dep:
+                    if d in tbl.column_names:
+                        ok &= _np_bool(pc.is_valid(tbl[d]))
+                    else:
+                        ok[:] = False
+                return ok | ~present
+            root_checks.append(TableCheck(
+                keyword="dependencies", fn=dep_fn, path=f"/{key}",
+                message=f"{key!r} requires {dep}"))
+    if root.min_properties is not None or root.max_properties is not None:
+        lo, hi = root.min_properties, root.max_properties
+        def size_fn(tbl: pa.Table, lo=lo, hi=hi) -> np.ndarray:
+            count = np.zeros(tbl.num_rows, dtype=np.int64)
+            for c in tbl.column_names:
+                count += _np_bool(pc.is_valid(tbl[c])).astype(np.int64)
+            ok = np.ones(tbl.num_rows, dtype=bool)
+            if lo is not None:
+                ok &= count >= lo
+            if hi is not None:
+                ok &= count <= hi
+            return ok
+        root_checks.append(TableCheck(
+            keyword="min_properties" if root.min_properties is not None else "max_properties",
+            fn=size_fn, path="/",
+            message=f"property count outside [{lo}, {hi}]"))
+
+    # --- residual root keywords → per-row dict fallback ----------------
+    residual_slots = {}
+    if root.const is not UNSET:
+        residual_slots["const"] = root.const
+    for slot in ("enum", "not_", "all_of", "any_of", "one_of", "if_", "then",
+                 "else_", "validator"):
+        v = getattr(root, slot)
+        if v is not None:
+            residual_slots[slot] = v
+    schema_deps = {k: d for k, d in (root.dependencies or {}).items()
+                   if not isinstance(d, list)}
+    if schema_deps:
+        residual_slots["dependencies"] = schema_deps
+    root_fallback = None
+    if residual_slots:
+        reduced = SchemaNode(**{
+            {"const": "const"}.get(k, k): v for k, v in residual_slots.items()
+        })
+        root_fallback = CompiledSchema(root=reduced, refs=compiled.refs)
+
     plans: list = []
     for name, node in col_nodes.items():
         field_type = table_schema.field(name).type
@@ -688,6 +751,8 @@ def compile_table_plan(
         missing_required=missing_required,
         unexpected_columns=unexpected,
         table_checks=list(table_checks or ()),
+        root_checks=root_checks,
+        root_fallback=root_fallback,
     )
 
 
@@ -775,10 +840,23 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
                         add(np.array([i], dtype=np.int64), vv.keyword,
                             f"/{cp.name}{vv.path}", vv.message)
 
-    for tc in plan.table_checks:
+    for tc in plan.root_checks + plan.table_checks:
         ok = _np_bool(tc.fn(tbl))
         valid &= ok
         add(np.nonzero(~ok)[0].astype(np.int64), tc.keyword, tc.path, tc.message)
+
+    if plan.root_fallback is not None:
+        # residual map-level keywords (combinators/const/enum/schema-form
+        # dependencies): per-row dict validation — the documented slow path
+        rows = tbl.to_pylist()
+        for i, row in enumerate(rows):
+            row = {k: v for k, v in row.items() if v is not None}
+            viols = validate_value(plan.root_fallback, row, fail=fail)
+            if viols:
+                valid[i] = False
+                for vv in viols:
+                    add(np.array([i], dtype=np.int64), vv.keyword,
+                        vv.path or "/", vv.message)
 
     return valid, out
 
