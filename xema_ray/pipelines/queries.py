@@ -530,6 +530,74 @@ def events_hourly(sf_dir: str):
 
 
 @register(
+    "events_sessions",
+    """SELECT user_id,
+       CAST(1 + sum(brk) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+    FROM (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ) GROUP BY user_id""",
+    doc="session windows (30-min gap) via groupby(key).map_groups over the ts-sorted log",
+)
+def events_sessions(sf_dir: str):
+    from xema_ray.stages.windows import sessions_per_key
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return sessions_per_key(ds, key="user_id", ts_col="ts", gap_seconds=1800)
+
+
+@register(
+    "seq_worst_sources",
+    f"""{_SEQ_CTE}
+    SELECT COALESCE(source, '__null__') AS source,
+           CAST(sum(CASE WHEN {_SEQ_INVALID_COND} THEN 1 ELSE 0 END) AS BIGINT)
+               AS invalid_rows
+    FROM seq GROUP BY COALESCE(source, '__null__')
+    ORDER BY invalid_rows DESC, source LIMIT 3""",
+    doc="top-k worst partitions by violation count (sort desc + limit) — SURVEY §2.4",
+)
+def seq_worst_sources(sf_dir: str):
+    tbl = seq_verdict_by_source(sf_dir)
+    ranked = sorted(
+        zip(tbl["source"].to_pylist(), tbl["invalid_rows"].to_pylist()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:3]
+    return pa.table({
+        "source": pa.array([k for k, _ in ranked], type=pa.string()),
+        "invalid_rows": pa.array([v for _, v in ranked], type=pa.int64()),
+    })
+
+
+@register("seq_drift_report", None,
+          doc="distribution drift per source: KS/PSI vs reference capture (F4; rows-only)")
+def seq_drift_report(sf_dir: str):
+    import ray.data as rd
+
+    from xema_ray.sources.corpus import corpus_paths, write_corpus
+    from xema_ray.stages.checks import capture_reference, drift_report
+
+    sf = sf_of_dir(sf_dir)
+    rows = max(20_000, int(1_000_000 * sf))
+    ref_dir = write_corpus(os.path.join(CORPUS_ROOT, "drift_ref"), rows,
+                           n_files=4, seed=42, clean=True)
+    cur_dir = write_corpus(os.path.join(CORPUS_ROOT, "drift_cur"), rows,
+                           n_files=4, seed=43, shifted=True, clean=True)
+    ref = capture_reference(rd.read_parquet(corpus_paths(ref_dir)))
+    rep = drift_report(rd.read_parquet(corpus_paths(cur_dir)), ref)
+    keys = sorted(rep)
+    return pa.table({
+        "source": pa.array(keys, type=pa.string()),
+        "ks_m": pa.array([int(rep[k]["ks"] * 1e4) for k in keys], type=pa.int64()),
+        "psi_m": pa.array([int(rep[k]["psi"] * 1e4) for k in keys], type=pa.int64()),
+        "drifted": pa.array([rep[k]["drifted"] for k in keys], type=pa.bool_()),
+    })
+
+
+@register(
     "lineitem_pricing",
     """SELECT l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
