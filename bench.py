@@ -38,9 +38,6 @@ def run_bench() -> dict:
 
     from xema_ray.pipelines.queries import ensure_corpus, sf_of_dir
     from xema_ray.sources.corpus import corpus_paths
-    from xema_ray.stages.checks import duplicate_values, referential_violations
-    from xema_ray.stages.stats import column_stats, grouped_length_histograms
-    from xema_ray.sources.corpus import sources_dim_table
 
     corpus = ensure_corpus(sf_dir)
     paths = corpus_paths(corpus)
@@ -58,30 +55,21 @@ def run_bench() -> dict:
 
     from xema_ray.state.checkpoint import run_validation
 
+    # THE headline: one fused pass = full-schema validation + violations
+    # written + per-partition manifest + column stats/HLL + per-source
+    # drift histograms + referential counter + doc_id-uniqueness partials
+    # (one read of the corpus computes every check), plus the thin
+    # dup-hash resolve pass
     out_dir = tempfile.mkdtemp(prefix="xema_bench_", dir="/tmp")
     t0 = time.perf_counter()
-    summary = run_validation(paths, out_dir, batch_rows=16384)
-    timings["validate"] = round(time.perf_counter() - t0, 3)
+    summary = run_validation(paths, out_dir, batch_rows=8192, with_checks=True)
+    timings["fused_validate_report_unique"] = round(time.perf_counter() - t0, 3)
     n_viol = summary.violations
     verdict = {"rows": summary.rows, "invalid_rows": summary.rows - summary.valid_rows}
+    stats = summary.report["column_stats"]
+    n_ref = summary.report["referential_violations"]
+    n_dups = len(summary.duplicate_ids)
     shutil.rmtree(out_dir, ignore_errors=True)
-
-    t0 = time.perf_counter()
-    stats = column_stats(rd.read_parquet(paths))
-    timings["stats"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    n_dups = duplicate_values(rd.read_parquet(paths, columns=["doc_id"]), "doc_id").count()
-    timings["unique"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    n_ref = referential_violations(rd.read_parquet(paths, columns=["doc_id", "source"]),
-                                   sources_dim_table(), col="source").count()
-    timings["referential"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    hists = grouped_length_histograms(rd.read_parquet(paths, columns=["source", "tokens"]))
-    timings["drift_hist"] = round(time.perf_counter() - t0, 3)
 
     total = round(time.perf_counter() - t_all0, 3)
     rows = verdict["rows"]
@@ -89,7 +77,7 @@ def run_bench() -> dict:
         if stats["tokens"]["mean"] else 0
 
     out = {
-        "metric": "sequences-corpus full validation suite (validate+violations+stats+unique+referential+drift)",
+        "metric": "sequences-corpus one-pass validation suite (full-schema validate + violations written + stats/HLL + drift hists + referential + doc_id uniqueness)",
         "value": total,
         "unit": "sec",
         "queries": timings,

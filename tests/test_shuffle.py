@@ -1,0 +1,46 @@
+"""Skew-aware salted aggregation equals the unsalted result."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_salted_aggregate_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.shuffle import salted_aggregate
+
+    rng = np.random.default_rng(9)
+    n = 50_000
+    # 90% hot key — the skew shape of the `source` column
+    keys = np.where(rng.random(n) < 0.9, "web",
+                    rng.choice(["books", "code", "wiki"], size=n))
+    vals = rng.integers(0, 1000, size=n)
+    pdf = pd.DataFrame({"k": keys, "v": vals})
+    ds = rd.from_pandas(pdf)
+
+    out = salted_aggregate(ds, "k", [("v", "sum"), ("v", "count"),
+                                     ("v", "min"), ("v", "max")], salt=16)
+    got = {r["k"]: r for r in out.take_all()}
+    want = pdf.groupby("k")["v"].agg(["sum", "count", "min", "max"])
+    for k, row in want.iterrows():
+        assert got[k]["v_sum"] == row["sum"]
+        assert got[k]["v_count"] == row["count"]
+        assert got[k]["v_min"] == row["min"]
+        assert got[k]["v_max"] == row["max"]
+
+
+def test_add_hash_bucket_stable(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.shuffle import add_hash_bucket
+
+    pdf = pd.DataFrame({"id": [f"d{i}" for i in range(1000)]})
+    a = add_hash_bucket(rd.from_pandas(pdf), "id", 32).take_all()
+    b = add_hash_bucket(rd.from_pandas(pdf), "id", 32).take_all()
+    am = {r["id"]: r["bucket"] for r in a}
+    bm = {r["id"]: r["bucket"] for r in b}
+    assert am == bm
+    assert set(am.values()) <= set(range(32))
+    counts = pd.Series(list(am.values())).value_counts()
+    assert counts.max() < 1000 / 32 * 3  # roughly balanced

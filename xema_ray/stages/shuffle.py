@@ -1,0 +1,73 @@
+"""Explicit shuffle helpers — skew-aware salted aggregation.
+
+The north-rule requires partitioning/shuffle/skew handled explicitly.  Most
+engine aggregations avoid the problem entirely by pre-aggregating partials
+inside ``map_batches`` (stats, histograms, uniqueness blobs).  When a true
+``groupby(key).aggregate`` over raw rows is unavoidable and the key is
+skewed (``source`` is 90 % "web"), ``salted_aggregate`` runs the standard
+two-phase exchange:
+
+  phase 1: add ``_salt = hash(row) % S`` and aggregate by ``(key, _salt)``
+           — the hot key's rows spread over S reducers;
+  phase 2: aggregate the S partial rows per key with the MERGE aggregator
+           (sum→sum, count→sum, min→min, max→max).
+
+Output equals the unsalted aggregate; only the exchange shape changes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def salted_aggregate(ds, key: str, aggs: list, salt: int = 16):
+    """Two-phase skew-salted grouped aggregate.
+
+    ``aggs`` = list of ``(column, fn)`` with fn ∈ {sum, count, min, max}.
+    Returns a Dataset with columns ``key`` + ``{col}_{fn}``.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def phase1(tbl: pa.Table) -> pa.Table:
+        # deterministic round-robin salt: spreads each batch's rows evenly
+        salt_col = pa.array(np.arange(tbl.num_rows) % salt, type=pa.int32())
+        t = tbl.append_column("_salt", salt_col)
+        return t.group_by([key, "_salt"]).aggregate([(c, f) for c, f in aggs])
+
+    partial = ds.map_batches(phase1, batch_format="pyarrow")
+
+    final_aggs = []
+    for c, f in aggs:
+        partial_name = f"{c}_{f}"
+        merge = _MERGE[f]
+        cls = {"sum": Sum, "min": Min, "max": Max}[merge]
+        final_aggs.append(cls(partial_name, alias_name=partial_name))
+    return partial.groupby(key).aggregate(*final_aggs)
+
+
+def add_hash_bucket(ds, key: str, buckets: int, out_col: str = "bucket"):
+    """Append a stable hash-bucket column — the reusable partitioning key
+    for co-locating work (bucketed joins, bucket-local ANN, shard routing).
+    """
+    from xema_ray.functions.sketches import hash_strings
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        col = tbl[key]
+        if pa.types.is_integer(col.type):
+            import pyarrow.compute as pc
+
+            h = pc.cast(col, pa.int64())
+            b = pc.cast(
+                pc.bit_wise_and(h, buckets - 1) if (buckets & (buckets - 1)) == 0
+                else pc.subtract(h, pc.multiply(pc.divide(h, buckets), buckets)),
+                pa.int32(),
+            )
+            return tbl.append_column(out_col, b)
+        vals = col.to_pylist()
+        h = hash_strings(vals) % np.uint64(buckets)
+        return tbl.append_column(out_col, pa.array(h.astype(np.int32)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -43,9 +43,18 @@ def _validate_shard(
     out_file: str,
     id_col: Optional[str],
     batch_rows: int,
+    with_checks: bool = False,
+    valid_sources=None,
 ) -> dict:
     """Validate one Parquet shard; write violations atomically; return the
-    manifest entry.  Runs as a Ray task (one per partition)."""
+    manifest entry.  Runs as a Ray task (one per partition).
+
+    ``with_checks=True`` fuses the corpus-report partials (column stats,
+    HLL, per-source length histograms, referential counter) and the
+    uniqueness hash-count blob into the SAME read — at corpus scale one
+    pass over the data computes every check (SURVEY §7).  Partials are
+    written to a sidecar pickle next to the violations file.
+    """
     from xema_ray.functions.kernels import (
         compile_table_plan,
         evaluate_batch,
@@ -70,6 +79,21 @@ def _validate_shard(
     valid_rows = 0
     kw_counts: dict = {}
     viol_tables = []
+
+    reporter = None
+    uniq_blobs: list = []
+    if with_checks:
+        import numpy as np
+
+        from xema_ray.functions.sketches import hash_strings
+        from xema_ray.pipelines.report import _ReportPartials
+
+        reporter = _ReportPartials(
+            columns=[c for c in pf.schema_arrow.names],
+            valid_sources=list(valid_sources or ()),
+        )
+        report_acc: list = []
+
     for batch in pf.iter_batches(batch_size=batch_rows, use_threads=False):
         tbl = pa.Table.from_batches([batch])
         if plan is None:
@@ -82,6 +106,18 @@ def _validate_shard(
         vt = violations_to_table(viols, tbl, id_col=id_col)
         if vt.num_rows:
             viol_tables.append(vt)
+        if reporter is not None:
+            import pickle as _pickle
+
+            report_acc.append(_pickle.loads(reporter(tbl)["partial"][0].as_py()))
+            if id_col and id_col in tbl.column_names:
+                ids = tbl[id_col].combine_chunks().drop_null()
+                if len(ids):
+                    h = hash_strings(ids.to_pylist())
+                    uniq, cnt = np.unique(h, return_counts=True)
+                    uniq_blobs.append(
+                        np.concatenate([uniq.view(np.int64), cnt]).tobytes()
+                    )
 
     os.makedirs(os.path.dirname(out_file), exist_ok=True)
     tmp = out_file + ".tmp"
@@ -98,8 +134,19 @@ def _validate_shard(
         pq.write_table(empty, tmp)
     os.replace(tmp, out_file)  # atomic publish
 
+    partial_file = None
+    if with_checks:
+        import pickle as _pickle
+
+        partial_file = out_file + ".partial.pkl"
+        tmp_p = partial_file + ".tmp"
+        with open(tmp_p, "wb") as f:
+            _pickle.dump({"report": report_acc, "uniq_blobs": uniq_blobs}, f)
+        os.replace(tmp_p, partial_file)
+
     n_viol = sum(kw_counts.values())
     return {
+        "partial_file": partial_file,
         "partition": os.path.basename(path),
         "input": path,
         "lineage": _lineage(path),
@@ -122,6 +169,8 @@ class RunSummary:
     partitions_skipped: int
     keyword_counts: dict
     manifest_path: str
+    report: Optional[dict] = None  # fused corpus report (with_checks=True)
+    duplicate_ids: Optional[dict] = None  # doc_id -> n_occurrences
 
     @property
     def passed(self) -> bool:
@@ -150,12 +199,17 @@ def run_validation(
     fail: str = "early",
     id_col: str = "doc_id",
     batch_rows: int = 16384,
-    max_in_flight: Optional[int] = None,
+    with_checks: bool = False,
+    valid_sources=None,
 ) -> RunSummary:
     """Checkpointed corpus validation: one task per shard, skip completed
     partitions on resume, append manifest entries as tasks finish.
 
     Defaults to the flagship sequences schema (pipelines/flagship.py).
+    ``with_checks=True`` fuses column stats / HLL / drift histograms /
+    referential counts / uniqueness partials into the same single read
+    (sidecar pickles per partition; merged here) and resolves duplicate
+    ids with one thin second pass.
     """
     import ray
 
@@ -164,6 +218,10 @@ def run_validation(
 
         compiled = sequences_schema()
         table_checks = [n_tok_invariant()] if table_checks is None else table_checks
+    if with_checks and valid_sources is None:
+        from xema_ray.sources.corpus import SOURCES
+
+        valid_sources = list(SOURCES)
 
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "manifest.jsonl")
@@ -174,27 +232,34 @@ def run_validation(
     for p in paths:
         name = os.path.basename(p)
         e = done.get(name)
-        if e is not None and e["lineage"] == _lineage(p) and os.path.exists(e["out_file"]):
+        complete = (
+            e is not None
+            and e["lineage"] == _lineage(p)
+            and os.path.exists(e["out_file"])
+            and (not with_checks or (e.get("partial_file")
+                                     and os.path.exists(e["partial_file"])))
+        )
+        if complete:
             skipped += 1
-            continue
-        pending.append(p)
+        else:
+            pending.append(p)
 
     task = ray.remote(_validate_shard)
     refs = []
     for p in pending:
         out_file = os.path.join(out_dir, "violations", os.path.basename(p))
         refs.append(task.remote(p, compiled, table_checks, fail, out_file,
-                                id_col, batch_rows))
+                                id_col, batch_rows, with_checks, valid_sources))
 
     new_entries = []
     with open(manifest_path, "a") as mf:
         remaining = list(refs)
         while remaining:
-            ready, remaining = ray.wait(remaining, num_returns=1)
-            entry = ray.get(ready[0])
-            mf.write(json.dumps(entry) + "\n")
+            ready, remaining = ray.wait(remaining, num_returns=min(8, len(remaining)))
+            for entry in ray.get(ready):
+                mf.write(json.dumps(entry) + "\n")
+                new_entries.append(entry)
             mf.flush()
-            new_entries.append(entry)
 
     done = load_manifest(out_dir)
     rows = sum(e["rows"] for e in done.values())
@@ -204,6 +269,12 @@ def run_validation(
     for e in done.values():
         for k, v in e.get("keyword_counts", {}).items():
             kw[k] = kw.get(k, 0) + v
+
+    report = None
+    duplicate_ids = None
+    if with_checks:
+        report, duplicate_ids = _merge_check_partials(done, paths, id_col)
+
     return RunSummary(
         rows=rows,
         valid_rows=valid_rows,
@@ -212,4 +283,67 @@ def run_validation(
         partitions_skipped=skipped,
         keyword_counts=kw,
         manifest_path=manifest_path,
+        report=report,
+        duplicate_ids=duplicate_ids,
     )
+
+
+def _merge_check_partials(done: dict, paths: list, id_col: str):
+    """Merge per-partition report/uniqueness partials; resolve dup hashes
+    back to id strings with one column-pruned pass."""
+    import pickle
+
+    import numpy as np
+    import ray
+
+    from xema_ray.functions.sketches import Histogram, HyperLogLog
+    from xema_ray.pipelines import report as report_mod
+    from xema_ray.stages.checks import _merge_blobs
+
+    all_partials = []
+    uniq_blobs = []
+    for e in done.values():
+        pf = e.get("partial_file")
+        if not pf or not os.path.exists(pf):
+            continue
+        with open(pf, "rb") as f:
+            side = pickle.load(f)
+        all_partials.extend(side["report"])
+        uniq_blobs.extend(side["uniq_blobs"])
+
+    # reuse the report merge by faking take_all rows
+    rows = [{"partial": pickle.dumps(p)} for p in all_partials]
+    report = report_mod._merge_report_rows(rows)
+
+    dup_h, _ = _merge_blobs(uniq_blobs)
+    duplicate_ids: dict = {}
+    if len(dup_h):
+        dup_sorted = np.sort(dup_h)
+
+        @ray.remote
+        def resolve(path, dup_sorted, id_col):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from xema_ray.functions.sketches import hash_strings
+
+            ids = pq.read_table(path, columns=[id_col])[id_col].combine_chunks().drop_null()
+            if len(ids) == 0:
+                return {}
+            h = hash_strings(ids.to_pylist()).view(np.int64)
+            pos = np.searchsorted(dup_sorted, h)
+            pos = np.clip(pos, 0, len(dup_sorted) - 1)
+            hit = dup_sorted[pos] == h
+            out: dict = {}
+            for i in np.nonzero(hit)[0]:
+                k = ids[int(i)].as_py()
+                out[k] = out.get(k, 0) + 1
+            return out
+
+        parts = ray.get([resolve.remote(p, dup_sorted, id_col) for p in paths])
+        for part in parts:
+            for k, v in part.items():
+                duplicate_ids[k] = duplicate_ids.get(k, 0) + v
+        duplicate_ids = {k: v for k, v in duplicate_ids.items() if v > 1}
+    return report, duplicate_ids
