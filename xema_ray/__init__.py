@@ -20,9 +20,11 @@ Layout:
   pipelines/  end-to-end pipelines (flagship corpus validation, dedup, ...)
 """
 
-from xema_ray.schema.builder import compile_schema
+from xema_ray.schema.builder import SchemaError, compile_schema
 from xema_ray.schema.json_schema import from_json_schema
-from xema_ray.functions.scalar import validate_value, is_valid
+from xema_ray.functions.scalar import Violation, validate_value, is_valid
+from xema_ray.functions.cast import CastError, cast, cast_value
+from xema_ray.functions.errors import ValidationError, format_violations, validate_or_raise
 from xema_ray.stages.validate import validate_dataset, ValidationResult
 
 __version__ = "0.1.0"
@@ -30,8 +32,16 @@ __version__ = "0.1.0"
 __all__ = [
     "compile_schema",
     "from_json_schema",
+    "SchemaError",
     "validate_value",
     "is_valid",
+    "Violation",
+    "cast",
+    "cast_value",
+    "CastError",
+    "ValidationError",
+    "format_violations",
+    "validate_or_raise",
     "validate_dataset",
     "ValidationResult",
 ]
