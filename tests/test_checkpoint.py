@@ -57,6 +57,29 @@ def test_run_and_resume(corpus, tmp_path):
         assert a.equals(b)
 
 
+def test_fused_checks_and_clean_output(corpus, tmp_path):
+    import pyarrow.parquet as pq
+
+    from xema_ray.state.checkpoint import run_validation
+
+    paths = corpus_paths(corpus)
+    out = str(tmp_path / "fused")
+    clean = str(tmp_path / "clean")
+    s = run_validation(paths, out, with_checks=True, clean_dir=clean)
+    # fused report agrees with the validation verdict universe
+    assert s.report["column_stats"]["n_tok"]["count"] == s.rows
+    assert s.report["referential_violations"] >= 0
+    assert isinstance(s.duplicate_ids, dict)
+    # clean shards hold exactly the valid rows
+    n_clean = sum(pq.read_metadata(os.path.join(clean, e)).num_rows
+                  for e in sorted(os.listdir(clean)) if e.endswith(".parquet"))
+    assert n_clean == s.valid_rows
+    # resume skips with clean_dir requirement honored
+    s2 = run_validation(paths, out, with_checks=True, clean_dir=clean)
+    assert s2.partitions_done == 0 and s2.partitions_skipped == 8
+    assert s2.duplicate_ids == s.duplicate_ids
+
+
 def test_rerun_skips_everything(corpus, tmp_path):
     from xema_ray.state.checkpoint import run_validation
 

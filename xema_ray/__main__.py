@@ -53,6 +53,7 @@ def cmd_validate(args):
     summary = run_validation(
         _paths(args.input), args.out, compiled=compiled,
         fail=args.fail, batch_rows=args.batch_rows,
+        with_checks=args.with_checks, clean_dir=args.clean_dir,
     )
     print(json.dumps({
         "rows": summary.rows,
@@ -117,6 +118,9 @@ def main(argv=None):
     v.add_argument("--schema", help="JSON-Schema file (default: flagship sequences schema)")
     v.add_argument("--fail", choices=["immediately", "early", "finally"], default="early")
     v.add_argument("--batch-rows", type=int, default=8192)
+    v.add_argument("--with-checks", action="store_true",
+                   help="fuse stats/HLL/drift/referential/uniqueness into the same pass")
+    v.add_argument("--clean-dir", help="also write rows that passed, one shard per input shard")
     v.set_defaults(fn=cmd_validate)
 
     s = sub.add_parser("stats", help="per-column statistics")

@@ -598,6 +598,40 @@ def seq_drift_report(sf_dir: str):
 
 
 @register(
+    "events_props_sum",
+    """SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events WHERE props IS NOT NULL GROUP BY event_type""",
+    doc="semi-structured column: vectorized field extraction from a JSON string column + grouped aggregate",
+)
+def events_props_sum(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["props"]))
+        # vectorized field pull: RE2 extract beats per-row json.loads for a
+        # flat field; a JSON-parsing actor stage is the general fallback
+        ex = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        g = pa.table({"event_type": t["event_type"], "k": k}).group_by(
+            "event_type").aggregate([("k", "count"), ("k", "sum")])
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict = {}
+    for r in parts:
+        cur = agg.setdefault(r["event_type"], [0, 0])
+        cur[0] += r["k_count"]
+        cur[1] += r["k_sum"]
+    keys = sorted(agg)
+    return pa.table({
+        "event_type": pa.array(keys, type=pa.string()),
+        "n": pa.array([agg[k][0] for k in keys], type=pa.int64()),
+        "sum_k": pa.array([agg[k][1] for k in keys], type=pa.int64()),
+    })
+
+
+@register(
     "lineitem_pricing",
     """SELECT l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

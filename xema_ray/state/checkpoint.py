@@ -45,6 +45,7 @@ def _validate_shard(
     batch_rows: int,
     with_checks: bool = False,
     valid_sources=None,
+    clean_dir: Optional[str] = None,
 ) -> dict:
     """Validate one Parquet shard; write violations atomically; return the
     manifest entry.  Runs as a Ray task (one per partition).
@@ -94,11 +95,14 @@ def _validate_shard(
         )
         report_acc: list = []
 
+    clean_batches: list = []
     for batch in pf.iter_batches(batch_size=batch_rows, use_threads=False):
         tbl = pa.Table.from_batches([batch])
         if plan is None:
             plan = compile_table_plan(compiled, tbl.schema, table_checks=table_checks)
         valid, viols = evaluate_batch(plan, tbl, fail=fail)
+        if clean_dir is not None:
+            clean_batches.append(tbl.filter(pa.array(valid)))
         rows += tbl.num_rows
         valid_rows += int(valid.sum())
         for cv in viols:
@@ -134,6 +138,14 @@ def _validate_shard(
         pq.write_table(empty, tmp)
     os.replace(tmp, out_file)  # atomic publish
 
+    clean_file = None
+    if clean_dir is not None:
+        os.makedirs(clean_dir, exist_ok=True)
+        clean_file = os.path.join(clean_dir, os.path.basename(path))
+        tmp_c = clean_file + ".tmp"
+        pq.write_table(pa.concat_tables(clean_batches), tmp_c)
+        os.replace(tmp_c, clean_file)
+
     partial_file = None
     if with_checks:
         import pickle as _pickle
@@ -147,6 +159,7 @@ def _validate_shard(
     n_viol = sum(kw_counts.values())
     return {
         "partial_file": partial_file,
+        "clean_file": clean_file,
         "partition": os.path.basename(path),
         "input": path,
         "lineage": _lineage(path),
@@ -201,6 +214,7 @@ def run_validation(
     batch_rows: int = 16384,
     with_checks: bool = False,
     valid_sources=None,
+    clean_dir: Optional[str] = None,
 ) -> RunSummary:
     """Checkpointed corpus validation: one task per shard, skip completed
     partitions on resume, append manifest entries as tasks finish.
@@ -238,6 +252,8 @@ def run_validation(
             and os.path.exists(e["out_file"])
             and (not with_checks or (e.get("partial_file")
                                      and os.path.exists(e["partial_file"])))
+            and (clean_dir is None or (e.get("clean_file")
+                                       and os.path.exists(e["clean_file"])))
         )
         if complete:
             skipped += 1
@@ -249,7 +265,8 @@ def run_validation(
     for p in pending:
         out_file = os.path.join(out_dir, "violations", os.path.basename(p))
         refs.append(task.remote(p, compiled, table_checks, fail, out_file,
-                                id_col, batch_rows, with_checks, valid_sources))
+                                id_col, batch_rows, with_checks, valid_sources,
+                                clean_dir))
 
     new_entries = []
     with open(manifest_path, "a") as mf:
