@@ -288,9 +288,15 @@ def _build_scalar_checks(node: SchemaNode, col_type: pa.DataType, path: str) -> 
                 value_set = pa.array(compat, type=col.type)
             except (pa.ArrowInvalid, pa.ArrowTypeError):
                 value_set = pa.array(compat)
+            probe = col
+            if pa.types.is_floating(col.type):
+                # is_in matches bitwise: normalize -0.0 → +0.0 on both sides
+                # (numeric == semantics, validator.ex:346-376)
+                probe = pc.add(col, 0.0)
+                value_set = pc.add(value_set, 0.0)
             # is_in yields False (not null) for null cells — OR the null mask
             # back in so null = property-absent passes
-            return _np_bool(pc.or_(pc.is_in(col, value_set=value_set), pc.is_null(col)))
+            return _np_bool(pc.or_(pc.is_in(probe, value_set=value_set), pc.is_null(col)))
         checks.append(_Check("enum", enum_fn, f"not in enum {node.enum!r}", path))
 
     if node.minimum is not None:
