@@ -303,22 +303,50 @@ class _Builder:
 
         walk(root, set())
         compiled = CompiledSchema(root=root, refs=self.refs)
-        # check every ref site resolves (fetch remote if loader given)
+        # check every ref site resolves (fetch remote if loader given;
+        # bundled draft metaschemas resolve by default)
         for node, pointer in self.ref_sites:
             if not self._resolvable(compiled, pointer):
-                if self.loader is not None and not pointer.startswith("#"):
-                    remote_src = self.loader(pointer.split("#", 1)[0])
-                    sub_builder = _Builder(loader=self.loader)
-                    base = pointer.split("#", 1)[0]
-                    remote_root = sub_builder.build(remote_src, path=f"{base}#")
-                    sub_builder.finalize(remote_root)
-                    compiled.refs.update(sub_builder.refs)
-                    compiled.refs[base] = remote_root
+                if not pointer.startswith("#"):
+                    try:
+                        self._load_remote(compiled, pointer)
+                    except (KeyError, OSError) as e:
+                        raise SchemaError(f"unresolvable ref: {pointer!r}") from e
                     if not self._resolvable(compiled, pointer):
                         raise SchemaError(f"remote ref not found: {pointer!r}")
                 else:
                     raise SchemaError(f"unresolvable ref: {pointer!r}")
         return compiled
+
+    def _load_remote(self, compiled: CompiledSchema, pointer: str) -> None:
+        """Fetch + compile a remote schema, rebasing its internal '#...'
+        refs into the '{base}#...' namespace ($id rebasing,
+        behaviour.ex:323-395 analogue)."""
+        from xema_ray.schema.metaschemas import metaschema_loader
+
+        base = pointer.split("#", 1)[0]
+        loader = self.loader or metaschema_loader
+        remote_src = loader(base)
+        sub = _Builder(loader=self.loader)
+        remote_root = sub.build(remote_src)
+        sub_compiled = sub.finalize(remote_root)
+
+        seen: set = set()
+
+        def rebase(n: SchemaNode) -> None:
+            if id(n) in seen:
+                return
+            seen.add(id(n))
+            if n.ref and n.ref.startswith("#"):
+                n.ref = base + n.ref
+            for child in _children(n):
+                rebase(child)
+
+        rebase(remote_root)
+        for k, v in sub_compiled.refs.items():
+            compiled.refs[base + k if k.startswith("#") else k] = v
+        compiled.refs[base] = remote_root
+        compiled.refs[base + "#"] = remote_root
 
     @staticmethod
     def _resolvable(compiled: CompiledSchema, pointer: str) -> bool:
@@ -369,6 +397,25 @@ def resolve_pointer(compiled: CompiledSchema, pointer: str) -> SchemaNode:
         return compiled.refs[pointer]
     if pointer in ("#", ""):
         return compiled.root
+    # URL-encoded pointer segments: "#/definitions/percent%25field"
+    from urllib.parse import unquote
+
+    unq = unquote(pointer)
+    if unq != pointer and unq in compiled.refs:
+        return compiled.refs[unq]
+    # relative ref against a registered $id base: {"$id": ".../tree"} + "tree"
+    if not pointer.startswith("#"):
+        from urllib.parse import urljoin
+
+        for base in list(compiled.refs):
+            if "://" in base:
+                cand = urljoin(base, pointer)
+                if cand in compiled.refs:
+                    return compiled.refs[cand]
+                if cand.rstrip("#") + "#" in compiled.refs:
+                    return compiled.refs[cand.rstrip("#") + "#"]
+    if unq != pointer:
+        pointer = unq
     # try structural walk: "#/definitions/foo/properties/bar"
     if "#" in pointer:
         base, _, frag = pointer.partition("#")
