@@ -230,6 +230,30 @@ def test_violations_have_paths():
     assert all(x.keyword == "type" for x in v)
 
 
+def test_fail_modes_reference_multi_case():
+    """The reference's opt_fail_test.exs:34-118 'multi' map case:
+    immediately/early stop at max_properties (size precedes properties in
+    the map chain); finally collects every keyword group."""
+    from xema_ray.schema.builder import compile_schema
+
+    schema = compile_schema(("map", {
+        "properties": {"foo": "integer", "bar": "integer"},
+        "max_properties": 3,
+        "pattern_properties": {"str_.*": "string"},
+        "additional_properties": False,
+    }))
+    data = {"foo": "bar", "baz": 5, "str_a": "a", "str_b": "b", "z": 1}
+
+    imm = validate_value(schema, data, fail="immediately")
+    assert [v.keyword for v in imm] == ["max_properties"]
+    early = validate_value(schema, data, fail="early")
+    assert [v.keyword for v in early] == ["max_properties"]
+    fin = validate_value(schema, data, fail="finally")
+    kws = sorted(v.keyword for v in fin)
+    assert kws == ["additional_properties", "additional_properties",
+                   "max_properties", "type"]
+
+
 def test_fail_modes():
     """opt_fail_test.exs:34-118 semantics: same verdict, different counts."""
     compiled = from_json_schema(
