@@ -242,6 +242,59 @@ def referential_violations(ds, dim, col: str = "source", dim_col: Optional[str] 
     return ds.map_batches(RefCheckActor, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def referential_violations_semijoin(ds, dim_ds, col: str = "source",
+                                    dim_col: Optional[str] = None,
+                                    buckets: int = 64):
+    """General-path referential check for dims too large to broadcast:
+    explicit bucketed hash ANTI-join (ray guide "Joins and lookups").
+
+    Both sides get ``bucket = hash(key) % B``; a ``groupby(bucket)``
+    co-partitions them, and each bucket group anti-joins fact keys against
+    dim keys with pandas.  Only the two key columns shuffle.  ``buckets``
+    scales with cluster size; hot keys spread by bucketing the FACT side on
+    the key value itself (identical keys co-locate — required for
+    correctness — so a single pathological key should instead use the
+    broadcast path, which needs no shuffle at all).
+    """
+    import pandas as pd
+
+    from xema_ray.stages.shuffle import add_hash_bucket
+
+    dim_col = dim_col or col
+    fact = ds.select_columns([c for c in dict.fromkeys(["doc_id", col])
+                              if c in ds.schema().names])
+    fact = add_hash_bucket(fact, col, buckets)
+    fact = fact.map_batches(
+        lambda t: t.append_column("_side", pa.array(["f"] * t.num_rows)),
+        batch_format="pyarrow")
+    dim = dim_ds.select_columns([dim_col])
+    if dim_col != col:
+        dim = dim.map_batches(
+            lambda t: t.rename_columns([col]), batch_format="pyarrow")
+    dim = add_hash_bucket(dim, col, buckets)
+    dim = dim.map_batches(
+        lambda t: t.append_column("_side", pa.array(["d"] * t.num_rows)),
+        batch_format="pyarrow")
+
+    both = fact.union(dim)
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        dims = set(g.loc[g["_side"] == "d", col])
+        f = g[g["_side"] == "f"]
+        bad = f[~f[col].isin(dims) & f[col].notna()]
+        return pd.DataFrame({
+            "doc_id": (bad["doc_id"] if "doc_id" in bad.columns
+                       else pd.Series([None] * len(bad))).astype("string"),
+            "path": pd.Series([f"/{col}"] * len(bad), dtype="string"),
+            "keyword": pd.Series(["ref"] * len(bad), dtype="string"),
+            "message": pd.Series(
+                [f"{col}={v!r} not in dimension table" for v in bad[col]],
+                dtype="string"),
+        })
+
+    return both.groupby("bucket").map_groups(anti, batch_format="pandas")
+
+
 # ----------------------------------------------------------------------
 # distribution drift
 # ----------------------------------------------------------------------
