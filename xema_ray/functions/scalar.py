@@ -191,6 +191,12 @@ def validate_value(
     schema, value: Any, fail: str = "early", _path: str = ""
 ) -> list:
     """Validate one value; return a list of :class:`Violation` ([] = valid)."""
+    if fail not in ("immediately", "early", "finally"):
+        # reference raises ArgumentError for unknown fail options
+        # (opt_fail_test.exs:8-11)
+        raise ValueError(
+            f"fail must be one of 'immediately', 'early', 'finally'; got {fail!r}"
+        )
     if isinstance(schema, CompiledSchema):
         compiled, node = schema, schema.root
     else:
