@@ -559,29 +559,51 @@ def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
             def items_fn(col, tbl, elem_checks=elem_checks, path=path):
                 values, offsets = _list_offsets(col)
                 n_vals = len(values)
-                elem_ok = np.ones(n_vals, dtype=bool)
-                kw_of_fail = np.zeros(n_vals, dtype=np.int32)
+                elem_ok = None
                 np_vals = None
                 if values.null_count == 0 and all(c.np_fn is not None for c in elem_checks):
                     # zero-copy numpy over the raw values buffer
                     np_vals = values.to_numpy(zero_copy_only=True)
-                for ci, chk in enumerate(elem_checks):
+                for chk in elem_checks:
                     m = chk.np_fn(np_vals) if np_vals is not None else chk.fn(values, None)
-                    newly = elem_ok & ~m
-                    kw_of_fail[newly] = ci
-                    elem_ok &= m
+                    if elem_ok is None:
+                        elem_ok = m if isinstance(m, np.ndarray) else np.asarray(m)
+                    else:
+                        np.logical_and(elem_ok, m, out=elem_ok)
+                if elem_ok is None:
+                    elem_ok = np.ones(n_vals, dtype=bool)
                 row_ok = _segment_all(elem_ok, offsets)
                 null_rows = _np_bool(pc.is_null(col))
                 row_ok |= null_rows
                 bad = np.nonzero(~elem_ok)[0]
                 if len(bad) == 0:
                     return row_ok, None
+                # keyword attribution only for the (rare) failing elements:
+                # re-run each check on the bad subset (first fail wins, the
+                # reference's chain order)
+                kw_of_bad = np.zeros(len(bad), dtype=np.int32)
+                if np_vals is not None:
+                    bad_vals = np_vals[bad]
+                    unattributed = np.ones(len(bad), dtype=bool)
+                    for ci, chk in enumerate(elem_checks):
+                        mb = chk.np_fn(bad_vals)
+                        newly = unattributed & ~mb
+                        kw_of_bad[newly] = ci
+                        unattributed &= mb
+                else:
+                    sub = values.take(pa.array(bad, type=pa.int64()))
+                    unattributed = np.ones(len(bad), dtype=bool)
+                    for ci, chk in enumerate(elem_checks):
+                        mb = chk.fn(sub, None)
+                        newly = unattributed & ~mb
+                        kw_of_bad[newly] = ci
+                        unattributed &= mb
                 rows = np.searchsorted(offsets, bad, side="right") - 1
                 if col.null_count:
                     # elements under a NULL list cell are not real data; the
                     # row already passes (property-absent semantics)
                     keep = ~null_rows[rows]
-                    bad, rows = bad[keep], rows[keep]
+                    bad, rows, kw_of_bad = bad[keep], rows[keep], kw_of_bad[keep]
                     if len(bad) == 0:
                         return row_ok, None
                 local = bad - offsets[rows]
@@ -590,7 +612,7 @@ def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
                 # the leaf keyword at the element path (Xema's nested
                 # items→index→keyword reason tree flattened, SURVEY §2.1)
                 groups = []
-                bad_kw = kw_of_fail[bad]
+                bad_kw = kw_of_bad
                 for ci in np.unique(bad_kw):
                     sel = bad_kw == ci
                     groups.append(CheckViolations(
