@@ -135,6 +135,31 @@ def test_knn_lsh_recall(ray_session):
     assert hits / 15 >= 0.5
 
 
+def test_cosine_near_dup_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.similarity import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(6)
+    n, d = 300, 64
+    mat = rng.standard_normal((n, d))
+    # plant 10 near-duplicate pairs: vec n+i ≈ vec i + small noise
+    dups = mat[:10] + 0.02 * rng.standard_normal((10, d))
+    all_mat = np.vstack([mat, dups])
+    ids = np.arange(len(all_mat))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": ids, "embedding": [r.tolist() for r in all_mat],
+    }))
+    pairs = cosine_near_dup_pairs(ds, threshold=0.95, n_bits=6, dim=d).take_all()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    planted = {(i, n + i) for i in range(10)}
+    # LSH recall: most planted pairs co-bucket (cos ≈ 0.999)
+    assert len(planted & found) >= 8, found
+    # no false positives among random gaussian vectors (cos ≥ .95 is ~impossible)
+    assert found <= planted | set(), found - planted
+
+
 def test_media_feature_plumbing(ray_session):
     import ray.data as rd
 

@@ -468,6 +468,20 @@ def emb_knn_lsh(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+@register("emb_near_dup", None,
+          doc="embedding-cosine near-dup pairs (LSH bucket + in-bucket matmul; rows-only)")
+def emb_near_dup(sf_dir: str):
+    import ray.data as rd
+
+    from xema_ray.stages.similarity import cosine_near_dup_pairs
+
+    base = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # random gaussian embeddings have no cos≥0.95 pairs — 0 rows expected
+    # here; recall is pinned by tests/test_dedup_similarity.py with planted
+    # near-duplicates
+    return cosine_near_dup_pairs(base, threshold=0.95, n_bits=8, dim=64)
+
+
 @register("media_features", None,
           doc="multimodal plumbing: binary payload → actor-pool feature extraction (stubbed decode; rows-only)")
 def media_features(sf_dir: str):

@@ -153,6 +153,54 @@ def lsh_index(ds, n_bits: int = 12, dim: int = 64, vec_col: str = "embedding",
     ), planes
 
 
+def cosine_near_dup_pairs(ds, threshold: float = 0.95, n_bits: int = 10,
+                          dim: int = 64, vec_col: str = "embedding",
+                          id_col: str = "vec_id", seed: int = 11,
+                          max_bucket: int = 256):
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucketing →
+    within-bucket pairwise cosine ≥ ``threshold``.
+
+    Near-identical vectors agree on (almost) every hyperplane sign, so true
+    near-dups co-bucket with high probability; expected bucket size
+    n/2^bits keeps the in-bucket matmul tiny.  ``max_bucket`` caps
+    degenerate buckets (skew guard).  Returns (id_a, id_b, cos_sim).
+    """
+    import pandas as pd
+    import ray
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    ref = ray.put(planes)
+    bucketed = ds.map_batches(
+        _LshBucket, fn_constructor_kwargs={"planes_ref": ref,
+                                           "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).head(max_bucket)
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cos_sim": pd.Series([], dtype="float64")})
+        m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in g[vec_col]]))
+        sims = m @ m.T
+        ids = g[id_col].to_numpy()
+        ia, ib = np.triu_indices(n, k=1)
+        hit = sims[ia, ib] >= threshold
+        return pd.DataFrame({
+            "id_a": np.minimum(ids[ia[hit]], ids[ib[hit]]),
+            "id_b": np.maximum(ids[ia[hit]], ids[ib[hit]]),
+            "cos_sim": sims[ia[hit], ib[hit]],
+        })
+
+    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
 def knn_lsh(ds, queries, k: int = 10, n_bits: int = 8, dim: int = 64,
             multiprobe: int = 1, vec_col: str = "embedding",
             id_col: str = "vec_id", seed: int = 11):
