@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from xema_ray.functions import formats as fmt
-from xema_ray.functions.scalar import validate_value, _like_integer
+from xema_ray.functions.scalar import validate_value
 from xema_ray.schema.ast import UNSET, CompiledSchema, SchemaNode
 from xema_ray.schema.builder import resolve_pointer
 

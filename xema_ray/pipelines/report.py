@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from xema_ray.functions.sketches import Histogram, HyperLogLog, hash_strings, splitmix64
+from xema_ray.functions.sketches import Histogram, HyperLogLog
 from xema_ray.stages.stats import _batch_column_partial
 
 

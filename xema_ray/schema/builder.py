@@ -34,7 +34,7 @@ import numbers
 import re
 from typing import Any, Callable, Optional
 
-from xema_ray.schema.ast import UNSET, CompiledSchema, SchemaNode, TYPE_NAMES
+from xema_ray.schema.ast import CompiledSchema, SchemaNode, TYPE_NAMES
 
 
 class SchemaError(ValueError):

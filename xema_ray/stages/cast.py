@@ -17,7 +17,7 @@ from typing import Optional
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from xema_ray.functions.cast import CastError, cast_value
+from xema_ray.functions.cast import CastError
 from xema_ray.schema.ast import UNSET, CompiledSchema, SchemaNode
 
 

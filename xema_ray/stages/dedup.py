@@ -20,12 +20,9 @@ Shuffle strategy (SURVEY.md §4 / ray guide "Aggregation at scale"):
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 # ----------------------------------------------------------------------
@@ -62,7 +59,7 @@ def exact_dedup_groups(ds, col: str = "text", id_col: str = "doc_id"):
     Matches ``SELECT min(id), count(*) FROM t GROUP BY content`` (md5
     collisions are negligible at any practical corpus size).
     """
-    from ray.data.aggregate import Count, Min, Sum
+    from ray.data.aggregate import Min, Sum
 
     partials = ds.map_batches(
         lambda t: _content_hash_batch(t, col, id_col), batch_format="pyarrow"

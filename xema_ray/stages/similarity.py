@@ -12,8 +12,6 @@
 from __future__ import annotations
 
 import heapq
-from typing import Optional
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc

@@ -86,8 +86,6 @@ class LangId:
         self.langs = sorted(_LANG_STOPWORDS)
 
     def __call__(self, batch):
-        import pandas as pd
-
         texts = batch[self.text_col].fillna("").str.lower()
         words = texts.str.findall(self.word_re)
         n = len(batch)
@@ -121,7 +119,7 @@ class Fingerprint:
         self.word_re = re.compile(r"[A-Za-z0-9]+")
 
     def __call__(self, batch):
-        from xema_ray.functions.sketches import hash_strings, splitmix64
+        from xema_ray.functions.sketches import hash_strings
 
         out_fp = np.zeros(len(batch), dtype=np.uint64)
         texts = batch[self.text_col].fillna("").str.lower()

@@ -313,7 +313,6 @@ def _merge_check_partials(done: dict, paths: list, id_col: str):
     import numpy as np
     import ray
 
-    from xema_ray.functions.sketches import Histogram, HyperLogLog
     from xema_ray.pipelines import report as report_mod
     from xema_ray.stages.checks import _merge_blobs
 
