@@ -34,6 +34,10 @@ COLUMN_CASES = [
     (("list", {"contains": ("integer", {"minimum": 5})}),
      pa.array([[1, 6], [1, 2], [], None])),
     (("list", {"items": ("integer", {"enum": [1, 2]})}), pa.array([[1, 2], [3]])),
+    (("list", {"contains": False}), pa.array([[1], [], None])),
+    (("list", {"contains": True}), pa.array([[1], [], None])),
+    (False, pa.array([1, None])),
+    (True, pa.array([1, None])),
 ]
 
 

@@ -240,6 +240,14 @@ def _build_scalar_checks(node: SchemaNode, col_type: pa.DataType, path: str) -> 
     """Vector checks for scalar keywords of ``node`` against a column."""
     checks: list = []
 
+    if node.bool_schema is not None:
+        if node.bool_schema is False:
+            # false schema rejects every present value; null = absent passes
+            checks.append(_Check(
+                "type", lambda col, tbl: _np_bool(pc.is_null(col)),
+                "schema rejects all values", path))
+        return checks
+
     if node.types:
         static_ok, runtime = _type_check(node.types, col_type, path)
         if static_ok is False:
@@ -624,16 +632,26 @@ def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
     if node.contains is not None:
         contains_node = _deref(node.contains, compiled)
         value_type = col_type.value_type
-        c_checks = _build_scalar_checks(contains_node, value_type, path)
-        def contains_fn(col, tbl, c_checks=c_checks):
-            values, offsets = _list_offsets(col)
-            elem_ok = np.ones(len(values), dtype=bool)
-            for chk in c_checks:
-                elem_ok &= chk.fn(values, None)
-            row_ok = _segment_any(elem_ok, offsets)
-            row_ok |= _np_bool(pc.is_null(col))
-            return row_ok
-        checks.append(_Check("contains", contains_fn, "no item matches contains schema", path))
+        if contains_node.bool_schema is False:
+            # contains: false — no element can ever match (and the empty
+            # list fails contains anyway, validator.ex:651-675)
+            checks.append(_Check(
+                "contains",
+                lambda col, tbl: _np_bool(pc.is_null(col)),
+                "no item matches contains schema", path))
+        else:
+            c_checks = [] if contains_node.bool_schema is True else \
+                _build_scalar_checks(contains_node, value_type, path)
+            def contains_fn(col, tbl, c_checks=c_checks):
+                values, offsets = _list_offsets(col)
+                elem_ok = np.ones(len(values), dtype=bool)
+                for chk in c_checks:
+                    elem_ok &= chk.fn(values, None)
+                row_ok = _segment_any(elem_ok, offsets)
+                row_ok |= _np_bool(pc.is_null(col))
+                return row_ok
+            checks.append(_Check("contains", contains_fn,
+                                 "no item matches contains schema", path))
 
     return checks
 

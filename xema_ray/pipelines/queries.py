@@ -732,6 +732,25 @@ def orders_by_segment(sf_dir: str):
 
 
 @register(
+    "orders_join_native",
+    """SELECT o.o_orderkey, c.c_mktsegment FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 50000""",
+    doc="native hash-partitioned Dataset.join (both-sides-large path)",
+)
+def orders_join_native(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 50000)),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    return joined.select_columns(["o_orderkey", "c_mktsegment"])
+
+
+@register(
     "top_parts",
     """SELECT p_partkey, p_retailprice FROM part
     ORDER BY p_retailprice DESC, p_partkey LIMIT 10""",
