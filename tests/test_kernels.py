@@ -34,6 +34,10 @@ COLUMN_CASES = [
     (("list", {"contains": ("integer", {"minimum": 5})}),
      pa.array([[1, 6], [1, 2], [], None])),
     (("list", {"items": ("integer", {"enum": [1, 2]})}), pa.array([[1, 2], [3]])),
+    (("list", {"unique_items": True}), pa.array([[None, None], [None, 1], [0, None]],
+                                                type=pa.list_(pa.int32()))),
+    (("list", {"items": ("integer", {"minimum": 0})}),
+     pa.array([[1, None], [2], [None]], type=pa.list_(pa.int32()))),
     (("list", {"contains": False}), pa.array([[1], [], None])),
     (("list", {"contains": True}), pa.array([[1], [], None])),
     (False, pa.array([1, None])),
@@ -123,6 +127,22 @@ def test_fallback_column_combinator():
     valid, viols = evaluate_batch(plan, tbl)
     assert list(valid) == [True, False, True, True]
     assert viols[0].keyword == "one_of"
+
+
+def test_segment_reduce_edge_cases():
+    """reduceat quirks: trailing/mid-stream empty rows, empty values."""
+    from xema_ray.functions.kernels import _segment_all, _segment_any
+
+    cases = [
+        (np.array([True, False]), np.array([0, 2, 2]), [False, True], [True, False]),
+        (np.array([True, False]), np.array([0, 0, 2]), [True, False], [False, True]),
+        (np.array([], dtype=bool), np.array([0, 0, 0]), [True, True], [False, False]),
+        (np.array([True] * 3), np.array([0, 1, 1, 3]), [True, True, True], [True, False, True]),
+        (np.array([False, True, False]), np.array([0, 3]), [False], [True]),
+    ]
+    for ok, off, want_all, want_any in cases:
+        assert list(_segment_all(ok, off)) == want_all
+        assert list(_segment_any(ok, off)) == want_any
 
 
 def test_violation_paths_and_rows():

@@ -77,6 +77,20 @@ def test_list_columns(kw, vals):
     _check(("list", kw), pa.array(vals, type=pa.list_(pa.int32())))
 
 
+list_vals_with_null_elems = st.lists(
+    st.one_of(st.lists(st.one_of(st.integers(-12, 12), st.none()), max_size=6),
+              st.none()),
+    min_size=1, max_size=15)
+
+
+@settings(max_examples=100, deadline=None)
+@given(kw=list_kw, vals=list_vals_with_null_elems)
+def test_list_columns_with_null_elements(kw, vals):
+    """NULL elements inside lists: fail typed items/contains, count as
+    equal for unique_items — pinned against the scalar validator."""
+    _check(("list", kw), pa.array(vals, type=pa.list_(pa.int32())))
+
+
 @settings(max_examples=75, deadline=None)
 @given(kw=int_kw, vals=st.lists(
     st.one_of(st.floats(-12, 12, allow_nan=False).map(lambda f: round(f, 2)),

@@ -493,14 +493,22 @@ def _list_offsets(arr) -> tuple:
 def _segment_reduce(elem_ok: np.ndarray, offsets: np.ndarray, op, empty_value: bool) -> np.ndarray:
     """Per-row reduce over element masks via ``ufunc.reduceat`` (short-circuits
     per segment — orders of magnitude faster than cumsum on this hardware).
-    Empty segments get ``empty_value`` (reduceat returns a[i] for them)."""
+
+    ``reduceat`` quirks handled: duplicate indices (mid-stream empty rows)
+    yield ``a[i]`` and are overwritten with ``empty_value``; TRAILING empty
+    rows (start index == len) are excluded from the reduceat call entirely —
+    clipping them into range would silently shorten the last real segment.
+    """
     nrows = len(offsets) - 1
+    n = len(elem_ok)
     if nrows == 0:
         return np.ones(0, dtype=bool)
-    if len(elem_ok) == 0:
-        return np.full(nrows, empty_value, dtype=bool)
-    starts = np.minimum(offsets[:-1], len(elem_ok) - 1)
-    res = op.reduceat(elem_ok, starts)
+    res = np.full(nrows, empty_value, dtype=bool)
+    if n == 0:
+        return res
+    k = int(np.searchsorted(offsets[:-1], n, side="left"))  # rows starting in-range
+    if k:
+        res[:k] = op.reduceat(elem_ok, offsets[:-1][:k])
     empty = offsets[1:] == offsets[:-1]
     if empty.any():
         res[empty] = empty_value
@@ -543,9 +551,17 @@ def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
                 return np.ones(nrows, dtype=bool)
             vals = values.to_numpy(zero_copy_only=False)
             row_ids = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(offsets))
-            order = np.lexsort((vals, row_ids))
-            sv, sr = vals[order], row_ids[order]
-            dup = (sr[1:] == sr[:-1]) & (sv[1:] == sv[:-1])
+            # null elements count as equal to each other ([nil, nil] is a
+            # duplicate in the reference) — track them in a parallel key so
+            # NaN != NaN can't hide them
+            if values.null_count:
+                elem_null = np.isnan(vals)
+                vals = np.nan_to_num(vals, nan=0.0)
+            else:
+                elem_null = np.zeros(len(vals), dtype=bool)
+            order = np.lexsort((elem_null, vals, row_ids))
+            sv, sr, sn = vals[order], row_ids[order], elem_null[order]
+            dup = (sr[1:] == sr[:-1]) & (sv[1:] == sv[:-1]) & (sn[1:] == sn[:-1])
             ok = np.ones(nrows, dtype=bool)
             ok[np.unique(sr[1:][dup])] = False
             null_rows = _np_bool(pc.is_null(col))
@@ -563,8 +579,16 @@ def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
                 "items",
                 lambda col, tbl: _ok_with_nulls(pc.equal(pc.list_value_length(col), 0), col),
                 "items: false accepts only the empty list", path))
-        elif elem_checks:
-            def items_fn(col, tbl, elem_checks=elem_checks, path=path):
+        elif elem_checks or (
+            elem_node.types and not ({"any", "nil"} & set(elem_node.types))
+        ):
+            elem_requires_type = bool(
+                elem_node.types
+                and not ({"any", "nil"} & set(elem_node.types))
+            )
+
+            def items_fn(col, tbl, elem_checks=elem_checks, path=path,
+                         elem_requires_type=elem_requires_type):
                 values, offsets = _list_offsets(col)
                 n_vals = len(values)
                 elem_ok = None
@@ -580,6 +604,12 @@ def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
                         np.logical_and(elem_ok, m, out=elem_ok)
                 if elem_ok is None:
                     elem_ok = np.ones(n_vals, dtype=bool)
+                elem_is_null = None
+                if values.null_count and elem_requires_type:
+                    # a NULL element is not of the required type
+                    # (is_integer(nil) is false, validator.ex:242)
+                    elem_is_null = ~_np_bool(pc.is_valid(values))
+                    elem_ok &= ~elem_is_null
                 row_ok = _segment_all(elem_ok, offsets)
                 null_rows = _np_bool(pc.is_null(col))
                 row_ok |= null_rows
@@ -588,8 +618,10 @@ def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
                     return row_ok, None
                 # keyword attribution only for the (rare) failing elements:
                 # re-run each check on the bad subset (first fail wins, the
-                # reference's chain order)
+                # reference's chain order); -1 marks null-element type fails
                 kw_of_bad = np.zeros(len(bad), dtype=np.int32)
+                if elem_is_null is not None:
+                    kw_of_bad[elem_is_null[bad]] = -1
                 if np_vals is not None:
                     bad_vals = np_vals[bad]
                     unattributed = np.ones(len(bad), dtype=bool)
@@ -623,9 +655,14 @@ def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
                 bad_kw = kw_of_bad
                 for ci in np.unique(bad_kw):
                     sel = bad_kw == ci
-                    groups.append(CheckViolations(
-                        rows[sel], elem_checks[ci].keyword, paths[sel],
-                        elem_checks[ci].message))
+                    if ci == -1:  # null element failing the required type
+                        groups.append(CheckViolations(
+                            rows[sel], "type", paths[sel],
+                            "null element fails required type"))
+                    else:
+                        groups.append(CheckViolations(
+                            rows[sel], elem_checks[ci].keyword, paths[sel],
+                            elem_checks[ci].message))
                 return row_ok, groups
             checks.append(_Check("items", items_fn, "invalid list element", path))
 
@@ -642,11 +679,20 @@ def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
         else:
             c_checks = [] if contains_node.bool_schema is True else \
                 _build_scalar_checks(contains_node, value_type, path)
-            def contains_fn(col, tbl, c_checks=c_checks):
+            c_requires_type = bool(
+                contains_node.bool_schema is None
+                and contains_node.types
+                and not ({"any", "nil"} & set(contains_node.types))
+            )
+            def contains_fn(col, tbl, c_checks=c_checks,
+                            c_requires_type=c_requires_type):
                 values, offsets = _list_offsets(col)
                 elem_ok = np.ones(len(values), dtype=bool)
                 for chk in c_checks:
                     elem_ok &= chk.fn(values, None)
+                if c_requires_type and values.null_count:
+                    # a NULL element cannot satisfy a typed contains schema
+                    elem_ok &= _np_bool(pc.is_valid(values))
                 row_ok = _segment_any(elem_ok, offsets)
                 row_ok |= _np_bool(pc.is_null(col))
                 return row_ok
