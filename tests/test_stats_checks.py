@@ -69,6 +69,19 @@ def test_duplicate_doc_ids_match_duckdb(ds, con):
     assert len(got) > 0  # injection rate 1e-3 → ~20 dups expected
 
 
+def test_duplicate_values_groupby_strategy(ds, con):
+    """The cluster-path bucket-groupby merge equals the driver merge."""
+    from xema_ray.stages.checks import duplicate_values
+
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in duplicate_values(ds, "doc_id", strategy="groupby").take_all()}
+    want = dict(con.execute(
+        "SELECT doc_id, count(*) FROM seq WHERE doc_id IS NOT NULL "
+        "GROUP BY doc_id HAVING count(*) > 1"
+    ).fetchall())
+    assert got == want
+
+
 def test_referential_matches_duckdb(ds, con):
     from xema_ray.sources.corpus import sources_dim_table
     from xema_ray.stages.checks import referential_violations
