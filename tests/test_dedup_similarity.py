@@ -46,6 +46,16 @@ def test_exact_dedup_groups(docs_ds):
     assert sum(v for v in got.values() if v > 1) == 20  # 10 pairs
 
 
+def test_exact_dedup_survivor_rows(docs_ds):
+    ds, pdf = docs_ds
+    from xema_ray.stages.dedup import exact_dedup
+
+    rows = exact_dedup(ds).take_all()
+    assert len(rows) == pdf["text"].nunique()
+    want_ids = set(pdf.groupby("text")["doc_id"].min())
+    assert {r["doc_id"] for r in rows} == want_ids
+
+
 def test_minhash_finds_exact_and_near_dups(docs_ds):
     ds, pdf = docs_ds
     from xema_ray.stages.dedup import minhash_lsh_pairs

@@ -75,17 +75,18 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     survivor-id set back onto the data (broadcast when small)."""
     import ray
 
+    import pyarrow.compute as pc
+
     survivors = exact_dedup_groups(ds, col, id_col)
     ids = [r["doc_id"] for r in survivors.select_columns(["doc_id"]).take_all()]
-    ref = ray.put(set(ids))
+    ref = ray.put(pa.array(sorted(ids, key=str)))
 
     class Keep:
         def __init__(self, ref):
-            self.keep = ray.get(ref)
+            self.keep = ray.get(ref)  # survivor-id set, one plasma read/actor
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
-            mask = pa.array([i in self.keep for i in tbl[id_col].to_pylist()])
-            return tbl.filter(mask)
+            return tbl.filter(pc.is_in(tbl[id_col], value_set=self.keep))
 
     return ds.map_batches(Keep, fn_constructor_kwargs={"ref": ref},
                           batch_format="pyarrow", concurrency=(1, 8))
