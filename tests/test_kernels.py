@@ -129,6 +129,28 @@ def test_fallback_column_combinator():
     assert viols[0].keyword == "one_of"
 
 
+def test_immediately_mode_keeps_per_row_verdicts():
+    """fail='immediately' trims violations to one per row but NEVER
+    changes another row's verdict (behaviour.ex:36: modes affect
+    completeness, not the validity result)."""
+    schema = compile_schema(("map", {"properties": {
+        "a": ("integer", {"minimum": 0}),
+        "b": ("string", {"min_length": 2}),
+    }}))
+    tbl = pa.table({"a": [-1, 5, -2], "b": ["x", "q", "ok"]})
+    plan = compile_table_plan(schema, tbl.schema)
+    v_imm, viols_imm = evaluate_batch(plan, tbl, fail="immediately")
+    v_early, viols_early = evaluate_batch(plan, tbl, fail="early")
+    assert list(v_imm) == list(v_early) == [False, False, False]
+    per_row_imm = {}
+    for cv in viols_imm:
+        for r in cv.row_idx:
+            per_row_imm[int(r)] = per_row_imm.get(int(r), 0) + 1
+    assert per_row_imm == {0: 1, 1: 1, 2: 1}
+    n_early = sum(len(cv.row_idx) for cv in viols_early)
+    assert n_early == 4  # row0: a+b, row1: b, row2: a
+
+
 def test_segment_reduce_edge_cases():
     """reduceat quirks: trailing/mid-stream empty rows, empty values."""
     from xema_ray.functions.kernels import _segment_all, _segment_any

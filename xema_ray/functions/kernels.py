@@ -255,7 +255,9 @@ def _build_scalar_checks(node: SchemaNode, col_type: pa.DataType, path: str) -> 
                 "type",
                 lambda col, tbl: _np_bool(pc.is_null(col)),  # only nulls pass
                 f"expected type {node.types[0]}", path))
-        elif runtime is not None:
+            # nothing else can matter — every non-null cell already fails
+            return checks
+        if runtime is not None:
             checks.append(_Check("type", runtime, f"expected type {node.types[0]}", path))
 
     if node.const is not UNSET:
@@ -307,7 +309,9 @@ def _build_scalar_checks(node: SchemaNode, col_type: pa.DataType, path: str) -> 
             return _np_bool(pc.or_(pc.is_in(probe, value_set=value_set), pc.is_null(col)))
         checks.append(_Check("enum", enum_fn, f"not in enum {node.enum!r}", path))
 
-    if node.minimum is not None:
+    is_num_col = pa.types.is_integer(col_type) or pa.types.is_floating(col_type)
+
+    if node.minimum is not None and is_num_col:
         m, excl = node.minimum, node.exclusive_minimum is True
         op = pc.greater if excl else pc.greater_equal
         npop = np.greater if excl else np.greater_equal
@@ -316,7 +320,7 @@ def _build_scalar_checks(node: SchemaNode, col_type: pa.DataType, path: str) -> 
             lambda col, tbl, op=op, m=m: _ok_with_nulls(op(col, m), col),
             f"expected {'>' if excl else '>='} {m}", path,
             np_fn=lambda vals, npop=npop, m=m: npop(vals, m)))
-    if node.maximum is not None:
+    if node.maximum is not None and is_num_col:
         m, excl = node.maximum, node.exclusive_maximum is True
         op = pc.less if excl else pc.less_equal
         npop = np.less if excl else np.less_equal
@@ -325,14 +329,14 @@ def _build_scalar_checks(node: SchemaNode, col_type: pa.DataType, path: str) -> 
             lambda col, tbl, op=op, m=m: _ok_with_nulls(op(col, m), col),
             f"expected {'<' if excl else '<='} {m}", path,
             np_fn=lambda vals, npop=npop, m=m: npop(vals, m)))
-    if node.exclusive_minimum is not None and not isinstance(node.exclusive_minimum, bool):
+    if node.exclusive_minimum is not None and is_num_col and not isinstance(node.exclusive_minimum, bool):
         m = node.exclusive_minimum
         checks.append(_Check(
             "exclusive_minimum",
             lambda col, tbl, m=m: _ok_with_nulls(pc.greater(col, m), col),
             f"expected > {m}", path,
             np_fn=lambda vals, m=m: np.greater(vals, m)))
-    if node.exclusive_maximum is not None and not isinstance(node.exclusive_maximum, bool):
+    if node.exclusive_maximum is not None and is_num_col and not isinstance(node.exclusive_maximum, bool):
         m = node.exclusive_maximum
         checks.append(_Check(
             "exclusive_maximum",
@@ -340,7 +344,7 @@ def _build_scalar_checks(node: SchemaNode, col_type: pa.DataType, path: str) -> 
             f"expected < {m}", path,
             np_fn=lambda vals, m=m: np.less(vals, m)))
 
-    if node.multiple_of is not None:
+    if node.multiple_of is not None and is_num_col:
         m = node.multiple_of
         def mult_fn(col, tbl, m=m):
             if pa.types.is_integer(col.type) and isinstance(m, int):
@@ -857,9 +861,13 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
     """Evaluate one Arrow batch.  Returns ``(valid_mask, violations)`` where
     ``violations`` is a list of :class:`CheckViolations` (columnar).
 
-    ``fail='immediately'`` stops at the first failing check (cheapest);
-    ``'early'`` (default) evaluates every check but skips element-level
-    detail collection for rows already invalid; ``'finally'`` collects all.
+    Fail modes affect VIOLATION completeness, never the per-row verdict
+    (behaviour.ex:36): every check always runs so ``valid_mask`` is exact;
+    ``'immediately'`` then trims the output to one violation per row,
+    ``'early'``/``'finally'`` keep everything the vector layer collected
+    (the vector layer's collection corresponds to the reference's
+    ``:finally`` completeness — per-keyword-group short-circuiting would
+    defeat vectorization; scalar paths inside remain mode-exact).
     """
     n = tbl.num_rows
     valid = np.ones(n, dtype=bool)
@@ -873,8 +881,6 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
         valid[:] = False
         add(np.arange(n, dtype=np.int64), "required",
             f"/{col_name}", f"required column {col_name!r} missing from table")
-        if fail == "immediately":
-            return valid, out
 
     for col_name in plan.unexpected_columns:
         valid[:] = False
@@ -882,8 +888,6 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
         cname = col_name.split(":", 1)[-1]
         add(np.arange(n, dtype=np.int64), kw, f"/{cname}",
             f"column {cname!r} not allowed by schema")
-        if fail == "immediately":
-            return valid, out
 
     for col_name in plan.required:
         nulls = _np_bool(pc.is_null(tbl[col_name]))
@@ -891,8 +895,6 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
             valid &= ~nulls
             add(np.nonzero(nulls)[0].astype(np.int64), "required",
                 f"/{col_name}", f"required property {col_name!r} is null")
-            if fail == "immediately":
-                return valid, out
 
     for cp in plan.column_plans:
         if cp.name not in tbl.column_names:
@@ -905,7 +907,7 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
             if isinstance(res, tuple):
                 ok, elem_viol = res[0], res[1]
                 valid &= ok
-                if elem_viol is not None and fail != "immediately":
+                if elem_viol is not None:
                     if isinstance(elem_viol, list):
                         out.extend(elem_viol)
                     else:
@@ -915,8 +917,6 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
                 valid &= ok
                 bad = np.nonzero(~ok)[0].astype(np.int64)
                 add(bad, chk.keyword, chk.path, chk.message)
-            if fail == "immediately" and not valid.all():
-                return valid, out
         if cp.fallback_node is not None:
             # slow path: per-row scalar validation of this column only
             schema_ctx = cp.fallback_compiled or CompiledSchema(root=cp.fallback_node)
@@ -950,7 +950,23 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
                     add(np.array([i], dtype=np.int64), vv.keyword,
                         vv.path or "/", vv.message)
 
+    if fail == "immediately":
+        out = _first_violation_per_row(out)
+
     return valid, out
+
+
+def _first_violation_per_row(violations: list) -> list:
+    """Keep one violation per row (the ':immediately' completeness level)."""
+    seen: set = set()
+    trimmed: list = []
+    for cv in violations:
+        keep = np.array([r not in seen and not seen.add(r) for r in cv.row_idx.tolist()],
+                        dtype=bool) if len(cv.row_idx) else np.zeros(0, dtype=bool)
+        if keep.any():
+            paths = cv.paths[keep] if isinstance(cv.paths, np.ndarray) else cv.paths
+            trimmed.append(CheckViolations(cv.row_idx[keep], cv.keyword, paths, cv.message))
+    return trimmed
 
 
 def violations_to_table(
