@@ -297,7 +297,7 @@ def seq_token_length_by_source(sf_dir: str):
     doc="per-row uniqueItems over the tokens list (lexsort kernel) — SURVEY §2.1 #15",
 )
 def seq_inrow_dup_tokens(sf_dir: str):
-    from xema_ray.functions.kernels import _list_offsets
+    from xema_ray.functions.kernels import _list_offsets, inrow_duplicate_rows
 
     def find_dups(t: pa.Table) -> pa.Table:
         col = t["tokens"].combine_chunks()
@@ -306,11 +306,7 @@ def seq_inrow_dup_tokens(sf_dir: str):
         dup_rows = np.zeros(nrows, dtype=bool)
         if len(values):
             vals = values.to_numpy(zero_copy_only=False)
-            row_ids = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(offsets))
-            order = np.lexsort((vals, row_ids))
-            sv, sr = vals[order], row_ids[order]
-            d = (sr[1:] == sr[:-1]) & (sv[1:] == sv[:-1])
-            dup_rows[np.unique(sr[1:][d])] = True
+            dup_rows[inrow_duplicate_rows(vals, offsets)] = True
         null_rows = pc.is_null(col).to_numpy(zero_copy_only=False).astype(bool)
         dup_rows &= ~null_rows
         return t.filter(pa.array(dup_rows)).select(["doc_id"])

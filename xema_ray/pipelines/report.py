@@ -62,18 +62,12 @@ class _ReportPartials:
             out["ref_bad"] = pc.sum(pc.cast(bad, pa.int64())).as_py() or 0
 
         if self.list_col in tbl.column_names:
-            col = tbl[self.list_col].combine_chunks()
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            values = col.values
-            offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            from xema_ray.functions.kernels import _list_offsets, inrow_duplicate_rows
+
+            values, offsets = _list_offsets(tbl[self.list_col])
             if len(values):
                 vals = values.to_numpy(zero_copy_only=False)
-                rid = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
-                order = np.lexsort((vals, rid))
-                sv, sr = vals[order], rid[order]
-                d = (sr[1:] == sr[:-1]) & (sv[1:] == sv[:-1])
-                out["inrow_dup"] = int(len(np.unique(sr[1:][d])))
+                out["inrow_dup"] = int(len(inrow_duplicate_rows(vals, offsets)))
 
         return pa.table({"partial": pa.array([pickle.dumps(out)], type=pa.binary())})
 
