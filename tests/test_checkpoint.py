@@ -80,6 +80,27 @@ def test_fused_checks_and_clean_output(corpus, tmp_path):
     assert s2.duplicate_ids == s.duplicate_ids
 
 
+def test_checkpoint_path_matches_dataset_path(corpus, tmp_path):
+    """The per-shard checkpoint runner and the Dataset actor-pool stage
+    must produce identical verdicts and per-keyword violation counts."""
+    import collections
+
+    from xema_ray.pipelines.flagship import validate_corpus
+    from xema_ray.state.checkpoint import run_validation
+
+    paths = corpus_paths(corpus)
+    ck = run_validation(paths, str(tmp_path / "ck"))
+
+    res = validate_corpus(paths, concurrency=2)
+    verdict = res.verdict()
+    assert verdict["rows"] == ck.rows
+    assert verdict["valid_rows"] == ck.valid_rows
+    assert verdict["violations"] == ck.violations
+    kw = collections.Counter(
+        v["keyword"] for v in res.violations().take_all())
+    assert dict(kw) == ck.keyword_counts
+
+
 def test_rerun_skips_everything(corpus, tmp_path):
     from xema_ray.state.checkpoint import run_validation
 
