@@ -113,11 +113,6 @@ _VECTOR_SAFE_SLOTS = {
     "max_length", "pattern", "pattern_re", "format", "min_items", "max_items",
     "unique_items", "items", "contains", "ref",
 }
-_IGNORED_SLOTS = {
-    "id", "schema", "title", "description", "comment", "examples", "default",
-    "definitions", "data", "content_encoding", "content_media_type", "keys",
-    "caster", "pattern_props_re",
-}
 
 
 def _np_bool(mask) -> np.ndarray:
@@ -562,7 +557,6 @@ def inrow_duplicate_rows(vals: np.ndarray, offsets: np.ndarray,
         order = np.lexsort((vals, row_ids))
         sv, sr = vals[order], row_ids[order]
         dup = (sr[1:] == sr[:-1]) & (sv[1:] == sv[:-1])
-        sn = None
     return np.unique(sr[1:][dup])
 
 
