@@ -289,6 +289,47 @@ def seq_token_length_by_source(sf_dir: str):
 
 
 @register(
+    "seq_salted_token_stats",
+    f"""{_SEQ_CTE}
+    SELECT source,
+           CAST(sum(len(tokens)) AS BIGINT) AS len_sum,
+           count(*) AS len_count,
+           CAST(min(len(tokens)) AS BIGINT) AS len_min,
+           CAST(max(len(tokens)) AS BIGINT) AS len_max
+    FROM seq WHERE source IS NOT NULL AND tokens IS NOT NULL
+    GROUP BY source""",
+    doc="skew-salted two-phase groupby over the 90%-hot source key — SURVEY §4 skew handling",
+)
+def seq_salted_token_stats(sf_dir: str):
+    from xema_ray.stages.shuffle import salted_aggregate
+
+    ds = _read_seq(sf_dir)
+
+    def lens(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t["source"]), pc.is_valid(t["tokens"]))
+        t = t.filter(mask)
+        return pa.table({
+            "source": t["source"],
+            "len": pc.cast(pc.list_value_length(t["tokens"]), pa.int64()),
+        })
+
+    out = salted_aggregate(ds.map_batches(lens, batch_format="pyarrow"),
+                           "source",
+                           [("len", "sum"), ("len", "count"),
+                            ("len", "min"), ("len", "max")], salt=16)
+    return out.map_batches(
+        lambda t: pa.table({
+            "source": t["source"],
+            "len_sum": pc.cast(t["len_sum"], pa.int64()),
+            "len_count": pc.cast(t["len_count"], pa.int64()),
+            "len_min": pc.cast(t["len_min"], pa.int64()),
+            "len_max": pc.cast(t["len_max"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+@register(
     "seq_inrow_dup_tokens",
     f"""{_SEQ_CTE}
     SELECT doc_id FROM seq
