@@ -102,8 +102,11 @@ _VALID_SLOTS = {f for f in SchemaNode.__dataclass_fields__} - {
 def _norm_type(t: Any) -> str:
     if isinstance(t, str):
         name = t
-    elif t in _PY_TYPE_ALIASES:
-        name = _PY_TYPE_ALIASES[t]
+    elif isinstance(t, type) or t is None:
+        try:
+            name = _PY_TYPE_ALIASES[t]
+        except KeyError:
+            raise SchemaError(f"unknown schema type: {t!r}") from None
     else:
         raise SchemaError(f"unknown schema type: {t!r}")
     # JSON-Schema type vocabulary (reference json_schema.ex:126-197)
@@ -140,8 +143,10 @@ def _meta_validate(slot: str, v: Any) -> None:
         if not isinstance(v, (str, re.Pattern)):
             raise SchemaError(f"pattern must be a string/regex, got {v!r}")
     elif slot == "required":
-        if not isinstance(v, (list, tuple, set, frozenset)):
-            raise SchemaError(f"required must be a list of keys, got {v!r}")
+        if not isinstance(v, (list, tuple, set, frozenset)) or not all(
+            isinstance(k, str) for k in v
+        ):
+            raise SchemaError(f"required must be a list of string keys, got {v!r}")
     elif slot == "unique_items":
         if not isinstance(v, bool):
             raise SchemaError(f"unique_items must be a boolean, got {v!r}")
@@ -227,6 +232,10 @@ class _Builder:
                 [self.build(v, f"{sub}/{i}") for i, v in enumerate(value)],
             )
         elif slot in _SUBSCHEMA_MAP_SLOTS:
+            if not isinstance(value, dict):
+                raise SchemaError(f"{sub}: {raw_key} must be an object of schemas, got {value!r}")
+            if not all(isinstance(k, str) for k in value):
+                raise SchemaError(f"{sub}: {raw_key} keys must be strings")
             built = {k: self.build(v, f"{sub}/{_escape(k)}") for k, v in value.items()}
             setattr(node, slot, built)
         elif slot == "items":
@@ -249,6 +258,8 @@ class _Builder:
             else:
                 setattr(node, slot, self.build(value, sub))
         elif slot == "dependencies":
+            if not isinstance(value, dict):
+                raise SchemaError(f"{sub}: dependencies must be an object, got {value!r}")
             deps = {}
             for k, v in value.items():
                 if isinstance(v, str):
