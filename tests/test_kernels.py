@@ -116,17 +116,30 @@ def test_property_names_over_column_names():
     assert not evaluate_batch(compile_table_plan(schema, bad.schema), bad)[0].any()
 
 
-def test_fallback_column_combinator():
-    # one_of is not vectorizable → scalar fallback per row
+def test_vectorized_column_combinator():
+    # flat combinators vectorize via mask algebra (SURVEY §2.1 #28-32)
     schema = compile_schema(("map", {"properties": {
         "x": {"one_of": [("integer", {"minimum": 2}), ("integer", {"maximum": 0})]},
     }}))
     tbl = pa.table({"x": [3, 1, -1, None]})
     plan = compile_table_plan(schema, tbl.schema)
-    assert plan.column_plans[0].fallback_node is not None
+    assert plan.column_plans[0].fallback_node is None
+    assert [c.keyword for c in plan.column_plans[0].checks] == ["one_of"]
     valid, viols = evaluate_batch(plan, tbl)
     assert list(valid) == [True, False, True, True]
     assert viols[0].keyword == "one_of"
+
+
+def test_fallback_column_nested_combinator():
+    # nested combinators stay on the scalar-fallback path
+    schema = compile_schema(("map", {"properties": {
+        "x": {"one_of": [{"not": ("integer", {"minimum": 2})}, "string"]},
+    }}))
+    tbl = pa.table({"x": [1, 3, None]})
+    plan = compile_table_plan(schema, tbl.schema)
+    assert plan.column_plans[0].fallback_node is not None
+    valid, _ = evaluate_batch(plan, tbl)
+    assert list(valid) == [True, False, True]
 
 
 def test_immediately_mode_keeps_per_row_verdicts():

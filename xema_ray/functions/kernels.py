@@ -107,6 +107,8 @@ class TablePlan:
 # helpers
 # ----------------------------------------------------------------------
 
+_COMBINATOR_SLOTS = {"not_", "all_of", "any_of", "one_of", "if_", "then", "else_"}
+
 _VECTOR_SAFE_SLOTS = {
     "types", "bool_schema", "const", "enum", "minimum", "maximum",
     "exclusive_minimum", "exclusive_maximum", "multiple_of", "min_length",
@@ -146,6 +148,10 @@ def _is_vectorizable(node: SchemaNode, compiled: CompiledSchema, depth: int = 0)
     for slot in node.keywords_present():
         if slot == "validator":
             return False
+        if slot in _COMBINATOR_SLOTS:
+            if not _combinator_branches_vectorizable(node, compiled):
+                return False
+            continue
         if slot not in _VECTOR_SAFE_SLOTS:
             return False
     if node.types and any(t in ("map", "keyword", "struct", "tuple", "atom") for t in node.types):
@@ -174,11 +180,40 @@ def _is_scalar_vectorizable(node: SchemaNode, compiled: CompiledSchema) -> bool:
     for slot in node.keywords_present():
         if slot in ("items", "contains", "min_items", "max_items", "unique_items", "validator"):
             return False
+        if slot in _COMBINATOR_SLOTS:
+            if not _combinator_branches_vectorizable(node, compiled, flat=True):
+                return False
+            continue
         if slot not in _VECTOR_SAFE_SLOTS:
             return False
     if node.types and any(t not in ("integer", "float", "number", "string", "boolean", "nil", "any") for t in node.types):
         return False
     return True
+
+
+def _combinator_branches_vectorizable(node: SchemaNode, compiled, flat: bool = False) -> bool:
+    """Every combinator branch must itself be a FLAT scalar-vectorizable
+    schema (no nested combinators — one level of mask algebra)."""
+    for b in _combinator_branches(node):
+        b = _deref(b, compiled)
+        if b.bool_schema is not None:
+            continue
+        if any(s in _COMBINATOR_SLOTS for s in b.keywords_present()):
+            return False
+        if not _is_scalar_vectorizable(b, compiled):
+            return False
+    return True
+
+
+def _combinator_branches(node: SchemaNode):
+    for slot in ("not_", "if_", "then", "else_"):
+        v = getattr(node, slot)
+        if v is not None:
+            yield v
+    for slot in ("all_of", "any_of", "one_of"):
+        v = getattr(node, slot)
+        if v:
+            yield from v
 
 
 def _deref(node: SchemaNode, compiled: CompiledSchema) -> SchemaNode:
@@ -231,8 +266,16 @@ def _type_check(types: tuple, col_type: pa.DataType, path: str):
     return False, None
 
 
-def _build_scalar_checks(node: SchemaNode, col_type: pa.DataType, path: str) -> list:
-    """Vector checks for scalar keywords of ``node`` against a column."""
+def _build_scalar_checks(node: SchemaNode, col_type: pa.DataType, path: str,
+                         compiled: Optional[CompiledSchema] = None,
+                         elem_mode: bool = False) -> list:
+    """Vector checks for scalar keywords of ``node`` against a column.
+
+    ``elem_mode`` switches null semantics for combinator checks: column
+    cells treat null as property-absent (always passes), list ELEMENTS
+    treat null as a value that must satisfy the branch (is_integer(nil)
+    is false).
+    """
     checks: list = []
 
     if node.bool_schema is not None:
@@ -388,7 +431,137 @@ def _build_scalar_checks(node: SchemaNode, col_type: pa.DataType, path: str) -> 
                 lambda col, tbl, name=name: _format_mask(col, name),
                 f"not a valid {name}", path))
 
+    checks.extend(_build_combinator_checks(node, col_type, path, compiled, elem_mode))
+
     return checks
+
+
+def _branch_accepts_null(branch: SchemaNode) -> bool:
+    if branch.bool_schema is not None:
+        return branch.bool_schema
+    return not branch.types or bool({"any", "nil"} & set(branch.types))
+
+
+def _branch_evaluators(branches, col_type, path, compiled):
+    """[(arrow_fn, np_fn_or_None)] — per-branch boolean mask evaluators.
+    Null cells get the branch's accepts-null verdict (overridden at the
+    column level by the final nulls-pass rule)."""
+    out = []
+    for b in branches:
+        b = _deref(b, compiled) if compiled is not None else b
+        if b.bool_schema is not None:
+            const = bool(b.bool_schema)
+            out.append((
+                lambda col, const=const: np.full(len(col), const, dtype=bool),
+                lambda vals, const=const: np.full(len(vals), const, dtype=bool),
+            ))
+            continue
+        sub_checks = _build_scalar_checks(b, col_type, path, compiled)
+        accepts_null = _branch_accepts_null(b)
+
+        def fn(col, sub_checks=sub_checks, accepts_null=accepts_null):
+            m = np.ones(len(col), dtype=bool)
+            for c in sub_checks:
+                r = c.fn(col, None)
+                m &= r if isinstance(r, np.ndarray) else np.asarray(r)
+            if col.null_count:
+                m[_np_bool(pc.is_null(col))] = accepts_null
+            return m
+
+        np_fn = None
+        if all(c.np_fn is not None for c in sub_checks):
+            def np_fn(vals, sub_checks=sub_checks):
+                m = np.ones(len(vals), dtype=bool)
+                for c in sub_checks:
+                    m &= c.np_fn(vals)
+                return m
+        out.append((fn, np_fn))
+    return out
+
+
+def _build_combinator_checks(node: SchemaNode, col_type, path: str,
+                             compiled, elem_mode: bool) -> list:
+    """Mask-algebra kernels for not/allOf/anyOf/oneOf/if-then-else over a
+    scalar column (SURVEY §2.1 #28-32): branch masks AND/OR/sum/select."""
+    checks: list = []
+
+    def finalize(fn_raw, np_raw, keyword, message):
+        def fn(col, tbl):
+            m = fn_raw(col)
+            if not elem_mode and col.null_count:
+                m |= _np_bool(pc.is_null(col))  # null = property absent
+            return m
+        checks.append(_Check(keyword, fn, message, path, np_fn=np_raw))
+
+    if node.not_ is not None:
+        (bf, bnp), = _branch_evaluators([node.not_], col_type, path, compiled)
+        finalize(lambda col, bf=bf: ~bf(col),
+                 (lambda vals, bnp=bnp: ~bnp(vals)) if bnp else None,
+                 "not", "value must not match the not-schema")
+    if node.all_of:
+        evs = _branch_evaluators(node.all_of, col_type, path, compiled)
+        def all_raw(col, evs=evs):
+            m = np.ones(len(col), dtype=bool)
+            for bf, _ in evs:
+                m &= bf(col)
+            return m
+        np_all = None
+        if all(bnp is not None for _, bnp in evs):
+            def np_all(vals, evs=evs):
+                m = np.ones(len(vals), dtype=bool)
+                for _, bnp in evs:
+                    m &= bnp(vals)
+                return m
+        finalize(all_raw, np_all, "all_of", "not all sub-schemas match")
+    if node.any_of:
+        evs = _branch_evaluators(node.any_of, col_type, path, compiled)
+        def any_raw(col, evs=evs):
+            m = np.zeros(len(col), dtype=bool)
+            for bf, _ in evs:
+                m |= bf(col)
+            return m
+        np_any = None
+        if all(bnp is not None for _, bnp in evs):
+            def np_any(vals, evs=evs):
+                m = np.zeros(len(vals), dtype=bool)
+                for _, bnp in evs:
+                    m |= bnp(vals)
+                return m
+        finalize(any_raw, np_any, "any_of", "no sub-schema matches")
+    if node.one_of:
+        evs = _branch_evaluators(node.one_of, col_type, path, compiled)
+        def one_raw(col, evs=evs):
+            cnt = np.zeros(len(col), dtype=np.int8)
+            for bf, _ in evs:
+                cnt += bf(col)
+            return cnt == 1
+        np_one = None
+        if all(bnp is not None for _, bnp in evs):
+            def np_one(vals, evs=evs):
+                cnt = np.zeros(len(vals), dtype=np.int8)
+                for _, bnp in evs:
+                    cnt += bnp(vals)
+                return cnt == 1
+        finalize(one_raw, np_one, "one_of", "not exactly one sub-schema matches")
+    if node.if_ is not None and (node.then is not None or node.else_ is not None):
+        branches = [node.if_,
+                    node.then if node.then is not None else True_NODE,
+                    node.else_ if node.else_ is not None else True_NODE]
+        evs = _branch_evaluators(branches, col_type, path, compiled)
+        def ite_raw(col, evs=evs):
+            c, t, e = (bf(col) for bf, _ in evs)
+            return np.where(c, t, e)
+        np_ite = None
+        if all(bnp is not None for _, bnp in evs):
+            def np_ite(vals, evs=evs):
+                c, t, e = (bnp(vals) for _, bnp in evs)
+                return np.where(c, t, e)
+        finalize(ite_raw, np_ite, "if", "conditional schema fails")
+    return checks
+
+
+#: accept-all node used for absent then/else branches
+True_NODE = SchemaNode(bool_schema=True)
 
 
 def _length_mask(col, n: int, op: str) -> np.ndarray:
@@ -602,7 +775,8 @@ def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
     if elem_node is not None:
         elem_node = _deref(elem_node, compiled)
         value_type = col_type.value_type
-        elem_checks = _build_scalar_checks(elem_node, value_type, path)
+        elem_checks = _build_scalar_checks(elem_node, value_type, path, compiled,
+                                           elem_mode=True)
         if elem_node.bool_schema is False:
             checks.append(_Check(
                 "items",
@@ -707,7 +881,8 @@ def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
                 "no item matches contains schema", path))
         else:
             c_checks = [] if contains_node.bool_schema is True else \
-                _build_scalar_checks(contains_node, value_type, path)
+                _build_scalar_checks(contains_node, value_type, path, compiled,
+                                     elem_mode=True)
             c_requires_type = bool(
                 contains_node.bool_schema is None
                 and contains_node.types
@@ -858,7 +1033,7 @@ def compile_table_plan(
                 or pa.types.is_large_list(field_type)
                 or pa.types.is_fixed_size_list(field_type)
             )
-            cp.checks = _build_scalar_checks(node, field_type, f"/{name}")
+            cp.checks = _build_scalar_checks(node, field_type, f"/{name}", compiled)
             if is_list_col:
                 cp.checks.extend(_build_list_checks(node, field_type, f"/{name}", compiled))
         else:
