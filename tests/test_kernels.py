@@ -38,6 +38,11 @@ COLUMN_CASES = [
                                                 type=pa.list_(pa.int32()))),
     (("list", {"items": ("integer", {"minimum": 0})}),
      pa.array([[1, None], [2], [None]], type=pa.list_(pa.int32()))),
+    (("list", {"items": [("integer", {"minimum": 0}), "string"],
+               "additional_items": False}),
+     pa.array([[0], [0, 1], [0, 1, 2], [-1], [], None], type=pa.list_(pa.int32()))),
+    (("list", {"items": ["integer"], "additional_items": ("integer", {"maximum": 5})}),
+     pa.array([[1, 2], [1, 9], []], type=pa.list_(pa.int32()))),
     (("list", {"contains": False}), pa.array([[1], [], None])),
     (("list", {"contains": True}), pa.array([[1], [], None])),
     (False, pa.array([1, None])),

@@ -159,7 +159,13 @@ def _is_vectorizable(node: SchemaNode, compiled: CompiledSchema, depth: int = 0)
     if node.types and len(node.types) > 1:
         return False
     if isinstance(node.items, list):
-        return False  # positional items → fallback
+        for s in node.items:
+            s = _deref(s, compiled)
+            if s.bool_schema is None and not _is_scalar_vectorizable(s, compiled):
+                return False
+        ai = node.additional_items
+        if isinstance(ai, SchemaNode) and not _is_scalar_vectorizable(_deref(ai, compiled), compiled):
+            return False
     if isinstance(node.items, SchemaNode) and not _is_scalar_vectorizable(node.items, compiled):
         return False
     if node.contains is not None and not _is_scalar_vectorizable(node.contains, compiled):
@@ -733,6 +739,108 @@ def inrow_duplicate_rows(vals: np.ndarray, offsets: np.ndarray,
     return np.unique(sr[1:][dup])
 
 
+def _positional_slot_evaluator(s: SchemaNode, value_type, path, compiled):
+    """(mask_fn(subset_values) -> ok, requires_type, keyword) for one slot."""
+    if s.bool_schema is not None:
+        const = bool(s.bool_schema)
+        return (lambda sub, const=const: np.full(len(sub), const, dtype=bool),
+                False, "items")
+    sub_checks = _build_scalar_checks(s, value_type, path, compiled, elem_mode=True)
+    requires_type = bool(s.types and not ({"any", "nil"} & set(s.types)))
+
+    def fn(sub, sub_checks=sub_checks, requires_type=requires_type):
+        m = np.ones(len(sub), dtype=bool)
+        for c in sub_checks:
+            r = c.fn(sub, None)
+            m &= r if isinstance(r, np.ndarray) else np.asarray(r)
+        if requires_type and sub.null_count:
+            m &= _np_bool(pc.is_valid(sub))
+        return m
+
+    kw = sub_checks[0].keyword if len(sub_checks) == 1 else "items"
+    return fn, requires_type, kw
+
+
+def _build_positional_items_check(node: SchemaNode, col_type, path: str,
+                                  compiled) -> "_Check":
+    """Vectorized positional ``items`` + ``additional_items``
+    (validator.ex:723-777): per position i, slice the elements at
+    ``offsets[row]+i`` for rows longer than i and run slot i's checks."""
+    value_type = col_type.value_type
+    slots = [_positional_slot_evaluator(_deref(s, compiled), value_type,
+                                        f"{path}", compiled)
+             for s in node.items]
+    additional = node.additional_items
+    if isinstance(additional, SchemaNode):
+        additional = _deref(additional, compiled)
+        add_eval = _positional_slot_evaluator(additional, value_type, path, compiled)
+    else:
+        add_eval = None
+    k = len(slots)
+
+    def fn(col, tbl):
+        values, offsets = _list_offsets(col)
+        nrows = len(offsets) - 1
+        lengths = np.diff(offsets)
+        row_ok = np.ones(nrows, dtype=bool)
+        viols: list = []
+
+        def fail_rows(rows, local_pos, keyword, message):
+            if len(rows):
+                paths = np.array([f"{path}/{p}" for p in np.atleast_1d(local_pos)],
+                                 dtype=object) if not np.isscalar(local_pos) else                     np.array([f"{path}/{local_pos}"] * len(rows), dtype=object)
+                viols.append(CheckViolations(rows.astype(np.int64), keyword,
+                                             paths, message))
+
+        for i, (slot_fn, _rt, kw) in enumerate(slots):
+            rows_i = np.nonzero(lengths > i)[0]
+            if len(rows_i) == 0:
+                continue
+            idx = offsets[:-1][rows_i] + i
+            sub = values.take(pa.array(idx, type=pa.int64()))
+            ok = slot_fn(sub)
+            bad = ~ok
+            if bad.any():
+                row_ok[rows_i[bad]] = False
+                fail_rows(rows_i[bad], i, kw, f"positional item {i} fails")
+        if additional is False:
+            over = np.nonzero(lengths > k)[0]
+            if len(over):
+                row_ok[over] = False
+                fail_rows(over, k, "additional_items", "no additional items allowed")
+        elif add_eval is not None:
+            add_fn, _rt, kw = add_eval
+            # tail elements: positions >= k
+            tail_rows = np.nonzero(lengths > k)[0]
+            if len(tail_rows):
+                starts = offsets[:-1]
+                idx_list = [np.arange(starts[r] + k, offsets[1:][r]) for r in tail_rows]
+                idx = np.concatenate(idx_list)
+                rep = np.concatenate([np.full(len(a), r, dtype=np.int64)
+                                      for a, r in zip(idx_list, tail_rows)])
+                sub = values.take(pa.array(idx, type=pa.int64()))
+                ok = add_fn(sub)
+                bad = ~ok
+                if bad.any():
+                    row_ok[rep[bad]] = False
+                    local = idx[bad] - starts[rep[bad]]
+                    paths = np.array([f"{path}/{p}" for p in local], dtype=object)
+                    viols.append(CheckViolations(rep[bad], kw, paths,
+                                                 "additional item fails schema"))
+        null_rows = _np_bool(pc.is_null(col))
+        row_ok |= null_rows
+        if null_rows.any() and viols:
+            viols = [CheckViolations(cv.row_idx[~null_rows[cv.row_idx]], cv.keyword,
+                                     cv.paths[~null_rows[cv.row_idx]]
+                                     if isinstance(cv.paths, np.ndarray) else cv.paths,
+                                     cv.message)
+                     for cv in viols]
+            viols = [cv for cv in viols if len(cv.row_idx)]
+        return row_ok, viols
+
+    return _Check("items", fn, "positional item fails", path)
+
+
 def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
                        compiled: CompiledSchema) -> list:
     checks: list = []
@@ -770,6 +878,9 @@ def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
             ok |= null_rows
             return ok
         checks.append(_Check("unique_items", unique_fn, "duplicate items in list", path))
+
+    if isinstance(node.items, list):
+        checks.append(_build_positional_items_check(node, col_type, path, compiled))
 
     elem_node = node.items if isinstance(node.items, SchemaNode) else None
     if elem_node is not None:
