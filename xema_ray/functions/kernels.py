@@ -156,8 +156,6 @@ def _is_vectorizable(node: SchemaNode, compiled: CompiledSchema, depth: int = 0)
             return False
     if node.types and any(t in ("map", "keyword", "struct", "tuple", "atom") for t in node.types):
         return False
-    if node.types and len(node.types) > 1:
-        return False
     if isinstance(node.items, list):
         for s in node.items:
             s = _deref(s, compiled)
@@ -293,16 +291,32 @@ def _build_scalar_checks(node: SchemaNode, col_type: pa.DataType, path: str,
         return checks
 
     if node.types:
-        static_ok, runtime = _type_check(node.types, col_type, path)
-        if static_ok is False:
-            checks.append(_Check(
-                "type",
-                lambda col, tbl: _np_bool(pc.is_null(col)),  # only nulls pass
-                f"expected type {node.types[0]}", path))
-            # nothing else can matter — every non-null cell already fails
-            return checks
-        if runtime is not None:
-            checks.append(_Check("type", runtime, f"expected type {node.types[0]}", path))
+        # union types: the value passes if ANY member type matches
+        # (validator.ex:262-268); statically-true member → whole column ok
+        static_any = False
+        runtimes = []
+        for t in node.types:
+            s_ok, rt = _type_check((t,), col_type, path)
+            if s_ok is True:
+                static_any = True
+                break
+            if rt is not None:
+                runtimes.append(rt)
+        if not static_any:
+            if not runtimes:
+                checks.append(_Check(
+                    "type",
+                    lambda col, tbl: _np_bool(pc.is_null(col)),  # only nulls pass
+                    f"expected type {'/'.join(node.types)}", path))
+                # nothing else can matter — every non-null cell already fails
+                return checks
+            def union_rt(col, tbl, runtimes=runtimes):
+                m = np.zeros(len(col), dtype=bool)
+                for rt in runtimes:
+                    m |= rt(col, tbl)
+                return m
+            checks.append(_Check("type", union_rt,
+                                 f"expected type {'/'.join(node.types)}", path))
 
     if node.const is not UNSET:
         const = node.const
@@ -1138,7 +1152,16 @@ def compile_table_plan(
         if node.is_trivial():
             plans.append(cp)
             continue
-        if _is_vectorizable(node, compiled):
+        is_nested_col = (
+            pa.types.is_list(field_type)
+            or pa.types.is_large_list(field_type)
+            or pa.types.is_fixed_size_list(field_type)
+            or pa.types.is_struct(field_type)
+            or pa.types.is_map(field_type)
+        )
+        if _is_vectorizable(node, compiled) and not (
+            is_nested_col and (node.enum is not None or node.const is not UNSET)
+        ):
             is_list_col = (
                 pa.types.is_list(field_type)
                 or pa.types.is_large_list(field_type)

@@ -153,7 +153,12 @@ class SchemaNode:
             if f.name in ("types", "bool_schema", "pattern_re", "pattern_props_re"):
                 continue
             v = getattr(self, f.name)
-            if v is UNSET or v is None:
+            if f.name in ("const", "default"):
+                # UNSET-sentinel slots: an explicit None IS a constraint
+                # (const: nil, reference schema.ex:375-378)
+                if v is UNSET:
+                    continue
+            elif v is UNSET or v is None:
                 continue
             if f.name in _ANNOTATION_ONLY:
                 continue
