@@ -220,6 +220,24 @@ def _combinator_branches(node: SchemaNode):
             yield from v
 
 
+def _is_map_like(node: SchemaNode) -> bool:
+    """Node describes an object/map (types say so, or it only uses map
+    keywords) with no per-value keywords a struct column can't express."""
+    if node.bool_schema is not None:
+        return False
+    if node.types and not set(node.types) <= {"map", "struct", "any"}:
+        return False
+    map_kw = {"properties", "required", "additional_properties",
+              "pattern_properties", "property_names", "min_properties",
+              "max_properties", "dependencies", "module", "keys"}
+    combo_or_residual = {"not_", "all_of", "any_of", "one_of", "if_", "then",
+                         "else_", "const", "enum", "validator", "ref"}
+    present = set(node.keywords_present())
+    if present & combo_or_residual:
+        return False  # residual map-level keywords → row fallback
+    return bool(present & map_kw)
+
+
 def _deref(node: SchemaNode, compiled: CompiledSchema) -> SchemaNode:
     seen = set()
     while node.ref is not None and id(node) not in seen:
@@ -1031,6 +1049,41 @@ def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
     return checks
 
 
+def _build_struct_check(node: SchemaNode, col_type, path: str,
+                        compiled) -> "_Check":
+    """Recursive plan for a STRUCT-typed column: the struct's fields are a
+    sub-table, validated with a nested :class:`TablePlan` (map semantics —
+    properties/required/additional/pattern-properties/dependencies — all
+    apply to the field namespace).  Parent-null rows pass (property
+    absent); violation paths are prefixed with the column path."""
+    sub_compiled = CompiledSchema(root=node, refs=compiled.refs if compiled else {})
+    sub_schema = pa.schema(list(col_type))
+    sub_plan = compile_table_plan(sub_compiled, sub_schema)
+
+    def fn(col, tbl):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        fields = col.flatten()  # parent nulls propagate into fields
+        sub_tbl = pa.table({f.name: arr for f, arr in zip(col_type, fields)})
+        sub_valid, sub_viols = evaluate_batch(sub_plan, sub_tbl)
+        parent_null = _np_bool(pc.is_null(col))
+        row_ok = sub_valid | parent_null
+        out = []
+        for cv in sub_viols:
+            keep = ~parent_null[cv.row_idx]
+            if not keep.any():
+                continue
+            paths = cv.paths[keep] if isinstance(cv.paths, np.ndarray) \
+                else f"{path}{cv.paths}"
+            if isinstance(paths, np.ndarray):
+                paths = np.array([f"{path}{p}" for p in paths], dtype=object)
+            out.append(CheckViolations(cv.row_idx[keep], cv.keyword, paths,
+                                       cv.message))
+        return row_ok, out
+
+    return _Check("properties", fn, "struct field fails", path)
+
+
 # ----------------------------------------------------------------------
 # table plan compilation
 # ----------------------------------------------------------------------
@@ -1150,6 +1203,10 @@ def compile_table_plan(
         field_type = table_schema.field(name).type
         cp = ColumnPlan(name=name)
         if node.is_trivial():
+            plans.append(cp)
+            continue
+        if pa.types.is_struct(field_type) and _is_map_like(node):
+            cp.checks = [_build_struct_check(node, field_type, f"/{name}", compiled)]
             plans.append(cp)
             continue
         is_nested_col = (
