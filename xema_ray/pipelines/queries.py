@@ -355,6 +355,61 @@ def seq_inrow_dup_tokens(sf_dir: str):
     return _read_seq(sf_dir).map_batches(find_dups, batch_format="pyarrow")
 
 
+_NESTED_SQL_PATH = os.path.join(CORPUS_ROOT, "nested", "sf0.01.parquet")
+
+
+def _ensure_nested(sf_dir: str) -> str:
+    from xema_ray.sources.corpus import write_nested_table
+
+    sf = sf_of_dir(sf_dir)
+    out = os.path.join(CORPUS_ROOT, "nested",
+                       f"{os.path.basename(os.path.normpath(sf_dir))}.parquet")
+    return write_nested_table(out, max(5_000, int(500_000 * sf)), seed=42)
+
+
+@register(
+    "nested_struct_violations",
+    f"""WITH nested AS (SELECT * FROM read_parquet('{_NESTED_SQL_PATH}'))
+    SELECT rec_id, '/meta/lang' AS path, 'required' AS keyword FROM nested
+        WHERE meta.lang IS NULL
+    UNION ALL SELECT rec_id, '/meta/lang', 'enum' FROM nested
+        WHERE meta.lang IS NOT NULL AND meta.lang NOT IN ('en', 'de')
+    UNION ALL SELECT rec_id, '/meta/score', 'maximum' FROM nested
+        WHERE meta.score IS NOT NULL AND meta.score > 1
+    UNION ALL SELECT rec_id, '/meta/inner/k', 'minimum' FROM nested
+        WHERE meta.inner.k IS NOT NULL AND meta.inner.k < 0
+    """,
+    doc="recursive struct-column validation: nested Parquet schema → nested sub-table plans",
+)
+def nested_struct_violations(sf_dir: str):
+    import ray.data as rd
+
+    from xema_ray.schema.builder import compile_schema
+    from xema_ray.stages.validate import validate_dataset
+
+    path = _ensure_nested(sf_dir)
+    schema = compile_schema(("map", {"properties": {
+        "meta": ("map", {
+            "properties": {
+                "lang": ("string", {"enum": ["en", "de"]}),
+                "score": ("number", {"minimum": 0, "maximum": 1}),
+                "inner": ("map", {"properties": {"k": ("integer", {"minimum": 0})}}),
+            },
+            "required": ["lang"],
+        }),
+    }}))
+    res = validate_dataset(rd.read_parquet(path), schema, id_col="rec_id")
+    viols = res.violations()
+    return viols.map_batches(
+        lambda t: pa.table({
+            "rec_id": pc.cast(t["doc_id"], pa.int64()),
+            "path": t["path"],
+            "keyword": t["keyword"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
 # ----------------------------------------------------------------------
 # documents: dedup + text analysis
 # ----------------------------------------------------------------------

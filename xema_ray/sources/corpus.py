@@ -169,6 +169,37 @@ def write_corpus(
     return out_dir
 
 
+def write_nested_table(out_path: str, n_rows: int, seed: int = 42) -> str:
+    """Deterministic nested-struct table ``(rec_id, meta: struct<lang,
+    score, inner: struct<k>>)`` with injected violations — exercises the
+    recursive struct-column validation path.  Idempotent."""
+    if os.path.exists(out_path):
+        return out_path
+    rng = np.random.default_rng(seed)
+    langs = np.where(rng.random(n_rows) < 0.01, "xx",
+                     np.where(rng.random(n_rows) < 0.5, "en", "de")).astype(object)
+    langs[rng.random(n_rows) < 0.01] = None
+    scores = np.round(rng.random(n_rows), 3)
+    scores[rng.random(n_rows) < 0.01] = 1.5  # out of [0, 1]
+    ks = rng.integers(0, 100, size=n_rows)
+    ks[rng.random(n_rows) < 0.01] = -1
+    tbl = pa.table({
+        "rec_id": pa.array(np.arange(n_rows), type=pa.int64()),
+        "meta": pa.StructArray.from_arrays(
+            [pa.array(langs, type=pa.string()),
+             pa.array(scores, type=pa.float64()),
+             pa.StructArray.from_arrays([pa.array(ks, type=pa.int64())],
+                                        names=["k"])],
+            names=["lang", "score", "inner"],
+        ),
+    })
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    tmp = out_path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, out_path)
+    return out_path
+
+
 def corpus_paths(corpus_dir: str) -> list:
     return sorted(
         os.path.join(corpus_dir, f)
