@@ -221,6 +221,37 @@ def test_conformance(name, schema, data, valid):
     assert is_valid(compiled, data) == valid, validate_value(compiled, data)
 
 
+def test_elixir_specific_types():
+    """tuple / keyword / atom / struct scalar types (Xema's Elixir-isms,
+    validator.ex:236-260) over Python stand-ins."""
+    from xema_ray.functions.scalar import Atom
+    from xema_ray.schema.builder import compile_schema
+
+    tup = compile_schema(("tuple", {"min_items": 2, "items": "integer"}))
+    assert is_valid(tup, (1, 2))
+    assert not is_valid(tup, (1,))
+    assert not is_valid(tup, [1, 2])  # list is not a tuple
+    assert not is_valid(tup, (1, "x"))
+
+    kw = compile_schema(("keyword", {"properties": {"a": "integer"},
+                                     "required": ["a"]}))
+    assert is_valid(kw, [("a", 1)])
+    assert not is_valid(kw, [("b", 2)])
+    assert not is_valid(kw, {"a": 1})  # map is not a keyword list
+
+    atom = compile_schema("atom")
+    assert is_valid(atom, Atom("ok"))
+    assert is_valid(atom, True)
+    assert is_valid(atom, None)
+    assert not is_valid(atom, "plain-string")
+
+    struct = compile_schema(("struct", {"module": "User",
+                                        "properties": {"name": "string"}}))
+    assert is_valid(struct, {"__struct__": "User", "name": "n"})
+    assert not is_valid(struct, {"__struct__": "Other", "name": "n"})
+    assert not is_valid(struct, {"name": "n"})
+
+
 def test_violations_have_paths():
     compiled = from_json_schema(
         {"properties": {"a": {"items": {"type": "integer"}}}}
