@@ -69,20 +69,23 @@ def make_sequences_table(
     # within-row duplicate runs: first token value repeated over a run
     if not clean:
         dup_rows = np.nonzero(rng.random(n_rows) < DUP_RUN_RATE)[0]
-        for r in dup_rows:
+        runs = 1 + rng.integers(1, 8, size=len(dup_rows))
+        for r, run in zip(dup_rows, runs):
             s, e = offsets[r], offsets[r + 1]
             if e - s >= 2:
-                run = min(int(e - s), 1 + int(rng.integers(1, 8)))
-                values[s : s + run] = values[s]
+                values[s : s + min(int(e - s), int(run))] = values[s]
 
     n_tok = lengths.astype(np.int32)
     ids = np.arange(start_index, start_index + n_rows, dtype=np.int64)
     doc_id = np.array([f"{s}-{i:012d}" for s, i in zip(sources, ids)], dtype=object)
 
     if not clean:
-        # out-of-range token values
-        bad_tok = rng.random(total) < BAD_TOKEN_RATE
-        values[bad_tok] = np.where(rng.random(int(bad_tok.sum())) < 0.5, -1, 60000)
+        # out-of-range token values: O(k) sampling instead of a
+        # total-length uniform draw (the dominant generation cost)
+        n_bad = rng.binomial(total, BAD_TOKEN_RATE)
+        bad_idx = rng.choice(total, size=n_bad, replace=False) if n_bad else \
+            np.empty(0, dtype=np.int64)
+        values[bad_idx] = np.where(rng.random(n_bad) < 0.5, -1, 60000)
         # off-by-one n_tok
         bad_n = rng.random(n_rows) < BAD_NTOK_RATE
         n_tok = np.where(bad_n, n_tok + 1, n_tok).astype(np.int32)
@@ -150,7 +153,7 @@ def write_corpus(
     (marker file carries the generation parameters).
     """
     marker = os.path.join(out_dir, "_COMPLETE")
-    params = f"{n_rows}:{n_files}:{seed}:{shifted}:{clean}:v1"
+    params = f"{n_rows}:{n_files}:{seed}:{shifted}:{clean}:v2"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == params:
