@@ -6,9 +6,11 @@ pipelines on the synthetic sequences corpus for the sf, print ONE JSON line:
    "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
    "rows": ..., "tokens": ..., "tokens_per_sec": ...}
 
---scaling: run the same job twice in FRESH processes at num_cpus=8 and 32
-(the sandbox proxy for two cluster sizes, BASELINE.json north_rule) and
-print throughputs at both + scaling efficiency = (T8/T32)/4.
+--scaling: run the same validation job in FRESH processes at num_cpus=N
+and 4N (default 2 and 8; GRAFT_SCALING_LEVELS=lo,hi overrides) on the same
+tmpfs-staged input — the sandbox proxy for two cluster sizes
+(BASELINE.json north_rule) — and print throughput at both + scaling
+efficiency = (T_N/T_4N)/4, best of GRAFT_SCALING_TRIALS runs.
 """
 
 from __future__ import annotations
