@@ -242,6 +242,62 @@ def referential_violations(ds, dim, col: str = "source", dim_col: Optional[str] 
     return ds.map_batches(RefCheckActor, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def referential_violations_bloom(ds, dim, col: str = "source",
+                                 dim_col: Optional[str] = None,
+                                 fp_rate: float = 0.01):
+    """Bloom-filter broadcast anti-join for dims too large even for a raw
+    value-set broadcast (~10 bits/element).  Candidate violations (filter
+    misses) are EXACT; ~``fp_rate`` of true violations slip through as
+    false filter hits — use :func:`referential_violations_semijoin` when
+    exactness matters at that scale (documented trade-off).
+    """
+    import ray
+
+    from xema_ray.functions.sketches import BloomFilter, hash_strings
+
+    dim_col = dim_col or col
+    if isinstance(dim, (list, set, tuple)):
+        values = [v for v in dim if v is not None]
+    elif isinstance(dim, pa.Table):
+        values = dim[dim_col].drop_null().to_pylist()
+    else:
+        values = [r[dim_col] for r in dim.select_columns([dim_col]).take_all()
+                  if r[dim_col] is not None]
+    bf = BloomFilter(max(1, len(values)), fp_rate=fp_rate)
+    if values:
+        bf.add_hashes(hash_strings(values))
+    ref = ray.put(bf)
+
+    class BloomCheck:
+        def __init__(self):
+            self.bf = ray.get(ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            c = tbl[col].combine_chunks()
+            valid_mask = pc.is_valid(c)
+            vals = c.drop_null().to_pylist()
+            if vals:
+                hits = self.bf.contains_hashes(hash_strings(vals))
+            else:
+                hits = np.empty(0, dtype=bool)
+            bad_nonnull = ~hits
+            bad = np.zeros(len(c), dtype=bool)
+            bad[np.nonzero(valid_mask.to_numpy(zero_copy_only=False))[0]] = bad_nonnull
+            t = tbl.filter(pa.array(bad))
+            n = t.num_rows
+            return pa.table({
+                "doc_id": pc.cast(t["doc_id"], pa.string()) if "doc_id" in t.column_names
+                else pa.nulls(n, type=pa.string()),
+                "path": pa.array([f"/{col}"] * n, type=pa.string()),
+                "keyword": pa.array(["ref"] * n, type=pa.string()),
+                "message": pa.array(
+                    [f"{col}={v!r} not in dimension filter" for v in t[col].to_pylist()],
+                    type=pa.string()),
+            })
+
+    return ds.map_batches(BloomCheck, batch_format="pyarrow", concurrency=(1, 8))
+
+
 def referential_violations_semijoin(ds, dim_ds, col: str = "source",
                                     dim_col: Optional[str] = None,
                                     buckets: int = 64):
