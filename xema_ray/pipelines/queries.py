@@ -657,6 +657,28 @@ def events_sessions(sf_dir: str):
 
 
 @register(
+    "events_asof_join",
+    """SELECT user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS event_us,
+       CAST(COALESCE(epoch_us(matched), -1) AS BIGINT) AS matched_us
+    FROM (
+        SELECT user_id, ts, event_type,
+               max(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS matched
+        FROM events
+    ) WHERE event_type = 'click'""",
+    doc="as-of join: each click matched to the same user's most recent prior view (groupby + merge_asof)",
+)
+def events_asof_join(sf_dir: str):
+    from xema_ray.stages.asof import asof_join_events
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return asof_join_events(ds)
+
+
+@register(
     "seq_worst_sources",
     f"""{_SEQ_CTE}
     SELECT COALESCE(source, '__null__') AS source,
