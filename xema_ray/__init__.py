@@ -22,7 +22,8 @@ Layout:
 
 from xema_ray.schema.builder import SchemaError, compile_schema
 from xema_ray.schema.json_schema import from_json_schema
-from xema_ray.functions.scalar import Violation, validate_value, is_valid
+from xema_ray.schema.source import schema_source
+from xema_ray.functions.scalar import Atom, Violation, validate_value, is_valid
 from xema_ray.functions.cast import CastError, cast, cast_value
 from xema_ray.functions.errors import ValidationError, format_violations, validate_or_raise
 from xema_ray.stages.validate import validate_dataset, ValidationResult
@@ -32,6 +33,8 @@ __version__ = "0.1.0"
 __all__ = [
     "compile_schema",
     "from_json_schema",
+    "schema_source",
+    "Atom",
     "SchemaError",
     "validate_value",
     "is_valid",
