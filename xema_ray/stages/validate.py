@@ -134,9 +134,14 @@ class ValidationResult:
     annotated: Any  # Dataset: input columns + valid (+ _viol)
     id_col: Optional[str]
     extra_cols: tuple = ()
+    keep_details: bool = True
 
     def violations(self):
         """Violation rows as a Dataset (streams; only invalid rows shuffle)."""
+        if not self.keep_details:
+            raise ValueError(
+                "violations() needs keep_details=True on validate_dataset "
+                "(the _viol detail column was dropped)")
         inv = self.annotated.map_batches(
             lambda t: t.filter(pc.equal(t["valid"], False)),
             batch_format="pyarrow",
@@ -215,4 +220,5 @@ def validate_dataset(
         },
         **kwargs,
     )
-    return ValidationResult(annotated=annotated, id_col=id_col, extra_cols=extra_cols)
+    return ValidationResult(annotated=annotated, id_col=id_col,
+                            extra_cols=extra_cols, keep_details=keep_details)
