@@ -50,8 +50,6 @@ def run_bench() -> dict:
     timings: dict = {}
     t_all0 = time.perf_counter()
 
-    # headline: ONE checkpointed pass = validate + write violations +
-    # per-partition verdict manifest (the production path)
     import shutil
     import tempfile
 
