@@ -168,3 +168,12 @@ def test_normalizer_delete_additionals():
     tbl = pa.table({"a": [1], "junk": ["x"]})
     out = make_normalizer(schema, additional_properties="delete")(tbl)
     assert out.column_names == ["a"]
+
+
+def test_cast_circular_pure_ref_raises():
+    """ADVICE r1: a pure-$ref cycle must raise, not loop forever."""
+    s = compile_schema({"definitions": {"a": {"$ref": "#/definitions/b"},
+                                        "b": {"$ref": "#/definitions/a"}},
+                        "properties": {"n": {"$ref": "#/definitions/a"}}})
+    with pytest.raises(CastError, match="circular"):
+        cast_value(s, {"n": 1})

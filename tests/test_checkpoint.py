@@ -111,3 +111,61 @@ def test_rerun_skips_everything(corpus, tmp_path):
     assert second.partitions_done == 0
     assert second.partitions_skipped == 8
     assert second.rows == first.rows
+
+
+def test_summary_ignores_stale_manifest_entries(corpus, tmp_path):
+    """ADVICE r1: reusing an out_dir after inputs were removed must not
+    count the stale partitions in the summary."""
+    from xema_ray.state.checkpoint import run_validation
+
+    paths = corpus_paths(corpus)
+    out = str(tmp_path / "reused")
+    full = run_validation(paths, out)
+    # rerun against only the first 3 shards: 5 stale entries remain in the
+    # manifest but must not inflate the totals
+    sub = run_validation(paths[:3], out)
+    assert sub.partitions_skipped == 3 and sub.partitions_done == 0
+    assert sub.rows == 3000
+    assert sub.rows < full.rows
+    assert sub.violations <= full.violations
+
+
+def test_empty_shard_clean_dir(tmp_path):
+    """ADVICE r1: a zero-row input shard with clean_dir set must publish an
+    empty clean file instead of crashing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xema_ray.state.checkpoint import run_validation
+
+    src = tmp_path / "src"
+    src.mkdir()
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.string()),
+        "source": pa.array([], type=pa.string()),
+        "n_tok": pa.array([], type=pa.int64()),
+        "tokens": pa.array([], type=pa.list_(pa.int32())),
+    })
+    p = str(src / "empty.parquet")
+    pq.write_table(empty, p)
+    clean = str(tmp_path / "clean")
+    s = run_validation([p], str(tmp_path / "out"), clean_dir=clean)
+    assert s.rows == 0 and s.partitions_done == 1
+    got = pq.read_table(f"{clean}/empty.parquet")
+    assert got.num_rows == 0 and got.schema.names == empty.schema.names
+
+
+def test_lineage_nanosecond_precision(tmp_path):
+    """ADVICE r1: lineage must distinguish same-size rewrites within one
+    second (st_mtime_ns, not whole seconds)."""
+    import os
+
+    from xema_ray.state.checkpoint import _lineage
+
+    p = tmp_path / "f.bin"
+    p.write_bytes(b"x" * 100)
+    l1 = _lineage(str(p))
+    os.utime(p, ns=(1_000_000_001, 1_000_000_001))
+    l2 = _lineage(str(p))
+    os.utime(p, ns=(1_000_000_001, 1_000_000_002))  # +1ns, same size
+    assert _lineage(str(p)) != l2 != l1

@@ -36,6 +36,13 @@ COLUMN_CASES = [
     (("list", {"items": ("integer", {"enum": [1, 2]})}), pa.array([[1, 2], [3]])),
     (("list", {"unique_items": True}), pa.array([[None, None], [None, 1], [0, None]],
                                                 type=pa.list_(pa.int32()))),
+    # ADVICE r1: null elements in non-numeric lists crashed the kernel
+    (("list", {"unique_items": True}),
+     pa.array([["a", None, None], ["a", "b"], [None, "x"], ["a", "a"], None],
+              type=pa.list_(pa.string()))),
+    (("list", {"unique_items": True}),
+     pa.array([[True, None, None], [True, False], [], [False, False]],
+              type=pa.list_(pa.bool_()))),
     (("list", {"items": ("integer", {"minimum": 0})}),
      pa.array([[1, None], [2], [None]], type=pa.list_(pa.int32()))),
     (("list", {"items": [("integer", {"minimum": 0}), "string"],

@@ -68,7 +68,14 @@ def cast(schema, value: Any, additional_properties: Optional[str] = None,
 
 
 def _deref(node: SchemaNode, compiled):
+    # cycle guard as in kernels._deref: a pure-ref cycle (a -> b -> a via
+    # $ref, which compile_schema accepts) must not loop forever.
+    seen = set()
     while node.ref is not None and compiled is not None:
+        if id(node) in seen:
+            raise CastError((), node.ref, None,
+                            f"circular pure-$ref chain at {node.ref!r}")
+        seen.add(id(node))
         node = resolve_pointer(compiled, node.ref)
     return node
 

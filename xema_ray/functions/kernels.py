@@ -896,14 +896,23 @@ def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
             nrows = len(offsets) - 1
             if len(values) == 0:
                 return np.ones(nrows, dtype=bool)
-            vals = values.to_numpy(zero_copy_only=False)
-            # null elements count as equal to each other ([nil, nil] is a
-            # duplicate in the reference)
-            if values.null_count:
-                elem_null = np.isnan(vals)
+            vt = values.type
+            if values.null_count == 0 and (
+                pa.types.is_integer(vt) or pa.types.is_floating(vt)
+            ):
+                vals = values.to_numpy(zero_copy_only=False)
             else:
-                elem_null = None
-            dup_rows = inrow_duplicate_rows(vals, offsets, elem_null)
+                # Strings / bools / nullable elements: dictionary-encode to
+                # int codes (equal values share a code).  Null elements get
+                # code -1 — equal to each other ([nil, nil] is a duplicate
+                # in the reference); no real value encodes to -1.
+                enc = pc.dictionary_encode(values)
+                vals = (
+                    enc.indices.fill_null(pa.scalar(-1, enc.indices.type))
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64, copy=False)
+                )
+            dup_rows = inrow_duplicate_rows(vals, offsets, None)
             ok = np.ones(nrows, dtype=bool)
             ok[dup_rows] = False
             null_rows = _np_bool(pc.is_null(col))

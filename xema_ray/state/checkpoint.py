@@ -31,8 +31,10 @@ import pyarrow.parquet as pq
 
 
 def _lineage(path: str) -> str:
+    # nanosecond mtime: a shard rewritten with identical size within the
+    # same second must NOT be treated as complete on resume
     st = os.stat(path)
-    return f"{st.st_size}:{int(st.st_mtime)}"
+    return f"{st.st_size}:{st.st_mtime_ns}"
 
 
 def _validate_shard(
@@ -143,7 +145,13 @@ def _validate_shard(
         os.makedirs(clean_dir, exist_ok=True)
         clean_file = os.path.join(clean_dir, os.path.basename(path))
         tmp_c = clean_file + ".tmp"
-        pq.write_table(pa.concat_tables(clean_batches), tmp_c)
+        # a zero-batch (empty) input shard still publishes an empty clean
+        # file with the input schema
+        pq.write_table(
+            pa.concat_tables(clean_batches) if clean_batches
+            else pf.schema_arrow.empty_table(),
+            tmp_c,
+        )
         os.replace(tmp_c, clean_file)
 
     partial_file = None
@@ -278,7 +286,11 @@ def run_validation(
                 new_entries.append(entry)
             mf.flush()
 
-    done = load_manifest(out_dir)
+    # aggregate ONLY the partitions of THIS run — a reused out_dir may hold
+    # manifest entries for inputs that were removed/renamed since; counting
+    # those would inflate the summary and could flip the global verdict
+    wanted = {os.path.basename(p) for p in paths}
+    done = {k: e for k, e in load_manifest(out_dir).items() if k in wanted}
     rows = sum(e["rows"] for e in done.values())
     valid_rows = sum(e["valid_rows"] for e in done.values())
     violations = sum(e["violations"] for e in done.values())
