@@ -186,3 +186,47 @@ def test_media_feature_plumbing(ray_session):
     # non-stub mode raises at decode
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(decode_stub=False)(tbl.slice(0, 2))
+
+
+def test_exact_dedup_broadcast_is_duplicate_bounded(ray_session):
+    """r2 scale fix: the driver/broadcast set is O(duplicate groups) —
+    a fully-unique corpus broadcasts an EMPTY set and keeps every row."""
+    import ray.data as rd
+
+    from xema_ray.stages import dedup
+
+    pdf = pd.DataFrame({"doc_id": [f"d{i}" for i in range(50)],
+                        "text": [f"unique text {i}" for i in range(50)]})
+    ds = rd.from_pandas(pdf)
+    out = dedup.exact_dedup(ds, "text", "doc_id")
+    rows = out.take_all()
+    assert len(rows) == 50  # all survive
+
+    # with dups: only losers vanish; null text/id rows never survive
+    pdf2 = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d", None],
+        "text": ["same", "same", "other", None, "x"],
+    })
+    out2 = dedup.exact_dedup(rd.from_pandas(pdf2), "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in out2.take_all())
+    assert ids == ["a", "c"]
+
+
+def test_verify_pairs_distributed_no_full_scan(docs_ds):
+    """verify_pairs_jaccard gathers ONLY candidate texts via a filtered
+    map stage and returns identical results to a local recompute."""
+    import ray.data as rd
+
+    from xema_ray.stages.dedup import ngram_jaccard, verify_pairs_jaccard
+
+    ds, pdf = docs_ds
+    pairs = rd.from_pandas(pd.DataFrame({
+        "doc_a": ["d000", "d001", "d002"],
+        "doc_b": ["x000", "x001", "u000"],
+    }))
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in verify_pairs_jaccard(pairs, ds, threshold=0.5).take_all()}
+    texts = dict(zip(pdf["doc_id"], pdf["text"]))
+    for (a, b), j in got.items():
+        assert abs(j - ngram_jaccard(texts[a], texts[b])) < 1e-6
+    assert ("d000", "x000") in got and ("d002", "u000") not in got

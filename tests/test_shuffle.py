@@ -44,3 +44,17 @@ def test_add_hash_bucket_stable(ray_session):
     assert set(am.values()) <= set(range(32))
     counts = pd.Series(list(am.values())).value_counts()
     assert counts.max() < 1000 / 32 * 3  # roughly balanced
+
+
+def test_broadcast_join_vectorized_left(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.shuffle import broadcast_join
+
+    fact = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 2, 9], "v": list("abcde")}))
+    dim = pa.table({"ck": [1, 2, 3], "seg": ["x", "y", "z"]})
+    out = broadcast_join(fact, dim, on="k", right_on="ck").take_all()
+    segs = [r["seg"] for r in out]
+    assert segs == ["x", "y", "z", "y", None]  # unmatched key -> null

@@ -120,3 +120,17 @@ def test_grouped_histogram_totals(ds, con):
     ).fetchall())
     got = {k: h.total for k, h in hists.items()}
     assert got == want
+
+
+def test_duplicate_values_auto_picks_groupby(ds, con):
+    """r2: auto strategy measures Sigma-distinct and switches to the
+    hash-range groupby merge above the limit; results identical."""
+    from xema_ray.stages.checks import duplicate_values
+
+    want = {(r[0], r[1]) for r in con.execute(
+        "SELECT doc_id, count(*) FROM seq GROUP BY doc_id HAVING count(*)>1"
+    ).fetchall()}
+    got = {(r["doc_id"], r["n_occurrences"]) for r in
+           duplicate_values(ds, "doc_id", strategy="auto",
+                            auto_driver_limit=0).take_all()}
+    assert got == want

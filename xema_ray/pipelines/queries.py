@@ -811,24 +811,15 @@ def lineitem_pricing(sf_dir: str):
     doc="broadcast hash join (small dim side via ray.put) + grouped aggregate",
 )
 def orders_by_segment(sf_dir: str):
-    import ray
     from ray.data.aggregate import Max, Min, Sum
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).take_all()
-    seg_map = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
-    ref = ray.put(seg_map)
+    from xema_ray.stages.shuffle import broadcast_join
 
-    class AddSegment:
-        def __init__(self, ref):
-            self.seg = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            segs = [self.seg.get(k) for k in t["o_custkey"].to_pylist()]
-            return t.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
-
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        AddSegment, fn_constructor_kwargs={"ref": ref},
-        batch_format="pyarrow", concurrency=(1, 4),
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ds = broadcast_join(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        cust, on="o_custkey", right_on="c_custkey",
+        columns=["c_mktsegment"], concurrency=(1, 4),
     )
 
     def partial(t: pa.Table) -> pa.Table:

@@ -97,7 +97,8 @@ def _merge_blobs(blobs) -> tuple:
 
 
 def duplicate_values(ds, col: str = "doc_id", strategy: str = "auto",
-                     bucket_bits: int = 4):
+                     bucket_bits: int = 4,
+                     auto_driver_limit: int = 64_000_000):
     """Dataset of ``(col, n_occurrences)`` for values appearing more than
     once — the table-scale exact-uniqueness shuffle.
 
@@ -106,9 +107,12 @@ def duplicate_values(ds, col: str = "doc_id", strategy: str = "auto",
     blobs on the driver (right when Σdistinct-per-batch is small/medium);
     ``'groupby'`` merges them through a hash-range ``groupby(bucket)``
     (the multi-node path — bump ``bucket_bits`` with cluster size);
-    ``'auto'`` picks driver below ~64M distinct-per-batch rows.  A second
-    column-pruned pass resolves duplicate hashes back to the actual id
-    strings and exact counts (broadcast ``is_in`` semi-join).
+    ``'auto'`` measures Σdistinct-per-batch from the materialized partials
+    (16 bytes per distinct value per batch) and picks the driver merge only
+    below ``auto_driver_limit`` rows — above it the single-threaded driver
+    reduce would be the bottleneck and the hash-range groupby wins.  A
+    second column-pruned pass resolves duplicate hashes back to the actual
+    id strings and exact counts (broadcast ``is_in`` semi-join).
     """
     import ray.data as rd
     from xema_ray.functions.sketches import hash_strings
@@ -119,7 +123,15 @@ def duplicate_values(ds, col: str = "doc_id", strategy: str = "auto",
     )
 
     if strategy == "auto":
-        strategy = "driver"  # single-node default; groupby path for clusters
+        # blobs are tiny relative to the data — materializing them costs
+        # far less than re-running the scan for a second consumption
+        partials = partials.materialize()
+        nbytes = sum(r["n"] for r in partials.map_batches(
+            lambda t: pa.table(
+                {"n": [pc.sum(pc.binary_length(t["blob"])).as_py() or 0]}),
+            batch_format="pyarrow",
+        ).take_all())
+        strategy = "driver" if nbytes // 16 <= auto_driver_limit else "groupby"
 
     if strategy == "driver":
         blobs = [r["blob"] for r in partials.take_all()]

@@ -48,6 +48,48 @@ def salted_aggregate(ds, key: str, aggs: list, salt: int = 16):
     return partial.groupby(key).aggregate(*final_aggs)
 
 
+def broadcast_join(ds, dim, on: str, right_on: str = None, columns=None,
+                   concurrency=(1, 8)):
+    """Broadcast LEFT join: the small ``dim`` side is put in the object
+    store ONCE (``ray.put``), read once per actor, and each batch does a
+    fully vectorized ``pc.index_in`` + ``pc.take`` lookup — no shuffle, no
+    per-row Python loop (ray guide "Joins and lookups", broadcast path).
+
+    ``dim`` may be a pyarrow Table or a (small) ray Dataset.  ``columns``
+    selects which dim columns to append (default: all except the key).
+    Unmatched fact keys get nulls (left-join semantics).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    right_on = right_on or on
+    if not isinstance(dim, pa.Table):
+        import pyarrow as _pa
+
+        batches = list(dim.iter_batches(batch_format="pyarrow"))
+        dim = _pa.concat_tables(batches) if batches else None
+        if dim is None:
+            raise ValueError("broadcast_join: empty dim side")
+    payload = columns or [c for c in dim.column_names if c != right_on]
+    dim = dim.select([right_on] + payload).combine_chunks()
+    ref = ray.put(dim)
+
+    class Lookup:
+        def __init__(self):
+            d = ray.get(ref)  # one plasma read per actor
+            self.keys = d[right_on].combine_chunks()
+            self.payload = {c: d[c].combine_chunks() for c in payload}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t[on], value_set=self.keys)  # null = no match
+            for c, arr in self.payload.items():
+                t = t.append_column(c, pc.take(arr, idx))
+            return t
+
+    return ds.map_batches(Lookup, batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
 def add_hash_bucket(ds, key: str, buckets: int, out_col: str = "bucket"):
     """Append a stable hash-bucket column — the reusable partitioning key
     for co-locating work (bucketed joins, bucket-local ANN, shard routing).
