@@ -56,9 +56,27 @@ class Violation:
 
 class Atom(str):
     """Marker type standing in for Elixir atoms in Python data (the engine's
-    Arrow representation is a dictionary-encoded string column)."""
+    Arrow representation is a dictionary-encoded string column).
+
+    Equality is strict as in Elixir: ``:foo == "foo"`` is false, so an
+    Atom never equals a plain str — which also makes dict lookups key-kind
+    exact (``%{foo: 1}`` has no key ``"foo"``, map_test.exs:51-58).
+    Subclass priority means ``"foo" == Atom("foo")`` routes here too.
+    """
 
     __slots__ = ()
+
+    def __eq__(self, other):
+        return isinstance(other, Atom) and str.__eq__(self, other)
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return not eq
+
+    __hash__ = str.__hash__
+
+    def __repr__(self):  # Elixir-style, for readable test diffs
+        return f":{str(self)}"
 
 
 class _Stop(Exception):
@@ -99,7 +117,8 @@ def type_check(type_name: str, v: Any) -> bool:
     if type_name == "boolean":
         return isinstance(v, bool)
     if type_name == "string":
-        return isinstance(v, str)
+        # atoms are not binaries (:foo fails a :string schema)
+        return isinstance(v, str) and not isinstance(v, Atom)
     if type_name == "tuple":
         return isinstance(v, tuple)
     if type_name == "keyword":
@@ -316,7 +335,7 @@ def _by_type(vtype: str, node: SchemaNode, value: Any, ctx: _Ctx, path: str) -> 
     if vtype == "keyword":
         as_map = dict(value)
         checks = [
-            lambda: _dependencies(node, as_map, ctx, path),
+            lambda: _dependencies(node, as_map, ctx, path, orig=value),
             lambda: _size(node, value, path),
             lambda: _required(node, as_map, path),
             lambda: _property_names(node, as_map, ctx, path),
@@ -654,9 +673,20 @@ def _size(node: SchemaNode, v, path: str) -> list:
 
 
 def _keys(node: SchemaNode, v: dict, path: str) -> list:
-    # Elixir atoms-vs-strings key restriction (validator.ex:779-794) has no
-    # Arrow analogue; over Python data all dict keys count as "strings".
-    return []
+    """Atoms-vs-strings key restriction (validator.ex:779-794).  The Arrow
+    layer has no analogue (column names are strings); over Python data the
+    ``Atom`` marker carries the key kind."""
+    if node.keys is None:
+        return []
+    if node.keys == "atoms":
+        bad = [k for k in v if not isinstance(k, Atom)]
+    elif node.keys == "strings":
+        bad = [k for k in v if not isinstance(k, str) or isinstance(k, Atom)]
+    else:
+        return []
+    if not bad:
+        return []
+    return [Violation(path, "keys", f"expected :{node.keys} keys, got {bad[0]!r}")]
 
 
 def _required(node: SchemaNode, v: dict, path: str) -> list:
@@ -675,12 +705,18 @@ def _property_names(node: SchemaNode, v: dict, ctx: _Ctx, path: str) -> list:
     for key in v:
         if not isinstance(key, str):
             continue
-        if not _passes(node.property_names, key, ctx):
+        # atom keys validate as their string form (validator.ex:331-335)
+        name = str(key) if isinstance(key, Atom) else key
+        if not _passes(node.property_names, name, ctx):
             out.append(Violation(f"{path}/{key}", "property_names", f"invalid property name {key!r}"))
     return _emit(ctx, out)
 
 
-def _dependencies(node: SchemaNode, v: dict, ctx: _Ctx, path: str) -> list:
+def _dependencies(node: SchemaNode, v: dict, ctx: _Ctx, path: str,
+                  orig=None) -> list:
+    """``orig`` is the pre-map-conversion value (a keyword list): the
+    schema form validates the ORIGINAL term (validator.ex dependencies),
+    so a :keyword-typed dependency schema sees the keyword list."""
     if node.dependencies is None:
         return []
     for key, dep in node.dependencies.items():
@@ -693,7 +729,7 @@ def _dependencies(node: SchemaNode, v: dict, ctx: _Ctx, path: str) -> list:
                         Violation(path, "dependencies", f"{key!r} requires {d!r}")
                     ])
         else:
-            errs = _sub_validate(dep, v, ctx, path)
+            errs = _sub_validate(dep, v if orig is None else orig, ctx, path)
             if errs:
                 return _emit(ctx, [
                     Violation(path, "dependencies", f"dependency schema for {key!r} failed")

@@ -243,10 +243,12 @@ class _Builder:
                 isinstance(t, (str, type)) or t is None for t in value
             ):
                 node.items = [self.build(v, f"{sub}/{i}") for i, v in enumerate(value)]
-            elif isinstance(value, list) and len(value) > 1 and all(
+            elif isinstance(value, list) and all(
                 isinstance(t, str) and t in TYPE_NAMES for t in value
             ):
-                # ambiguous: list of type names == positional type schemas
+                # a LIST of type names under items is positional — even a
+                # single-element one (ref_test.exs "ref for additional
+                # items": items: [:integer] + additional_items schema)
                 node.items = [self.build(v, f"{sub}/{i}") for i, v in enumerate(value)]
             else:
                 node.items = self.build(value, sub)
@@ -399,7 +401,11 @@ def _escape(key: str) -> str:
 
 
 def _unescape(seg: str) -> str:
-    return seg.replace("~1", "/").replace("~0", "~")
+    # URI-fragment pointers percent-encode segments (RFC 6901 §6):
+    # "percent%25field" → "percent%field"; then ~1 → /, ~0 → ~
+    from urllib.parse import unquote
+
+    return unquote(seg).replace("~1", "/").replace("~0", "~")
 
 
 def resolve_pointer(compiled: CompiledSchema, pointer: str) -> SchemaNode:
@@ -425,8 +431,9 @@ def resolve_pointer(compiled: CompiledSchema, pointer: str) -> SchemaNode:
                     return compiled.refs[cand]
                 if cand.rstrip("#") + "#" in compiled.refs:
                     return compiled.refs[cand.rstrip("#") + "#"]
-    if unq != pointer:
-        pointer = unq
+    # NOTE: do NOT unquote the whole pointer before the walk — "%2F" decodes
+    # to "/" and would split one segment into two; _unescape decodes each
+    # segment after splitting.
     # try structural walk: "#/definitions/foo/properties/bar"
     if "#" in pointer:
         base, _, frag = pointer.partition("#")
