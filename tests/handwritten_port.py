@@ -143,6 +143,11 @@ def tokenize(src: str) -> list:
             toks.append(Tok("int", int(m.group(0).replace("_", ""), 0), i))
             i += m.end()
             continue
+        if c == "@" and i + 1 < n and src[i + 1].isalpha():
+            m = re.match(r"@([a-z_][A-Za-z0-9_]*)", src[i:])
+            toks.append(Tok("attr", m.group(1), i))
+            i += m.end()
+            continue
         m = re.match(r"[A-Za-z_][A-Za-z0-9_]*[!?]?", src[i:])
         if m:
             w = m.group(0)
@@ -218,6 +223,11 @@ def _unescape(s: str) -> str:
 
 class Unsupported(Exception):
     pass
+
+
+#: sentinel: a cast asserted to succeed whose result is pattern-bound —
+#: there is no literal expected value to compare against
+NO_EXPECTED = object()
 
 
 @dataclass
@@ -300,6 +310,9 @@ def parse_term(p: P):
     if tok.kind == "sigil":
         p.next()
         return SigilT(*tok.val)
+    if tok.kind == "attr":  # @set — module attribute, resolved as a var
+        p.next()
+        return Var("@" + tok.val)
     if tok.kind == "charlist":
         p.next()
         return list(tok.val.encode())
@@ -451,6 +464,10 @@ class TestCase:
     expect_valid: bool
     message: Optional[str] = None
     fail_mode: Optional[str] = None
+    op: str = "validate"            # "validate" | "cast" | "cast_value"
+    expected_term: Any = None       # cast: the expected {:ok, X} payload
+    expect_error: Optional[str] = None  # cast: "cast" | "validation"
+    ap_opt: Optional[str] = None    # cast/3 additional_properties: :delete
 
 
 @dataclass
@@ -489,6 +506,15 @@ def extract_file(path: str):
     def scan_block(i, end, describe, schemas):
         while i < end:
             t = toks[i]
+            if t.kind == "attr":  # @set [...] module attribute
+                p = P(toks, i + 1)
+                try:
+                    schemas["@" + t.val] = parse_term(p)
+                    i = p.i
+                    continue
+                except Unsupported:
+                    i += 1
+                    continue
             if t.kind == "kw" and t.val == "describe":
                 name = toks[i + 1].val
                 j = i + 2
@@ -568,7 +594,8 @@ def _extract_setup(toks, i, end) -> dict:
     return {k: v for k, v in out.items()}
 
 
-def _extract_test(toks, i, end, fname, describe, testname, schemas) -> list:
+def _extract_test(toks, i, end, fname, describe, testname, schemas,
+                  depth: int = 0) -> list:
     cases: list = []
     local = dict(schemas)
     p = P(toks[:end], i)
@@ -594,6 +621,42 @@ def _extract_test(toks, i, end, fname, describe, testname, schemas) -> list:
             p.next()
             try:
                 local[name] = parse_term(p)
+            except Unsupported:
+                pass
+            continue
+        # Enum.each(@set, fn data -> ... end) — expand per element
+        if t.kind == "ident" and t.val == "Enum" and depth < 3 and \
+                p.peek(1) is not None and p.peek(1).kind == "punct" and \
+                p.peek(1).val == "." and p.peek(2) is not None and \
+                p.peek(2).val == "each":
+            p.next(); p.next(); p.next()
+            try:
+                p.expect("(")
+                seq = _resolve_deep(parse_term(p), resolve)
+                p.expect(",")
+                if not (p.peek().kind == "kw" and p.peek().val == "fn"):
+                    raise Unsupported("each without fn")
+                p.next()
+                var = p.next().val
+                if p.at_punct("->"):
+                    p.next()
+                body_start = p.i
+                d = 1
+                while d:
+                    tok = p.next()
+                    if tok.kind == "kw" and tok.val in ("fn", "do"):
+                        d += 1
+                    elif tok.kind == "kw" and tok.val == "end":
+                        d -= 1
+                body_end = p.i - 1
+                p.expect(")")
+                if isinstance(seq, list):
+                    for elem in seq:
+                        sub = dict(local)
+                        sub[var] = elem
+                        cases.extend(_extract_test(
+                            toks[:end], body_start, body_end, fname, describe,
+                            f"{testname}[{elem!r:.20}]", sub, depth + 1))
             except Unsupported:
                 pass
             continue
@@ -629,7 +692,7 @@ def _parse_assert(p: P, positive: bool, resolve):
     t = p.peek()
     if t is None:
         return None
-    # assert {:error, PATTERN} = validate(schema, v)
+    # assert {:error, PATTERN} = validate(schema, v) | cast(schema, v)
     if t.kind == "punct" and t.val == "{":
         start = p.i
         depth = 0
@@ -645,14 +708,21 @@ def _parse_assert(p: P, positive: bool, resolve):
                     p.next()
                     break
             p.next()
+        pat_toks = p.t[start:p.i]
+        pat_names = {tok.val for tok in pat_toks if tok.kind == "ident"}
         if not p.at_punct("="):
             return None
         p.next()
-        return _parse_validate_call(p, positive, expect="error", resolve=resolve)
+        # {:ok, var} = cast(...) is a SUCCESS pattern, not an error one
+        expect = "ok" if (len(pat_toks) > 1 and pat_toks[1].kind == "atom"
+                          and pat_toks[1].val == "ok") else "error"
+        return _parse_validate_call(p, positive, expect=expect,
+                                    resolve=resolve, pat_names=pat_names)
+    _FNS = ("validate", "valid?", "validate!", "cast", "cast!", "cast_value")
     if t.kind == "ident" and (
-        t.val in ("validate", "valid?", "validate!")
+        t.val in _FNS
         or (t.val == "Xema" and p.peek(2) is not None
-            and p.peek(2).val in ("validate", "valid?", "validate!"))
+            and p.peek(2).val in _FNS)
     ):
         return _parse_validate_call(p, positive, expect=None, resolve=resolve)
     if t.kind == "ident" and t.val == "Exception":
@@ -674,20 +744,23 @@ def _parse_assert(p: P, positive: bool, resolve):
     return None
 
 
-def _parse_validate_call(p: P, positive: bool, expect, resolve):
+def _parse_validate_call(p: P, positive: bool, expect, resolve,
+                         pat_names=frozenset()):
     t = p.next()
     if t.val == "Xema" and p.at_punct("."):
         p.next()
         t = p.next()
     fn = t.val
-    if fn not in ("validate", "valid?", "validate!"):
+    if fn not in ("validate", "valid?", "validate!", "cast", "cast!",
+                  "cast_value"):
         return None
     p.expect("(")
     schema_t = parse_term(p)
     p.expect(",")
     value_t = parse_term(p)
     fail_mode = None
-    if p.at_punct(","):  # validate/3: opts like [fail: :early]
+    ap_opt = None
+    if p.at_punct(","):  # validate/3 / cast/3 opts
         p.next()
         opts = _resolve_deep(parse_term(p), resolve)
         if isinstance(opts, KwList):
@@ -695,11 +768,29 @@ def _parse_validate_call(p: P, positive: bool, expect, resolve):
             fm = opts.get("fail")
             if isinstance(fm, Atom):
                 fail_mode = str(fm)
+            ap = opts.get("additional_properties")
+            if isinstance(ap, Atom):
+                ap_opt = str(ap)
     p.expect(")")
     schema_t = resolve(schema_t)
     value_t = _resolve_deep(value_t, resolve)
+    is_cast = fn in ("cast", "cast!", "cast_value")
+
+    def case(expect_valid, op="validate", expected=None, expect_error=None):
+        return ("case", schema_t, value_t, expect_valid, None, fail_mode,
+                op, expected, expect_error, ap_opt)
+
     if expect == "error":
-        return ("case", schema_t, value_t, False, None, fail_mode)
+        if is_cast:
+            kind = "cast" if "CastError" in pat_names else (
+                "validation" if "ValidationError" in pat_names else "any")
+            return case(False, "cast", None, kind)
+        return case(False)
+    if expect == "ok":
+        if is_cast:
+            # success asserted, result bound to a var — no value to compare
+            return case(True, "cast", NO_EXPECTED)
+        return case(True)
     if fn == "valid?":
         want = positive
         if p.at_punct("=="):  # valid?(s, v) == false / true
@@ -709,20 +800,37 @@ def _parse_validate_call(p: P, positive: bool, expect, resolve):
                 want = rhs if positive else not rhs
             else:
                 return None
-        return ("case", schema_t, value_t, want, None, fail_mode)
-    # validate(...) == :ok | {:error, ...}
+        return case(want)
     if p.at_punct("=="):
         p.next()
-        rhs = parse_term(p)
+        rhs = _resolve_deep(parse_term(p), resolve)
+        if is_cast:
+            if fn == "cast!" or fn == "cast_value":
+                # cast!(s, v) == EXPECTED (plain value)
+                return case(True, "cast", rhs)
+            if isinstance(rhs, tuple) and rhs and isinstance(rhs[0], Atom):
+                tag = str(rhs[0])
+                if tag == "ok" and len(rhs) == 2:
+                    return case(True, "cast", rhs[1])
+                if tag == "error" and len(rhs) == 2:
+                    err = rhs[1]
+                    if isinstance(err, Call) and "CastError" in err.name:
+                        return case(False, "cast", None, "cast")
+                    if isinstance(err, Call) and "ValidationError" in err.name:
+                        return case(False, "cast", None, "validation")
+                    return None
+            return None
         if isinstance(rhs, Atom) and rhs == Atom("ok"):
-            return ("case", schema_t, value_t, True, None, fail_mode)
+            return case(True)
         if isinstance(rhs, tuple) and rhs and isinstance(rhs[0], Atom) \
                 and str(rhs[0]) == "error":
-            return ("case", schema_t, value_t, False, None, fail_mode)
+            return case(False)
         return None
-    # bare `assert validate!(s, v)` (inside assert_blame) → expect error
+    # bare `assert validate!(s, v)` / `cast!` (inside assert_blame) → error
     if fn == "validate!":
-        return ("case", schema_t, value_t, False, None, fail_mode)
+        return case(False)
+    if fn == "cast!":
+        return case(False, "cast", None, "cast")
     return None
 
 
@@ -1012,16 +1120,22 @@ def load_cases(files=None, ref_dir: str = REF_DIR):
     out = []
     notes = []
     paths = sorted(glob.glob(os.path.join(ref_dir, "*_test.exs")))
+    paths += sorted(glob.glob(os.path.join(ref_dir, "cast", "*_test.exs")))
     for path in paths:
-        base = os.path.basename(path)
+        base = os.path.relpath(path, ref_dir)
         if files is not None and base not in files:
             continue
         cases, skips = extract_file(path)
         notes.extend(skips)
         for c in cases:
+            if "cast/" in path:
+                c.file = "cast/" + c.file
             try:
                 src = schema_to_dsl(c.schema_term)
                 val = value_to_py(c.value_term)
+                if c.op == "cast" and c.expected_term is not None \
+                        and c.expected_term is not NO_EXPECTED:
+                    c.expected_term = value_to_py(c.expected_term)
             except Unsupported as e:
                 notes.append(SkipNote(c.file, f"{c.describe} / {c.test}",
                                       str(e)))

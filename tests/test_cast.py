@@ -8,6 +8,7 @@ import pyarrow as pa
 import pytest
 
 from xema_ray.functions.cast import CastError, cast, cast_value
+from xema_ray.functions.scalar import Atom
 from xema_ray.schema.builder import compile_schema
 
 OK_CASES = [
@@ -27,8 +28,8 @@ OK_CASES = [
     (["integer", "string"], "5", 5),
     ("list", (1, 2), [1, 2]),
     ("tuple", [1, 2], (1, 2)),
-    ("map", [("a", 1), ("b", 2)], {"a": 1, "b": 2}),
-    ("keyword", {"a": 1}, [("a", 1)]),
+    ("map", [(Atom("a"), 1), (Atom("b"), 2)], {Atom("a"): 1, Atom("b"): 2}),
+    ("keyword", {Atom("a"): 1}, [(Atom("a"), 1)]),
 ]
 
 FAIL_CASES = [
@@ -99,11 +100,14 @@ def test_cast_delete_additionals():
     assert out == {"a": 1}
 
 
-def test_cast_combiner_reverse_first_success():
+def test_cast_combiner_declaration_order_first_success():
+    # the reference's reversed reduce keeps overwriting, so the FIRST
+    # declared branch that casts+validates wins (xema.ex:1086-1115,
+    # pinned by cast/any_of_test.exs "from an integer string" → 9)
     schema = compile_schema({"any_of": [("integer", {}), ("string", {})]})
-    # reverse order: string branch tried first → "5" stays a string
-    out = cast_value(schema, "5")
-    assert out == "5"
+    assert cast_value(schema, "5") == 5
+    schema2 = compile_schema({"any_of": [("string", {}), ("integer", {})]})
+    assert cast_value(schema2, "5") == "5"
 
 
 def test_cast_then_validate():

@@ -233,10 +233,10 @@ def test_elixir_specific_types():
     assert not is_valid(tup, [1, 2])  # list is not a tuple
     assert not is_valid(tup, (1, "x"))
 
-    kw = compile_schema(("keyword", {"properties": {"a": "integer"},
-                                     "required": ["a"]}))
-    assert is_valid(kw, [("a", 1)])
-    assert not is_valid(kw, [("b", 2)])
+    kw = compile_schema(("keyword", {"properties": {Atom("a"): "integer"},
+                                     "required": [Atom("a")]}))
+    assert is_valid(kw, [(Atom("a"), 1)])
+    assert not is_valid(kw, [(Atom("b"), 2)])
     assert not is_valid(kw, {"a": 1})  # map is not a keyword list
 
     atom = compile_schema("atom")

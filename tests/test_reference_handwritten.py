@@ -1,23 +1,25 @@
-"""The reference's HAND-WRITTEN ExUnit validation suites, machine-ported
-by tests/handwritten_port.py (Elixir-DSL term extraction — test data only).
+"""The reference's HAND-WRITTEN ExUnit suites — validation AND cast —
+machine-ported by tests/handwritten_port.py (Elixir-DSL term extraction;
+test data only, no code translation).
 
-Every extracted (schema, value) pair must produce the reference's verdict
-through BOTH the scalar validator and, where the value is expressible as
-an Arrow cell, stay consistent with the engine's semantics ground truth.
-Zero tolerated mismatches.
+Every extracted case must reproduce the reference's verdict: validate
+cases through the scalar validator (exact fail-mode), cast cases through
+``cast/3`` comparing the converted value with Elixir ``===`` semantics
+(strict_eq).  Zero tolerated mismatches.
 """
 
 import pytest
 
-from tests.handwritten_port import load_cases
-from xema_ray.functions.scalar import is_valid
+from tests.handwritten_port import NO_EXPECTED, load_cases
+from xema_ray.functions.cast import CastError, cast
+from xema_ray.functions.scalar import strict_eq, validate_value
 from xema_ray.schema.builder import compile_schema
 
 CASES, NOTES = load_cases()
 
 # sanity floor: the extractor must keep finding the corpus (guards against
 # silent extraction regressions)
-MIN_CASES = 530
+MIN_CASES = 950
 
 
 def test_extraction_volume():
@@ -27,10 +29,24 @@ def test_extraction_volume():
     )
 
 
+def _kw_sorted(x):
+    """Keyword lists cast from (unordered Erlang) maps compare order-
+    insensitively; everything else compares exactly."""
+    if isinstance(x, list) and all(
+        isinstance(e, tuple) and len(e) == 2 for e in x
+    ):
+        try:
+            return sorted(x, key=lambda e: str(e[0]))
+        except Exception:
+            return x
+    return x
+
+
 def _ids():
     out = []
     for i, (c, _, _) in enumerate(CASES):
-        out.append(f"{c.file.removesuffix('_test.exs')}:{i}:{c.test[:28]}")
+        tag = c.file.removesuffix("_test.exs").replace("/", "-")
+        out.append(f"{tag}:{i}:{c.test[:28]}")
     return out
 
 
@@ -38,10 +54,29 @@ def _ids():
 def test_handwritten_case(case):
     c, src, val = CASES[case]
     schema = compile_schema(src)
-    from xema_ray.functions.scalar import validate_value
+    ctx = f"{c.file} / {c.describe} / {c.test}\n  schema={src!r}\n  value={val!r}"
 
-    got = not validate_value(schema, val, fail=c.fail_mode or "early")
-    assert got == c.expect_valid, (
-        f"{c.file} / {c.describe} / {c.test}: got {got}, reference expects "
-        f"{c.expect_valid}\n  schema={src!r}\n  value={val!r}"
-    )
+    if c.op == "validate":
+        got = not validate_value(schema, val, fail=c.fail_mode or "early")
+        assert got == c.expect_valid, (
+            f"{ctx}: got {got}, reference expects {c.expect_valid}")
+        return
+
+    # cast
+    try:
+        out, viols = cast(schema, val, additional_properties=c.ap_opt)
+    except CastError as e:
+        assert c.expect_error in ("cast", "any"), (
+            f"{ctx}: unexpected CastError {e}")
+        return
+    if c.expect_error == "cast":
+        pytest.fail(f"{ctx}: expected CastError, got {out!r}")
+    elif c.expect_error in ("validation", "any"):
+        assert viols, f"{ctx}: expected validation failure, got {out!r}"
+    elif c.expected_term is NO_EXPECTED:
+        assert not viols, f"{ctx}: unexpected violations {viols[:2]!r}"
+    else:
+        assert not viols, f"{ctx}: unexpected violations {viols[:2]!r}"
+        assert strict_eq(out, c.expected_term) or strict_eq(
+            _kw_sorted(out), _kw_sorted(c.expected_term)
+        ), f"{ctx}: cast to {out!r}, reference expects {c.expected_term!r}"

@@ -96,24 +96,48 @@ def _cast(node: SchemaNode, value, compiled, path, ap_opt):
 
 
 def _cast_combiner(node: SchemaNode, value, compiled, path, ap_opt):
-    """any_of/all_of/one_of branch casts — reverse order, first success
-    that also validates (xema.ex:1078-1146)."""
-    for slot in ("one_of", "any_of", "all_of"):
-        branches = getattr(node, slot)
-        if not branches:
-            continue
-        for sub in reversed(branches):
+    """Combiner casts (xema.ex:1078-1138).  any/one: each branch runs a
+    FULL cast+validate on the input; the first branch (in declaration
+    order) that succeeds wins — the reference's reversed reduce keeps
+    overwriting, so the lowest-index success is the final result.  all:
+    the data CHAINS through ``do_cast`` of each branch (declaration-first
+    applied last, no per-branch validation).  All branches failing is a
+    CastError in every combiner."""
+    if node.any_of:
+        kind, branches = "any_of", node.any_of
+    elif node.all_of:
+        kind, branches = "all_of", node.all_of
+    elif node.one_of:
+        kind, branches = "one_of", node.one_of
+    else:
+        return value
+
+    if kind in ("any_of", "one_of"):
+        for sub in branches:
+            subn = _deref(sub, compiled)
             try:
-                out = _cast(_deref(sub, compiled), value, compiled, path, ap_opt)
+                out = _cast(subn, value, compiled, path, ap_opt)
             except CastError:
                 continue
             if not validate_value(
-                CompiledSchema(root=_deref(sub, compiled),
+                CompiledSchema(root=subn,
                                refs=compiled.refs if compiled else {}),
                 out, fail="immediately",
             ):
                 return out
-    return value
+        raise CastError(path, kind, value)
+
+    # all_of: chain, tolerate partial failures if at least one branch cast
+    data = value
+    errors = 0
+    for sub in reversed(branches):
+        try:
+            data = _cast(_deref(sub, compiled), data, compiled, (), ap_opt)
+        except CastError:
+            errors += 1
+    if errors >= len(branches):
+        raise CastError(path, kind, value)
+    return data
 
 
 # ----------------------------------------------------------------------
@@ -219,6 +243,9 @@ def _cast_to(t: str, node: SchemaNode, v, path):
         if isinstance(v, (Atom, bool)) or v is None:
             return v
         if isinstance(v, str):
+            # to_existing_atom: only strings naming a known atom cast
+            if not Atom.exists(v):
+                raise err()
             return Atom(v)
         raise err()
     if t == "list":
@@ -236,31 +263,49 @@ def _cast_to(t: str, node: SchemaNode, v, path):
             return tuple(v)
         raise err()
     if t == "map":
+        # keys cast to the schema's key kind (castable.ex:289-305);
+        # converted-key collisions are ambiguous
         if isinstance(v, dict):
-            return v
+            return _cast_map_keys(v.items(), node.keys, path, v)
         if isinstance(v, list):
             if not v:
                 return {}
             if _is_keyword_list(v):
-                out = {}
-                for k, val in v:
-                    if k in out:
-                        raise CastError(path, "map", v, f"ambiguous key {k!r}")
-                    out[k] = val
-                return out
+                return _cast_map_keys(v, node.keys, path, v)
             raise err()
         raise err()
     if t == "keyword":
+        # keys cast to atoms (castable.ex:268-287)
         if isinstance(v, list):
-            if not v or _is_keyword_list(v):
+            if not v:
+                return v
+            if _is_keyword_list(v):
                 return v
             raise err()
         if isinstance(v, dict):
-            return [(k, val) for k, val in v.items()]
+            out = []
+            seen = set()
+            for k, val in v.items():
+                ak = _cast_key("atoms", k, path, v)
+                if ak in seen:
+                    raise CastError(path, "keyword", v, f"ambiguous key {ak!r}")
+                seen.add(ak)
+                out.append((ak, val))
+            return out
         raise err()
     if t == "struct":
         return _cast_struct(node.module, v, path)
     raise err()
+
+
+def _cast_map_keys(items, keys: Optional[str], path, orig) -> dict:
+    out: dict = {}
+    for k, val in items:
+        ck = _cast_key(keys, k, path, orig)
+        if ck in out:
+            raise CastError(path, "map", orig, f"ambiguous key {ck!r}")
+        out[ck] = val
+    return out
 
 
 def _num_to_string(v) -> str:
@@ -271,8 +316,12 @@ def _num_to_string(v) -> str:
 
 def _cast_struct(module: Optional[str], v, path):
     err = lambda to: CastError(path, to or "struct", v)
-    if module in (None, "") and isinstance(v, dict):
-        return v
+    if module in (None, ""):
+        # only maps cast to a bare :struct (castable.ex:262; a keyword
+        # list is "cannot cast [foo: 6] to :struct", cast/struct_test:67)
+        if isinstance(v, dict):
+            return v
+        raise err("struct")
     if module == "Decimal":
         if isinstance(v, Decimal):
             return v
@@ -328,14 +377,48 @@ def _cast_struct(module: Optional[str], v, path):
 # ----------------------------------------------------------------------
 
 
+def _key_type(node: SchemaNode) -> Optional[str]:
+    """The key kind properties are declared in: keyword/struct schemas are
+    atom-keyed; map schemas use the ``keys`` option (xema.ex:832)."""
+    types = node.types or ()
+    if "keyword" in types or "struct" in types:
+        return "atoms"
+    return node.keys
+
+
+def _key_to(key_type: Optional[str], key):
+    """Convert a DATA key to the schema's key kind for property LOOKUP
+    only — output keeps the original key (xema.ex:1149-1153).  Soft: a
+    string with no existing atom simply doesn't match (no registration)."""
+    if key_type == "atoms" and isinstance(key, str) and not isinstance(key, Atom):
+        return Atom(key, register=False)
+    if key_type == "strings" and isinstance(key, Atom):
+        return str(key)
+    return key
+
+
+def _cast_key(key_type: Optional[str], key, path, orig):
+    """HARD key cast for container conversion output (castable.ex cast_key):
+    string → atom requires the atom to EXIST (to_existing_atom)."""
+    if key_type == "atoms" and isinstance(key, str) and not isinstance(key, Atom):
+        if not Atom.exists(key):
+            raise CastError(path, "atom", orig,
+                            f"key {key!r} has no existing atom")
+        return Atom(key)
+    if key_type == "strings" and isinstance(key, Atom):
+        return str(key)
+    return key
+
+
 def _lookup_prop_schema(node: SchemaNode, key):
     """properties → pattern_properties → additional (xema.ex:987-1005);
     additional_properties False acts as 'no schema'."""
+    key = _key_to(_key_type(node), key)
     if node.properties and key in node.properties:
         return node.properties[key]
     if node.pattern_props_re:
         for regex, sub in node.pattern_props_re:
-            if isinstance(key, str) and regex.search(key):
+            if isinstance(key, str) and regex.search(str(key)):
                 return sub
     ap = node.additional_properties
     if isinstance(ap, SchemaNode):
@@ -343,10 +426,17 @@ def _lookup_prop_schema(node: SchemaNode, key):
     return None
 
 
-def _check_required(node: SchemaNode, data: dict, path):
+def _check_required(node: SchemaNode, data, path):
+    """Required-key check before casting children (xema.ex:947-975): data
+    keys are cast to the schema's key kind (default :atoms) first, so a
+    string-keyed map satisfies an atom required list."""
     if node.required is None:
         return
-    missing = sorted(k for k in node.required if k not in data)
+    kt = _key_type(node) or "atoms"
+    keys = data.keys() if isinstance(data, dict) else (k for k, _ in data)
+    present = {_key_to(kt, k) for k in keys}
+    missing = sorted(str(k) for k in node.required
+                     if _key_to(kt, k) not in present)
     if missing:
         raise CastError(path, node.types[0] if node.types else "map", data,
                         f"missing required keys for cast: {missing}")
@@ -354,7 +444,10 @@ def _check_required(node: SchemaNode, data: dict, path):
 
 def _cast_children(node: SchemaNode, value, compiled, path, ap_opt):
     types = node.types or ()
-    if isinstance(value, dict) and ("map" in types or "struct" in types or "keyword" in types or not types):
+    if isinstance(value, dict) and (
+        "map" in types or "struct" in types or "keyword" in types
+        or "any" in types or not types
+    ):
         _check_required(node, value, path)
         out = {}
         for k, v in value.items():
@@ -364,13 +457,7 @@ def _cast_children(node: SchemaNode, value, compiled, path, ap_opt):
             else:
                 out[k] = v
         if ap_opt == "delete" and node.additional_properties is False:
-            declared = set(node.properties or ())
-            pattern_res = [r for r, _ in (node.pattern_props_re or [])]
-            out = {
-                k: v for k, v in out.items()
-                if k in declared
-                or any(r.search(k) for r in pattern_res if isinstance(k, str))
-            }
+            out = {k: v for k, v in out.items() if _keep_key(node, k)}
         out = _add_defaults(node, out)
         return out
     if isinstance(value, (list, tuple)) and not _is_keyword_list(list(value)):
@@ -395,6 +482,7 @@ def _cast_children(node: SchemaNode, value, compiled, path, ap_opt):
             seq = out_seq
         return tuple(seq) if isinstance(value, tuple) else seq
     if _is_keyword_list(value if isinstance(value, list) else []):
+        _check_required(node, value, path)
         out = []
         for k, v in value:
             sub = _lookup_prop_schema(node, k)
@@ -403,8 +491,42 @@ def _cast_children(node: SchemaNode, value, compiled, path, ap_opt):
                                      path + (k,), ap_opt)))
             else:
                 out.append((k, v))
+        if ap_opt == "delete" and node.additional_properties is False:
+            out = [(k, v) for k, v in out if _keep_key(node, k)]
+        out = _add_defaults_kw(node, out)
         return out
     return value
+
+
+def _keep_key(node: SchemaNode, k) -> bool:
+    """``additional_properties: :delete`` key filter (xema.ex:1007-1019 +
+    key?/3): with BOTH declared properties and pattern_properties present a
+    key must match both lists to survive — the reference's && quirk."""
+    kt = _key_type(node)
+    ck = _key_to(kt, k)
+    declared = list(node.properties or ())
+    patterns = [r for r, _ in (node.pattern_props_re or [])]
+    in_decl = any(ck == d for d in declared)
+    in_pat = any(r.search(str(ck)) for r in patterns)
+    if declared and patterns:
+        return in_decl and in_pat
+    if declared:
+        return in_decl
+    if patterns:
+        return in_pat
+    return False
+
+
+def _add_defaults_kw(node: SchemaNode, data: list) -> list:
+    if not node.properties:
+        return data
+    present = {k for k, _ in data}
+    for key, sub in node.properties.items():
+        if sub.default is UNSET or key in present:
+            continue
+        d = sub.default
+        data.append((key, d() if callable(d) else d))
+    return data
 
 
 def _add_defaults(node: SchemaNode, data: dict) -> dict:

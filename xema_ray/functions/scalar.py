@@ -66,6 +66,22 @@ class Atom(str):
 
     __slots__ = ()
 
+    #: the process's "atom table" — every Atom constructed (schema
+    #: literals, enum members, test data) registers here, mirroring how
+    #: atoms come into existence in the Erlang VM.  ``to_existing_atom``
+    #: semantics (cast key/atom conversion) check membership.
+    table: set = set()
+
+    def __new__(cls, s: str = "", *, register: bool = True):
+        self = str.__new__(cls, s)
+        if register:
+            cls.table.add(str(s))
+        return self
+
+    @classmethod
+    def exists(cls, s) -> bool:
+        return str(s) in cls.table
+
     def __eq__(self, other):
         return isinstance(other, Atom) and str.__eq__(self, other)
 
@@ -98,8 +114,11 @@ _TYPE_ORDER = (  # @types order, validator.ex:26-39
 
 
 def _is_keyword_list(v: Any) -> bool:
+    # Keyword.keyword?/1: 2-tuples with ATOM keys ([{"3", 3}] is a plain
+    # list of tuples, not a keyword list — cast/list_test.exs:170-188)
     return isinstance(v, list) and all(
-        isinstance(e, tuple) and len(e) == 2 and isinstance(e[0], str) for e in v
+        isinstance(e, tuple) and len(e) == 2 and isinstance(e[0], Atom)
+        for e in v
     ) and len(v) > 0
 
 
