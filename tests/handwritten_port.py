@@ -77,6 +77,8 @@ def tokenize(src: str) -> list:
             out = "\n".join(l[strip:] if l[:strip].isspace() or l[:strip] == "" else l
                             for l in lines[:-1])
             out = out.replace("\\\n", "")
+            if out.endswith("\\") and not out.endswith("\\\\"):
+                out = out[:-1]  # trailing \ escapes the final newline
             toks.append(Tok("string", _unescape(out), i))
             i = j + 3
             continue
@@ -882,18 +884,20 @@ _SLOT_KINDS = {
 }
 
 
-def _merge_allow(names: list, allow: list) -> list:
+def _merge_allow(names: list, allow: list, single: bool) -> list:
     """``allow: X`` extends the type union (xema.ex:427-443): values are
-    type atoms, ``nil`` means the :nil type."""
-    extra = allow
-    for a in extra:
+    type atoms, ``nil`` means the :nil type.  A SINGLE declared type comes
+    first ([type | allow]); a declared union gets the allow values
+    PREPENDED (allow ++ types)."""
+    extra = []
+    for a in allow:
         if a is None:
-            names = names + ["nil"]
+            extra.append("nil")
         elif isinstance(a, Atom) and str(a) in XEMA_TYPES:
-            names = names + [str(a)]
+            extra.append(str(a))
         else:
             raise Unsupported(f"allow value {a!r}")
-    return names
+    return names + extra if single else extra + names
 
 
 def schema_to_dsl(term) -> Any:
@@ -961,7 +965,7 @@ def _conv_schema(t) -> Any:
             if name not in XEMA_TYPES:
                 raise Unsupported(f"type atom :{name}")
             if allow is not None:
-                return (_merge_allow([name], allow), kw)
+                return (_merge_allow([name], allow, single=True), kw)
             return (name, kw) if kw else name
         if isinstance(head, list):  # union type [:integer, :string]
             names = []
@@ -973,7 +977,7 @@ def _conv_schema(t) -> Any:
                 else:
                     raise Unsupported(f"union member {a!r}")
             if allow is not None:
-                names = _merge_allow(names, allow)
+                names = _merge_allow(names, allow, single=False)
             return (names, kw)
         raise Unsupported(f"schema tuple head {head!r}")
     if isinstance(t, list):

@@ -26,6 +26,7 @@ from xema_ray.schema.source import schema_source
 from xema_ray.functions.scalar import Atom, Violation, validate_value, is_valid
 from xema_ray.functions.cast import CastError, cast, cast_value
 from xema_ray.functions.errors import ValidationError, format_violations, validate_or_raise
+from xema_ray.functions.messages import elixir_inspect, format_error, validation_message, validation_reason
 from xema_ray.stages.validate import validate_dataset, ValidationResult
 
 __version__ = "0.1.0"
@@ -45,6 +46,10 @@ __all__ = [
     "ValidationError",
     "format_violations",
     "validate_or_raise",
+    "validation_message",
+    "validation_reason",
+    "format_error",
+    "elixir_inspect",
     "validate_dataset",
     "ValidationResult",
 ]
