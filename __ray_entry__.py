@@ -35,10 +35,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from xema_ray.pipelines.queries import QUERIES, _ensure_nested, ensure_corpus
+    from xema_ray.pipelines.queries import (
+        QUERIES,
+        _drift_dirs,
+        _ensure_nested,
+        ensure_corpus,
+    )
 
     # the oracle SQL reads the synthetic corpora from /tmp — make sure they
     # exist even if the driver runs the SQL before the Ray pipelines
     ensure_corpus("/root/testdata/sf0.01")
     _ensure_nested("/root/testdata/sf0.01")
+    _drift_dirs("/root/testdata/sf0.01")
     return {name: q.sql for name, q in QUERIES.items() if q.sql is not None}

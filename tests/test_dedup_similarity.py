@@ -179,13 +179,16 @@ def test_media_feature_plumbing(ray_session):
     out = extract_features(rd.from_arrow(tbl), batch_size=16).take_all()
     assert len(out) == 64
     assert all(len(r["features"]) == 64 for r in out)
-    # deterministic stub features
+    # deterministic features (real ppm/wav decode + stub for jpeg)
     a = MediaFeatureExtractor()( tbl.slice(0, 4))
     b = MediaFeatureExtractor()( tbl.slice(0, 4))
     assert a.equals(b)
-    # non-stub mode raises at decode
+    # rows 0/1 are REAL ppm/wav — non-stub mode decodes them fine...
+    real = MediaFeatureExtractor(decode_stub=False)(tbl.slice(0, 2))
+    assert real.num_rows == 2
+    # ...but raises for the codec-less jpeg row (index 2)
     with pytest.raises(NotImplementedError):
-        MediaFeatureExtractor(decode_stub=False)(tbl.slice(0, 2))
+        MediaFeatureExtractor(decode_stub=False)(tbl.slice(0, 3))
 
 
 def test_exact_dedup_broadcast_is_duplicate_bounded(ray_session):

@@ -475,8 +475,38 @@ def doc_quality(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-@register("doc_langid", None,
-          doc="language-ID n-gram/stopword heuristic (non-SQL; rows-only check)")
+def _langid_sql() -> str:
+    """DuckDB replica of the LangId stopword vote (stages/text.py):
+    identical word regex, per-language membership counts, argmax in
+    sorted-language order, votes ≥ 2 else 'und'."""
+    from xema_ray.stages.text import _LANG_STOPWORDS
+
+    langs = sorted(_LANG_STOPWORDS)  # de, en, es, fr — argmax tie order
+    votes = ",\n      ".join(
+        "len(list_filter(w, x -> list_contains(["
+        + ", ".join(f"'{s}'" for s in sorted(_LANG_STOPWORDS[lang]))
+        + f"], x))) AS v_{lang}"
+        for lang in langs
+    )
+    vs = [f"v_{l}" for l in langs]
+    case = f"WHEN greatest({', '.join(vs)}) < 2 THEN 'und'\n"
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"v_{lang} >= {v}" for v in vs[i + 1:])
+        case += f"      WHEN {conds} THEN '{lang}'\n"
+    case += f"      ELSE '{langs[-1]}'"
+    return f"""WITH d AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(
+          lower(coalesce(text, '')), '[^a-záéíóúüäöñßà-ÿ]+'), x -> x <> '') AS w
+      FROM documents
+    ), v AS (SELECT doc_id,
+      {votes}
+      FROM d)
+    SELECT doc_id, CASE {case} END AS lang_pred FROM v"""
+
+
+@register("doc_langid", _langid_sql(),
+          doc="language-ID stopword-vote heuristic (SQL oracle: identical "
+              "vote recomputed with DuckDB list lambdas)")
 def doc_langid(sf_dir: str):
     from xema_ray.stages.text import lang_id
 
@@ -485,8 +515,23 @@ def doc_langid(sf_dir: str):
                           batch_format="pyarrow")
 
 
-@register("doc_fingerprints", None,
-          doc="document fingerprinting via winnowed rolling hash (rows-only)")
+@register(
+    "doc_fingerprints",
+    """WITH d AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(
+          lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+        CASE WHEN len(w) >= 3 THEN array_to_string(w[i:i+2], ' ')
+             ELSE array_to_string(w, ' ') END AS gram
+      FROM d, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+    )
+    SELECT doc_id, min(substr(md5(gram), 1, 16)) AS fingerprint
+    FROM g GROUP BY doc_id""",
+    doc="document fingerprinting: min md5 hash over word 3-grams "
+        "(cross-engine verifiable; SQL recomputes the identical value)",
+)
 def doc_fingerprints(sf_dir: str):
     from xema_ray.stages.text import fingerprints
 
@@ -560,18 +605,31 @@ def emb_knn_lsh(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
-@register("emb_near_dup", None,
-          doc="embedding-cosine near-dup pairs (LSH bucket + in-bucket matmul; rows-only)")
+@register(
+    "emb_near_dup",
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.5""",
+    doc="embedding-cosine near-dup pairs, EXACT verification path "
+        "(broadcast matrix + per-batch matmul; SQL oracle = cross join)",
+)
 def emb_near_dup(sf_dir: str):
-    import ray.data as rd
+    from xema_ray.stages.similarity import near_dup_pairs_exact
 
+    base = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return near_dup_pairs_exact(base, threshold=0.5)
+
+
+@register("emb_near_dup_lsh", None,
+          doc="embedding-cosine near-dup pairs, LSH-bucketed scale path "
+              "(rows-only; recall pinned vs the exact path by tests)")
+def emb_near_dup_lsh(sf_dir: str):
     from xema_ray.stages.similarity import cosine_near_dup_pairs
 
     base = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    # random gaussian embeddings have no cos≥0.95 pairs — 0 rows expected
-    # here; recall is pinned by tests/test_dedup_similarity.py with planted
-    # near-duplicates
-    return cosine_near_dup_pairs(base, threshold=0.95, n_bits=8, dim=64)
+    return cosine_near_dup_pairs(base, threshold=0.5, n_bits=8, dim=64)
 
 
 @register("media_features", None,
@@ -700,28 +758,116 @@ def seq_worst_sources(sf_dir: str):
     })
 
 
-@register("seq_drift_report", None,
-          doc="distribution drift per source: KS/PSI vs reference capture (F4; rows-only)")
-def seq_drift_report(sf_dir: str):
-    import ray.data as rd
-
-    from xema_ray.sources.corpus import corpus_paths, write_corpus
-    from xema_ray.stages.checks import capture_reference, drift_report
+def _drift_dirs(sf_dir: str):
+    """Deterministic reference/current drift corpora for this sf (the
+    'current' one is distribution-shifted)."""
+    from xema_ray.sources.corpus import write_corpus
 
     sf = sf_of_dir(sf_dir)
     rows = max(20_000, int(1_000_000 * sf))
-    ref_dir = write_corpus(os.path.join(CORPUS_ROOT, "drift_ref"), rows,
-                           n_files=4, seed=42, clean=True)
-    cur_dir = write_corpus(os.path.join(CORPUS_ROOT, "drift_cur"), rows,
-                           n_files=4, seed=43, shifted=True, clean=True)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    ref_dir = write_corpus(os.path.join(CORPUS_ROOT, f"drift_ref_{tag}"),
+                           rows, n_files=4, seed=42, clean=True)
+    cur_dir = write_corpus(os.path.join(CORPUS_ROOT, f"drift_cur_{tag}"),
+                           rows, n_files=4, seed=43, shifted=True, clean=True)
+    return ref_dir, cur_dir
+
+
+def _drift_sql() -> str:
+    """DuckDB replica of the histogram-KS/PSI drift check, fully
+    deterministic across engines: per-bin terms are fixed-pointed
+    (floor(x·1e6 + 0.5), identical IEEE double ops on both sides) BEFORE
+    the order-insensitive integer aggregation."""
+    from xema_ray.functions.sketches import Histogram
+
+    edges = [int(e) for e in Histogram.log_bins().edges]
+    lo, hi = edges[0], edges[-1]
+    lit = "[" + ", ".join(str(e) for e in edges) + "]"
+    ref_glob = os.path.join(CORPUS_ROOT, "drift_ref_sf0.01", "seq-*.parquet")
+    cur_glob = os.path.join(CORPUS_ROOT, "drift_cur_sf0.01", "seq-*.parquet")
+    return f"""WITH lst AS (SELECT {lit} AS l),
+    bins AS (SELECT i, l[i] AS blo, l[i+1] AS bhi, i = len(l) - 1 AS last
+             FROM lst, UNNEST(generate_series(1, len(l) - 1)) AS t(i)),
+    cur AS (SELECT source, len(tokens) AS n
+            FROM read_parquet('{cur_glob}')
+            WHERE source IS NOT NULL AND tokens IS NOT NULL
+              AND len(tokens) BETWEEN {lo} AND {hi}),
+    ref AS (SELECT source, len(tokens) AS n
+            FROM read_parquet('{ref_glob}')
+            WHERE source IS NOT NULL AND tokens IS NOT NULL
+              AND len(tokens) BETWEEN {lo} AND {hi}),
+    cb AS (SELECT c.source, b.i, count(*) AS cnt FROM cur c JOIN bins b
+             ON c.n >= b.blo AND (c.n < b.bhi OR (b.last AND c.n = b.bhi))
+           GROUP BY 1, 2),
+    rb AS (SELECT r.source, b.i, count(*) AS cnt FROM ref r JOIN bins b
+             ON r.n >= b.blo AND (r.n < b.bhi OR (b.last AND r.n = b.bhi))
+           GROUP BY 1, 2),
+    grid AS (SELECT s.source, b.i FROM (SELECT DISTINCT source FROM cur) s, bins b),
+    j AS (SELECT g.source, g.i,
+            COALESCE(cb.cnt, 0) AS ca, COALESCE(rb.cnt, 0) AS cr
+          FROM grid g
+          LEFT JOIN cb ON g.source = cb.source AND g.i = cb.i
+          LEFT JOIN rb ON g.source = rb.source AND g.i = rb.i),
+    tot AS (SELECT source, sum(ca) AS ta, sum(cr) AS tr FROM j GROUP BY 1),
+    m AS (SELECT j.source, j.i, j.ca, j.cr, t.ta, t.tr,
+            sum(j.ca) OVER (PARTITION BY j.source ORDER BY j.i) AS cuma,
+            sum(j.cr) OVER (PARTITION BY j.source ORDER BY j.i) AS cumr
+          FROM j JOIN tot t USING (source)),
+    terms AS (SELECT source, ta,
+        CAST(floor(abs(CAST(cuma AS DOUBLE) / CAST(ta AS DOUBLE)
+                       - CAST(cumr AS DOUBLE) / CAST(tr AS DOUBLE)) * 1000000 + 0.5)
+             AS BIGINT) AS ksb,
+        CAST(floor(((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) + 0.000001)
+                    - (CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE) + 0.000001))
+                   * ln((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE) + 0.000001)
+                        / (CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE) + 0.000001))
+                   * 1000000 + 0.5) AS BIGINT) AS psib
+      FROM m)
+    SELECT source, CAST(max(ta) AS BIGINT) AS n,
+           max(ksb) AS ks_m, CAST(sum(psib) AS BIGINT) AS psi_m,
+           (max(ksb) > 100000 OR sum(psib) > 200000) AS drifted
+    FROM terms GROUP BY source ORDER BY source"""
+
+
+@register("seq_drift_report", _drift_sql(),
+          doc="distribution drift per source: fixed-bin histogram KS/PSI vs "
+              "reference capture (F4; per-bin fixed-point terms make the "
+              "metric engine-exact — full SQL oracle)")
+def seq_drift_report(sf_dir: str):
+    import math
+
+    import ray.data as rd
+
+    from xema_ray.sources.corpus import corpus_paths
+    from xema_ray.stages.checks import capture_reference
+
+    ref_dir, cur_dir = _drift_dirs(sf_dir)
     ref = capture_reference(rd.read_parquet(corpus_paths(ref_dir)))
-    rep = drift_report(rd.read_parquet(corpus_paths(cur_dir)), ref)
-    keys = sorted(rep)
+    cur = capture_reference(rd.read_parquet(corpus_paths(cur_dir)))
+    eps = 1e-6
+    out_src, out_n, out_ks, out_psi, out_drift = [], [], [], [], []
+    for k in sorted(cur):
+        a, b = cur[k], ref.get(k)
+        if b is None or not a.total or not b.total:
+            continue
+        cdf_a = a.counts.cumsum() / float(a.total)
+        cdf_b = b.counts.cumsum() / float(b.total)
+        ks_m = int(np.floor(np.abs(cdf_a - cdf_b) * 1e6 + 0.5).max())
+        pa_ = a.counts / float(a.total) + eps
+        pb_ = b.counts / float(b.total) + eps
+        terms = np.floor((pa_ - pb_) * np.log(pa_ / pb_) * 1e6 + 0.5)
+        psi_m = int(terms.sum())
+        out_src.append(k)
+        out_n.append(a.total)
+        out_ks.append(ks_m)
+        out_psi.append(psi_m)
+        out_drift.append(bool(ks_m > 100_000 or psi_m > 200_000))
     return pa.table({
-        "source": pa.array(keys, type=pa.string()),
-        "ks_m": pa.array([int(rep[k]["ks"] * 1e4) for k in keys], type=pa.int64()),
-        "psi_m": pa.array([int(rep[k]["psi"] * 1e4) for k in keys], type=pa.int64()),
-        "drifted": pa.array([rep[k]["drifted"] for k in keys], type=pa.bool_()),
+        "source": pa.array(out_src, type=pa.string()),
+        "n": pa.array(out_n, type=pa.int64()),
+        "ks_m": pa.array(out_ks, type=pa.int64()),
+        "psi_m": pa.array(out_psi, type=pa.int64()),
+        "drifted": pa.array(out_drift, type=pa.bool_()),
     })
 
 

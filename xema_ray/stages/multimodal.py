@@ -1,13 +1,15 @@
 """Multimodal column stages — image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in this
-environment): ``decode_stub=True`` (default) produces deterministic fake
-features derived from the payload bytes; ``decode_stub=False`` raises
-``NotImplementedError`` at the decode site.  Everything Ray-side is real and
-tested: schema (binary + metadata struct), small ``batch_size`` for wide
-binary rows, actor-pool stage shape with per-actor model/codec init, and the
-feature output layout (fixed-width ``list<float>``).
+Decode is REAL for the self-contained formats this environment can parse
+without external libraries: **PPM (P6) images** and **PCM WAV audio**
+(pure-numpy codecs in :mod:`xema_ray.functions.codecs`).  Other mimes
+(jpeg/png/mp4 — codecs not present in this sandbox) fall back to a
+deterministic byte-derived stub when ``decode_stub=True`` (default) or
+raise ``NotImplementedError`` when ``decode_stub=False``.  Everything
+Ray-side is real and tested: schema (binary + metadata), small
+``batch_size`` for wide binary rows, actor-pool stage shape with
+per-actor codec init, and the fixed-width ``list<float>`` output layout.
 """
 
 from __future__ import annotations
@@ -26,18 +28,43 @@ MEDIA_SCHEMA = pa.schema([
 
 
 def synthetic_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media rows (binary payload + metadata)."""
+    """Deterministic media rows: real PPM images and PCM WAV clips (decoded
+    by the real path) interleaved with opaque jpeg-tagged payloads (stub
+    path)."""
+    from xema_ray.functions.codecs import encode_ppm, encode_wav
+
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes()
-                for _ in range(n)]
-    mimes = rng.choice(["image/jpeg", "image/png", "audio/wav"], size=n)
+    payloads, mimes, widths, heights, durations = [], [], [], [], []
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:  # real PPM gradient image
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_ppm(img))
+            mimes.append("image/x-portable-pixmap")
+            widths.append(w); heights.append(h); durations.append(0)
+        elif kind == 1:  # real PCM WAV sine clip
+            rate = 8000
+            t = np.arange(int(rng.integers(400, 2000))) / rate
+            tone = np.sin(2 * np.pi * float(rng.integers(100, 1000)) * t)
+            payloads.append(encode_wav(rate, tone))
+            mimes.append("audio/wav")
+            widths.append(0); heights.append(0)
+            durations.append(int(1000 * len(t) / rate))
+        else:  # opaque payload — no jpeg codec in this sandbox → stub
+            payloads.append(
+                rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes())
+            mimes.append("image/jpeg")
+            widths.append(int(rng.integers(16, 2048)))
+            heights.append(int(rng.integers(16, 2048)))
+            durations.append(0)
     return pa.table({
         "media_id": pa.array([f"m-{i:08d}" for i in range(n)], type=pa.string()),
         "payload": pa.array(payloads, type=pa.binary()),
         "mime": pa.array(mimes, type=pa.string()),
-        "width": pa.array(rng.integers(16, 2048, size=n, dtype=np.int32)),
-        "height": pa.array(rng.integers(16, 2048, size=n, dtype=np.int32)),
-        "duration_ms": pa.array(rng.integers(0, 60000, size=n, dtype=np.int32)),
+        "width": pa.array(widths, type=pa.int32()),
+        "height": pa.array(heights, type=pa.int32()),
+        "duration_ms": pa.array(durations, type=pa.int32()),
     })
 
 
@@ -53,14 +80,25 @@ class MediaFeatureExtractor:
     FEATURE_DIM = 64
 
     def __init__(self, decode_stub: bool = True):
+        # codec dispatch table built once per actor (a real deployment
+        # loads its model/codec handles here the same way)
+        from xema_ray.functions import codecs
+
         self.decode_stub = decode_stub
-        # model/codec init would happen here, once per actor
+        self.codecs = codecs
 
     def _decode(self, payload: bytes, mime: str) -> np.ndarray:
+        if mime == "image/x-portable-pixmap":
+            # REAL image decode: pixels as float signal
+            return self.codecs.decode_ppm(payload).astype(np.float32).reshape(-1)
+        if mime == "audio/wav":
+            # REAL audio decode: mono-mixed samples
+            _, samples = self.codecs.decode_wav(payload)
+            return samples.mean(axis=1).astype(np.float32)
         if not self.decode_stub:
             raise NotImplementedError(
-                "real decode requires an image/audio library not present in "
-                "this environment; run with decode_stub=True"
+                f"no codec for {mime!r} in this environment (jpeg/png/mp4 "
+                "libraries absent); run with decode_stub=True"
             )
         arr = np.frombuffer(payload[: 64 * 64], dtype=np.uint8)
         return arr.astype(np.float32)

@@ -108,6 +108,59 @@ def knn_brute_force(ds, queries, k: int = 10, vec_col: str = "embedding",
     })
 
 
+class _ExactPairsStage:
+    """Actor: batch × broadcast-matrix cosine, emitting (vec_a, vec_b)
+    pairs (a < b) with similarity ≥ threshold."""
+
+    def __init__(self, ref, threshold: float, vec_col: str, id_col: str):
+        import ray
+
+        ids, mat = ray.get(ref)  # one plasma read per actor
+        self.ids = np.asarray(ids)
+        self.mat = _normalize(np.asarray(mat, dtype=np.float64))
+        self.threshold = threshold
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        m = _normalize(_matrix_from_list_col(tbl[self.vec_col]))
+        batch_ids = np.asarray(tbl[self.id_col].to_pylist())
+        sims = m @ self.mat.T  # (batch, N)
+        ai, bj = np.nonzero(sims >= self.threshold)
+        a, b = batch_ids[ai], self.ids[bj]
+        keep = a < b  # strict: each global pair counted exactly once
+        return pa.table({
+            "vec_a": pa.array(a[keep]),
+            "vec_b": pa.array(b[keep]),
+        })
+
+
+def near_dup_pairs_exact(ds, threshold: float = 0.5,
+                         vec_col: str = "embedding", id_col: str = "vec_id",
+                         concurrency=(1, 8)):
+    """EXACT cosine near-duplicate pairs — the verification path.
+
+    Broadcasts the full normalized matrix (``ray.put`` once, one read per
+    actor) and streams batches against it: O(N·batch) per task, no
+    shuffle, driver holds only the (rare) matching pairs.  Assumes the
+    embedding matrix fits one worker (N×dim float64); above that use
+    :func:`cosine_near_dup_pairs` (LSH-bucketed, approximate).
+    """
+    import ray
+
+    ids, mat = [], []
+    for b in ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
+        ids.extend(b[id_col].to_pylist())
+        mat.append(_matrix_from_list_col(b[vec_col]))
+    ref = ray.put((ids, np.vstack(mat) if mat else np.zeros((0, 1))))
+    return ds.map_batches(
+        _ExactPairsStage,
+        fn_constructor_kwargs={"ref": ref, "threshold": threshold,
+                               "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+
 # ----------------------------------------------------------------------
 # LSH-bucketed ANN (scale path)
 # ----------------------------------------------------------------------

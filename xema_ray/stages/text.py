@@ -107,33 +107,39 @@ class LangId:
 
 
 class Fingerprint:
-    """Actor-pool stage: document fingerprinting via winnowed rolling hash
-    (Rabin-Karp over word 3-grams, keep the minimum hash → stable 64-bit
-    fingerprint; equal fingerprints ⇒ near-identical word streams)."""
+    """Actor-pool stage: document fingerprinting — minimum hash over word
+    3-grams → stable 64-bit fingerprint; equal fingerprints ⇒
+    near-identical word streams.
+
+    The gram hash is the first 16 hex chars of md5 so an independent SQL
+    engine can recompute the identical fingerprint (cross-engine
+    verifiability; md5 min == numeric min on fixed-width hex).
+    """
 
     def __init__(self, text_col: str = "text", ngram: int = 3):
         import re
 
         self.text_col = text_col
         self.ngram = ngram
-        self.word_re = re.compile(r"[A-Za-z0-9]+")
+        self.word_re = re.compile(r"[a-z0-9]+")
 
     def __call__(self, batch):
-        from xema_ray.functions.sketches import hash_strings
+        import hashlib
 
-        out_fp = np.zeros(len(batch), dtype=np.uint64)
+        out_fp = []
         texts = batch[self.text_col].fillna("").str.lower()
         words_all = texts.str.findall(self.word_re)
-        for i, words in enumerate(words_all):
+        for words in words_all:
             if len(words) < self.ngram:
-                grams = [" ".join(words)] if words else [""]
+                grams = [" ".join(words)]  # [] → [""] like the SQL side
             else:
                 grams = [" ".join(words[j : j + self.ngram])
                          for j in range(len(words) - self.ngram + 1)]
-            h = hash_strings(np.array(grams, dtype=object))
-            out_fp[i] = h.min() if len(h) else 0
+            out_fp.append(min(
+                hashlib.md5(g.encode("utf-8")).hexdigest()[:16] for g in grams
+            ))
         batch = batch.copy()
-        batch["fingerprint"] = [format(v, "016x") for v in out_fp]
+        batch["fingerprint"] = out_fp
         return batch
 
 
