@@ -37,8 +37,8 @@ def test_compile_or_schemaerror_never_crash(src, data):
 
 
 def test_list_of_struct_falls_back_correctly():
-    """items: map-schema over a list<struct> column uses the scalar
-    fallback and agrees with the ground truth."""
+    """items: map-schema over a list<struct> column runs VECTORIZED (r2:
+    nested sub-table plan) and agrees with the ground truth."""
     import pyarrow as pa
 
     from xema_ray.functions.kernels import compile_table_plan, evaluate_batch
@@ -57,7 +57,7 @@ def test_list_of_struct_falls_back_correctly():
     ]
     tbl = pa.Table.from_pylist(rows)
     plan = compile_table_plan(schema, tbl.schema)
-    assert plan.column_plans[0].fallback_node is not None
+    assert plan.column_plans[0].fallback_node is None
     valid, _ = evaluate_batch(plan, tbl)
     assert list(map(bool, valid)) == [True, False, False, True, True]
 

@@ -47,6 +47,7 @@ def test_reference_corpus_through_vectorized_kernels():
     from xema_ray.schema.builder import compile_schema
 
     checked = 0
+    pure_vector = 0
     failures = []
     for cid, draft, schema, data, expected in load_cases(include_optional=True):
         at = _arrow_type_for([data])
@@ -57,12 +58,17 @@ def test_reference_corpus_through_vectorized_kernels():
         except Exception:
             continue
         tbl = pa.table({"x": pa.array([data], type=at)})
-        valid, _ = evaluate_batch(compile_table_plan(table_schema, tbl.schema), tbl)
+        plan = compile_table_plan(table_schema, tbl.schema)
+        if all(cp.fallback_node is None for cp in plan.column_plans):
+            pure_vector += 1
+        valid, _ = evaluate_batch(plan, tbl)
         if bool(valid[0]) != expected:
             failures.append(f"{cid}: kernel={bool(valid[0])} expected={expected} "
                             f"schema={schema!r:.100} data={data!r:.60}")
         checked += 1
     assert checked > 800, f"only {checked} kernel-evaluable cases"
+    # r2 floor: nested-combinator vectorization lifted this 1173 → 1187
+    assert pure_vector >= 1180, f"pure-vector case count regressed: {pure_vector}"
     assert not failures, f"{len(failures)}/{checked}:\n" + "\n".join(failures[:15])
 
 

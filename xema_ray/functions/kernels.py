@@ -171,8 +171,12 @@ def _is_vectorizable(node: SchemaNode, compiled: CompiledSchema, depth: int = 0)
     return True
 
 
-def _is_scalar_vectorizable(node: SchemaNode, compiled: CompiledSchema) -> bool:
-    """Element sub-schema: scalar-only keyword set (no nested lists/maps)."""
+def _is_scalar_vectorizable(node: SchemaNode, compiled: CompiledSchema,
+                            depth: int = 0) -> bool:
+    """Element sub-schema: scalar-only keyword set (no nested lists/maps).
+    Combinators may nest up to three levels — each level is one round of
+    mask algebra (``_build_combinator_checks`` recurses through
+    ``_branch_evaluators`` → ``_build_scalar_checks``)."""
     if node.bool_schema is not None:
         return True
     if node.ref is not None:
@@ -180,12 +184,12 @@ def _is_scalar_vectorizable(node: SchemaNode, compiled: CompiledSchema) -> bool:
             target = resolve_pointer(compiled, node.ref)
         except KeyError:
             return False
-        return target is not node and _is_scalar_vectorizable(target, compiled)
+        return target is not node and _is_scalar_vectorizable(target, compiled, depth)
     for slot in node.keywords_present():
         if slot in ("items", "contains", "min_items", "max_items", "unique_items", "validator"):
             return False
         if slot in _COMBINATOR_SLOTS:
-            if not _combinator_branches_vectorizable(node, compiled, flat=True):
+            if not _combinator_branches_vectorizable(node, compiled, depth=depth):
                 return False
             continue
         if slot not in _VECTOR_SAFE_SLOTS:
@@ -195,16 +199,18 @@ def _is_scalar_vectorizable(node: SchemaNode, compiled: CompiledSchema) -> bool:
     return True
 
 
-def _combinator_branches_vectorizable(node: SchemaNode, compiled, flat: bool = False) -> bool:
-    """Every combinator branch must itself be a FLAT scalar-vectorizable
-    schema (no nested combinators — one level of mask algebra)."""
+def _combinator_branches_vectorizable(node: SchemaNode, compiled,
+                                      depth: int = 0) -> bool:
+    """Every combinator branch must be scalar-vectorizable; branches may
+    carry their OWN combinators up to a bounded nesting depth (each level
+    is a recursive mask-algebra evaluator)."""
+    if depth > 2:
+        return False
     for b in _combinator_branches(node):
         b = _deref(b, compiled)
         if b.bool_schema is not None:
             continue
-        if any(s in _COMBINATOR_SLOTS for s in b.keywords_present()):
-            return False
-        if not _is_scalar_vectorizable(b, compiled):
+        if not _is_scalar_vectorizable(b, compiled, depth=depth + 1):
             return False
     return True
 
@@ -1074,7 +1080,7 @@ def _build_struct_check(node: SchemaNode, col_type, path: str,
             col = col.combine_chunks()
         fields = col.flatten()  # parent nulls propagate into fields
         sub_tbl = pa.table({f.name: arr for f, arr in zip(col_type, fields)})
-        sub_valid, sub_viols = evaluate_batch(sub_plan, sub_tbl)
+        sub_valid, sub_viols = evaluate_batch(sub_plan, sub_tbl, fail="finally")
         parent_null = _np_bool(pc.is_null(col))
         row_ok = sub_valid | parent_null
         out = []
@@ -1091,6 +1097,94 @@ def _build_struct_check(node: SchemaNode, col_type, path: str,
         return row_ok, out
 
     return _Check("properties", fn, "struct field fails", path)
+
+
+def _is_list_of_struct_plan(node: SchemaNode, field_type, compiled) -> bool:
+    """list<struct> column whose ``items`` is a map-like schema and whose
+    other keywords are the vectorizable list bounds."""
+    if not (pa.types.is_list(field_type) or pa.types.is_large_list(field_type)):
+        return False
+    if not pa.types.is_struct(field_type.value_type):
+        return False
+    if node.types and not set(node.types) <= {"list", "any"}:
+        return False
+    if set(node.keywords_present()) - {"min_items", "max_items", "items"}:
+        return False
+    if not isinstance(node.items, SchemaNode):
+        return False
+    return _is_map_like(_deref(node.items, compiled))
+
+
+def _build_list_of_struct_checks(node: SchemaNode, col_type, path: str,
+                                 compiled) -> list:
+    """Vectorized list<struct> column: the flattened element structs form a
+    sub-table validated by a nested :class:`TablePlan`; per-element masks
+    reduce to row masks via ``segment_all``, and element violations map
+    back to ``/col/<elem_idx>/<field>`` paths."""
+    checks: list = []
+    if node.min_items is not None:
+        n = node.min_items
+        checks.append(_Check(
+            "min_items",
+            lambda col, tbl, n=n: _ok_with_nulls(
+                pc.greater_equal(pc.list_value_length(col), n), col),
+            f"expected >= {n} items", path))
+    if node.max_items is not None:
+        n = node.max_items
+        checks.append(_Check(
+            "max_items",
+            lambda col, tbl, n=n: _ok_with_nulls(
+                pc.less_equal(pc.list_value_length(col), n), col),
+            f"expected <= {n} items", path))
+
+    elem_node = _deref(node.items, compiled)
+    sub_compiled = CompiledSchema(root=elem_node,
+                                  refs=compiled.refs if compiled else {})
+    value_type = col_type.value_type
+    elem_requires_type = bool(
+        elem_node.types and not ({"any", "nil"} & set(elem_node.types)))
+    holder: dict = {}  # sub-plan compiled once per (stable) element schema
+
+    def fn(col, tbl):
+        values, offsets = _list_offsets(col)
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        sub_tbl = pa.table({f.name: arr for f, arr
+                            in zip(value_type, values.flatten())})
+        plan = holder.get("plan")
+        if plan is None:
+            plan = compile_table_plan(sub_compiled, sub_tbl.schema)
+            holder["plan"] = plan
+        elem_ok, sub_viols = evaluate_batch(plan, sub_tbl, fail="finally")
+        elem_null = None
+        if values.null_count:
+            elem_null = ~_np_bool(pc.is_valid(values))
+            if elem_requires_type:
+                elem_ok &= ~elem_null  # null element fails a :map items type
+            else:
+                elem_ok |= elem_null
+        row_ok = _segment_all(elem_ok, offsets)
+        row_ok |= _np_bool(pc.is_null(col))
+        out = []
+        for cv in sub_viols:
+            rows = (np.searchsorted(offsets, cv.row_idx, side="right") - 1).astype(np.int64)
+            within = cv.row_idx - offsets[rows]
+            keep = np.ones(len(rows), dtype=bool)
+            if elem_null is not None:
+                keep &= ~elem_null[cv.row_idx]
+            if not keep.any():
+                continue
+            if isinstance(cv.paths, np.ndarray):
+                paths = np.array([f"{path}/{w}{p}" for w, p
+                                  in zip(within, cv.paths)], dtype=object)[keep]
+            else:
+                paths = np.array([f"{path}/{w}{cv.paths}" for w in within],
+                                 dtype=object)[keep]
+            out.append(CheckViolations(rows[keep], cv.keyword, paths, cv.message))
+        return row_ok, out
+
+    checks.append(_Check("items", fn, "list element fails struct schema", path))
+    return checks
 
 
 # ----------------------------------------------------------------------
@@ -1116,28 +1210,30 @@ def compile_table_plan(
     col_nodes: dict = {}
     if root.properties:
         for name, sub in root.properties.items():
-            if name in names:
-                col_nodes[name] = _deref(sub, compiled)
+            # Arrow column names are strings; atom-keyed schema properties
+            # match by name (the documented Arrow-layer atom convention)
+            if str(name) in names:
+                col_nodes[str(name)] = _deref(sub, compiled)
     if root.pattern_props_re:
         for regex, sub in root.pattern_props_re:
             for name in names:
                 if regex.search(name) and name not in col_nodes:
                     col_nodes[name] = _deref(sub, compiled)
 
-    required = sorted(k for k in (root.required or ()) if k in names)
-    missing_required = sorted(k for k in (root.required or ()) if k not in names)
+    req_names = {str(k) for k in (root.required or ())}
+    required = sorted(k for k in req_names if k in names)
+    missing_required = sorted(k for k in req_names if k not in names)
 
     unexpected: list = []
     ap = root.additional_properties
+    declared = {str(k) for k in (root.properties or ())}
     if ap is False:
-        declared = set(root.properties or ())
         pattern_res = [r for r, _ in (root.pattern_props_re or [])]
         unexpected = sorted(
             n for n in names
             if n not in declared and not any(r.search(n) for r in pattern_res)
         )
     elif isinstance(ap, SchemaNode):
-        declared = set(root.properties or ())
         pattern_res = [r for r, _ in (root.pattern_props_re or [])]
         for n in sorted(names):
             if n not in declared and not any(r.search(n) for r in pattern_res):
@@ -1218,6 +1314,11 @@ def compile_table_plan(
             cp.checks = [_build_struct_check(node, field_type, f"/{name}", compiled)]
             plans.append(cp)
             continue
+        if _is_list_of_struct_plan(node, field_type, compiled):
+            cp.checks = _build_list_of_struct_checks(node, field_type,
+                                                     f"/{name}", compiled)
+            plans.append(cp)
+            continue
         is_nested_col = (
             pa.types.is_list(field_type)
             or pa.types.is_large_list(field_type)
@@ -1257,25 +1358,55 @@ def compile_table_plan(
 # ----------------------------------------------------------------------
 
 
+#: scalar map-chain group ranks at the ROOT level (generic keywords run
+#: first — scalar._validate order — then the map chain size→keys→required→
+#: property_names→dependencies→all_properties, then the custom validator)
+_ROOT_RANKS = {
+    "enum": 0, "not": 1, "all_of": 2, "any_of": 3, "one_of": 4, "const": 5,
+    "if": 6, "min_properties": 7, "max_properties": 7, "keys": 8,
+    "required": 9, "property_names": 10, "dependencies": 11,
+}
+_ROOT_PROPS_RANK = 12   # the all_properties group (every column check)
+_ROOT_CUSTOM_RANK = 13  # table-level custom validators
+
+#: per-VALUE keyword-chain group ranks (scalar chain order: type, then the
+#: generic group, then the matched type's keyword chain)
+_COLUMN_RANKS = {
+    "type": -1,
+    "enum": 0, "not": 1, "all_of": 2, "any_of": 3, "one_of": 4, "const": 5,
+    "if": 6, "ref": 0,
+    "minimum": 7, "min_length": 7, "min_items": 7, "properties": 7,
+    "maximum": 8, "max_length": 8, "max_items": 8,
+    "exclusive_maximum": 9, "pattern": 9, "unique_items": 9,
+    "exclusive_minimum": 10, "format": 10, "items": 10,
+    "additional_items": 10, "multiple_of": 11, "contains": 11,
+}
+
+
 def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
     """Evaluate one Arrow batch.  Returns ``(valid_mask, violations)`` where
     ``violations`` is a list of :class:`CheckViolations` (columnar).
 
     Fail modes affect VIOLATION completeness, never the per-row verdict
-    (behaviour.ex:36): every check always runs so ``valid_mask`` is exact;
-    ``'immediately'`` then trims the output to one violation per row,
-    ``'early'``/``'finally'`` keep everything the vector layer collected
-    (the vector layer's collection corresponds to the reference's
-    ``:finally`` completeness — per-keyword-group short-circuiting would
-    defeat vectorization; scalar paths inside remain mode-exact).
+    (behaviour.ex:36): every check always runs so ``valid_mask`` is exact,
+    then the collected set is trimmed per mode — ``'finally'`` keeps
+    everything, ``'early'`` keeps per row only the FIRST failing keyword
+    group at each level (the reference's ``with``-chain short-circuit,
+    behaviour.ex:85-108 / opt_fail_test.exs), ``'immediately'`` keeps one
+    violation per row.  Interiors of struct columns collect fully under
+    ``'early'`` (documented superset; verdicts exact).
     """
     n = tbl.num_rows
     valid = np.ones(n, dtype=bool)
-    out: list = []
+    tagged: list = []  # (scope, rank, CheckViolations); scope "" = root
 
-    def add(rows: np.ndarray, keyword: str, paths, message: str):
+    def add(rows: np.ndarray, keyword: str, paths, message: str,
+            scope: str = "", rank: Optional[int] = None):
         if len(rows):
-            out.append(CheckViolations(rows, keyword, paths, message))
+            if rank is None:
+                table = _ROOT_RANKS if scope == "" else _COLUMN_RANKS
+                rank = table.get(keyword, _ROOT_PROPS_RANK if scope == "" else 7)
+            tagged.append((scope, rank, CheckViolations(rows, keyword, paths, message)))
 
     for col_name in plan.missing_required:
         valid[:] = False
@@ -1283,11 +1414,19 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
             f"/{col_name}", f"required column {col_name!r} missing from table")
 
     for col_name in plan.unexpected_columns:
-        valid[:] = False
         kw = "property_names" if col_name.startswith("property_names:") else "additional_properties"
         cname = col_name.split(":", 1)[-1]
-        add(np.arange(n, dtype=np.int64), kw, f"/{cname}",
-            f"column {cname!r} not allowed by schema")
+        # a null cell means the property is ABSENT in that row — only rows
+        # actually carrying the unexpected property are invalid
+        if cname in tbl.column_names:
+            present = _np_bool(pc.is_valid(tbl[cname]))
+        else:
+            present = np.ones(n, dtype=bool)
+        valid &= ~present
+        rank = (_ROOT_RANKS["property_names"] if kw == "property_names"
+                else _ROOT_PROPS_RANK)
+        add(np.nonzero(present)[0].astype(np.int64), kw, f"/{cname}",
+            f"column {cname!r} not allowed by schema", rank=rank)
 
     for col_name in plan.required:
         nulls = _np_bool(pc.is_null(tbl[col_name]))
@@ -1304,21 +1443,23 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
             col = col.combine_chunks()
         for chk in cp.checks:
             res = chk.fn(col, tbl)
+            chk_rank = _COLUMN_RANKS.get(chk.keyword, 7)
             if isinstance(res, tuple):
                 ok, elem_viol = res[0], res[1]
                 valid &= ok
                 if elem_viol is not None:
-                    if isinstance(elem_viol, list):
-                        out.extend(elem_viol)
-                    else:
-                        out.append(elem_viol)
+                    # element violations belong to the CONTAINING group
+                    evs = elem_viol if isinstance(elem_viol, list) else [elem_viol]
+                    tagged.extend((cp.name, chk_rank, cv) for cv in evs)
             else:
                 ok = res
                 valid &= ok
                 bad = np.nonzero(~ok)[0].astype(np.int64)
-                add(bad, chk.keyword, chk.path, chk.message)
+                add(bad, chk.keyword, chk.path, chk.message, scope=cp.name,
+                    rank=chk_rank)
         if cp.fallback_node is not None:
             # slow path: per-row scalar validation of this column only
+            # (mode-exact collection by construction)
             schema_ctx = cp.fallback_compiled or CompiledSchema(root=cp.fallback_node)
             ctx = CompiledSchema(root=cp.fallback_node, refs=schema_ctx.refs)
             pylist = col.to_pylist()
@@ -1330,12 +1471,15 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
                     valid[i] = False
                     for vv in viols:
                         add(np.array([i], dtype=np.int64), vv.keyword,
-                            f"/{cp.name}{vv.path}", vv.message)
+                            f"/{cp.name}{vv.path}", vv.message,
+                            scope=cp.name, rank=_COLUMN_RANKS.get(vv.keyword, 7))
 
     for tc in plan.root_checks + plan.table_checks:
         ok = _np_bool(tc.fn(tbl))
         valid &= ok
-        add(np.nonzero(~ok)[0].astype(np.int64), tc.keyword, tc.path, tc.message)
+        rank = _ROOT_RANKS.get(tc.keyword, _ROOT_CUSTOM_RANK)
+        add(np.nonzero(~ok)[0].astype(np.int64), tc.keyword, tc.path,
+            tc.message, rank=rank)
 
     if plan.root_fallback is not None:
         # residual map-level keywords (combinators/const/enum/schema-form
@@ -1348,12 +1492,50 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
                 valid[i] = False
                 for vv in viols:
                     add(np.array([i], dtype=np.int64), vv.keyword,
-                        vv.path or "/", vv.message)
+                        vv.path or "/", vv.message,
+                        rank=_ROOT_RANKS.get(vv.keyword, _ROOT_PROPS_RANK))
 
-    if fail == "immediately":
-        out = _first_violation_per_row(out)
-
+    if fail == "early":
+        out = _early_trim(tagged, n)
+    elif fail == "immediately":
+        out = _first_violation_per_row([cv for _, _, cv in tagged])
+    else:
+        out = [cv for _, _, cv in tagged]
     return valid, out
+
+
+def _early_trim(tagged: list, n: int) -> list:
+    """Reference ``fail: :early`` collection: per row keep only the first
+    failing group of the root chain; within the properties group, per
+    column keep only that column's first failing group (whole groups are
+    collected, unlike ':immediately')."""
+    if not tagged:
+        return []
+    NO = np.iinfo(np.int32).max
+    root_min = np.full(n, NO, dtype=np.int32)
+    for scope, rank, cv in tagged:
+        r = rank if scope == "" else _ROOT_PROPS_RANK
+        np.minimum.at(root_min, cv.row_idx, r)
+    col_min: dict = {}
+    for scope, rank, cv in tagged:
+        if scope == "":
+            continue
+        m = col_min.setdefault(scope, np.full(n, NO, dtype=np.int32))
+        np.minimum.at(m, cv.row_idx, rank)
+    out = []
+    for scope, rank, cv in tagged:
+        if scope == "":
+            keep = root_min[cv.row_idx] == rank
+        else:
+            keep = (root_min[cv.row_idx] == _ROOT_PROPS_RANK) & \
+                   (col_min[scope][cv.row_idx] == rank)
+        if keep.all():
+            out.append(cv)
+        elif keep.any():
+            paths = cv.paths[keep] if isinstance(cv.paths, np.ndarray) else cv.paths
+            out.append(CheckViolations(cv.row_idx[keep], cv.keyword, paths,
+                                       cv.message))
+    return out
 
 
 def _first_violation_per_row(violations: list) -> list:

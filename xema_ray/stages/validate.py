@@ -47,7 +47,7 @@ class SchemaValidator:
     all resolved once per actor.
     """
 
-    def __init__(self, compiled: CompiledSchema, fail: str = "early",
+    def __init__(self, compiled: CompiledSchema, fail: str = "finally",
                  table_checks: Optional[list] = None, keep_details: bool = True):
         self.compiled = compiled
         self.fail = fail
@@ -187,7 +187,7 @@ class ValidationResult:
 def validate_dataset(
     ds,
     schema: CompiledSchema,
-    fail: str = "early",
+    fail: str = "finally",
     id_col: Optional[str] = None,
     table_checks: Optional[list] = None,
     keep_details: bool = True,

@@ -217,7 +217,7 @@ def run_validation(
     out_dir: str,
     compiled=None,
     table_checks=None,
-    fail: str = "early",
+    fail: str = "finally",
     id_col: str = "doc_id",
     batch_rows: int = 16384,
     with_checks: bool = False,
