@@ -28,6 +28,7 @@ from xema_ray.functions.cast import CastError, cast, cast_value
 from xema_ray.functions.errors import ValidationError, format_violations, validate_or_raise
 from xema_ray.functions.messages import elixir_inspect, format_error, validation_message, validation_reason
 from xema_ray.stages.validate import validate_dataset, ValidationResult
+from xema_ray.schema.declarative import SchemaModule, Struct, field, xema
 
 __version__ = "0.1.0"
 
@@ -51,5 +52,9 @@ __all__ = [
     "format_error",
     "elixir_inspect",
     "validate_dataset",
+    "SchemaModule",
+    "Struct",
+    "field",
+    "xema",
     "ValidationResult",
 ]

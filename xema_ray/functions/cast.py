@@ -360,13 +360,15 @@ def _cast_struct(module: Optional[str], v, path):
             except ValueError:
                 raise err(module) from None
         raise err(module)
-    # user struct: tagged dict
-    if isinstance(v, dict):
-        out = dict(v)
-        out["__struct__"] = module
-        return out
-    if _is_keyword_list(v):
-        out = dict(v)
+    # user struct: tagged dict with ATOM field keys (castable Map.fields →
+    # cast_key(:atoms) → struct!, helper.ex:69-89)
+    if isinstance(v, dict) or _is_keyword_list(v):
+        items = v.items() if isinstance(v, dict) else v
+        out = {}
+        for k, val in items:
+            if k == "__struct__":
+                continue
+            out[_cast_key("atoms", k, path, v)] = val
         out["__struct__"] = module
         return out
     raise err(module)
@@ -530,12 +532,18 @@ def _add_defaults_kw(node: SchemaNode, data: list) -> list:
 
 
 def _add_defaults(node: SchemaNode, data: dict) -> dict:
-    """Fill missing properties with defaults (value or callable,
-    xema.ex:1021-1069)."""
+    """Fill missing properties with defaults (value or callable).  The
+    presence check looks for BOTH key kinds — merge_defaults probes
+    ``Map.get(acc, key)`` AND ``Map.get(acc, to_string(key))``
+    (xema.ex:1055-1060), so a string-keyed value blocks an atom-keyed
+    default."""
     if not node.properties:
         return data
     for key, sub in node.properties.items():
-        if sub.default is UNSET or key in data:
+        if sub.default is UNSET:
+            continue
+        alt = str(key) if isinstance(key, Atom) else Atom(key, register=False)
+        if key in data or alt in data:
             continue
         d = sub.default
         data[key] = d() if callable(d) else d
