@@ -233,3 +233,15 @@ def test_verify_pairs_distributed_no_full_scan(docs_ds):
     for (a, b), j in got.items():
         assert abs(j - ngram_jaccard(texts[a], texts[b])) < 1e-6
     assert ("d000", "x000") in got and ("d002", "u000") not in got
+
+
+def test_minhash_sig_sample_keeps_recall(docs_ds):
+    """r2 scale knob: shipping a 32-slot signature sample (4x smaller
+    shuffle rider) still finds every exact and near duplicate."""
+    from xema_ray.stages.dedup import minhash_lsh_pairs
+
+    ds, pdf = docs_ds
+    pairs = minhash_lsh_pairs(ds, threshold=0.6, sig_sample=32).take_all()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    for i in range(10):  # exact dups planted as d### vs x###
+        assert (f"d{i:03d}", f"x{i:03d}") in found, f"missed exact dup {i}"
