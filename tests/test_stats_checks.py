@@ -134,3 +134,19 @@ def test_duplicate_values_auto_picks_groupby(ds, con):
            duplicate_values(ds, "doc_id", strategy="auto",
                             auto_driver_limit=0).take_all()}
     assert got == want
+
+
+def test_column_stats_tree_strategy_matches_driver(ds, con):
+    """r2: the tree-reduce cluster path folds partials distributed and
+    produces identical stats to the driver merge."""
+    from xema_ray.stages.checks import capture_reference
+    from xema_ray.stages.stats import column_stats, grouped_length_histograms
+
+    a = column_stats(ds, columns=["n_tok"], strategy="driver")
+    b = column_stats(ds, columns=["n_tok"], strategy="tree")
+    assert a == b
+    ha = grouped_length_histograms(ds, strategy="driver")
+    hb = grouped_length_histograms(ds, strategy="tree")
+    assert sorted(ha) == sorted(hb)
+    for k in ha:
+        assert (ha[k].counts == hb[k].counts).all()

@@ -94,17 +94,72 @@ class _StatsPartials:
         })
 
 
-def column_stats(ds, columns: Optional[list] = None, hll_p: int = 14) -> dict:
+def _merge_stats_block(tbl: pa.Table) -> pa.Table:
+    """Associative in-block fold of partial-stats rows: one surviving row
+    per column (the tree-reduce combiner — counts/sums add, min/max fold,
+    HLL bytes OR-merge)."""
+    agg: dict = {}
+    for row in tbl.to_pylist():
+        c = row["column"]
+        s = agg.setdefault(c, {"count": 0, "nulls": 0, "min": None,
+                               "max": None, "sum": None, "hll": None})
+        s["count"] += row["count"]
+        s["nulls"] += row["nulls"]
+        mn, mx = json.loads(row["min"]), json.loads(row["max"])
+        if mn is not None:
+            s["min"] = mn if s["min"] is None else min(s["min"], mn)
+        if mx is not None:
+            s["max"] = mx if s["max"] is None else max(s["max"], mx)
+        if row["sum"] is not None:
+            s["sum"] = row["sum"] + (s["sum"] or 0.0)
+        if row["hll"] is not None:
+            h = HyperLogLog.from_bytes(row["hll"])
+            if s["hll"] is None:
+                s["hll"] = h
+            else:
+                s["hll"].merge(h)
+    cols = sorted(agg)
+    return pa.table({
+        "column": pa.array(cols, type=pa.string()),
+        "count": pa.array([agg[c]["count"] for c in cols], type=pa.int64()),
+        "nulls": pa.array([agg[c]["nulls"] for c in cols], type=pa.int64()),
+        "min": pa.array([json.dumps(agg[c]["min"]) for c in cols], type=pa.string()),
+        "max": pa.array([json.dumps(agg[c]["max"]) for c in cols], type=pa.string()),
+        "sum": pa.array([agg[c]["sum"] for c in cols], type=pa.float64()),
+        "hll": pa.array([None if agg[c]["hll"] is None else agg[c]["hll"].to_bytes()
+                         for c in cols], type=pa.binary()),
+    })
+
+
+def column_stats(ds, columns: Optional[list] = None, hll_p: int = 14,
+                 strategy: str = "auto",
+                 tree_threshold: int = 65536) -> dict:
     """Full-corpus per-column stats in one streaming pass.
 
     Returns ``{column: {count, nulls, null_rate, min, max, mean, distinct}}``.
-    The driver merges one tiny partial row per (batch × column) — no shuffle.
+    ``strategy='driver'`` merges one tiny partial row per (batch × column)
+    on the driver — right for single-node block counts.  ``'tree'`` first
+    folds partials INSIDE ~2·cpus repartitioned blocks (associative
+    combiner, distributed), so the driver sees a bounded row count — the
+    cluster path: at 10^6+ blocks the driver merge is a many-million-row
+    single-threaded reduce dragging a 16 KB HLL per row (r1 verdict).
+    ``'auto'`` picks tree above ``tree_threshold`` partial rows.
     """
     if columns is None:
         columns = [f.name for f in ds.schema().base_schema]
-    partials = ds.map_batches(
+    partials_ds = ds.map_batches(
         _StatsPartials(columns, hll_p), batch_format="pyarrow"
-    ).take_all()
+    )
+    if strategy == "auto":
+        partials_ds = partials_ds.materialize()
+        strategy = "driver" if partials_ds.count() <= tree_threshold else "tree"
+    if strategy == "tree":
+        import ray
+
+        fanin = max(2, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        partials_ds = partials_ds.repartition(fanin).map_batches(
+            lambda t: _merge_stats_block(t), batch_format="pyarrow")
+    partials = partials_ds.take_all()
 
     out: dict = {}
     hlls: dict = {}
@@ -185,21 +240,53 @@ class _GroupedHistPartials:
         })
 
 
+def _merge_hist_block(tbl: pa.Table) -> pa.Table:
+    """In-block fold of histogram-partial rows (tree-reduce combiner)."""
+    agg: dict = {}
+    ns: dict = {}
+    for row in tbl.to_pylist():
+        c = np.asarray(row["counts"], dtype=np.int64)
+        if row["key"] in agg:
+            agg[row["key"]] += c
+        else:
+            agg[row["key"]] = c
+        ns[row["key"]] = ns.get(row["key"], 0) + row["n"]
+    keys = sorted(agg)
+    return pa.table({
+        "key": pa.array(keys, type=pa.string()),
+        "counts": pa.array([agg[k].tolist() for k in keys],
+                           type=pa.list_(pa.int64())),
+        "n": pa.array([ns[k] for k in keys], type=pa.int64()),
+    })
+
+
 def grouped_length_histograms(
-    ds, key: str = "source", list_col: str = "tokens", edges: Optional[np.ndarray] = None
+    ds, key: str = "source", list_col: str = "tokens",
+    edges: Optional[np.ndarray] = None, strategy: str = "auto",
+    tree_threshold: int = 65536,
 ) -> dict:
     """Token-length histogram per ``key`` value → ``{key: Histogram}``.
 
-    Pre-aggregated per batch (partials), so the skewed groupby shuffles only
-    sketch rows (SURVEY.md §4 skew note).
+    Pre-aggregated per batch (partials); above ``tree_threshold`` partial
+    rows an in-block associative fold runs distributed first (the cluster
+    path — same rationale as :func:`column_stats`).
     """
     if edges is None:
         edges = Histogram.log_bins().edges
-    partials = ds.map_batches(
+    partials_ds = ds.map_batches(
         _GroupedHistPartials(key, list_col, edges), batch_format="pyarrow"
-    ).take_all()
+    )
+    if strategy == "auto":
+        partials_ds = partials_ds.materialize()
+        strategy = "driver" if partials_ds.count() <= tree_threshold else "tree"
+    if strategy == "tree":
+        import ray
+
+        fanin = max(2, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        partials_ds = partials_ds.repartition(fanin).map_batches(
+            lambda t: _merge_hist_block(t), batch_format="pyarrow")
     merged: dict = {}
-    for row in partials:
+    for row in partials_ds.take_all():
         h = merged.setdefault(row["key"], Histogram(edges))
         h.counts += np.asarray(row["counts"], dtype=np.int64)
     return merged
