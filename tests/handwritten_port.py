@@ -543,16 +543,37 @@ def extract_file(path: str):
                 while not (toks[j].kind == "kw" and toks[j].val == "do"):
                     j += 1
                 be = _find_do_end(toks, j)
-                # `test "...", %{setup_name: alias} do` — rebind aliases
+                # `test "...", %{setup_name: alias} do` — rebind aliases;
+                # nested one-level destructure %{invalid: %{multi: data}}
+                # binds `data` to setup["invalid"][:multi] (opt_fail_test)
                 tschemas = dict(schemas)
                 hp = P(toks[:j], i + 2)
                 while hp.i < j:
                     tok = hp.peek()
-                    if tok.kind == "kwkey" and hp.peek(1) is not None and \
-                            hp.peek(1).kind == "ident":
-                        if tok.val in schemas:
-                            tschemas[hp.peek(1).val] = schemas[tok.val]
-                        hp.next()
+                    if tok.kind == "kwkey" and hp.peek(1) is not None:
+                        nxt = hp.peek(1)
+                        if nxt.kind == "ident":
+                            if tok.val in schemas:
+                                tschemas[nxt.val] = schemas[tok.val]
+                            hp.next()
+                        elif nxt.kind == "punct" and nxt.val == "%" and \
+                                hp.peek(2) is not None and \
+                                hp.peek(2).kind == "punct" and hp.peek(2).val == "{":
+                            base = schemas.get(tok.val)
+                            hp.next(); hp.next(); hp.next()
+                            while hp.i < j and not hp.at_punct("}"):
+                                sk = hp.peek()
+                                sv = hp.peek(1)
+                                if sk is not None and sk.kind == "kwkey" and \
+                                        sv is not None and sv.kind == "ident":
+                                    if isinstance(base, dict):
+                                        v = base.get(Atom(sk.val))
+                                        if v is None:
+                                            v = base.get(sk.val)
+                                        if v is not None:
+                                            tschemas[sv.val] = v
+                                    hp.next()
+                                hp.next()
                     hp.next()
                 try:
                     cases.extend(

@@ -118,13 +118,21 @@ def _type_atom(t: str):
 # ----------------------------------------------------------------------
 
 
-def validation_reason(schema, value: Any) -> Optional[dict]:
-    """Reference-shaped reason map for an invalid value, or ``None``."""
+def validation_reason(schema, value: Any, fail: str = "early"):
+    """Reference-shaped reason for an invalid value, or ``None``.
+
+    Fail modes (behaviour.ex:85-108, opt_fail_test.exs): ``immediately``
+    and ``early`` return the FIRST failing keyword group of the chain
+    (immediately additionally keeps only one member inside collecting
+    groups); ``finally`` runs every group and returns the failing group
+    reasons as a list in reverse chain order (a bare map when only one
+    group failed).
+    """
     if isinstance(schema, CompiledSchema):
         compiled, node = schema, schema.root
     else:
         compiled, node = None, schema
-    return _reason(node, value, compiled)
+    return _reason(node, value, compiled, fail)
 
 
 def _deref(node: SchemaNode, compiled):
@@ -137,7 +145,7 @@ def _deref(node: SchemaNode, compiled):
     return node
 
 
-def _reason(node: SchemaNode, value, compiled) -> Optional[dict]:
+def _reason(node: SchemaNode, value, compiled, fail: str = "early"):
     node = _deref(node, compiled)
     if node.bool_schema is True:
         return OK
@@ -157,253 +165,402 @@ def _reason(node: SchemaNode, value, compiled) -> Optional[dict]:
         if matched is None:
             return {"type": [_type_atom(t) for t in types], "value": value}
 
-    r = _generic(node, value, compiled)
-    if r is not None:
-        return r
-    r = _typed(matched, node, value, compiled)
-    if r is not None:
-        return r
-    if node.validator is not None:
-        err = node.validator(value)
-        if err:
-            name = getattr(node.validator, "__name__", "validator")
-            return {"validator": Atom(err if isinstance(err, str) else name),
-                    "value": value}
-    return OK
+    # keyword-chain GROUPS in scalar order: generic first, then the
+    # matched type's chain, then the custom validator.  early/immediately
+    # stop at the first failing group; finally runs them all.
+    groups: list = []
+    for fn in _group_fns(matched, node):
+        r = fn(node, value, compiled, fail)
+        if r is not None:
+            groups.append(r)
+            if fail != "finally":
+                break
+    if not groups:
+        return OK
+    if fail == "finally":
+        return groups[0] if len(groups) == 1 else list(reversed(groups))
+    return groups[0]
 
 
 def _passes(node: SchemaNode, value, compiled) -> bool:
     return _reason(node, value, compiled) is None
 
 
-def _generic(node: SchemaNode, value, compiled) -> Optional[dict]:
-    # chain order mirrors the scalar validator (enum, not, all_of, any_of,
-    # one_of, const, if/then/else)
-    if node.enum is not None:
-        if not any(
-            strict_eq(m, value)
-            or (isinstance(m, (int, float)) and not isinstance(m, bool)
-                and isinstance(value, (int, float)) and not isinstance(value, bool)
-                and m == value)
-            for m in node.enum
-        ):
-            return {"enum": list(node.enum), "value": value}
-    if node.not_ is not None:
-        if _passes(node.not_, value, compiled):
-            return {"not": Atom("ok"), "value": value}
-    if node.all_of:
-        errs = [_reason(s, value, compiled) for s in node.all_of]
-        bad = [e for e in errs if e is not None]
-        if bad:
-            return {"all_of": bad, "value": value}
-    if node.any_of:
-        errs = [_reason(s, value, compiled) for s in node.any_of]
-        bad = [e for e in errs if e is not None]
-        if len(bad) == len(errs):
-            return {"any_of": bad, "value": value}
-    if node.one_of:
-        errs = [_reason(s, value, compiled) for s in node.one_of]
-        okidx = [i for i, e in enumerate(errs) if e is None]
-        if len(okidx) == 0:
-            return {"one_of": ("error", [e for e in errs if e is not None]),
-                    "value": value}
-        if len(okidx) > 1:
-            return {"one_of": ("ok", okidx), "value": value}
-    if node.const is not UNSET:
-        c = node.const
-        if not (strict_eq(c, value) or (
-            isinstance(c, (int, float)) and not isinstance(c, bool)
-            and isinstance(value, (int, float)) and not isinstance(value, bool)
-            and c == value
-        )):
-            return {"const": c, "value": value}
-    if node.if_ is not None:
-        if _passes(node.if_, value, compiled):
-            if node.then is not None:
-                r = _reason(node.then, value, compiled)
-                if r is not None:
-                    return {"then": r}
-        else:
-            if node.else_ is not None:
-                r = _reason(node.else_, value, compiled)
-                if r is not None:
-                    return {"else": r}
+def _group_fns(matched: str, node: SchemaNode) -> list:
+    fns = [_g_enum, _g_not, _g_all_of, _g_any_of, _g_one_of, _g_const, _g_ite]
+    if matched in ("integer", "float", "number"):
+        fns += [_g_minimum, _g_maximum, _g_excl_max, _g_excl_min, _g_multiple_of]
+    elif matched == "string":
+        fns += [_g_min_length, _g_max_length, _g_pattern, _g_format]
+    elif matched in ("list", "tuple"):
+        fns += [_g_min_items, _g_max_items, _g_unique, _g_items, _g_contains]
+    elif matched in ("map", "keyword", "struct"):
+        fns += [_g_module, _g_size, _g_keys, _g_required, _g_property_names,
+                _g_dependencies, _g_all_properties]
+    fns.append(_g_validator)
+    return fns
+
+
+# --- generic groups ----------------------------------------------------
+
+
+def _num_cross_eq(a, b) -> bool:
+    return (isinstance(a, (int, float)) and not isinstance(a, bool)
+            and isinstance(b, (int, float)) and not isinstance(b, bool)
+            and a == b)
+
+
+def _g_enum(node, value, compiled, fail):
+    if node.enum is None:
+        return OK
+    if any(strict_eq(m, value) or _num_cross_eq(m, value) for m in node.enum):
+        return OK
+    return {"enum": list(node.enum), "value": value}
+
+
+def _g_not(node, value, compiled, fail):
+    if node.not_ is None or not _passes(node.not_, value, compiled):
+        return OK
+    return {"not": Atom("ok"), "value": value}
+
+
+def _g_all_of(node, value, compiled, fail):
+    if not node.all_of:
+        return OK
+    errs = [_reason(s, value, compiled, fail) for s in node.all_of]
+    bad = [e for e in errs if e is not None]
+    return {"all_of": bad, "value": value} if bad else OK
+
+
+def _g_any_of(node, value, compiled, fail):
+    if not node.any_of:
+        return OK
+    errs = [_reason(s, value, compiled, fail) for s in node.any_of]
+    bad = [e for e in errs if e is not None]
+    if len(bad) == len(errs):
+        return {"any_of": bad, "value": value}
     return OK
 
 
-def _typed(t: str, node: SchemaNode, value, compiled) -> Optional[dict]:
-    if t in ("integer", "float", "number"):
-        return _number(node, value)
-    if t == "string":
-        return _string(node, value)
-    if t in ("list", "tuple"):
-        return _list(node, list(value), compiled, value)
-    if t == "keyword":
-        return _map(node, dict(value), compiled, orig=value)
-    if t == "map" or t == "struct":
-        if t == "struct" and node.module is not None:
-            mod = value.get("__struct__") if isinstance(value, dict) else None
-            if mod != node.module:
-                return {"module": Atom(node.module), "value": value}
-        if isinstance(value, dict):
-            return _map(node, value, compiled)
+def _g_one_of(node, value, compiled, fail):
+    if not node.one_of:
+        return OK
+    errs = [_reason(s, value, compiled, fail) for s in node.one_of]
+    okidx = [i for i, e in enumerate(errs) if e is None]
+    if len(okidx) == 0:
+        return {"one_of": ("error", [e for e in errs if e is not None]),
+                "value": value}
+    if len(okidx) > 1:
+        return {"one_of": ("ok", okidx), "value": value}
     return OK
 
 
-def _number(node: SchemaNode, v) -> Optional[dict]:
-    if node.minimum is not None:
-        if node.exclusive_minimum is True:
-            if v <= node.minimum:
-                return {"minimum": node.minimum, "exclusive_minimum": True,
-                        "value": v}
-        elif v < node.minimum:
-            return {"minimum": node.minimum, "value": v}
-    if node.maximum is not None:
-        if node.exclusive_maximum is True:
-            if v >= node.maximum:
-                return {"maximum": node.maximum, "exclusive_maximum": True,
-                        "value": v}
-        elif v > node.maximum:
-            return {"maximum": node.maximum, "value": v}
-    if node.exclusive_maximum is not None and not isinstance(node.exclusive_maximum, bool):
-        if v >= node.exclusive_maximum:
-            return {"exclusive_maximum": node.exclusive_maximum, "value": v}
-    if node.exclusive_minimum is not None and not isinstance(node.exclusive_minimum, bool):
-        if v <= node.exclusive_minimum:
-            return {"exclusive_minimum": node.exclusive_minimum, "value": v}
-    if node.multiple_of is not None:
-        m = node.multiple_of
-        if isinstance(v, int) and not isinstance(v, bool) and isinstance(m, int):
-            ok = v % m == 0
-        else:
-            x = v / m
-            ok = x - math.floor(x) == 0
-        if not ok:
-            return {"multiple_of": m, "value": v}
+def _g_const(node, value, compiled, fail):
+    if node.const is UNSET:
+        return OK
+    c = node.const
+    if strict_eq(c, value) or _num_cross_eq(c, value):
+        return OK
+    return {"const": c, "value": value}
+
+
+def _g_ite(node, value, compiled, fail):
+    if node.if_ is None:
+        return OK
+    if _passes(node.if_, value, compiled):
+        if node.then is not None:
+            r = _reason(node.then, value, compiled, fail)
+            if r is not None:
+                return {"then": r}
+    else:
+        if node.else_ is not None:
+            r = _reason(node.else_, value, compiled, fail)
+            if r is not None:
+                return {"else": r}
     return OK
 
 
-def _string(node: SchemaNode, v: str) -> Optional[dict]:
+def _g_validator(node, value, compiled, fail):
+    if node.validator is None:
+        return OK
+    err = node.validator(value)
+    if err:
+        name = getattr(node.validator, "__name__", "validator")
+        return {"validator": Atom(err if isinstance(err, str) else name),
+                "value": value}
+    return OK
+
+
+# --- number groups -----------------------------------------------------
+
+
+def _g_minimum(node, v, compiled, fail):
+    if node.minimum is None:
+        return OK
+    if node.exclusive_minimum is True:
+        if v <= node.minimum:
+            return {"minimum": node.minimum, "exclusive_minimum": True,
+                    "value": v}
+    elif v < node.minimum:
+        return {"minimum": node.minimum, "value": v}
+    return OK
+
+
+def _g_maximum(node, v, compiled, fail):
+    if node.maximum is None:
+        return OK
+    if node.exclusive_maximum is True:
+        if v >= node.maximum:
+            return {"maximum": node.maximum, "exclusive_maximum": True,
+                    "value": v}
+    elif v > node.maximum:
+        return {"maximum": node.maximum, "value": v}
+    return OK
+
+
+def _g_excl_max(node, v, compiled, fail):
+    m = node.exclusive_maximum
+    if m is None or isinstance(m, bool):
+        return OK
+    return {"exclusive_maximum": m, "value": v} if v >= m else OK
+
+
+def _g_excl_min(node, v, compiled, fail):
+    m = node.exclusive_minimum
+    if m is None or isinstance(m, bool):
+        return OK
+    return {"exclusive_minimum": m, "value": v} if v <= m else OK
+
+
+def _g_multiple_of(node, v, compiled, fail):
+    m = node.multiple_of
+    if m is None:
+        return OK
+    if isinstance(v, int) and not isinstance(v, bool) and isinstance(m, int):
+        ok = v % m == 0
+    else:
+        x = v / m
+        ok = x - math.floor(x) == 0
+    return OK if ok else {"multiple_of": m, "value": v}
+
+
+# --- string groups -----------------------------------------------------
+
+
+def _g_min_length(node, v, compiled, fail):
     if node.min_length is not None and grapheme_length(v) < node.min_length:
         return {"min_length": node.min_length, "value": v}
+    return OK
+
+
+def _g_max_length(node, v, compiled, fail):
     if node.max_length is not None and grapheme_length(v) > node.max_length:
         return {"max_length": node.max_length, "value": v}
+    return OK
+
+
+def _g_pattern(node, v, compiled, fail):
     if node.pattern_re is not None and not node.pattern_re.search(v):
         return {"pattern": re.compile(node.pattern), "value": v}
+    return OK
+
+
+def _g_format(node, v, compiled, fail):
     if node.format is not None and not check_format(node.format, v):
         return {"format": Atom(node.format), "value": v}
     return OK
 
 
-def _list(node: SchemaNode, seq: list, compiled, orig) -> Optional[dict]:
-    if node.min_items is not None and len(seq) < node.min_items:
-        return {"min_items": node.min_items, "value": orig}
-    if node.max_items is not None and len(seq) > node.max_items:
-        return {"max_items": node.max_items, "value": orig}
-    if node.unique_items:
-        from xema_ray.functions.scalar import distinct_key
+# --- list groups -------------------------------------------------------
 
-        seen = set()
-        for e in seq:
-            k = distinct_key(e)
-            if k in seen:
-                return {"unique_items": True, "value": orig}
-            seen.add(k)
-    if node.items is not None:
-        out = []
-        if isinstance(node.items, list):
-            for i, item in enumerate(seq):
-                if i < len(node.items):
-                    r = _reason(node.items[i], item, compiled)
-                    if r is not None:
-                        out.append((i, r))
-                elif node.additional_items is False:
-                    out.append((i, {"additional_items": False}))
-                elif isinstance(node.additional_items, SchemaNode):
-                    r = _reason(node.additional_items, item, compiled)
-                    if r is not None:
-                        out.append((i, r))
-        else:
-            sub = node.items
-            if sub.bool_schema is False and seq:
-                return {"type": False, "value": orig}
-            if sub.bool_schema is None:
-                for i, item in enumerate(seq):
-                    r = _reason(sub, item, compiled)
-                    if r is not None:
-                        out.append((i, r))
-        if out:
-            return {"items": out}
-    if node.contains is not None:
-        if not any(_passes(node.contains, e, compiled) for e in seq):
-            fails = [(i, _reason(node.contains, e, compiled))
-                     for i, e in enumerate(seq)]
-            return {"contains": [(i, r) for i, r in fails if r is not None],
-                    "value": orig}
+
+def _g_min_items(node, v, compiled, fail):
+    seq = list(v)
+    if node.min_items is not None and len(seq) < node.min_items:
+        return {"min_items": node.min_items, "value": v}
     return OK
 
 
-def _map(node: SchemaNode, v: dict, compiled, orig=None) -> Optional[dict]:
-    orig = v if orig is None else orig
-    n = len(v)
-    if node.min_properties is not None and n < node.min_properties:
-        return {"min_properties": node.min_properties, "value": orig}
-    if node.max_properties is not None and n > node.max_properties:
-        return {"max_properties": node.max_properties, "value": orig}
-    if node.keys == "atoms" and any(not isinstance(k, Atom) for k in v):
-        return {"keys": Atom("atoms"), "value": orig}
-    if node.keys == "strings" and any(
-        not isinstance(k, str) or isinstance(k, Atom) for k in v
-    ):
-        return {"keys": Atom("strings"), "value": orig}
-    if node.required is not None:
-        missing = [k for k in node.required if k not in v]
-        if missing:
-            return {"required": sorted(missing, key=_term_order)}
-    if node.property_names is not None:
-        bad = []
-        for key in v:
-            name = str(key)
-            r = _reason(node.property_names, name, compiled)
-            if r is not None:
-                bad.append((key, r))
-        if bad:
-            return {"property_names": sorted(bad, key=lambda kv: _term_order(kv[0])),
-                    "value": sorted(v.keys(), key=_term_order)}
-    if node.dependencies is not None:
-        deps = {}
-        for key, dep in node.dependencies.items():
-            if key not in v:
-                continue
-            if isinstance(dep, list):
-                for d in dep:
-                    if d not in v:
-                        deps[key] = d
-            else:
-                r = _reason(dep, orig if _is_keyword_list(orig) else v, compiled)
+def _g_max_items(node, v, compiled, fail):
+    seq = list(v)
+    if node.max_items is not None and len(seq) > node.max_items:
+        return {"max_items": node.max_items, "value": v}
+    return OK
+
+
+def _g_unique(node, v, compiled, fail):
+    if not node.unique_items:
+        return OK
+    from xema_ray.functions.scalar import distinct_key
+
+    seen = set()
+    for e in list(v):
+        k = distinct_key(e)
+        if k in seen:
+            return {"unique_items": True, "value": v}
+        seen.add(k)
+    return OK
+
+
+def _g_items(node, v, compiled, fail):
+    if node.items is None:
+        return OK
+    seq = list(v)
+    out = []
+    if isinstance(node.items, list):
+        for i, item in enumerate(seq):
+            if i < len(node.items):
+                r = _reason(node.items[i], item, compiled, fail)
                 if r is not None:
-                    deps[key] = r
-        if deps:
-            return {"dependencies": deps}
-    # patterns → properties → additionals, all collected per key
+                    out.append((i, r))
+            elif node.additional_items is False:
+                out.append((i, {"additional_items": False}))
+            elif isinstance(node.additional_items, SchemaNode):
+                r = _reason(node.additional_items, item, compiled, fail)
+                if r is not None:
+                    out.append((i, r))
+            if out and fail == "immediately":
+                break
+    else:
+        sub = node.items
+        if sub.bool_schema is False and seq:
+            return {"type": False, "value": v}
+        if sub.bool_schema is None:
+            for i, item in enumerate(seq):
+                r = _reason(sub, item, compiled, fail)
+                if r is not None:
+                    out.append((i, r))
+                    if fail == "immediately":
+                        break
+    return {"items": out} if out else OK
+
+
+def _g_contains(node, v, compiled, fail):
+    if node.contains is None:
+        return OK
+    seq = list(v)
+    if any(_passes(node.contains, e, compiled) for e in seq):
+        return OK
+    fails = [(i, _reason(node.contains, e, compiled, fail))
+             for i, e in enumerate(seq)]
+    return {"contains": [(i, r) for i, r in fails if r is not None],
+            "value": v}
+
+
+# --- map groups --------------------------------------------------------
+
+
+def _as_map(v):
+    return dict(v) if _is_keyword_list(v) else v
+
+
+def _g_module(node, v, compiled, fail):
+    if node.module is None:
+        return OK
+    mod = v.get("__struct__") if isinstance(v, dict) else None
+    if mod != node.module:
+        return {"module": Atom(node.module), "value": v}
+    return OK
+
+
+def _g_size(node, v, compiled, fail):
+    m = _as_map(v)
+    if not isinstance(m, dict):
+        return OK
+    n = len(m)
+    if node.min_properties is not None and n < node.min_properties:
+        return {"min_properties": node.min_properties, "value": v}
+    if node.max_properties is not None and n > node.max_properties:
+        return {"max_properties": node.max_properties, "value": v}
+    return OK
+
+
+def _g_keys(node, v, compiled, fail):
+    m = _as_map(v)
+    if not isinstance(m, dict) or node.keys is None:
+        return OK
+    if node.keys == "atoms" and any(not isinstance(k, Atom) for k in m):
+        return {"keys": Atom("atoms"), "value": v}
+    if node.keys == "strings" and any(
+        not isinstance(k, str) or isinstance(k, Atom) for k in m
+    ):
+        return {"keys": Atom("strings"), "value": v}
+    return OK
+
+
+def _g_required(node, v, compiled, fail):
+    m = _as_map(v)
+    if not isinstance(m, dict) or node.required is None:
+        return OK
+    missing = [k for k in node.required if k not in m]
+    if missing:
+        return {"required": sorted(missing, key=_term_order)}
+    return OK
+
+
+def _g_property_names(node, v, compiled, fail):
+    m = _as_map(v)
+    if not isinstance(m, dict) or node.property_names is None:
+        return OK
+    bad = []
+    for key in m:
+        r = _reason(node.property_names, str(key), compiled, fail)
+        if r is not None:
+            bad.append((key, r))
+    if bad:
+        return {"property_names": sorted(bad, key=lambda kv: _term_order(kv[0])),
+                "value": sorted(m.keys(), key=_term_order)}
+    return OK
+
+
+def _g_dependencies(node, v, compiled, fail):
+    m = _as_map(v)
+    if not isinstance(m, dict) or node.dependencies is None:
+        return OK
+    deps = {}
+    for key, dep in node.dependencies.items():
+        if key not in m:
+            continue
+        if isinstance(dep, list):
+            for d in dep:
+                if d not in m:
+                    deps[key] = d
+        else:
+            r = _reason(dep, v if _is_keyword_list(v) else m, compiled, fail)
+            if r is not None:
+                deps[key] = r
+    return {"dependencies": deps} if deps else OK
+
+
+def _g_all_properties(node, v, compiled, fail):
+    m = _as_map(v)
+    if not isinstance(m, dict):
+        return OK
     props: dict = {}
     declared = node.properties or {}
     pattern_res = node.pattern_props_re or []
-    for key, sub in declared.items():
-        if key not in v:
-            continue
-        r = _reason(sub, v[key], compiled)
-        if r is not None:
-            props[key] = r
+    # phase order mirrors all_properties (validator.ex:798-803): patterns
+    # BEFORE properties — under :immediately the first failing phase wins
+    pattern_fails: dict = {}
     for regex, sub in pattern_res:
-        for key in v:
+        for key in m:
             if isinstance(key, str) and regex.search(str(key)):
-                r = _reason(sub, v[key], compiled)
-                if r is not None and key not in props:
-                    props[key] = r
+                r = _reason(sub, m[key], compiled, fail)
+                if r is not None and key not in pattern_fails:
+                    pattern_fails[key] = r
+    if fail == "immediately" and pattern_fails:
+        first = sorted(pattern_fails.items(), key=lambda kv: _term_order(kv[0]))[0]
+        return {"properties": dict([first])}
+    props.update(pattern_fails)
+    for key, sub in declared.items():
+        if key not in m:
+            continue
+        r = _reason(sub, m[key], compiled, fail)
+        if r is not None and key not in props:
+            props[key] = r
     ap = node.additional_properties
     if ap is not None and ap is not True and ap != "delete":
-        for key in v:
+        for key in m:
             if key == "__struct__":
                 continue
             if any(key == d for d in declared):
@@ -414,13 +571,15 @@ def _map(node: SchemaNode, v: dict, compiled, orig=None) -> Optional[dict]:
             if ap is False:
                 props[key] = {"additional_properties": False}
             else:
-                r = _reason(ap, v[key], compiled)
+                r = _reason(ap, m[key], compiled, fail)
                 if r is not None:
                     props[key] = r
-    if props:
-        return {"properties": dict(
-            sorted(props.items(), key=lambda kv: _term_order(kv[0])))}
-    return OK
+    if not props:
+        return OK
+    items = sorted(props.items(), key=lambda kv: _term_order(kv[0]))
+    if fail == "immediately":
+        items = items[:1]
+    return {"properties": dict(items)}
 
 
 # ----------------------------------------------------------------------
@@ -428,14 +587,22 @@ def _map(node: SchemaNode, v: dict, compiled, orig=None) -> Optional[dict]:
 # ----------------------------------------------------------------------
 
 
-def format_error(reason: dict) -> str:
+def format_error(reason) -> str:
+    """Render a reason (map, or the finally-mode LIST of group reasons) —
+    list reasons print in reverse list order, matching travers_errors'
+    accumulate-and-reverse mechanics."""
+    if isinstance(reason, list):
+        lines: list = []
+        for item in reversed(reason):
+            lines += _travers(item, [])
+        return "\n".join(lines)
     return "\n".join(_travers(reason, []))
 
 
-def validation_message(schema, value: Any) -> Optional[str]:
+def validation_message(schema, value: Any, fail: str = "early") -> Optional[str]:
     """The reference's ``Exception.message`` for validating ``value``, or
     ``None`` when valid."""
-    r = validation_reason(schema, value)
+    r = validation_reason(schema, value, fail=fail)
     return None if r is None else format_error(r)
 
 
