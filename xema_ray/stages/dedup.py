@@ -199,6 +199,51 @@ class MinHashStage:
         })
 
 
+_N_COARSE = 64  # coarse hash partitions; scale with cluster size
+
+
+def _coarse_groupby(rows, key_cols: list, block_fn, n_buckets: int = _N_COARSE):
+    """Hash the (numeric) group key into ``n_buckets`` coarse partitions
+    and run ``block_fn`` ONCE per partition — it scans every fine group
+    inside (sort + boundary detection).  Identical results to
+    ``groupby(key_cols).map_groups`` because the bucket is a pure function
+    of the key (all rows of a key co-locate); removes the per-tiny-group
+    scheduling overhead that dominated with 10^4-10^5 LSH buckets."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            col = t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = h * np.uint64(1099511628211) ^ col.view(np.uint64)
+        return t.append_column(
+            "_cb", pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
+
+    return rows.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_cb").map_groups(block_fn, batch_format="pandas")
+
+
+def _dedupe_pairs(pairs, keep: list, n_buckets: int = _N_COARSE):
+    """Distributed (doc_a, doc_b) pair dedupe via the same coarse-bucket
+    exchange (duplicates arise only across bands; identical pairs hash to
+    the same bucket)."""
+    from xema_ray.functions.sketches import hash_strings
+
+    cols = ["doc_a", "doc_b"] + keep
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_cb", pa.array([], type=pa.int32()))
+        h = hash_strings([f"{a}\x1f{b}" for a, b in
+                          zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist())])
+        return t.append_column(
+            "_cb", pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
+
+    def drop(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[cols]
+
+    return pairs.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_cb").map_groups(drop, batch_format="pandas")
+
+
 def minhash_lsh_pairs(
     ds,
     col: str = "text",
@@ -225,37 +270,41 @@ def minhash_lsh_pairs(
         batch_format="pyarrow", concurrency=(1, 8),
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        g = group.drop_duplicates("doc_id").head(max_bucket)
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        sigs = np.stack([np.frombuffer(b, dtype=np.uint64) for b in g["sig"]])
-        ids = g["doc_id"].to_numpy()
+    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """All (band, band_hash) buckets that hashed into this COARSE
+        partition, processed in one call (sort + boundary scan) — the
+        per-bucket Ray map_groups overhead dominated wall time with tens
+        of thousands of tiny buckets."""
         out_a, out_b, out_j = [], [], []
-        for i in range(n - 1):
-            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            hit = np.nonzero(agree >= threshold)[0]
-            for j in hit:
-                a, b = ids[i], ids[i + 1 + j]
-                if a == b:
-                    continue
-                if str(a) > str(b):
-                    a, b = b, a
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(float(agree[j]))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "est_jaccard": out_j})
+        g_all = group.sort_values(["band", "band_hash"], kind="stable")
+        keys = (g_all["band"].to_numpy().astype(np.int64) << 48) \
+            ^ g_all["band_hash"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            g = g_all.iloc[s:e].drop_duplicates("doc_id").head(max_bucket)
+            n = len(g)
+            if n < 2:
+                continue
+            sigs = np.stack([np.frombuffer(b, dtype=np.uint64) for b in g["sig"]])
+            ids = g["doc_id"].to_numpy()
+            for i in range(n - 1):
+                agree = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+                for j in np.nonzero(agree >= threshold)[0]:
+                    a, b = ids[i], ids[i + 1 + j]
+                    if a == b:
+                        continue
+                    if str(a) > str(b):
+                        a, b = b, a
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(float(agree[j]))
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                             "est_jaccard": out_j})
 
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # dedupe pairs found in multiple bands
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    pairs = _coarse_groupby(band_rows, ["band", "band_hash"], block_pairs)
+    return _dedupe_pairs(pairs, keep=["est_jaccard"])
 
 
 # ----------------------------------------------------------------------
@@ -307,31 +356,35 @@ def simhash_pairs(ds, col: str = "text", id_col: str = "doc_id",
         batch_format="pyarrow", concurrency=(1, 8),
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").head(max_bucket)
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        sims = g["simhash"].to_numpy().view(np.uint64)
-        ids = g["doc_id"].to_numpy()
+    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_h = [], [], []
-        for i in range(n - 1):
-            d = hamming64(np.full(n - i - 1, sims[i], dtype=np.uint64), sims[i + 1 :])
-            for j in np.nonzero(d <= max_hamming)[0]:
-                a, b = ids[i], ids[i + 1 + j]
-                if a == b:
-                    continue
-                if str(a) > str(b):
-                    a, b = b, a
-                out_a.append(a); out_b.append(b); out_h.append(int(d[j]))
+        g_all = group.sort_values(["band", "band_key"], kind="stable")
+        keys = (g_all["band"].to_numpy().astype(np.int64) << 48) \
+            ^ g_all["band_key"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            g = g_all.iloc[s:e].drop_duplicates("doc_id").head(max_bucket)
+            n = len(g)
+            if n < 2:
+                continue
+            sims = g["simhash"].to_numpy().view(np.uint64)
+            ids = g["doc_id"].to_numpy()
+            for i in range(n - 1):
+                d = hamming64(np.full(n - i - 1, sims[i], dtype=np.uint64),
+                              sims[i + 1:])
+                for j in np.nonzero(d <= max_hamming)[0]:
+                    a, b = ids[i], ids[i + 1 + j]
+                    if a == b:
+                        continue
+                    if str(a) > str(b):
+                        a, b = b, a
+                    out_a.append(a); out_b.append(b); out_h.append(int(d[j]))
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
 
-    pairs = rows.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    pairs = _coarse_groupby(rows, ["band", "band_key"], block_pairs)
+    return _dedupe_pairs(pairs, keep=["hamming"])
 
 
 # ----------------------------------------------------------------------
