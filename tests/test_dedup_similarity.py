@@ -245,3 +245,36 @@ def test_minhash_sig_sample_keeps_recall(docs_ds):
     found = {(r["doc_a"], r["doc_b"]) for r in pairs}
     for i in range(10):  # exact dups planted as d### vs x###
         assert (f"d{i:03d}", f"x{i:03d}") in found, f"missed exact dup {i}"
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF (k-means quantizer + nprobe probing) recall vs exact top-k on a
+    CLUSTERED corpus (IVF's natural regime)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.similarity import ivf_index, kmeans_fit, knn_brute_force, knn_ivf
+
+    rng = np.random.default_rng(8)
+    n_clusters, per, d = 8, 80, 32
+    centers = rng.standard_normal((n_clusters, d)) * 3
+    mat = np.vstack([c + rng.standard_normal((per, d)) for c in centers])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": np.arange(len(mat)),
+        "embedding": [r.tolist() for r in mat],
+    }))
+    cent = kmeans_fit(ds, k=n_clusters, iters=4, seed=1)
+    assert cent.shape == (n_clusters, d)
+    indexed = ivf_index(ds, cent).materialize()
+    # every vector got a list assignment and lists are populated
+    lids = {r["list_id"] for r in indexed.select_columns(["list_id"]).take_all()}
+    assert len(lids) >= n_clusters // 2
+    q = (list(range(4)), mat[:4])
+    exact = knn_brute_force(ds, q, k=5).to_pandas()
+    approx = knn_ivf(indexed, q, cent, k=5, nprobe=3).to_pandas()
+    hits = 0
+    for qid in range(4):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(e & a)
+    assert hits / 20 >= 0.8, f"IVF recall {hits}/20"

@@ -594,6 +594,21 @@ def emb_knn(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+@register("emb_knn_ivf", None,
+          doc="IVF approximate top-k: distributed k-means coarse quantizer "
+              "(broadcast centroids + partial-sum folds, shuffle-free) + "
+              "nprobe inverted-list search (iterative algorithm; rows-only)")
+def emb_knn_ivf(sf_dir: str):
+    from xema_ray.stages.similarity import ivf_index, kmeans_fit, knn_ivf
+
+    base = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = kmeans_fit(base, k=16, iters=3)
+    indexed = ivf_index(base, cent).materialize()
+    queries = _query_vectors(sf_dir)
+    out = knn_ivf(indexed, queries, cent, k=10, nprobe=4)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
 @register("emb_knn_lsh", None,
           doc="LSH-bucketed approximate top-k (scale path; rows-only)")
 def emb_knn_lsh(sf_dir: str):

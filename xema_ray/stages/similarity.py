@@ -291,3 +291,178 @@ def knn_lsh(ds, queries, k: int = 10, n_bits: int = 8, dim: int = 64,
     )
     return knn_brute_force(filtered, (list(qids), qmat), k=k,
                            vec_col=vec_col, id_col=id_col)
+
+
+# ----------------------------------------------------------------------
+# IVF (inverted-file) ANN: distributed k-means coarse quantizer + nprobe
+# ----------------------------------------------------------------------
+
+
+class _KMeansPartial:
+    """Actor: assign each batch row to its nearest centroid and emit the
+    per-centroid (sum, count) partial — one tiny row per batch."""
+
+    def __init__(self, cent_ref, vec_col: str):
+        import ray
+
+        self.cent = ray.get(cent_ref)  # (k, d) normalized, one read/actor
+        self.vec_col = vec_col
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        import pickle
+
+        m = _normalize(_matrix_from_list_col(tbl[self.vec_col]))
+        assign = (m @ self.cent.T).argmax(axis=1)
+        k, d = self.cent.shape
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, assign, m)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        return pa.table({
+            "partial": pa.array([pickle.dumps((sums, counts))], type=pa.binary()),
+        })
+
+
+def kmeans_fit(ds, k: int = 64, iters: int = 5, vec_col: str = "embedding",
+               seed: int = 17, sample: int = 4096, concurrency=(1, 8)):
+    """Distributed Lloyd iterations for the IVF coarse quantizer.
+
+    Shuffle-free: each iteration broadcasts the (k, d) centroid matrix
+    (``ray.put``) and streams the corpus through an assignment +
+    partial-sum stage; the driver folds one tiny (k·d sums, k counts)
+    partial per batch.  Init = spherical k-means on a driver-side sample.
+    Returns the (k, d) L2-normalized centroid matrix.
+    """
+    import pickle
+
+    import ray
+
+    # init from a bounded sample (first `sample` rows — the corpus is
+    # unordered synthetic/shard data; kmeans++ refinement not needed for a
+    # coarse quantizer)
+    head = ds.limit(sample).take_all()
+    mat = _normalize(np.asarray([r[vec_col] for r in head], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    k = min(k, len(mat))
+    cent = mat[rng.choice(len(mat), size=k, replace=False)]
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+        rows = ds.map_batches(
+            _KMeansPartial, fn_constructor_kwargs={"cent_ref": ref,
+                                                   "vec_col": vec_col},
+            batch_format="pyarrow", concurrency=concurrency,
+        ).take_all()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            s, c = pickle.loads(r["partial"])
+            sums += s
+            counts += c
+        nonempty = counts > 0
+        cent[nonempty] = _normalize(sums[nonempty] / counts[nonempty, None])
+        # dead centroids re-seed from the sample (keeps k lists populated)
+        for i in np.nonzero(~nonempty)[0]:
+            cent[i] = mat[rng.integers(len(mat))]
+    return cent
+
+
+def ivf_index(ds, centroids: np.ndarray, vec_col: str = "embedding",
+              concurrency=(1, 8)):
+    """Assign every vector its inverted-list id (argmax-cosine centroid) —
+    the reusable partitioning key for IVF search / clustering exports."""
+    import ray
+
+    ref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self):
+            self.cent = ray.get(ref)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            m = _normalize(_matrix_from_list_col(tbl[vec_col]))
+            lid = (m @ self.cent.T).argmax(axis=1).astype(np.int32)
+            return tbl.append_column("list_id", pa.array(lid, type=pa.int32()))
+
+    return ds.map_batches(Assign, batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
+def knn_ivf(ds, queries, centroids: np.ndarray, k: int = 10, nprobe: int = 4,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            concurrency=(1, 8)):
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    inverted lists; batches compute similarities only for rows whose
+    ``list_id`` is probed by some query (the corpus streams once, no
+    shuffle; candidate volume ≈ nprobe/k_lists of the corpus).
+
+    ``ds`` may be raw (indexed on the fly) or already carry ``list_id``
+    from :func:`ivf_index`.  Returns (query_id, vec_id, cos_sim, rank).
+    """
+    import ray
+
+    if "list_id" not in ds.schema().names:
+        ds = ivf_index(ds, centroids, vec_col=vec_col, concurrency=concurrency)
+
+    qids, qmat = queries
+    qn = _normalize(np.asarray(qmat, dtype=np.float64))
+    probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((list(qids), qn, probes))
+
+    class Probe:
+        def __init__(self):
+            self.qids, self.qn, self.probes = ray.get(ref)
+            self.k = k
+            # probed-list → query rows lookup
+            self.by_list: dict = {}
+            for qi, lists in enumerate(self.probes):
+                for l in lists:
+                    self.by_list.setdefault(int(l), []).append(qi)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            lids = tbl["list_id"].to_numpy(zero_copy_only=False)
+            mask = np.isin(lids, np.fromiter(self.by_list, dtype=np.int64))
+            out_q, out_id, out_s = [], [], []
+            if mask.any():
+                sub = tbl.filter(pa.array(mask))
+                m = _normalize(_matrix_from_list_col(sub[vec_col]))
+                ids = sub[id_col].to_pylist()
+                sub_lids = lids[mask]
+                sims = self.qn @ m.T  # (nq, n_sub)
+                for qi in range(len(self.qids)):
+                    probed = np.isin(sub_lids, self.probes[qi])
+                    cand = np.nonzero(probed)[0]
+                    if len(cand) == 0:
+                        continue
+                    kk = min(self.k, len(cand))
+                    best = cand[np.argpartition(-sims[qi, cand], kth=kk - 1)[:kk]]
+                    for j in best:
+                        out_q.append(self.qids[qi])
+                        out_id.append(ids[int(j)])
+                        out_s.append(float(sims[qi, j]))
+            return pa.table({
+                "query_id": pa.array(out_q),
+                "vec_id": pa.array(out_id),
+                "cos_sim": pa.array(out_s, type=pa.float64()),
+            })
+
+    cand = ds.map_batches(Probe, batch_format="pyarrow",
+                          concurrency=concurrency).take_all()
+    best: dict = {}
+    for row in cand:
+        heap = best.setdefault(row["query_id"], [])
+        item = (row["cos_sim"], row["vec_id"])
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        else:
+            heapq.heappushpop(heap, item)
+    out_q, out_id, out_s, out_r = [], [], [], []
+    for qid in sorted(best):
+        ranked = sorted(best[qid], key=lambda t: (-t[0], t[1]))
+        for r, (s, vid) in enumerate(ranked, 1):
+            out_q.append(qid); out_id.append(vid); out_s.append(s); out_r.append(r)
+    return pa.table({
+        "query_id": pa.array(out_q),
+        "vec_id": pa.array(out_id),
+        "cos_sim": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(out_r, type=pa.int64()),
+    })
