@@ -58,3 +58,32 @@ def test_broadcast_join_vectorized_left(ray_session):
     out = broadcast_join(fact, dim, on="k", right_on="ck").take_all()
     segs = [r["seg"] for r in out]
     assert segs == ["x", "y", "z", "y", None]  # unmatched key -> null
+
+
+def test_range_join_matches_and_drops(ray_session):
+    """Range join: events land in their containing interval per key;
+    facts outside every interval drop (inner semantics)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xema_ray.stages.rangejoin import range_join
+
+    facts = rd.from_pandas(pd.DataFrame({
+        "k": [1, 1, 1, 2, 2],
+        "ts": [5, 15, 99, 7, 3],
+        "tag": list("abcde"),
+    }))
+    ivs = rd.from_pandas(pd.DataFrame({
+        "k": [1, 1, 2],
+        "lo": [0, 10, 5],
+        "hi": [9, 20, 10],
+        "name": ["i1", "i2", "i3"],
+    }))
+    out = range_join(facts, ivs, key="k", ts_col="ts",
+                     start_col="lo", end_col="hi").take_all()
+    got = {(r["k"], r["ts"]): r["name"] for r in out}
+    assert got == {(1, 5): "i1", (1, 15): "i2", (2, 7): "i3"}
+    # ts=99 (no interval) and ts=3 (before k=2's interval) dropped
+    assert len(out) == 3
+    # fact columns ride along with original dtypes
+    assert all(isinstance(r["ts"], int) for r in out)

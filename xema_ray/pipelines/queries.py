@@ -730,6 +730,52 @@ def events_sessions(sf_dir: str):
 
 
 @register(
+    "events_session_join",
+    """WITH marked AS (
+        SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000 THEN 1 ELSE 0 END AS brk
+        FROM events
+    ), sess AS (
+        SELECT event_id, user_id, tsu,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ), bounds AS (
+        SELECT user_id, sid, min(tsu) AS session_start,
+               max(tsu) AS session_end, count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT s.event_id, s.user_id, b.session_start, b.n_events
+    FROM sess s JOIN bounds b USING (user_id, sid)""",
+    doc="RANGE JOIN: events joined to the session interval containing "
+        "their timestamp (key co-partition + per-group searchsorted; "
+        "stages/rangejoin.py); oracle recomputes sessions via "
+        "gaps-and-islands and joins by session id",
+)
+def events_session_join(sf_dir: str):
+    from xema_ray.stages.rangejoin import range_join
+    from xema_ray.stages.windows import session_stats
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    sessions = session_stats(_read(sf_dir, "events", ["user_id", "ts"]),
+                             key="user_id", ts_col="ts", gap_seconds=1800)
+    joined = range_join(events, sessions, key="user_id", ts_col="ts",
+                        start_col="session_start", end_col="session_end",
+                        interval_cols=["session_start", "n_events"])
+    return joined.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "session_start": t["session_start"],
+            "n_events": t["n_events"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+@register(
     "events_asof_join",
     """SELECT user_id,
        CAST(epoch_us(ts) AS BIGINT) AS event_us,
