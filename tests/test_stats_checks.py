@@ -150,3 +150,21 @@ def test_column_stats_tree_strategy_matches_driver(ds, con):
     assert sorted(ha) == sorted(hb)
     for k in ha:
         assert (ha[k].counts == hb[k].counts).all()
+
+
+def test_hopping_windows_overlap_coverage(ray_session):
+    """Each event lands in exactly size/hop overlapping windows and the
+    per-window totals sum to n_events x (size/hop)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xema_ray.stages.windows import hopping_window_counts
+
+    ts = pd.to_datetime([0, 1_000, 2_500, 3_599, 3_600, 7_199], unit="s")
+    ds = rd.from_pandas(pd.DataFrame({"ts": ts, "value": [1.0] * 6}))
+    out = hopping_window_counts(ds, size_s=3600, hop_s=900).take_all()
+    total = sum(r["n"] for r in out)
+    assert total == 6 * 4  # size/hop = 4 windows per event
+    # the window starting at 0 covers events at 0s,1000s,2500s,3599s
+    w0 = next(r for r in out if r["window_start"] == 0)
+    assert w0["n"] == 4 and w0["sum_value_m"] == 4_000_000

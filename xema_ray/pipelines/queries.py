@@ -730,6 +730,28 @@ def events_sessions(sf_dir: str):
 
 
 @register(
+    "events_hopping",
+    """SELECT CAST(k * 900000000 AS BIGINT) AS window_start,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_m
+    FROM events,
+         UNNEST(generate_series(
+             CAST(floor((epoch_us(ts) - 3600000000) / 900000000) + 1 AS BIGINT),
+             CAST(floor(epoch_us(ts) / 900000000) AS BIGINT))) AS g(k)
+    GROUP BY k""",
+    doc="hopping (sliding) windows: 1h size / 15min hop — vectorized "
+        "window-range explode + per-batch partials + groupby merge; "
+        "per-row fixed-point sums keep the float aggregate engine-exact",
+)
+def events_hopping(sf_dir: str):
+    from xema_ray.stages.windows import hopping_window_counts
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    return hopping_window_counts(ds, size_s=3600, hop_s=900)
+
+
+@register(
     "events_session_join",
     """WITH marked AS (
         SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,

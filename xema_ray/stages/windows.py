@@ -68,3 +68,65 @@ def sessions_per_key(ds, key: str = "user_id", ts_col: str = "ts",
         })
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def hopping_window_partials(ds, ts_col: str = "ts", value_col: str = "value",
+                            size_s: int = 3600, hop_s: int = 900):
+    """Hopping (sliding) windows: every event lands in the ``size/hop``
+    overlapping windows ``[k·hop, k·hop + size)`` that contain it.
+
+    Vectorized per batch: the window-index range per event is pure
+    arithmetic, the explode is ``repeat``/``arange``, and each batch
+    pre-aggregates (window → count, fixed-point value sum) so only tiny
+    partial rows reach the final ``groupby(window)`` — the same
+    partial-then-merge shape as the tumbling windows.  Values are
+    fixed-pointed per ROW before summing (floor(v·1e6 + 0.5)) so the
+    aggregate is order-insensitive and engine-exact.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    size_us = size_s * 1_000_000
+    hop_us = hop_s * 1_000_000
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        col = tbl[ts_col]
+        t = col.type
+        if pa.types.is_timestamp(t) and t.unit != "us":
+            col = pc.cast(col, pa.timestamp("us"))  # normalize ns/ms/s → µs
+        ts = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        val = tbl[value_col].to_numpy(zero_copy_only=False)
+        val_m = np.floor(val * 1e6 + 0.5).astype(np.int64)
+        k_min = np.floor_divide(ts - size_us, hop_us) + 1
+        k_max = np.floor_divide(ts, hop_us)
+        counts = (k_max - k_min + 1).astype(np.int64)
+        rows = np.repeat(np.arange(len(ts)), counts)
+        # window index per exploded row: k_min[row] + local offset
+        offs = np.arange(len(rows)) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        ks = k_min[rows] + offs
+        starts = ks * hop_us
+        # per-batch partial aggregation by window start
+        uniq, inv = np.unique(starts, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, val_m[rows])
+        return pa.table({
+            "window_start": pa.array(uniq, type=pa.int64()),
+            "n": pa.array(cnt, type=pa.int64()),
+            "sum_value_m": pa.array(sums, type=pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def hopping_window_counts(ds, ts_col: str = "ts", value_col: str = "value",
+                          size_s: int = 3600, hop_s: int = 900):
+    """(window_start_us, n, sum_value_m) per hopping window."""
+    from ray.data.aggregate import Sum
+
+    partials = hopping_window_partials(ds, ts_col, value_col, size_s, hop_s)
+    return partials.groupby("window_start").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_value_m", alias_name="sum_value_m"),
+    )
