@@ -168,3 +168,21 @@ def test_hopping_windows_overlap_coverage(ray_session):
     # the window starting at 0 covers events at 0s,1000s,2500s,3599s
     w0 = next(r for r in out if r["window_start"] == 0)
     assert w0["n"] == 4 and w0["sum_value_m"] == 4_000_000
+
+
+def test_token_frequencies_tree_matches_driver(ds, con):
+    """Bincount-partial token frequencies: tree fold == driver fold ==
+    DuckDB exact counts."""
+    import numpy as np
+
+    from xema_ray.stages.stats import token_frequencies
+
+    a = token_frequencies(ds, strategy="driver")
+    b = token_frequencies(ds, strategy="tree")
+    assert (a == b).all()
+    want = dict(con.execute(
+        "SELECT tok, count(*) FROM (SELECT unnest(tokens) AS tok FROM seq "
+        "WHERE tokens IS NOT NULL) WHERE tok >= 0 AND tok < 50257 "
+        "GROUP BY tok ORDER BY tok").fetchall())
+    got_nonzero = {int(t): int(c) for t, c in enumerate(a) if c}
+    assert got_nonzero == {int(k): int(v) for k, v in want.items()}

@@ -730,6 +730,23 @@ def events_sessions(sf_dir: str):
 
 
 @register(
+    "seq_top_tokens",
+    f"""{_SEQ_CTE}
+    SELECT CAST(tok AS BIGINT) AS tok, count(*) AS n FROM (
+        SELECT unnest(tokens) AS tok FROM seq WHERE tokens IS NOT NULL
+    ) WHERE tok >= 0 AND tok < 50257
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    doc="EXACT heavy hitters over the bounded token vocabulary: one "
+        "bincount partial per batch (vocab-bounded, corpus-size-free), "
+        "associative vector-add merge (driver/tree), top-k on the driver",
+)
+def seq_top_tokens(sf_dir: str):
+    from xema_ray.stages.stats import top_tokens
+
+    return top_tokens(_read_seq(sf_dir), k=20)
+
+
+@register(
     "events_hopping",
     """SELECT CAST(k * 900000000 AS BIGINT) AS window_start,
        count(*) AS n,

@@ -290,3 +290,71 @@ def grouped_length_histograms(
         h = merged.setdefault(row["key"], Histogram(edges))
         h.counts += np.asarray(row["counts"], dtype=np.int64)
     return merged
+
+
+# ----------------------------------------------------------------------
+# token frequencies (bounded-vocabulary heavy hitters)
+# ----------------------------------------------------------------------
+
+
+def token_frequencies(ds, list_col: str = "tokens", vocab: int = 50257,
+                      strategy: str = "auto", tree_threshold: int = 4096):
+    """EXACT per-token frequencies over a bounded vocabulary.
+
+    Per batch: one ``np.bincount`` over the flattened token values → a
+    single (vocab,)-int64 partial row (~400 KB at GPT-2 vocab).  Partials
+    merge by vector add — associative, so the same driver/tree strategies
+    as :func:`column_stats` apply.  Exact at ANY corpus size (the partial
+    size is bounded by the vocabulary, not the data), which is why no
+    count-min sketch is needed for heavy hitters here; an unbounded
+    domain would use CMS + candidate verification instead.
+    Returns the (vocab,) count vector.
+    """
+    import pyarrow.compute as pc
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        col = tbl[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        values = col.values.drop_null() if col.null_count or col.values.null_count \
+            else col.values
+        v = values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        v = v[(v >= 0) & (v < vocab)]
+        counts = np.bincount(v, minlength=vocab)
+        return pa.table({"counts": pa.array([counts.tolist()],
+                                            type=pa.list_(pa.int64()))})
+
+    partials_ds = ds.select_columns([list_col]).map_batches(
+        partial, batch_format="pyarrow")
+    if strategy == "auto":
+        partials_ds = partials_ds.materialize()
+        strategy = "driver" if partials_ds.count() <= tree_threshold else "tree"
+    if strategy == "tree":
+        import ray
+
+        fanin = max(2, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+        def fold(t: pa.Table) -> pa.Table:
+            acc = np.zeros(vocab, dtype=np.int64)
+            for row in t["counts"].to_pylist():
+                acc += np.asarray(row, dtype=np.int64)
+            return pa.table({"counts": pa.array([acc.tolist()],
+                                                type=pa.list_(pa.int64()))})
+
+        partials_ds = partials_ds.repartition(fanin).map_batches(
+            fold, batch_format="pyarrow")
+    total = np.zeros(vocab, dtype=np.int64)
+    for row in partials_ds.take_all():
+        total += np.asarray(row["counts"], dtype=np.int64)
+    return total
+
+
+def top_tokens(ds, k: int = 20, list_col: str = "tokens",
+               vocab: int = 50257, **kw) -> pa.Table:
+    """Top-k most frequent tokens (count desc, token asc tie-break)."""
+    counts = token_frequencies(ds, list_col=list_col, vocab=vocab, **kw)
+    order = np.lexsort((np.arange(vocab), -counts))[:k]
+    return pa.table({
+        "tok": pa.array(order.astype(np.int64), type=pa.int64()),
+        "n": pa.array(counts[order], type=pa.int64()),
+    })
