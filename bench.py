@@ -77,6 +77,26 @@ def run_bench() -> dict:
     timings["fused_validate_report_unique"] = min(trials)
     timings["trials"] = trials
     total = min(trials)
+
+    # supplementary per-stage timings (informational; NOT in `value`):
+    # the dedup / similarity / heavy-hitter pipelines over the sf tables
+    import ray.data as rd
+
+    from xema_ray.pipelines.queries import QUERIES
+
+    def _consume(res):
+        if hasattr(res, "iter_batches"):
+            return sum(b.num_rows for b in res.iter_batches(batch_format="pyarrow"))
+        return res.num_rows if hasattr(res, "num_rows") else len(res)
+
+    for extra in ("doc_exact_dedup", "doc_minhash_pairs", "emb_knn",
+                  "seq_top_tokens", "events_hopping"):
+        t0 = time.perf_counter()
+        try:
+            _consume(QUERIES[extra].fn(sf_dir))
+            timings[extra] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            timings[extra] = None
     rows = verdict["rows"]
     tokens = int(stats["tokens"]["mean"] * (stats["tokens"]["count"] - stats["tokens"]["nulls"])) \
         if stats["tokens"]["mean"] else 0
