@@ -730,6 +730,74 @@ def events_sessions(sf_dir: str):
 
 
 @register(
+    "seq_valid_distinct_by_source",
+    f"""{_SEQ_CTE}
+    SELECT source, CAST(count(DISTINCT tokens) AS BIGINT) AS n_distinct,
+           count(*) AS n_valid
+    FROM seq WHERE NOT {_SEQ_INVALID_COND}
+    GROUP BY source ORDER BY source""",
+    doc="PIPELINE COMPOSITION: full-schema validation -> clean filter -> "
+        "exact content dedup -> per-source distinct counts, one streaming "
+        "pass + one digest-only exchange (the training-data user story)",
+)
+def seq_valid_distinct_by_source(sf_dir: str):
+    import hashlib
+
+    from xema_ray.pipelines.flagship import n_tok_invariant, sequences_schema
+    from xema_ray.stages.validate import validate_dataset
+
+    res = validate_dataset(_read_seq(sf_dir), sequences_schema(),
+                           table_checks=[n_tok_invariant()],
+                           keep_details=False)
+    clean = res.clean()
+
+    def digests(t: pa.Table) -> pa.Table:
+        """ONE pass emits both partials: per-batch-deduped
+        (source, content-digest) rows AND a null-digest row per source
+        carrying the batch's valid-row count — only 16-byte digests + the
+        key ever shuffle, and the clean dataset executes once."""
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        values = col.values.to_numpy(zero_copy_only=False)
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        srcs = t["source"].to_pylist()
+        seen = set()
+        out_s, out_h, out_n = [], [], []
+        counts: dict = {}
+        for i, s in enumerate(srcs):
+            counts[s] = counts.get(s, 0) + 1
+            payload = values[offsets[i]:offsets[i + 1]].tobytes()
+            h = hashlib.md5(payload).digest()[:16]
+            if (s, h) not in seen:
+                seen.add((s, h))
+                out_s.append(s)
+                out_h.append(h)
+                out_n.append(0)
+        for s, n in counts.items():
+            out_s.append(s)
+            out_h.append(None)
+            out_n.append(n)
+        return pa.table({
+            "source": pa.array(out_s, type=pa.string()),
+            "h": pa.array(out_h, type=pa.binary()),
+            "n": pa.array(out_n, type=pa.int64()),
+        })
+
+    import pandas as pd
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "n_distinct": np.array([g["h"].dropna().nunique()], dtype=np.int64),
+            "n_valid": np.array([g.loc[g["h"].isna(), "n"].sum()], dtype=np.int64),
+        })
+
+    return clean.map_batches(digests, batch_format="pyarrow") \
+        .groupby("source").map_groups(per_source, batch_format="pandas")
+
+
+@register(
     "seq_top_tokens",
     f"""{_SEQ_CTE}
     SELECT CAST(tok AS BIGINT) AS tok, count(*) AS n FROM (
