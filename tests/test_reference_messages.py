@@ -59,3 +59,24 @@ def test_valid_value_has_no_message():
 ])
 def test_elixir_inspect(value, expect):
     assert elixir_inspect(value) == expect
+
+
+def test_format_error_direct_cases():
+    """validation_error_test.exs format_error/1: direct reason-tree
+    rendering matches byte-for-byte."""
+    s = compile_schema("integer")
+    assert validation_message(s, "foo") == 'Expected :integer, got "foo".'
+
+    s2 = compile_schema(("list", {"items": "integer"}))
+    assert validation_message(s2, [1, "foo", 2, Atom("bar")]) == (
+        'Expected :integer, got "foo", at [1].\n'
+        "Expected :integer, got :bar, at [3]."
+    )
+
+
+def test_format_error_unexpected_reason():
+    from xema_ray.functions.messages import format_error
+
+    # validation_error_test.exs exception/1: unknown reason shapes render
+    # the "Unexpected error" fallback instead of crashing
+    assert format_error({"bogus_keyword": 1}) == "Unexpected error."
