@@ -934,8 +934,11 @@ def _unwrap_new(term):
                 return term.args[0]
             if len(term.args) == 2 and isinstance(term.args[1], KwList):
                 opts = dict(term.args[1].items)
-                if set(opts) <= {"inline"}:
-                    # inline: false only changes ref STORAGE, not semantics
+                if set(opts) <= {"inline", "loader"}:
+                    # inline: false only changes ref STORAGE; loader is
+                    # supplied by the RUNNER (test_remote_refs serves the
+                    # fixture corpus over HTTP and compiles with its own
+                    # loader hook)
                     return term.args[0]
                 t0 = term.args[0]
                 if isinstance(t0, Atom):
@@ -1017,7 +1020,11 @@ def _conv_kw(items) -> dict:
             out["__allow__"] = val
             continue
         if kind is None:
-            raise Unsupported(f"unknown slot {key}")
+            # non-keyword data: schema-shaped values convert recursively
+            # (pointers may target them — subSchemas.exon, nested data
+            # maps in ref_test), else raw
+            out[key] = _conv_data(val)
+            continue
         if kind == _SCHEMA_SLOT:
             out[key] = val if isinstance(val, bool) else (
                 "delete" if isinstance(val, Atom) and str(val) == "delete"
@@ -1078,6 +1085,18 @@ def _conv_kw(items) -> dict:
         else:  # plain
             out[key] = value_to_py(val)
     return out
+
+
+def _conv_data(val):
+    """Best-effort conversion of non-keyword data: nested maps recurse so
+    pointer-addressable sub-schemas inside them stay compilable."""
+    if isinstance(val, dict):
+        return {(_conv_key(k) if isinstance(k, (Atom, str)) else k):
+                _conv_data(v) for k, v in val.items()}
+    try:
+        return _conv_schema(val)
+    except Unsupported:
+        return value_to_py(val)
 
 
 def _conv_key(k):
@@ -1146,9 +1165,14 @@ def load_cases(files=None, ref_dir: str = REF_DIR):
     notes = []
     paths = sorted(glob.glob(os.path.join(ref_dir, "*_test.exs")))
     paths += sorted(glob.glob(os.path.join(ref_dir, "cast", "*_test.exs")))
+    # remote suites need the HTTP fixture server + loader — they run in
+    # tests/test_remote_refs.py, not in the loaderless default corpus
+    _NEEDS_LOADER = {"ref_remote_test.exs", "ref_remote_suite_test.exs"}
     for path in paths:
         base = os.path.relpath(path, ref_dir)
         if files is not None and base not in files:
+            continue
+        if files is None and base in _NEEDS_LOADER:
             continue
         cases, skips = extract_file(path)
         notes.extend(skips)

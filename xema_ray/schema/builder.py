@@ -162,6 +162,8 @@ class _Builder:
     def __init__(self, loader: Optional[Callable] = None):
         self.refs: dict = {}
         self.ref_sites: list = []  # (node, pointer) for resolution checking
+        self.optional_sites: set = set()  # data-derived sites, best-effort
+        self.base_stack: list = [None]  # $id base-URI scope chain
         self.loader = loader
 
     # -- source normalization -----------------------------------------
@@ -198,6 +200,26 @@ class _Builder:
     def _build_keywords(self, kw: dict, types, path: str) -> SchemaNode:
         node = SchemaNode(types=types)
         self._register(path, node)
+        # $id changes the base URI for every ref in scope (RFC base-URI
+        # resolution, ref_remote_suite_test.exs "base URI change")
+        from urllib.parse import urljoin
+
+        own_id = kw.get("id") or kw.get("$id")
+        parent_base = self.base_stack[-1]
+        if isinstance(own_id, str):
+            base = urljoin(parent_base, own_id) if parent_base else own_id
+        else:
+            base = parent_base
+        self.base_stack.append(base)
+        try:
+            self._build_keyword_slots(node, kw, path)
+        finally:
+            self.base_stack.pop()
+        return node
+
+    def _build_keyword_slots(self, node: SchemaNode, kw: dict, path: str) -> None:
+        from urllib.parse import urljoin
+
         for raw_key, value in kw.items():
             slot = KEYWORD_ALIASES.get(raw_key, raw_key)
             if slot == "type":
@@ -211,16 +233,34 @@ class _Builder:
                 node.types = tuple(node.types or ("any",)) + (extra,)
                 continue
             if slot not in _VALID_SLOTS:
-                # non-keyword data kept addressable (xema.ex:445-501)
+                # non-keyword data kept addressable (xema.ex:445-501):
+                # node.data keeps the RAW value; schema-shaped values also
+                # compile + register so JSON pointers can target them
+                # ("#/integer" into [integer: :integer, refToInteger:
+                # {:ref, "#/integer"}] — subSchemas.exon)
                 node.data = dict(node.data or {})
                 node.data[raw_key] = value
+                before = len(self.ref_sites)
+                try:
+                    self.build(value, f"{path}/{_escape(raw_key)}")
+                except (SchemaError, TypeError, ValueError):
+                    del self.ref_sites[before:]  # plain annotation
+                else:
+                    # refs inside DATA are best-effort: unresolvable ones
+                    # must not fail compilation of the real schema
+                    self.optional_sites.update(
+                        id(n) for n, _ in self.ref_sites[before:])
                 continue
             _meta_validate(slot, value)
             self._set_slot(node, slot, value, path, raw_key)
         self._compile_patterns(node)
         if node.ref is not None:
+            base = self.base_stack[-1]
+            if base and "://" in str(base) and "://" not in node.ref \
+                    and not node.ref.startswith("#"):
+                # relative document ref resolves against the $id scope
+                node.ref = urljoin(base, node.ref)
             self.ref_sites.append((node, node.ref))
-        return node
 
     def _set_slot(self, node: SchemaNode, slot: str, value: Any, path: str, raw_key: str) -> None:
         sub = f"{path}/{raw_key}"
@@ -320,14 +360,19 @@ class _Builder:
         # bundled draft metaschemas resolve by default)
         for node, pointer in self.ref_sites:
             if not self._resolvable(compiled, pointer):
+                optional = id(node) in self.optional_sites
                 if not pointer.startswith("#"):
                     try:
                         self._load_remote(compiled, pointer)
                     except (KeyError, OSError) as e:
+                        if optional:
+                            continue
                         raise SchemaError(f"unresolvable ref: {pointer!r}") from e
                     if not self._resolvable(compiled, pointer):
+                        if optional:
+                            continue
                         raise SchemaError(f"remote ref not found: {pointer!r}")
-                else:
+                elif not optional:
                     raise SchemaError(f"unresolvable ref: {pointer!r}")
         return compiled
 
@@ -356,6 +401,10 @@ class _Builder:
                 rebase(child)
 
         rebase(remote_root)
+        # data-registered nodes (pointer-addressable non-keyword values)
+        # are not in the root's child graph — rebase them too
+        for n in list(sub_compiled.refs.values()):
+            rebase(n)
         for k, v in sub_compiled.refs.items():
             compiled.refs[base + k if k.startswith("#") else k] = v
         compiled.refs[base] = remote_root
