@@ -318,8 +318,12 @@ def token_frequencies(ds, list_col: str = "tokens", vocab: int = 50257,
             col = col.combine_chunks()
         values = col.values.drop_null() if col.null_count or col.values.null_count \
             else col.values
-        v = values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        v = v[(v >= 0) & (v < vocab)]
+        v = values.to_numpy(zero_copy_only=False)
+        # keep the native (int32) dtype — astype(int64) would copy ~2x the
+        # token volume per batch; bincount accepts any int dtype
+        mask = (v >= 0) & (v < vocab)
+        if not mask.all():
+            v = v[mask]
         counts = np.bincount(v, minlength=vocab)
         return pa.table({"counts": pa.array([counts.tolist()],
                                             type=pa.list_(pa.int64()))})
