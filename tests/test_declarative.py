@@ -132,3 +132,30 @@ def test_struct_default_does_not_override_string_keyed_value():
     string-keyed "age" must block the atom-keyed default."""
     u = User.cast({"name": "Nick", "age": "42"})
     assert u.age == 42
+
+
+def test_schema_module_inheritance():
+    """code-review r2: subclassing must inherit declarations."""
+    class Base(SchemaModule):
+        s = xema("integer")
+
+    class Child(Base):
+        pass
+
+    assert Child.valid(5) and not Child.valid("x")
+
+    class GrandChild(Child, multi=True):
+        t = xema("string")
+
+    assert GrandChild.valid("s", 5) and GrandChild.valid("t", "hi")
+
+
+def test_struct_inheritance():
+    class BaseS(Struct):
+        a = field("integer", required=True)
+
+    class ChildS(BaseS):
+        b = field("string", default="x")
+
+    c = ChildS.cast({"a": "5"})
+    assert c.a == 5 and c.b == "x"

@@ -278,3 +278,45 @@ def test_knn_ivf_recall(ray_session):
         a = set(approx[approx["query_id"] == qid]["vec_id"])
         hits += len(e & a)
     assert hits / 20 >= 0.8, f"IVF recall {hits}/20"
+
+
+def test_knn_lsh_multiprobe_widens_candidates(ray_session):
+    """code-review r2: multiprobe > 1 must actually probe multi-bit
+    flips (it was a no-op beyond distance 1)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.similarity import knn_brute_force, knn_lsh
+
+    rng = np.random.default_rng(12)
+    n, d = 400, 32
+    mat = rng.standard_normal((n, d))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": np.arange(n), "embedding": [r.tolist() for r in mat]}))
+    q = ([0, 1], mat[:2])
+    exact = knn_brute_force(ds, q, k=5).to_pandas()
+
+    def recall(mp):
+        approx = knn_lsh(ds, q, k=5, n_bits=8, dim=d, multiprobe=mp).to_pandas()
+        hits = 0
+        for qid in (0, 1):
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            a = set(approx[approx["query_id"] == qid]["vec_id"])
+            hits += len(e & a)
+        return hits / 10
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1  # wider probe can only help
+    assert r3 >= 0.7, f"multiprobe=3 recall {r3}"
+
+
+def test_minhash_pair_ordering_natural(ray_session):
+    """code-review r2: doc_a < doc_b must hold under NATURAL ordering for
+    integer ids (was string comparison: '10' < '2')."""
+    import ray.data as rd
+
+    from xema_ray.stages.dedup import minhash_lsh_pairs
+
+    pdf = pd.DataFrame({"doc_id": [2, 10], "text": ["same words here now"] * 2})
+    pairs = minhash_lsh_pairs(rd.from_pandas(pdf), threshold=0.5).take_all()
+    assert pairs and pairs[0]["doc_a"] == 2 and pairs[0]["doc_b"] == 10

@@ -87,3 +87,33 @@ def test_range_join_matches_and_drops(ray_session):
     assert len(out) == 3
     # fact columns ride along with original dtypes
     assert all(isinstance(r["ts"], int) for r in out)
+
+
+def test_range_join_preserves_large_ints_and_drops_null_keys(ray_session):
+    """code-review r2: (1) int64 values >= 2^53 must survive exactly (the
+    pandas group path floatified them); (2) null join keys drop instead of
+    crashing the sort partitioner."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.rangejoin import range_join
+
+    big = 9_007_199_254_740_993  # 2^53 + 1
+    ns = 1_700_000_000_123_456_789
+    facts = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "a", None], type=pa.string()),
+        "ts": pa.array([ns, ns + 5, ns], type=pa.int64()),
+        "fid": pa.array([big, big + 1, big + 2], type=pa.int64()),
+    }))
+    ivs = rd.from_arrow(pa.table({
+        "k": pa.array(["a", None], type=pa.string()),
+        "lo": pa.array([ns - 10, 0], type=pa.int64()),
+        "hi": pa.array([ns, 100], type=pa.int64()),  # ns+5 is OUTSIDE
+        "name": ["iv1", "ivnull"],
+    }))
+    out = range_join(facts, ivs, key="k", ts_col="ts",
+                     start_col="lo", end_col="hi").take_all()
+    assert len(out) == 1  # ns+5 outside (no float rounding), null keys dropped
+    assert out[0]["fid"] == big  # exact 2^53+1, not 2^53
+    assert out[0]["ts"] == ns

@@ -517,19 +517,21 @@ def _g_dependencies(node, v, compiled, fail):
     m = _as_map(v)
     if not isinstance(m, dict) or node.dependencies is None:
         return OK
-    deps = {}
-    for key, dep in node.dependencies.items():
+    # the reference's reduce_while halts at the FIRST failing dependency
+    # key, and list deps report the first missing antecedent
+    for key in sorted(node.dependencies, key=_term_order):
+        dep = node.dependencies[key]
         if key not in m:
             continue
         if isinstance(dep, list):
             for d in dep:
                 if d not in m:
-                    deps[key] = d
+                    return {"dependencies": {key: d}}
         else:
             r = _reason(dep, v if _is_keyword_list(v) else m, compiled, fail)
             if r is not None:
-                deps[key] = r
-    return {"dependencies": deps} if deps else OK
+                return {"dependencies": {key: r}}
+    return OK
 
 
 def _g_all_properties(node, v, compiled, fail):

@@ -70,14 +70,23 @@ class SchemaModule:
         super().__init_subclass__(**kw)
         decls = {name: v for name, v in vars(cls).items()
                  if isinstance(v, _XemaDecl)}
+        inherited = dict(getattr(cls, "__xemas__", {}))
         if not multi and len(decls) > 1:
             raise RuntimeError(_MULTI_MSG)
-        if default is not None and default not in decls:
+        compiled = dict(inherited)
+        compiled.update({name: compile_schema(d.source)
+                         for name, d in decls.items()})
+        if default is not None and default not in compiled:
             raise ValueError(f"default schema {default!r} is not declared")
-        cls.__xemas__ = {name: compile_schema(d.source)
-                         for name, d in decls.items()}
-        cls.__default__ = default if default is not None else (
-            next(iter(decls)) if len(decls) == 1 else None)
+        cls.__xemas__ = compiled
+        if default is not None:
+            cls.__default__ = default
+        elif decls and len(compiled) == 1:
+            cls.__default__ = next(iter(compiled))
+        elif not decls:
+            cls.__default__ = getattr(cls, "__default__", None)  # inherit
+        else:
+            cls.__default__ = None
 
     # -- name resolution ------------------------------------------------
 
@@ -86,9 +95,10 @@ class SchemaModule:
         if value is UNSET:
             name = cls.__default__
             if name is None:
-                raise ValueError(
-                    f"{cls.__name__} has multiple schemas and no default — "
-                    f"pass the schema name")
+                detail = ("declares no schemas" if not cls.__xemas__
+                          else "has multiple schemas and no default — "
+                               "pass the schema name")
+                raise ValueError(f"{cls.__name__} {detail}")
             return cls.__xemas__[name], name_or_value
         if name_or_value not in cls.__xemas__:
             raise KeyError(f"no schema named {name_or_value!r} in {cls.__name__}")
@@ -194,8 +204,9 @@ class Struct:
 
     def __init_subclass__(cls, **kw):
         super().__init_subclass__(**kw)
-        fields = {name: f for name, f in vars(cls).items()
-                  if isinstance(f, _FieldDecl)}
+        fields = dict(getattr(cls, "__fields__", {}))  # inherit parent fields
+        fields.update({name: f for name, f in vars(cls).items()
+                       if isinstance(f, _FieldDecl)})
         required = [n for n, f in fields.items() if f.required]
         extra = getattr(cls, "__required__", None)
         if extra:

@@ -295,7 +295,7 @@ def minhash_lsh_pairs(
                     a, b = ids[i], ids[i + 1 + j]
                     if a == b:
                         continue
-                    if str(a) > str(b):
+                    if a > b:  # natural ordering (ints AND strings)
                         a, b = b, a
                     out_a.append(a)
                     out_b.append(b)
@@ -378,7 +378,7 @@ def simhash_pairs(ds, col: str = "text", id_col: str = "doc_id",
                     a, b = ids[i], ids[i + 1 + j]
                     if a == b:
                         continue
-                    if str(a) > str(b):
+                    if a > b:  # natural ordering (ints AND strings)
                         a, b = b, a
                     out_a.append(a); out_b.append(b); out_h.append(int(d[j]))
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})

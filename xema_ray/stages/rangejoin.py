@@ -16,7 +16,6 @@ intervals the LAST containing interval by start wins).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -79,50 +78,48 @@ def range_join(fact_ds, intervals_ds, key: str, ts_col: str,
             have.add(f.name)
     combined = pa.schema(combined_fields)
 
-    both = _aligned(fact_ds, combined, "f").union(
-        _aligned(intervals_ds, combined, "i"))
+    # inner-join semantics: null keys match nothing — drop them BEFORE the
+    # groupby (a null key would otherwise crash Ray's sort partitioner)
+    def _drop_null_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_valid(t[key]))
+
+    both = _aligned(fact_ds.map_batches(_drop_null_key, batch_format="pyarrow"),
+                    combined, "f").union(
+        _aligned(intervals_ds.map_batches(_drop_null_key, batch_format="pyarrow"),
+                 combined, "i"))
 
     out_cols = fact_cols + [c for c in interval_cols if c not in fact_cols]
-    # canonical output dtypes: the union's null-padding floatifies int
-    # columns in the pandas group blocks; matched rows have no nulls, so
-    # they cast back losslessly
-    target_dtypes: dict = {}
-    for f in combined:
-        if f.name in out_cols:
-            try:
-                target_dtypes[f.name] = f.type.to_pandas_dtype()
-            except (NotImplementedError, TypeError):
-                pass
+    out_schema = pa.schema([combined.field(c) for c in out_cols])
 
-    def _restore(df: pd.DataFrame) -> pd.DataFrame:
-        for c, dt in target_dtypes.items():
-            if c in df.columns and df[c].dtype != dt:
-                try:
-                    df[c] = df[c].astype(dt)
-                except (TypeError, ValueError):
-                    pass
-        return df
+    def match(g: pa.Table) -> pa.Table:
+        # ARROW group blocks: null-padded int64 columns stay int64 (a
+        # pandas round-trip would floatify them and corrupt values >= 2^53
+        # — ns-epoch timestamps and large ids)
+        import pyarrow.compute as pc
 
-    def match(g: pd.DataFrame) -> pd.DataFrame:
-        iv = g[g["_side"] == "i"].sort_values(start_col, kind="stable")
-        fv = g[g["_side"] == "f"]
-        empty = _restore(pd.DataFrame({c: pd.Series([], dtype=g[c].dtype)
-                                       for c in out_cols}))
-        if len(iv) == 0 or len(fv) == 0:
+        empty = out_schema.empty_table()
+        side = g["_side"]
+        iv = g.filter(pc.equal(side, "i"))
+        fv = g.filter(pc.equal(side, "f"))
+        if iv.num_rows == 0 or fv.num_rows == 0:
             return empty
-        starts = iv[start_col].to_numpy(dtype=np.int64)
-        ends = iv[end_col].to_numpy(dtype=np.int64)
-        ts = fv[ts_col].astype("int64").to_numpy()
+        order = pc.sort_indices(iv[start_col])
+        iv = iv.take(order)
+        starts = pc.cast(iv[start_col], pa.int64()).to_numpy(zero_copy_only=False)
+        ends = pc.cast(iv[end_col], pa.int64()).to_numpy(zero_copy_only=False)
+        ts = pc.cast(fv[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
         idx = np.searchsorted(starts, ts, side="right") - 1
-        safe = np.clip(idx, 0, len(iv) - 1)
+        safe = np.clip(idx, 0, iv.num_rows - 1)
         ok = (idx >= 0) & (ts <= ends[safe])
         if not ok.any():
             return empty
-        matched = fv.loc[ok, fact_cols].reset_index(drop=True)
-        picked = iv.iloc[safe[ok]].reset_index(drop=True)
+        matched = fv.filter(pa.array(ok)).select(fact_cols)
+        pick = pa.array(safe[ok], type=pa.int64())
         for c in interval_cols:
             if c not in fact_cols:
-                matched[c] = picked[c].to_numpy()
-        return _restore(matched[out_cols])
+                matched = matched.append_column(c, pc.take(iv[c], pick))
+        return matched.select(out_cols)
 
-    return both.groupby(key).map_groups(match, batch_format="pandas")
+    return both.groupby(key).map_groups(match, batch_format="pyarrow")

@@ -69,6 +69,31 @@ class _TopKPartial:
         })
 
 
+def _merge_topk(cand_rows, k: int) -> pa.Table:
+    """Driver-side merge of per-batch candidate rows into global top-k per
+    query (count-bounded heaps), shared by the brute-force and IVF paths —
+    single source of truth for the (-cos, vec_id) tie-break and ranking."""
+    best: dict = {}
+    for row in cand_rows:
+        heap = best.setdefault(row["query_id"], [])
+        item = (row["cos_sim"], row["vec_id"])
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        else:
+            heapq.heappushpop(heap, item)
+    out_q, out_id, out_s, out_r = [], [], [], []
+    for qid in sorted(best):
+        ranked = sorted(best[qid], key=lambda t: (-t[0], t[1]))
+        for r, (sc, vid) in enumerate(ranked, 1):
+            out_q.append(qid); out_id.append(vid); out_s.append(sc); out_r.append(r)
+    return pa.table({
+        "query_id": pa.array(out_q),
+        "vec_id": pa.array(out_id),
+        "cos_sim": pa.array(out_s, type=pa.float64()),
+        "rank": pa.array(out_r, type=pa.int64()),
+    })
+
+
 def knn_brute_force(ds, queries, k: int = 10, vec_col: str = "embedding",
                     id_col: str = "vec_id", concurrency=(1, 8)):
     """Exact cosine top-k.  ``queries`` = (query_ids, matrix) tuple.
@@ -87,25 +112,7 @@ def knn_brute_force(ds, queries, k: int = 10, vec_col: str = "embedding",
                                "vec_col": vec_col, "id_col": id_col},
         batch_format="pyarrow", concurrency=concurrency,
     ).take_all()
-    best: dict = {}
-    for row in cand:
-        heap = best.setdefault(row["query_id"], [])
-        item = (row["cos_sim"], row["vec_id"])
-        if len(heap) < k:
-            heapq.heappush(heap, item)
-        else:
-            heapq.heappushpop(heap, item)
-    out_q, out_id, out_s, out_r = [], [], [], []
-    for qid in sorted(best):
-        ranked = sorted(best[qid], key=lambda t: (-t[0], t[1]))
-        for r, (s, vid) in enumerate(ranked, 1):
-            out_q.append(qid); out_id.append(vid); out_s.append(s); out_r.append(r)
-    return pa.table({
-        "query_id": pa.array(out_q),
-        "vec_id": pa.array(out_id),
-        "cos_sim": pa.array(out_s, type=pa.float64()),
-        "rank": pa.array(out_r, type=pa.int64()),
-    })
+    return _merge_topk(cand, k)
 
 
 class _ExactPairsStage:
@@ -247,9 +254,10 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95, n_bits: int = 10,
             "cos_sim": sims[ia[hit], ib[hit]],
         })
 
-    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # each vector lives in exactly ONE bucket, so a pair can only be
+    # emitted from the single bucket both occupy — no cross-bucket
+    # duplicates, no dedup shuffle needed
+    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
 
 
 def knn_lsh(ds, queries, k: int = 10, n_bits: int = 8, dim: int = 64,
@@ -268,15 +276,16 @@ def knn_lsh(ds, queries, k: int = 10, n_bits: int = 8, dim: int = 64,
     qkeys = np.zeros(len(qm), dtype=np.uint64)
     for b in range(n_bits):
         qkeys |= qbits[:, b] << np.uint64(b)
-    probe_sets = []
-    for qk in qkeys:
-        qk = int(qk)
-        probes = {qk}
-        if multiprobe >= 1:
-            for b in range(n_bits):
-                probes.add(qk ^ (1 << b))
-        probe_sets.append(probes)
-    wanted = set().union(*probe_sets)
+    import itertools
+
+    flips = [0]
+    for d in range(1, min(multiprobe, n_bits) + 1):
+        for bits in itertools.combinations(range(n_bits), d):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            flips.append(mask)
+    wanted = {int(qk) ^ m for qk in qkeys for m in flips}
 
     ref_planes = ray.put(planes)
     bucketed = ds.map_batches(
@@ -447,22 +456,4 @@ def knn_ivf(ds, queries, centroids: np.ndarray, k: int = 10, nprobe: int = 4,
 
     cand = ds.map_batches(Probe, batch_format="pyarrow",
                           concurrency=concurrency).take_all()
-    best: dict = {}
-    for row in cand:
-        heap = best.setdefault(row["query_id"], [])
-        item = (row["cos_sim"], row["vec_id"])
-        if len(heap) < k:
-            heapq.heappush(heap, item)
-        else:
-            heapq.heappushpop(heap, item)
-    out_q, out_id, out_s, out_r = [], [], [], []
-    for qid in sorted(best):
-        ranked = sorted(best[qid], key=lambda t: (-t[0], t[1]))
-        for r, (s, vid) in enumerate(ranked, 1):
-            out_q.append(qid); out_id.append(vid); out_s.append(s); out_r.append(r)
-    return pa.table({
-        "query_id": pa.array(out_q),
-        "vec_id": pa.array(out_id),
-        "cos_sim": pa.array(out_s, type=pa.float64()),
-        "rank": pa.array(out_r, type=pa.int64()),
-    })
+    return _merge_topk(cand, k)
