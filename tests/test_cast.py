@@ -181,3 +181,15 @@ def test_cast_circular_pure_ref_raises():
                         "properties": {"n": {"$ref": "#/definitions/a"}}})
     with pytest.raises(CastError, match="circular"):
         cast_value(s, {"n": 1})
+
+
+@pytest.mark.parametrize("src,value", [
+    ("integer", "1_000"), ("integer", " 5 "), ("integer", "+ 5"),
+    ("float", "nan"), ("float", "inf"), ("float", "1_0.5"),
+    ("number", "infinity"),
+])
+def test_full_parse_rejects_python_liberal_numerics(src, value):
+    """code-review r2: Python int()/float() accept underscores, padding
+    and inf/nan — the Elixir parses reject all of them."""
+    with pytest.raises(CastError):
+        cast_value(compile_schema(src), value)

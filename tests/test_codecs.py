@@ -85,3 +85,23 @@ def test_extractor_real_decode_differs_from_stub_bytes():
     out = MediaFeatureExtractor(decode_stub=False)(tbl)
     f = out["features"].to_pylist()
     assert f[0] == f[1]
+
+
+@pytest.mark.parametrize("bad", [
+    b"P6\n-1 -1\n255\n" + b"\0" * 3,          # negative dims
+    b"RIFF\x28\x00\x00\x00WAVEfmt \x04\x00\x00\x00\x01\x00\x00\x00data\x00\x00\x00\x00",  # short fmt
+])
+def test_malformed_media_raise_decode_error(bad):
+    with pytest.raises(MediaDecodeError):
+        (decode_ppm if bad[:2] == b"P6" else decode_wav)(bad)
+
+
+def test_wav_zero_channels_raises():
+    import struct as st
+
+    fmt = st.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    raw = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+           + b"fmt " + st.pack("<I", len(fmt)) + fmt
+           + b"data" + st.pack("<I", 0))
+    with pytest.raises(MediaDecodeError):
+        decode_wav(raw)

@@ -160,19 +160,25 @@ def _castable(node: SchemaNode, value, path):
     raise CastError(path, list(types), value)
 
 
+import re as _re
+
+# Elixir Integer.parse / Float.parse full-consume grammars: no leading or
+# trailing whitespace, no underscores, no inf/nan words (code-review r2 —
+# Python int()/float() accept all of those)
+_INT_RE = _re.compile(r"[+-]?[0-9]+\Z")
+_FLOAT_RE = _re.compile(r"[+-]?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?\Z")
+
+
 def _full_int(s: str):
-    try:
-        return int(s, 10)
-    except ValueError:
+    if not _INT_RE.match(s):
         return None
+    return int(s, 10)
 
 
 def _full_float(s: str):
-    try:
-        # Elixir Float.parse accepts "5" (→5.0), "5.5", exponents
-        return float(s)
-    except ValueError:
+    if not _FLOAT_RE.match(s):
         return None
+    return float(s)
 
 
 def _cast_to(t: str, node: SchemaNode, v, path):

@@ -53,6 +53,8 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         fields.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
+    if w < 0 or h < 0:
+        raise MediaDecodeError(f"invalid PPM dimensions {w}x{h}")
     if maxval != 255:
         raise MediaDecodeError(f"unsupported PPM maxval {maxval}")
     need = w * h * 3
@@ -94,10 +96,16 @@ def decode_wav(payload: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise MediaDecodeError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise MediaDecodeError(f"fmt chunk truncated ({len(fmt)} bytes)")
     audio_format, channels, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
     if audio_format != 1:
         raise MediaDecodeError(f"unsupported WAV format code {audio_format}")
+    if channels == 0:
+        raise MediaDecodeError("WAV declares zero channels")
     if bits == 16:
+        if len(data) % 2:
+            data = data[:-1]  # truncated trailing byte
         samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     elif bits == 8:
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0

@@ -954,8 +954,12 @@ def _build_list_checks(node: SchemaNode, col_type: pa.DataType, path: str,
                 n_vals = len(values)
                 elem_ok = None
                 np_vals = None
-                if values.null_count == 0 and all(c.np_fn is not None for c in elem_checks):
-                    # zero-copy numpy over the raw values buffer
+                if values.null_count == 0 and all(c.np_fn is not None for c in elem_checks) \
+                        and (pa.types.is_integer(values.type)
+                             or pa.types.is_floating(values.type)):
+                    # zero-copy numpy over the raw values buffer (only
+                    # primitive numeric buffers are zero-copyable —
+                    # string/bool raised ArrowInvalid, code-review r2)
                     np_vals = values.to_numpy(zero_copy_only=True)
                 for chk in elem_checks:
                     m = chk.np_fn(np_vals) if np_vals is not None else chk.fn(values, None)
@@ -1207,18 +1211,24 @@ def compile_table_plan(
     root = _deref(compiled.root, compiled)
     names = set(table_schema.names)
 
-    col_nodes: dict = {}
+    # a column can be governed by SEVERAL schemas: its declared property
+    # AND every matching pattern property (scalar _pattern_props checks
+    # declared keys too — the old first-match-wins diverged, code-review r2)
+    col_nodes: dict = {}  # name -> [SchemaNode, ...]
     if root.properties:
         for name, sub in root.properties.items():
             # Arrow column names are strings; atom-keyed schema properties
             # match by name (the documented Arrow-layer atom convention)
             if str(name) in names:
-                col_nodes[str(name)] = _deref(sub, compiled)
+                col_nodes.setdefault(str(name), []).append(_deref(sub, compiled))
     if root.pattern_props_re:
         for regex, sub in root.pattern_props_re:
             for name in names:
-                if regex.search(name) and name not in col_nodes:
-                    col_nodes[name] = _deref(sub, compiled)
+                if regex.search(name):
+                    node = _deref(sub, compiled)
+                    lst = col_nodes.setdefault(name, [])
+                    if node not in lst:
+                        lst.append(node)
 
     req_names = {str(k) for k in (root.required or ())}
     required = sorted(k for k in req_names if k in names)
@@ -1237,7 +1247,7 @@ def compile_table_plan(
         pattern_res = [r for r, _ in (root.pattern_props_re or [])]
         for n in sorted(names):
             if n not in declared and not any(r.search(n) for r in pattern_res):
-                col_nodes.setdefault(n, _deref(ap, compiled))
+                col_nodes.setdefault(n, []).append(_deref(ap, compiled))
 
     if root.property_names is not None:
         from xema_ray.functions.scalar import is_valid as _scalar_is_valid
@@ -1304,43 +1314,44 @@ def compile_table_plan(
         root_fallback = CompiledSchema(root=reduced, refs=compiled.refs)
 
     plans: list = []
-    for name, node in col_nodes.items():
+    for name, nodes in col_nodes.items():
         field_type = table_schema.field(name).type
-        cp = ColumnPlan(name=name)
-        if node.is_trivial():
-            plans.append(cp)
-            continue
-        if pa.types.is_struct(field_type) and _is_map_like(node):
-            cp.checks = [_build_struct_check(node, field_type, f"/{name}", compiled)]
-            plans.append(cp)
-            continue
-        if _is_list_of_struct_plan(node, field_type, compiled):
-            cp.checks = _build_list_of_struct_checks(node, field_type,
-                                                     f"/{name}", compiled)
-            plans.append(cp)
-            continue
-        is_nested_col = (
-            pa.types.is_list(field_type)
-            or pa.types.is_large_list(field_type)
-            or pa.types.is_fixed_size_list(field_type)
-            or pa.types.is_struct(field_type)
-            or pa.types.is_map(field_type)
-        )
-        if _is_vectorizable(node, compiled) and not (
-            is_nested_col and (node.enum is not None or node.const is not UNSET)
-        ):
-            is_list_col = (
+        for node in nodes:
+            cp = ColumnPlan(name=name)
+            if node.is_trivial():
+                plans.append(cp)
+                continue
+            if pa.types.is_struct(field_type) and _is_map_like(node):
+                cp.checks = [_build_struct_check(node, field_type, f"/{name}", compiled)]
+                plans.append(cp)
+                continue
+            if _is_list_of_struct_plan(node, field_type, compiled):
+                cp.checks = _build_list_of_struct_checks(node, field_type,
+                                                         f"/{name}", compiled)
+                plans.append(cp)
+                continue
+            is_nested_col = (
                 pa.types.is_list(field_type)
                 or pa.types.is_large_list(field_type)
                 or pa.types.is_fixed_size_list(field_type)
+                or pa.types.is_struct(field_type)
+                or pa.types.is_map(field_type)
             )
-            cp.checks = _build_scalar_checks(node, field_type, f"/{name}", compiled)
-            if is_list_col:
-                cp.checks.extend(_build_list_checks(node, field_type, f"/{name}", compiled))
-        else:
-            cp.fallback_node = node
-            cp.fallback_compiled = compiled
-        plans.append(cp)
+            if _is_vectorizable(node, compiled) and not (
+                is_nested_col and (node.enum is not None or node.const is not UNSET)
+            ):
+                is_list_col = (
+                    pa.types.is_list(field_type)
+                    or pa.types.is_large_list(field_type)
+                    or pa.types.is_fixed_size_list(field_type)
+                )
+                cp.checks = _build_scalar_checks(node, field_type, f"/{name}", compiled)
+                if is_list_col:
+                    cp.checks.extend(_build_list_checks(node, field_type, f"/{name}", compiled))
+            else:
+                cp.fallback_node = node
+                cp.fallback_compiled = compiled
+            plans.append(cp)
 
     return TablePlan(
         column_plans=plans,
@@ -1414,8 +1425,12 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
             f"/{col_name}", f"required column {col_name!r} missing from table")
 
     for col_name in plan.unexpected_columns:
-        kw = "property_names" if col_name.startswith("property_names:") else "additional_properties"
-        cname = col_name.split(":", 1)[-1]
+        if col_name.startswith("property_names:"):
+            kw = "property_names"
+            cname = col_name.split(":", 1)[1]
+        else:
+            kw = "additional_properties"
+            cname = col_name  # may itself contain ':'
         # a null cell means the property is ABSENT in that row — only rows
         # actually carrying the unexpected property are invalid
         if cname in tbl.column_names:

@@ -381,6 +381,11 @@ def drift_report(
     :func:`capture_reference`).  Returns per-key metrics + drifted flag."""
     current = grouped_length_histograms(ds, key=key, list_col=list_col)
     out = {}
+    # a source that VANISHED from the current data is the most drastic
+    # drift of all — report it instead of silently omitting (review r2)
+    for k in sorted(set(reference) - set(current)):
+        out[k] = {"ks": None, "psi": None, "n": 0, "drifted": True,
+                  "reason": "source missing from current data"}
     for k, hist in sorted(current.items()):
         ref = reference.get(k)
         if ref is None:

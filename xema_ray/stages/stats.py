@@ -46,7 +46,13 @@ def _batch_column_partial(col: pa.ChunkedArray, hll_p: int) -> dict:
         h = HyperLogLog(hll_p)
         vals = nn.combine_chunks().to_numpy(zero_copy_only=False)
         from xema_ray.functions.sketches import splitmix64
-        h.add_hashes(splitmix64(vals.astype(np.int64).view(np.uint64)))
+        if np.issubdtype(vals.dtype, np.floating):
+            # hash the float BITS — truncating to int64 collapsed all
+            # fractional values sharing an integer part (code-review r2)
+            bits = vals.astype(np.float64).view(np.uint64)
+        else:
+            bits = vals.astype(np.int64).view(np.uint64)
+        h.add_hashes(splitmix64(bits))
         out["hll"] = h.to_bytes()
     elif pa.types.is_string(t) or pa.types.is_large_string(t):
         mm = pc.min_max(nn).as_py()

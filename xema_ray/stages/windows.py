@@ -19,9 +19,18 @@ import numpy as np
 import pandas as pd
 
 
+def _epoch_us(series: pd.Series) -> np.ndarray:
+    """int64 epoch-MICROSECONDS regardless of the datetime unit (pandas
+    may deliver datetime64[ns]; astype(int64) alone would yield ns and
+    make every gap/window 1000x off — code-review r2)."""
+    if pd.api.types.is_datetime64_any_dtype(series):
+        return series.astype("datetime64[us]").astype("int64").to_numpy()
+    return series.astype("int64").to_numpy()
+
+
 def sessionize_group(g: pd.DataFrame, ts_col: str, gap_us: int) -> pd.DataFrame:
     g = g.sort_values(ts_col, kind="stable")
-    ts = g[ts_col].astype("int64").to_numpy()
+    ts = _epoch_us(g[ts_col])
     new_session = np.ones(len(g), dtype=bool)
     if len(g) > 1:
         new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
@@ -40,10 +49,11 @@ def session_stats(ds, key: str = "user_id", ts_col: str = "ts",
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = sessionize_group(g, ts_col, gap_us)
+        g = g.assign(_us=_epoch_us(g[ts_col]))
         out = g.groupby("_session").agg(
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-            n_events=(ts_col, "count"),
+            session_start=("_us", "min"),
+            session_end=("_us", "max"),
+            n_events=("_us", "count"),
         ).reset_index(drop=True)
         out.insert(0, key, g[key].iloc[0])
         out["session_start"] = out["session_start"].astype("int64")
@@ -90,12 +100,17 @@ def hopping_window_partials(ds, ts_col: str = "ts", value_col: str = "value",
     hop_us = hop_s * 1_000_000
 
     def partial(tbl: pa.Table) -> pa.Table:
+        # rows with a null timestamp carry no window (SQL's NULL bounds
+        # yield an empty generate_series); null VALUES count toward n but
+        # contribute 0 to the sum (SQL sum ignores NULL) — code-review r2
+        tbl = tbl.filter(pc.is_valid(tbl[ts_col]))
         col = tbl[ts_col]
         t = col.type
         if pa.types.is_timestamp(t) and t.unit != "us":
             col = pc.cast(col, pa.timestamp("us"))  # normalize ns/ms/s → µs
         ts = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
-        val = tbl[value_col].to_numpy(zero_copy_only=False)
+        vcol = tbl[value_col]
+        val = pc.fill_null(vcol, 0.0).to_numpy(zero_copy_only=False)
         val_m = np.floor(val * 1e6 + 0.5).astype(np.int64)
         k_min = np.floor_divide(ts - size_us, hop_us) + 1
         k_max = np.floor_divide(ts, hop_us)
