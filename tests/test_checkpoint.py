@@ -169,3 +169,30 @@ def test_lineage_nanosecond_precision(tmp_path):
     l2 = _lineage(str(p))
     os.utime(p, ns=(1_000_000_001, 1_000_000_002))  # +1ns, same size
     assert _lineage(str(p)) != l2 != l1
+
+
+def test_colliding_basenames_get_unique_partitions(tmp_path, ray_session):
+    """code-review r2: two inputs named part-0.parquet in different dirs
+    must not overwrite each other's outputs or manifest entries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xema_ray.state.checkpoint import load_manifest, run_validation
+
+    for d, ids in (("a", ["x1", "x2"]), ("b", ["y1", "y2", "y3"])):
+        (tmp_path / d).mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, type=pa.string()),
+            "source": pa.array(["web"] * len(ids)),
+            "n_tok": pa.array([1] * len(ids), type=pa.int64()),
+            "tokens": pa.array([[1]] * len(ids), type=pa.list_(pa.int32())),
+        }), str(tmp_path / d / "part-0.parquet"))
+    paths = [str(tmp_path / "a" / "part-0.parquet"),
+             str(tmp_path / "b" / "part-0.parquet")]
+    out = str(tmp_path / "out")
+    s = run_validation(paths, out)
+    assert s.rows == 5 and s.partitions_done == 2
+    assert len(load_manifest(out)) == 2
+    # resume skips both
+    s2 = run_validation(paths, out)
+    assert s2.partitions_skipped == 2 and s2.rows == 5

@@ -186,7 +186,16 @@ def strict_eq(a: Any, b: Any) -> bool:
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(strict_eq(x, y) for x, y in zip(a, b))
     if isinstance(a, dict) and isinstance(b, dict):
-        return a.keys() == b.keys() and all(strict_eq(v, b[k]) for k, v in a.items())
+        # dict KEYS compare strictly too: Python conflates 1 == 1.0 == True
+        # but Elixir maps keyed by 1 / 1.0 / true are distinct values
+        if len(a) != len(b):
+            return False
+        bk = {distinct_key(k): k for k in b}
+        for k, v in a.items():
+            dk = distinct_key(k)
+            if dk not in bk or not strict_eq(v, b[bk[dk]]):
+                return False
+        return True
     if type(a) is not type(b):
         return False
     return a == b
@@ -205,7 +214,8 @@ def distinct_key(v: Any):
     if isinstance(v, tuple):
         return ("t", tuple(distinct_key(e) for e in v))
     if isinstance(v, dict):
-        return ("m", frozenset((k, distinct_key(x)) for k, x in v.items()))
+        return ("m", frozenset((distinct_key(k), distinct_key(x))
+                               for k, x in v.items()))
     return (type(v).__name__, v)
 
 

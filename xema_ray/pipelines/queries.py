@@ -1055,9 +1055,17 @@ def events_props_sum(sf_dir: str):
         # flat field; a JSON-parsing actor stage is the general fallback
         ex = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
         k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
-        g = pa.table({"event_type": t["event_type"], "k": k}).group_by(
-            "event_type").aggregate([("k", "count"), ("k", "sum")])
-        return g
+        # n must count EVERY props-non-null row (the oracle's count(*)),
+        # not only rows where k extracted (review r2); sum skips nulls
+        ones = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        g = pa.table({"event_type": t["event_type"], "k": k, "one": ones}) \
+            .group_by("event_type") \
+            .aggregate([("one", "sum"), ("k", "sum")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "k_count": pc.cast(g["one_sum"], pa.int64()),
+            "k_sum": pc.cast(g["k_sum"], pa.int64()),
+        })
 
     parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
     agg: dict = {}

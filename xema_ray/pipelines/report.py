@@ -37,6 +37,13 @@ class _ReportPartials:
         self.edges = Histogram.log_bins().edges
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        return pa.table({"partial": pa.array([pickle.dumps(self.partial(tbl))],
+                                             type=pa.binary())})
+
+    def partial(self, tbl: pa.Table) -> dict:
+        """The raw per-batch partial (no serialization) — callers that
+        accumulate in-process (the checkpoint runner) use this directly
+        instead of pickling/unpickling per batch."""
         out: dict = {"stats": {}, "hists": {}, "ref_bad": 0, "inrow_dup": 0}
         for c in self.columns:
             if c in tbl.column_names:
@@ -69,7 +76,7 @@ class _ReportPartials:
                 vals = values.to_numpy(zero_copy_only=False)
                 out["inrow_dup"] = int(len(inrow_duplicate_rows(vals, offsets)))
 
-        return pa.table({"partial": pa.array([pickle.dumps(out)], type=pa.binary())})
+        return out
 
 
 def corpus_report(ds, valid_sources, columns: Optional[list] = None,
@@ -85,14 +92,18 @@ def corpus_report(ds, valid_sources, columns: Optional[list] = None,
 
 def _merge_report_rows(parts: list) -> dict:
     """Merge pickled per-batch partial rows (associative)."""
+    return _merge_report_partials([pickle.loads(row["partial"]) for row in parts])
+
+
+def _merge_report_partials(parts: list) -> dict:
+    """Merge RAW per-batch partial dicts (associative)."""
     stats_acc: dict = {}
     hlls: dict = {}
     hists: dict = {}
     ref_bad = 0
     inrow_dup = 0
     edges = Histogram.log_bins().edges
-    for row in parts:
-        p = pickle.loads(row["partial"])
+    for p in parts:
         ref_bad += p["ref_bad"]
         inrow_dup += p["inrow_dup"]
         for name, cnts in p["hists"].items():

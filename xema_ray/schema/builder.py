@@ -158,6 +158,9 @@ def _meta_validate(slot: str, v: Any) -> None:
             raise SchemaError(f"ref must be a string pointer, got {v!r}")
 
 
+_UNSET_ALLOW = object()
+
+
 class _Builder:
     def __init__(self, loader: Optional[Callable] = None):
         self.refs: dict = {}
@@ -215,11 +218,16 @@ class _Builder:
             self._build_keyword_slots(node, kw, path)
         finally:
             self.base_stack.pop()
+        if isinstance(own_id, str) and base != own_id:
+            # anchor must register under the scope-resolved URI so refs
+            # absolutized against the same base resolve (code-review r2)
+            node.id = base
         return node
 
     def _build_keyword_slots(self, node: SchemaNode, kw: dict, path: str) -> None:
         from urllib.parse import urljoin
 
+        allow_value = _UNSET_ALLOW
         for raw_key, value in kw.items():
             slot = KEYWORD_ALIASES.get(raw_key, raw_key)
             if slot == "type":
@@ -229,8 +237,9 @@ class _Builder:
                     node.types = (_norm_type(value),)
                 continue
             if slot == "allow":  # non-standard extra type (xema.ex:426-443)
-                extra = _norm_type(value)
-                node.types = tuple(node.types or ("any",)) + (extra,)
+                # defer: keyword ORDER must not matter — a later 'type'
+                # assignment would overwrite the grafted allow type
+                allow_value = value
                 continue
             if slot not in _VALID_SLOTS:
                 # non-keyword data kept addressable (xema.ex:445-501):
@@ -253,6 +262,11 @@ class _Builder:
                 continue
             _meta_validate(slot, value)
             self._set_slot(node, slot, value, path, raw_key)
+        if allow_value is not _UNSET_ALLOW:
+            extras = allow_value if isinstance(allow_value, (list, tuple)) \
+                else [allow_value]
+            node.types = tuple(node.types or ("any",)) + tuple(
+                _norm_type(t) for t in extras)
         self._compile_patterns(node)
         if node.ref is not None:
             base = self.base_stack[-1]

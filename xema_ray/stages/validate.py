@@ -57,11 +57,13 @@ class SchemaValidator:
         self._plan_schema = None
 
     def _plan_for(self, tbl: pa.Table):
-        if self._plan is None or self._plan_schema != tbl.schema.names:
+        # key on the FULL schema (names + types): shards may disagree on a
+        # column's type and a stale plan would misvalidate (review r2)
+        if self._plan is None or self._plan_schema != tbl.schema:
             self._plan = compile_table_plan(
                 self.compiled, tbl.schema, table_checks=self.table_checks
             )
-            self._plan_schema = tbl.schema.names
+            self._plan_schema = tbl.schema
         return self._plan
 
     def __call__(self, tbl: pa.Table) -> pa.Table:

@@ -30,6 +30,26 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+def _partition_names(paths: list) -> dict:
+    """path → unique partition name.  Basenames are used when unique
+    (backward compatible with existing manifests); colliding basenames
+    get a path-derived prefix so two inputs named part-0.parquet in
+    different directories don't overwrite each other's outputs,
+    manifest entries, or lineage (code-review r2)."""
+    from collections import Counter
+
+    counts = Counter(os.path.basename(p) for p in paths)
+    out = {}
+    for p in paths:
+        base = os.path.basename(p)
+        if counts[base] == 1:
+            out[p] = base
+        else:
+            parent = os.path.basename(os.path.dirname(os.path.abspath(p)))
+            out[p] = f"{parent}__{base}"
+    return out
+
+
 def _lineage(path: str) -> str:
     # nanosecond mtime: a shard rewritten with identical size within the
     # same second must NOT be treated as complete on resume
@@ -48,6 +68,7 @@ def _validate_shard(
     with_checks: bool = False,
     valid_sources=None,
     clean_dir: Optional[str] = None,
+    partition_name: Optional[str] = None,
 ) -> dict:
     """Validate one Parquet shard; write violations atomically; return the
     manifest entry.  Runs as a Ray task (one per partition).
@@ -113,9 +134,7 @@ def _validate_shard(
         if vt.num_rows:
             viol_tables.append(vt)
         if reporter is not None:
-            import pickle as _pickle
-
-            report_acc.append(_pickle.loads(reporter(tbl)["partial"][0].as_py()))
+            report_acc.append(reporter.partial(tbl))
             if id_col and id_col in tbl.column_names:
                 ids = tbl[id_col].combine_chunks().drop_null()
                 if len(ids):
@@ -130,20 +149,27 @@ def _validate_shard(
     if viol_tables:
         pq.write_table(pa.concat_tables(viol_tables), tmp)
     else:
-        empty = pa.table({
-            "doc_id": pa.array([], type=pa.string()),
-            "path": pa.array([], type=pa.string()),
-            "keyword": pa.array([], type=pa.string()),
-            "message": pa.array([], type=pa.string()),
-            "row_index": pa.array([], type=pa.int64()),
-        })
+        # the empty file must carry the SAME schema a non-empty shard
+        # would (id column type follows the input), or the violations dir
+        # becomes a mixed-schema dataset (code-review r2)
+        try:
+            empty = violations_to_table(
+                [], pf.schema_arrow.empty_table(), id_col=id_col)
+        except Exception:
+            empty = pa.table({
+                "doc_id": pa.array([], type=pa.string()),
+                "path": pa.array([], type=pa.string()),
+                "keyword": pa.array([], type=pa.string()),
+                "message": pa.array([], type=pa.string()),
+                "row_index": pa.array([], type=pa.int64()),
+            })
         pq.write_table(empty, tmp)
     os.replace(tmp, out_file)  # atomic publish
 
     clean_file = None
     if clean_dir is not None:
         os.makedirs(clean_dir, exist_ok=True)
-        clean_file = os.path.join(clean_dir, os.path.basename(path))
+        clean_file = os.path.join(clean_dir, partition_name or os.path.basename(path))
         tmp_c = clean_file + ".tmp"
         # a zero-batch (empty) input shard still publishes an empty clean
         # file with the input schema
@@ -168,7 +194,7 @@ def _validate_shard(
     return {
         "partial_file": partial_file,
         "clean_file": clean_file,
-        "partition": os.path.basename(path),
+        "partition": partition_name or os.path.basename(path),
         "input": path,
         "lineage": _lineage(path),
         "rows": rows,
@@ -249,10 +275,11 @@ def run_validation(
     manifest_path = os.path.join(out_dir, "manifest.jsonl")
     done = load_manifest(out_dir)
 
+    part_names = _partition_names(paths)
     pending = []
     skipped = 0
     for p in paths:
-        name = os.path.basename(p)
+        name = part_names[p]
         e = done.get(name)
         complete = (
             e is not None
@@ -271,10 +298,10 @@ def run_validation(
     task = ray.remote(_validate_shard)
     refs = []
     for p in pending:
-        out_file = os.path.join(out_dir, "violations", os.path.basename(p))
+        out_file = os.path.join(out_dir, "violations", part_names[p])
         refs.append(task.remote(p, compiled, table_checks, fail, out_file,
                                 id_col, batch_rows, with_checks, valid_sources,
-                                clean_dir))
+                                clean_dir, part_names[p]))
 
     new_entries = []
     with open(manifest_path, "a") as mf:
@@ -289,7 +316,7 @@ def run_validation(
     # aggregate ONLY the partitions of THIS run — a reused out_dir may hold
     # manifest entries for inputs that were removed/renamed since; counting
     # those would inflate the summary and could flip the global verdict
-    wanted = {os.path.basename(p) for p in paths}
+    wanted = set(part_names.values())
     done = {k: e for k, e in load_manifest(out_dir).items() if k in wanted}
     rows = sum(e["rows"] for e in done.values())
     valid_rows = sum(e["valid_rows"] for e in done.values())
@@ -339,9 +366,7 @@ def _merge_check_partials(done: dict, paths: list, id_col: str):
         all_partials.extend(side["report"])
         uniq_blobs.extend(side["uniq_blobs"])
 
-    # reuse the report merge by faking take_all rows
-    rows = [{"partial": pickle.dumps(p)} for p in all_partials]
-    report = report_mod._merge_report_rows(rows)
+    report = report_mod._merge_report_partials(all_partials)
 
     dup_h, _ = _merge_blobs(uniq_blobs)
     duplicate_ids: dict = {}
