@@ -193,3 +193,43 @@ def test_full_parse_rejects_python_liberal_numerics(src, value):
     and inf/nan — the Elixir parses reject all of them."""
     with pytest.raises(CastError):
         cast_value(compile_schema(src), value)
+
+
+@pytest.mark.parametrize("value,t", [
+    ("inf", "float"), ("nan", "float"), ("Infinity", "float"),
+    ("5.", "float"), (".5", "float"), ("1_000", "integer"), (" 5 ", "integer"),
+])
+def test_normalizer_rejects_liberal_numerics(value, t):
+    """code-review r2 batch 4: the vectorized normalizer must apply the
+    same full-parse grammar as the scalar cast — Arrow's own string cast
+    accepts inf/nan/"5."/".5" and the old salvage loop accepted
+    underscores/padding."""
+    from xema_ray.stages.cast import make_normalizer
+
+    schema = compile_schema(("map", {"properties": {"v": t}}))
+    tbl = pa.table({"v": pa.array([value, "1"])})
+    with pytest.raises(CastError):
+        make_normalizer(schema)(tbl)
+    out = make_normalizer(schema, on_error="null")(tbl)
+    assert out["v"].to_pylist()[0] is None
+    assert out["v"].to_pylist()[1] == 1
+
+
+def test_normalizer_accepts_plus_prefixed_integer():
+    """Arrow's int parser rejects '+5'; the Elixir grammar accepts it."""
+    from xema_ray.stages.cast import make_normalizer
+
+    schema = compile_schema(("map", {"properties": {"v": "integer"}}))
+    out = make_normalizer(schema)(pa.table({"v": pa.array(["+5", "-3", None])}))
+    assert out["v"].to_pylist() == [5, -3, None]
+
+
+def test_normalizer_int64_overflow_nulls_or_raises():
+    from xema_ray.stages.cast import make_normalizer
+
+    schema = compile_schema(("map", {"properties": {"v": "integer"}}))
+    tbl = pa.table({"v": pa.array(["99999999999999999999999", "2"])})
+    with pytest.raises(CastError):
+        make_normalizer(schema)(tbl)
+    out = make_normalizer(schema, on_error="null")(tbl)
+    assert out["v"].to_pylist() == [None, 2]

@@ -105,3 +105,26 @@ def test_wav_zero_channels_raises():
            + b"data" + st.pack("<I", 0))
     with pytest.raises(MediaDecodeError):
         decode_wav(raw)
+
+
+def test_extractor_on_error_null_keeps_streaming():
+    """code-review r2 batch 4: one corrupt payload in a batch must not
+    abort the stage when on_error='null' — it becomes a null feature row."""
+    import pyarrow as pa
+
+    from xema_ray.stages.multimodal import MediaFeatureExtractor
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    tbl = pa.table({
+        "media_id": ["good", "bad", "null"],
+        "payload": pa.array([encode_ppm(img), b"P6\n4 4\n255\n\0\0", None],
+                            type=pa.binary()),
+        "mime": ["image/x-portable-pixmap"] * 3,
+    })
+    with pytest.raises(MediaDecodeError):
+        MediaFeatureExtractor(decode_stub=False)(tbl)
+    out = MediaFeatureExtractor(decode_stub=False, on_error="null")(tbl)
+    f = out["features"].to_pylist()
+    assert len(f[0]) == 64
+    assert f[1] is None            # corrupt payload -> null features
+    assert f[2] is not None        # null payload stays zero-vector, not error

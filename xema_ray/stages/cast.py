@@ -17,8 +17,15 @@ from typing import Optional
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from xema_ray.functions.cast import CastError
+from xema_ray.functions.cast import CastError, _full_float, _full_int
 from xema_ray.schema.ast import UNSET, CompiledSchema, SchemaNode
+
+# RE2 (pc.match_substring_regex) forms of the Elixir full-parse grammars in
+# functions/cast.py — Arrow's own string→number cast is BOTH too liberal
+# ("inf"/"nan"/"5."/".5" parse) and too strict ("+5" → int rejects), so every
+# cell is gated on the engine grammar before the vectorized cast.
+_INT_FULL = r"^[+-]?[0-9]+$"
+_FLOAT_FULL = r"^[+-]?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
 
 
 def _target_type(node: SchemaNode):
@@ -41,28 +48,29 @@ def _cast_column(col: pa.ChunkedArray, node: SchemaNode, name: str, on_error: st
     if t in ("integer", "float", "number") and (
         pa.types.is_string(cur) or pa.types.is_large_string(cur)
     ):
-        # full-parse requirement (castable/helper.ex:31-43): pc.cast errors
-        # on any unparseable cell, matching "5x" → CastError
+        # full-parse requirement (castable/helper.ex:31-43): gate every cell
+        # on the Elixir grammar, then cast the survivors vectorized
+        pat = _INT_FULL if t == "integer" else _FLOAT_FULL
+        ok = pc.or_(pc.match_substring_regex(col, pat), pc.is_null(col))
+        if bool(pc.any(pc.invert(ok)).as_py()):
+            if on_error != "null":
+                bad = col.filter(pc.invert(ok))
+                raise CastError((name,), t, f"unparseable cell {bad[0].as_py()!r}")
+            col = pc.if_else(ok, col, pa.scalar(None, type=cur))
+        if t == "integer":
+            # Arrow's int parser rejects the leading '+' the grammar allows
+            col = pc.replace_substring_regex(col, r"^\+", "")
         try:
-            if t == "integer":
-                return pc.cast(col, pa.int64())
-            return pc.cast(col, pa.float64())
+            return pc.cast(col, target)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+            # grammar-valid but uncastable (int64 overflow): per-cell salvage
+            parse = _full_int if t == "integer" else _full_float
+            out = [None if v is None else parse(v) for v in col.to_pylist()]
             if on_error == "null":
-                # per-cell salvage: parseable cells cast, the rest null
-                import numpy as np
-
-                vals = col.to_pylist()
-                out = []
-                for v in vals:
-                    if v is None:
-                        out.append(None)
-                        continue
-                    try:
-                        out.append(int(v, 10) if t == "integer" else float(v))
-                    except ValueError:
-                        out.append(None)
-                return pa.chunked_array([pa.array(out, type=target)])
+                ok_vals = [v if isinstance(v, (int, float))
+                           and -(2**63) <= v < 2**63 else None for v in out] \
+                    if t == "integer" else out
+                return pa.chunked_array([pa.array(ok_vals, type=target)])
             raise CastError((name,), t, str(e)) from e
     if t in ("float", "number") and pa.types.is_integer(cur):
         return pc.cast(col, pa.float64())

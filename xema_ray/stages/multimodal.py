@@ -79,12 +79,16 @@ class MediaFeatureExtractor:
 
     FEATURE_DIM = 64
 
-    def __init__(self, decode_stub: bool = True):
+    def __init__(self, decode_stub: bool = True, on_error: str = "raise"):
         # codec dispatch table built once per actor (a real deployment
         # loads its model/codec handles here the same way)
         from xema_ray.functions import codecs
 
         self.decode_stub = decode_stub
+        # "raise" fails the batch on a malformed payload; "null" emits a
+        # null feature row and keeps streaming — at corpus scale one corrupt
+        # blob must not abort the job
+        self.on_error = on_error
         self.codecs = codecs
 
     def _decode(self, payload: bytes, mime: str) -> np.ndarray:
@@ -104,13 +108,22 @@ class MediaFeatureExtractor:
         return arr.astype(np.float32)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        from xema_ray.functions.codecs import MediaDecodeError
+
         feats = np.zeros((tbl.num_rows, self.FEATURE_DIM), dtype=np.float32)
+        failed = np.zeros(tbl.num_rows, dtype=bool)
         payloads = tbl["payload"].to_pylist()
         mimes = tbl["mime"].to_pylist()
         for i, (p, m) in enumerate(zip(payloads, mimes)):
             if p is None:
                 continue
-            raw = self._decode(p, m)
+            try:
+                raw = self._decode(p, m)
+            except MediaDecodeError:
+                if self.on_error != "null":
+                    raise
+                failed[i] = True
+                continue
             # stub "feature": per-chunk means, L2-normalized
             chunks = raw[: (len(raw) // self.FEATURE_DIM) * self.FEATURE_DIM]
             if len(chunks) == 0:
@@ -121,16 +134,21 @@ class MediaFeatureExtractor:
         flat = pa.array(feats.reshape(-1), type=pa.float32())
         offsets = pa.array(np.arange(0, (tbl.num_rows + 1) * self.FEATURE_DIM,
                                      self.FEATURE_DIM, dtype=np.int32))
-        feat_col = pa.ListArray.from_arrays(offsets, flat)
+        feat_col = pa.ListArray.from_arrays(
+            offsets, flat, mask=pa.array(failed) if failed.any() else None)
         return tbl.select(["media_id", "mime"]).append_column("features", feat_col)
 
 
 def extract_features(ds, batch_size: int = 256, concurrency=(1, 4),
-                     decode_stub: bool = True):
-    """Feature-extraction pipeline stage; small batches for wide binary rows."""
+                     decode_stub: bool = True, on_error: str = "raise"):
+    """Feature-extraction pipeline stage; small batches for wide binary rows.
+
+    ``on_error="null"`` marks undecodable payloads with a null feature row
+    instead of failing the batch (count them downstream with an
+    ``is_null(features)`` aggregate)."""
     return ds.map_batches(
         MediaFeatureExtractor,
-        fn_constructor_kwargs={"decode_stub": decode_stub},
+        fn_constructor_kwargs={"decode_stub": decode_stub, "on_error": on_error},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
