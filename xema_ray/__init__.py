@@ -21,7 +21,7 @@ Layout:
 """
 
 from xema_ray.schema.builder import SchemaError, compile_schema
-from xema_ray.schema.json_schema import from_json_schema
+from xema_ray.schema.json_schema import from_json_schema, validate_json_schema
 from xema_ray.schema.source import schema_source
 from xema_ray.functions.scalar import Atom, Violation, validate_value, is_valid
 from xema_ray.functions.cast import CastError, cast, cast_value
@@ -35,6 +35,7 @@ __version__ = "0.1.0"
 __all__ = [
     "compile_schema",
     "from_json_schema",
+    "validate_json_schema",
     "schema_source",
     "Atom",
     "SchemaError",

@@ -96,3 +96,22 @@ def from_json_schema(
     if validate:
         _meta_check(source, draft)
     return compile_schema(source, loader=loader)
+
+
+_META_CACHE: dict = {}
+
+
+def validate_json_schema(meta_uri: str, source: Any):
+    """Validate a JSON-Schema document against a bundled draft metaschema —
+    the ``Xema.JsonSchema.Validator.validate/2`` analogue
+    (reference test/xema/json_schema/validator_test.exs): returns ``None``
+    when the document conforms, else the reference-shaped reason (e.g.
+    ``{"properties": {"minimum": {"type": :number, "value": "5"}}}``)."""
+    from xema_ray.functions.messages import validation_reason
+    from xema_ray.schema.metaschemas import metaschema_loader
+
+    key = meta_uri.rstrip("#")
+    meta = _META_CACHE.get(key)
+    if meta is None:
+        meta = _META_CACHE[key] = compile_schema(metaschema_loader(meta_uri))
+    return validation_reason(meta, source)
