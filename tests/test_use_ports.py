@@ -116,3 +116,10 @@ def test_metaschema_invalid_document_reason_shape(uri):
     reason = validate_json_schema(uri, {"minimum": "5"})
     assert reason == {"properties": {"minimum": {"type": Atom("number"),
                                                  "value": "5"}}}
+
+
+def test_metaschema_unknown_uri_raises_schema_error():
+    from xema_ray import SchemaError
+
+    with pytest.raises(SchemaError, match="unknown metaschema URI"):
+        validate_json_schema("http://example.com/nope#", {})

@@ -113,5 +113,11 @@ def validate_json_schema(meta_uri: str, source: Any):
     key = meta_uri.rstrip("#")
     meta = _META_CACHE.get(key)
     if meta is None:
-        meta = _META_CACHE[key] = compile_schema(metaschema_loader(meta_uri))
+        try:
+            doc = metaschema_loader(meta_uri)
+        except KeyError:
+            raise SchemaError(
+                f"unknown metaschema URI {meta_uri!r} "
+                f"(bundled: {sorted(_DRAFT_URIS)})") from None
+        meta = _META_CACHE[key] = compile_schema(doc)
     return validation_reason(meta, source)
