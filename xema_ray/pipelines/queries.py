@@ -54,16 +54,41 @@ def _corpus_glob(sf_dir: str) -> str:
     return os.path.join(ensure_corpus(sf_dir), "seq-*.parquet")
 
 
-def _read_seq(sf_dir: str):
+def _split_blocks(n_files: int):
+    """Block-count override for scans with fewer files than cores: split to
+    2×CPU blocks so the read parallelizes past the file count.  A no-op at
+    cluster scale (files ≥ cores ⇒ None keeps Ray's own file-based split —
+    never merges blocks)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    target = cpus * 2
+    return target if target > n_files else None
+
+
+def _read_seq(sf_dir: str, columns=None, split: bool = False):
     import ray.data as rd
 
-    return rd.read_parquet(corpus_paths(ensure_corpus(sf_dir)))
+    paths = corpus_paths(ensure_corpus(sf_dir))
+    kw = {}
+    if columns:
+        kw["columns"] = list(columns)
+    if split:
+        nb = _split_blocks(len(paths))
+        if nb:
+            kw["override_num_blocks"] = nb
+    return rd.read_parquet(paths, **kw)
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, split: bool = False):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    kw = {"columns": columns}
+    if split:
+        nb = _split_blocks(1)
+        if nb:
+            kw["override_num_blocks"] = nb
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), **kw)
 
 
 @dataclass
@@ -545,7 +570,8 @@ def doc_fingerprints(sf_dir: str):
 def doc_minhash_pairs(sf_dir: str):
     from xema_ray.stages.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+    return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"],
+                                   split=True),
                              threshold=0.5)
 
 
@@ -811,7 +837,7 @@ def seq_valid_distinct_by_source(sf_dir: str):
 def seq_top_tokens(sf_dir: str):
     from xema_ray.stages.stats import top_tokens
 
-    return top_tokens(_read_seq(sf_dir), k=20)
+    return top_tokens(_read_seq(sf_dir, columns=["tokens"], split=True), k=20)
 
 
 @register(

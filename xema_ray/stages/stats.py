@@ -316,7 +316,21 @@ def token_frequencies(ds, list_col: str = "tokens", vocab: int = 50257,
     domain would use CMS + candidate verification instead.
     Returns the (vocab,) count vector.
     """
-    import pyarrow.compute as pc
+    def _pack(counts: np.ndarray) -> pa.Table:
+        # one (vocab,) row, built zero-copy from the numpy buffer —
+        # counts.tolist() would allocate `vocab` Python ints per partial
+        return pa.table({"counts": pa.ListArray.from_arrays(
+            pa.array([0, vocab], type=pa.int32()),
+            pa.array(counts, type=pa.int64()))})
+
+    def _unpack_sum(tbl: pa.Table) -> np.ndarray:
+        # concatenated list values → (n, vocab) view → column sums; never
+        # leaves numpy (take_all here cost 12.9M Python ints at sf0.1)
+        col = tbl["counts"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.values.to_numpy(zero_copy_only=False)
+        return vals.reshape(-1, vocab).sum(axis=0)
 
     def partial(tbl: pa.Table) -> pa.Table:
         col = tbl[list_col]
@@ -330,12 +344,13 @@ def token_frequencies(ds, list_col: str = "tokens", vocab: int = 50257,
         mask = (v >= 0) & (v < vocab)
         if not mask.all():
             v = v[mask]
-        counts = np.bincount(v, minlength=vocab)
-        return pa.table({"counts": pa.array([counts.tolist()],
-                                            type=pa.list_(pa.int64()))})
+        return _pack(np.bincount(v, minlength=vocab))
 
+    # batch_size=None: one partial per BLOCK (not per 1024-row slice) —
+    # bincount cost is linear in tokens either way, but 4x fewer partial
+    # rows cross the merge
     partials_ds = ds.select_columns([list_col]).map_batches(
-        partial, batch_format="pyarrow")
+        partial, batch_format="pyarrow", batch_size=None)
     if strategy == "auto":
         partials_ds = partials_ds.materialize()
         strategy = "driver" if partials_ds.count() <= tree_threshold else "tree"
@@ -345,17 +360,13 @@ def token_frequencies(ds, list_col: str = "tokens", vocab: int = 50257,
         fanin = max(2, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
         def fold(t: pa.Table) -> pa.Table:
-            acc = np.zeros(vocab, dtype=np.int64)
-            for row in t["counts"].to_pylist():
-                acc += np.asarray(row, dtype=np.int64)
-            return pa.table({"counts": pa.array([acc.tolist()],
-                                                type=pa.list_(pa.int64()))})
+            return _pack(_unpack_sum(t))
 
         partials_ds = partials_ds.repartition(fanin).map_batches(
-            fold, batch_format="pyarrow")
+            fold, batch_format="pyarrow", batch_size=None)
     total = np.zeros(vocab, dtype=np.int64)
-    for row in partials_ds.take_all():
-        total += np.asarray(row["counts"], dtype=np.int64)
+    for b in partials_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        total += _unpack_sum(b)
     return total
 
 
