@@ -560,7 +560,10 @@ def doc_langid(sf_dir: str):
 def doc_fingerprints(sf_dir: str):
     from xema_ray.stages.text import fingerprints
 
-    ds = fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+    # md5 mode: the SQL oracle recomputes the identical md5-based value;
+    # the ENGINE default (hash_fn="fast") is the vectorized splitmix hash.
+    ds = fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]),
+                      hash_fn="md5")
     return ds.map_batches(lambda t: t.select(["doc_id", "fingerprint"]),
                           batch_format="pyarrow")
 
@@ -625,13 +628,14 @@ def emb_knn(sf_dir: str):
               "(broadcast centroids + partial-sum folds, shuffle-free) + "
               "nprobe inverted-list search (iterative algorithm; rows-only)")
 def emb_knn_ivf(sf_dir: str):
-    from xema_ray.stages.similarity import ivf_index, kmeans_fit, knn_ivf
+    from xema_ray.stages.similarity import kmeans_fit, knn_ivf
 
     base = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     cent = kmeans_fit(base, k=16, iters=3)
-    indexed = ivf_index(base, cent).materialize()
     queries = _query_vectors(sf_dir)
-    out = knn_ivf(indexed, queries, cent, k=10, nprobe=4)
+    # knn_ivf fuses list-id assignment on the fly (similarity.py Probe path);
+    # no index materialization — the corpus streams through exactly once.
+    out = knn_ivf(base, queries, cent, k=10, nprobe=4)
     return out.select(["query_id", "vec_id", "rank"])
 
 
@@ -767,7 +771,7 @@ def events_sessions(sf_dir: str):
         "pass + one digest-only exchange (the training-data user story)",
 )
 def seq_valid_distinct_by_source(sf_dir: str):
-    import hashlib
+    import pandas as pd
 
     from xema_ray.pipelines.flagship import n_tok_invariant, sequences_schema
     from xema_ray.stages.validate import validate_dataset
@@ -781,36 +785,36 @@ def seq_valid_distinct_by_source(sf_dir: str):
         """ONE pass emits both partials: per-batch-deduped
         (source, content-digest) rows AND a null-digest row per source
         carrying the batch's valid-row count — only 16-byte digests + the
-        key ever shuffle, and the clean dataset executes once."""
-        col = t["tokens"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        values = col.values.to_numpy(zero_copy_only=False)
-        offsets = col.offsets.to_numpy(zero_copy_only=False)
-        srcs = t["source"].to_pylist()
-        seen = set()
-        out_s, out_h, out_n = [], [], []
-        counts: dict = {}
-        for i, s in enumerate(srcs):
-            counts[s] = counts.get(s, 0) + 1
-            payload = values[offsets[i]:offsets[i + 1]].tobytes()
-            h = hashlib.md5(payload).digest()[:16]
-            if (s, h) not in seen:
-                seen.add((s, h))
-                out_s.append(s)
-                out_h.append(h)
-                out_n.append(0)
-        for s, n in counts.items():
-            out_s.append(s)
-            out_h.append(None)
-            out_n.append(n)
-        return pa.table({
-            "source": pa.array(out_s, type=pa.string()),
-            "h": pa.array(out_h, type=pa.binary()),
-            "n": pa.array(out_n, type=pa.int64()),
-        })
+        key ever shuffle, and the clean dataset executes once.  Digests
+        are two vectorized 64-bit lanes of the order-sensitive token-row
+        hash (no per-row md5 — round-2 verdict #2; the oracle counts
+        DISTINCT tokens directly, so the digest is engine-internal)."""
+        from xema_ray.functions.sketches import hash_int_list_rows
 
-    import pandas as pd
+        h0 = hash_int_list_rows(t["tokens"], seed=0)
+        h1 = hash_int_list_rows(t["tokens"], seed=0x9E3779B9)
+        packed = np.empty((len(h0), 2), dtype=">u8")
+        packed[:, 0] = h0
+        packed[:, 1] = h1
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas(),
+            "h": np.frombuffer(packed.tobytes(), dtype="S16"),
+        })
+        dedup = df.drop_duplicates()
+        counts = df["source"].value_counts()
+        return pa.table({
+            "source": pa.array(
+                np.concatenate([dedup["source"].to_numpy(dtype=object),
+                                counts.index.to_numpy(dtype=object)]),
+                type=pa.string()),
+            "h": pa.array(
+                list(dedup["h"].to_numpy()) + [None] * len(counts),
+                type=pa.binary()),
+            "n": pa.array(
+                np.concatenate([np.zeros(len(dedup), dtype=np.int64),
+                                counts.to_numpy(dtype=np.int64)]),
+                type=pa.int64()),
+        })
 
     def per_source(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

@@ -32,39 +32,66 @@ import pyarrow as pa
 # ----------------------------------------------------------------------
 
 
-def _content_hash_batch(tbl: pa.Table, col: str, id_col: str) -> pa.Table:
-    """(hash, doc_id) per row + per-batch partial (hash, min_id, cnt)."""
-    texts = tbl[col].to_pylist()
-    ids = tbl[id_col].to_pylist()
-    agg: dict = {}
-    for t, i in zip(texts, ids):
-        if t is None or i is None:
-            continue
-        h = hashlib.md5(t.encode("utf-8", "surrogatepass")).hexdigest()
-        cur = agg.get(h)
-        if cur is None:
-            agg[h] = [i, 1]
-        else:
-            cur[1] += 1
-            if i < cur[0]:
-                cur[0] = i
+def _hash_text_column(tbl: pa.Table, col: str, hash_fn: str):
+    """Per-row content keys for ``tbl[col]``: vectorized 128-bit hex
+    (``hash_fn="fast"``, the engine default — round-2 verdict #2) or
+    per-row md5 hex (``hash_fn="md5"``, cross-engine-recomputable mode).
+    Returns a ``pa.StringArray`` with null for null text."""
+    if hash_fn == "md5":
+        texts = tbl[col].to_pylist()
+        return pa.array(
+            [hashlib.md5(t.encode("utf-8", "surrogatepass")).hexdigest()
+             if t is not None else None for t in texts],
+            type=pa.string(),
+        )
+    from xema_ray.functions.sketches import hash_strings_hex128
+
+    import pyarrow.compute as pc
+
+    texts = tbl[col].to_pylist()  # object list; hashing itself is vectorized
+    hexes = hash_strings_hex128(texts).astype("U32")
+    arr = pa.array(hexes, type=pa.string())
+    valid = pc.is_valid(tbl[col])
+    if not pc.all(valid).as_py():
+        arr = pc.if_else(valid, arr, pa.scalar(None, type=pa.string()))
+    return arr
+
+
+def _content_hash_batch(tbl: pa.Table, col: str, id_col: str,
+                        hash_fn: str = "fast") -> pa.Table:
+    """Per-batch partial (hash, min_id, cnt) — the only thing that
+    shuffles.  Partial aggregation is a vectorized pandas groupby."""
+    h = _hash_text_column(tbl, col, hash_fn)
+    df = pd.DataFrame({
+        "h": h.to_pandas(),
+        "id": tbl[id_col].to_pandas(),
+    }).dropna(subset=["h", "id"])
+    if not len(df):
+        return pa.table({
+            "h": pa.array([], type=pa.string()),
+            "min_id": pa.array([], type=tbl[id_col].type),
+            "cnt": pa.array([], type=pa.int64()),
+        })
+    g = df.groupby("h", sort=False)["id"].agg(["min", "size"]).reset_index()
     return pa.table({
-        "h": pa.array(list(agg.keys()), type=pa.string()),
-        "min_id": pa.array([v[0] for v in agg.values()]),
-        "cnt": pa.array([v[1] for v in agg.values()], type=pa.int64()),
+        "h": pa.array(g["h"], type=pa.string()),
+        "min_id": pa.Array.from_pandas(g["min"], type=tbl[id_col].type),
+        "cnt": pa.array(g["size"].to_numpy(dtype=np.int64), type=pa.int64()),
     })
 
 
-def exact_dedup_groups(ds, col: str = "text", id_col: str = "doc_id"):
+def exact_dedup_groups(ds, col: str = "text", id_col: str = "doc_id",
+                       hash_fn: str = "fast"):
     """One row per distinct content: ``(doc_id=min id, n_copies)``.
 
-    Matches ``SELECT min(id), count(*) FROM t GROUP BY content`` (md5
-    collisions are negligible at any practical corpus size).
+    Matches ``SELECT min(id), count(*) FROM t GROUP BY content`` (128-bit
+    hash collisions are negligible at any practical corpus size).
     """
     from ray.data.aggregate import Min, Sum
 
     partials = ds.map_batches(
-        lambda t: _content_hash_batch(t, col, id_col), batch_format="pyarrow"
+        lambda t: _content_hash_batch(t, col, id_col, hash_fn),
+        batch_format="pyarrow",
     )
     merged = partials.groupby("h").aggregate(
         Min("min_id", alias_name="doc_id"), Sum("cnt", alias_name="n_copies")
@@ -72,7 +99,8 @@ def exact_dedup_groups(ds, col: str = "text", id_col: str = "doc_id"):
     return merged.select_columns(["doc_id", "n_copies"])
 
 
-def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
+                hash_fn: str = "fast"):
     """Survivor rows (first id per distinct content).
 
     Scale shape (round-1 verdict fix): only the DUPLICATE groups —
@@ -87,7 +115,8 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     from ray.data.aggregate import Min, Sum
 
     partials = ds.map_batches(
-        lambda t: _content_hash_batch(t, col, id_col), batch_format="pyarrow"
+        lambda t: _content_hash_batch(t, col, id_col, hash_fn),
+        batch_format="pyarrow",
     )
     merged = partials.groupby("h").aggregate(
         Min("min_id", alias_name="keep_id"), Sum("cnt", alias_name="n")
@@ -105,12 +134,7 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
             self.dup_h, self.keep_id = ray.get(ref)  # one plasma read/actor
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
-            texts = tbl[col].to_pylist()
-            h = pa.array(
-                [hashlib.md5(t.encode("utf-8", "surrogatepass")).hexdigest()
-                 if t is not None else None for t in texts],
-                type=pa.string(),
-            )
+            h = _hash_text_column(tbl, col, hash_fn)
             idx = pc.index_in(h, value_set=self.dup_h)  # null = unique content
             keeper = pc.take(self.keep_id, idx) if len(self.keep_id) else None
             keep = pc.is_null(idx) if keeper is None else pc.or_kleene(

@@ -121,24 +121,28 @@ class Fingerprint:
     3-grams → stable 64-bit fingerprint; equal fingerprints ⇒
     near-identical word streams.
 
-    The gram hash is the first 16 hex chars of md5 so an independent SQL
-    engine can recompute the identical fingerprint (cross-engine
-    verifiability; md5 min == numeric min on fixed-width hex).
+    ``hash_fn="fast"`` (engine default — round-2 verdict #2) hashes every
+    gram with the vectorized 64-bit splitmix hash and takes the per-doc
+    minimum with one ``np.minimum.reduceat`` — no Python loop over grams.
+    ``hash_fn="md5"`` keeps the first 16 hex chars of md5 per gram so an
+    independent SQL engine can recompute the identical fingerprint
+    (cross-engine verifiability; md5 min == numeric min on fixed-width
+    hex) — the oracle-parity mode used by the registered query.
     """
 
-    def __init__(self, text_col: str = "text", ngram: int = 3):
+    def __init__(self, text_col: str = "text", ngram: int = 3,
+                 hash_fn: str = "fast"):
         import re
 
         self.text_col = text_col
         self.ngram = ngram
+        self.hash_fn = hash_fn
         self.word_re = re.compile(r"[a-z0-9]+")
 
-    def __call__(self, batch):
+    def _fingerprints_md5(self, words_all):
         import hashlib
 
         out_fp = []
-        texts = batch[self.text_col].fillna("").str.lower()
-        words_all = texts.str.findall(self.word_re)
         for words in words_all:
             if len(words) < self.ngram:
                 grams = [" ".join(words)]  # [] → [""] like the SQL side
@@ -148,6 +152,48 @@ class Fingerprint:
             out_fp.append(min(
                 hashlib.md5(g.encode("utf-8")).hexdigest()[:16] for g in grams
             ))
+        return out_fp
+
+    def _fingerprints_fast(self, words_all):
+        from xema_ray.functions.sketches import hash_strings
+
+        k = self.ngram
+        ex = words_all.explode()
+        rows = ex.index.to_numpy()
+        w = ex.to_numpy()
+        n = len(words_all)
+        # gram start positions: k consecutive tokens from the same doc
+        if len(w) >= k:
+            same = rows[: len(w) - k + 1] == rows[k - 1 :]
+            starts = np.nonzero(same)[0]
+        else:
+            starts = np.array([], dtype=np.int64)
+        gram_rows = rows[starts] if len(starts) else np.array([], dtype=np.int64)
+        grams = w[starts].astype(object)
+        for j in range(1, k):
+            grams = grams + " " + w[starts + j].astype(object)
+        # docs with < k words contribute their single joined-words gram
+        short = np.setdiff1d(np.arange(n), np.unique(gram_rows))
+        if len(short):
+            joined = words_all.iloc[short].map(" ".join).to_numpy(dtype=object)
+            grams = np.concatenate([grams, joined])
+            gram_rows = np.concatenate([gram_rows, short])
+        h = hash_strings(grams)
+        order = np.argsort(gram_rows, kind="stable")
+        gram_rows = gram_rows[order]
+        h = h[order]
+        starts_per_doc = np.searchsorted(gram_rows, np.arange(n))
+        mins = np.minimum.reduceat(h, starts_per_doc)
+        hex_all = mins.astype(">u8").tobytes().hex().encode("ascii")
+        return np.frombuffer(hex_all, dtype="S16").astype("U16")
+
+    def __call__(self, batch):
+        texts = batch[self.text_col].fillna("").str.lower().reset_index(drop=True)
+        words_all = texts.str.findall(self.word_re)
+        if self.hash_fn == "md5":
+            out_fp = self._fingerprints_md5(words_all)
+        else:
+            out_fp = self._fingerprints_fast(words_all)
         batch = batch.copy()
         batch["fingerprint"] = out_fp
         return batch
@@ -173,8 +219,10 @@ def lang_id(ds, text_col: str = "text", concurrency=(1, 8)):
     )
 
 
-def fingerprints(ds, text_col: str = "text", concurrency=(1, 8)):
+def fingerprints(ds, text_col: str = "text", hash_fn: str = "fast",
+                 concurrency=(1, 8)):
     return ds.map_batches(
-        Fingerprint, fn_constructor_kwargs={"text_col": text_col},
+        Fingerprint,
+        fn_constructor_kwargs={"text_col": text_col, "hash_fn": hash_fn},
         batch_format="pandas", concurrency=concurrency,
     )
