@@ -128,3 +128,130 @@ def test_extractor_on_error_null_keeps_streaming():
     assert len(f[0]) == 64
     assert f[1] is None            # corrupt payload -> null features
     assert f[2] is not None        # null payload stays zero-vector, not error
+
+
+# ----------------------------------------------------------------------
+# PNG (round-3: stdlib zlib + numpy defiltering)
+# ----------------------------------------------------------------------
+
+
+def _fwd_filter(img, ftype):
+    """Independent forward implementation of the PNG scanline filters
+    (spec §9) so decode is tested against something other than itself."""
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    out = np.empty((h, stride + 1), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = flat[y]
+        out[y, 0] = ftype
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+            out[y, 1 + x] = (row[x] - pred) & 0xFF
+        prev = row
+    return out.tobytes()
+
+
+def _make_png(img, ftype):
+    import struct
+    import zlib
+
+    from xema_ray.functions.codecs import _PNG_SIG
+
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(_fwd_filter(img, ftype)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_all_channel_counts():
+    from xema_ray.functions.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for shape in [(5, 7, 3), (1, 1, 1), (9, 4, 4), (3, 3, 2), (16, 16, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_all_five_filters_invert():
+    from xema_ray.functions.codecs import decode_png
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(11, 6, 3), dtype=np.uint8)
+    for f in range(5):
+        assert np.array_equal(decode_png(_make_png(img, f)), img), f
+
+
+def test_png_palette_expands_to_rgb():
+    import struct
+    import zlib
+
+    from xema_ray.functions.codecs import _PNG_SIG, decode_png
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, size=(4, 5), dtype=np.uint8)
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 3, 0, 0, 0)
+    raw = np.concatenate([np.zeros((4, 1), np.uint8), idx], axis=1).tobytes()
+    p = (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(p), pal[idx])
+
+
+def test_png_malformed_raises():
+    from xema_ray.functions.codecs import MediaDecodeError, decode_png, encode_png
+
+    rng = np.random.default_rng(6)
+    png = encode_png(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+    flipped = bytearray(png)
+    flipped[30] ^= 0xFF  # corrupt IDAT body -> CRC mismatch
+    for bad in (bytes(flipped), png[:40], b"nope" + png, b""):
+        with pytest.raises(MediaDecodeError):
+            decode_png(bad)
+
+
+def test_png_media_extractor_real_decode():
+    """PNG rows in the synthetic media table decode to the SAME features
+    as the equivalent PPM pixels (codec-independent pixel content)."""
+    import pyarrow as pa
+
+    from xema_ray.functions.codecs import encode_png, encode_ppm
+    from xema_ray.stages.multimodal import MediaFeatureExtractor
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 18, 3), dtype=np.uint8)
+    tbl = pa.table({
+        "media_id": pa.array(["a", "b"]),
+        "payload": pa.array([encode_ppm(img), encode_png(img)], type=pa.binary()),
+        "mime": pa.array(["image/x-portable-pixmap", "image/png"]),
+    })
+    out = MediaFeatureExtractor()(tbl)
+    f = out["features"].to_pylist()
+    assert f[0] == f[1]

@@ -288,15 +288,9 @@ def test_fail_early_vector_matches_scalar():
         for i, row in enumerate(rows):
             sv = validate_value(schema, row, fail=mode)
             want = {(v.path or "/", v.keyword) for v in sv}
-            if mode == "early":
-                # reference-exact: first failing group per level
-                assert got.get(i, set()) == want, (mode, i, got.get(i), want)
-            else:
-                # vector 'finally' is the documented full-collection
-                # SUPERSET (it also keeps later keywords of one value's
-                # chain, which the reference's with-chain stops at)
-                assert want <= got.get(i, set()), (mode, i, got.get(i), want)
-                assert bool(want) == bool(got.get(i)), (mode, i)
+            # r3: reference-exact in BOTH modes (finally now applies the
+            # reference collect/with-chain shape, no longer a superset)
+            assert got.get(i, set()) == want, (mode, i, got.get(i), want)
     # immediately: exactly one violation per invalid row, none for valid
     valid, viols = evaluate_batch(plan, tbl, fail="immediately")
     per_row = {}
@@ -304,3 +298,84 @@ def test_fail_early_vector_matches_scalar():
         for r in cv.row_idx.tolist():
             per_row[r] = per_row.get(r, 0) + 1
     assert set(per_row) == {0, 2} and all(v == 1 for v in per_row.values())
+
+
+def _viol_sets(viols):
+    got = {}
+    for cv in viols:
+        for j, r in enumerate(cv.row_idx.tolist()):
+            p = cv.paths[j] if hasattr(cv.paths, "tolist") else cv.paths
+            got.setdefault(r, set()).add((p, cv.keyword))
+    return got
+
+
+def test_fail_modes_vector_matches_scalar_nested():
+    """r3 (VERDICT item 5): vector violation SETS are byte-equal to the
+    scalar path in all three reference fail modes, including struct-column
+    interiors and list chains (scalar chains first-fail-only under
+    :finally; list/map chains collect)."""
+    schema = compile_schema(("map", {
+        "properties": {
+            "s": ("string", {"min_length": 3, "pattern": "^a",
+                             "max_length": 5}),
+            "nums": ("list", {"min_items": 2, "unique_items": True,
+                              "items": ("integer", {"minimum": 0})}),
+            "obj": ("map", {"properties": {
+                        "name": ("string", {"min_length": 2, "pattern": "^x"}),
+                        "count": ("integer", {"minimum": 1}),
+                    },
+                    "required": ["name"]}),
+        },
+    }))
+    tbl = pa.table({
+        # row0: s fails min_length AND pattern (scalar chain: first only
+        #        under finally); row1 valid; row2 fails max_length only
+        "s": pa.array(["b", "abc", "aaaaaaa"], type=pa.string()),
+        # row0: min_items AND unique AND items all fail -> list collect
+        "nums": pa.array([[-1, -1], [0, 1], [2, 3]],
+                         type=pa.list_(pa.int64())),
+        # row0: interior name fails min_length AND pattern (scalar chain
+        #        inside the struct) + count below minimum (sibling collect)
+        "obj": pa.array(
+            [{"name": "b", "count": 0}, {"name": "xy", "count": 2},
+             {"name": "xz", "count": 1}],
+            type=pa.struct([("name", pa.string()), ("count", pa.int64())])),
+    })
+    rows = [
+        {"s": "b", "nums": [-1, -1], "obj": {"name": "b", "count": 0}},
+        {"s": "abc", "nums": [0, 1], "obj": {"name": "xy", "count": 2}},
+        {"s": "aaaaaaa", "nums": [2, 3], "obj": {"name": "xz", "count": 1}},
+    ]
+    plan = compile_table_plan(schema, tbl.schema)
+    assert all(cp.fallback_node is None for cp in plan.column_plans)
+    for mode in ("early", "finally"):
+        valid, viols = evaluate_batch(plan, tbl, fail=mode)
+        got = _viol_sets(viols)
+        for i, row in enumerate(rows):
+            sv = validate_value(schema, row, fail=mode)
+            want = {(v.path or "/", v.keyword) for v in sv}
+            assert got.get(i, set()) == want, (mode, i, got.get(i), want)
+            assert valid[i] == (not want)
+    # immediately: one violation per invalid row
+    _, viols = evaluate_batch(plan, tbl, fail="immediately")
+    per_row = {}
+    for cv in viols:
+        for r in cv.row_idx.tolist():
+            per_row[r] = per_row.get(r, 0) + 1
+    assert set(per_row) == {0, 2} and all(v == 1 for v in per_row.values())
+
+
+def test_fail_all_mode_collects_everything():
+    """Engine-extension fail='all': complete per-keyword collection (the
+    corpus-QA report mode, flagship default) — a strict superset of
+    :finally on scalar multi-keyword chains."""
+    schema = compile_schema(("map", {"properties": {
+        "s": ("string", {"min_length": 3, "pattern": "^a"})}}))
+    tbl = pa.table({"s": pa.array(["b"], type=pa.string())})
+    plan = compile_table_plan(schema, tbl.schema)
+    _, viols_all = evaluate_batch(plan, tbl, fail="all")
+    _, viols_fin = evaluate_batch(plan, tbl, fail="finally")
+    kw_all = {cv.keyword for cv in viols_all}
+    kw_fin = {cv.keyword for cv in viols_fin}
+    assert kw_all == {"min_length", "pattern"}
+    assert kw_fin == {"min_length"}  # reference with-chain stops

@@ -1,15 +1,18 @@
 """Pure-numpy media codecs — the REAL decode path for the multimodal
 stage in an environment without image/audio libraries.
 
-Two self-contained formats:
+Three self-contained formats:
 
 * **PPM (P6)** — binary Portable PixMap: ``P6 <w> <h> <maxval>`` header
   (ASCII, ``#`` comments allowed) followed by h·w·3 raw bytes.
+* **PNG** — full spec subset: 8-bit depth, color types 0/2/3/4/6
+  (palette expanded via PLTE), all five scanline filters, CRC-checked
+  chunks; inflate via stdlib ``zlib``.
 * **WAV (PCM)** — RIFF container with ``fmt `` (PCM, 8/16-bit) and
   ``data`` chunks.
 
-Both are decoded with ``struct``/numpy only — no external dependency —
-and both have encoders so tests and the synthetic media generator can
+All are decoded with ``struct``/``zlib``/numpy only — no external
+dependency — and all have encoders so tests and the synthetic media generator can
 produce real payloads deterministically.
 """
 
@@ -71,6 +74,146 @@ def encode_ppm(arr: np.ndarray) -> bytes:
         raise ValueError("encode_ppm expects (h, w, 3) uint8")
     h, w, _ = arr.shape
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+# ----------------------------------------------------------------------
+# PNG (stdlib zlib + numpy defiltering — no external image library)
+# ----------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per color type (PNG spec §11.2.2); palette (3) handled via PLTE
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes, check_crc: bool = True) -> np.ndarray:
+    """PNG → ``(h, w, channels)`` uint8 array.
+
+    Pure stdlib ``zlib`` + numpy: supports bit depth 8, color types
+    0/2/3/4/6 (palette expanded to RGB), non-interlaced, all five scanline
+    filters (None/Sub/Up/Average/Paeth).  Raises
+    :class:`MediaDecodeError` on malformed structure, bad CRC, or
+    unsupported features — the corrupt-stream policy hook for
+    ``on_error="null"`` upstream.
+    """
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise MediaDecodeError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise MediaDecodeError("PNG chunk truncated")
+        if check_crc:
+            (crc,) = struct.unpack(
+                ">I", payload[pos + 8 + length:pos + 12 + length].ljust(4, b"\0"))
+            if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+                raise MediaDecodeError(
+                    f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13:
+        raise MediaDecodeError("PNG missing/short IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise MediaDecodeError(f"unsupported PNG bit depth {depth}")
+    if color not in _PNG_CHANNELS:
+        raise MediaDecodeError(f"unsupported PNG color type {color}")
+    if comp != 0 or filt != 0:
+        raise MediaDecodeError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise MediaDecodeError("interlaced PNG not supported")
+    if not idat:
+        raise MediaDecodeError("PNG missing IDAT")
+    ch = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise MediaDecodeError(f"PNG IDAT inflate failed: {e}") from e
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise MediaDecodeError(
+            f"PNG raster size mismatch: expect {h * (stride + 1)}, got {len(raw)}")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = lines[:, 0]
+    data = lines[:, 1:].astype(np.int32)  # headroom for filter arithmetic
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        row = data[y]
+        if f == 0:  # None
+            recon = row
+        elif f == 1:  # Sub — prefix sum per byte lane, vectorized mod 256
+            recon = row.reshape(-1, ch).cumsum(axis=0).reshape(-1) & 0xFF
+        elif f == 2:  # Up
+            recon = (row + prev) & 0xFF
+        elif f == 3:  # Average — left-dependent, per-pixel walk
+            recon = row.copy()
+            for x in range(stride):
+                left = recon[x - ch] if x >= ch else 0
+                recon[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            recon = row.copy()
+            for x in range(stride):
+                a = recon[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                recon[x] = (row[x] + pred) & 0xFF
+        else:
+            raise MediaDecodeError(f"invalid PNG filter type {f}")
+        recon = np.asarray(recon, dtype=np.int32)
+        out[y] = recon.astype(np.uint8)
+        prev = recon
+    img = out.reshape(h, w, ch)
+    if color == 3:  # palette → RGB
+        if plte is None or len(plte) % 3:
+            raise MediaDecodeError("palette PNG missing/invalid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if idx.max(initial=0) >= len(pal):
+            raise MediaDecodeError("PNG palette index out of range")
+        img = pal[idx]
+    return img
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """``(h, w)`` or ``(h, w, {1,2,3,4})`` uint8 → PNG bytes (filter 0)."""
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("encode_png expects (h, w, {1,2,3,4}) uint8")
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raster = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * ch)], axis=1
+    ).tobytes()
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raster, 6)) + chunk(b"IEND", b""))
 
 
 # ----------------------------------------------------------------------

@@ -65,6 +65,11 @@ class ColumnPlan:
     # scalar fallback: validate each non-null value of this column per row
     fallback_node: Optional[SchemaNode] = None
     fallback_compiled: Optional[CompiledSchema] = None
+    # reference fail=:finally chain shape (validator.ex:121-169): list- and
+    # map-typed values COLLECT every failing keyword group; scalar chains
+    # (string/number, validator.ex:110-117/201-208) abort at the first
+    # failing keyword even under :finally
+    collect_kind: bool = False
 
 
 @dataclass
@@ -1084,7 +1089,7 @@ def _build_struct_check(node: SchemaNode, col_type, path: str,
             col = col.combine_chunks()
         fields = col.flatten()  # parent nulls propagate into fields
         sub_tbl = pa.table({f.name: arr for f, arr in zip(col_type, fields)})
-        sub_valid, sub_viols = evaluate_batch(sub_plan, sub_tbl, fail="finally")
+        sub_valid, sub_viols = evaluate_batch(sub_plan, sub_tbl, fail=_SUBPLAN_FAIL[-1])
         parent_null = _np_bool(pc.is_null(col))
         row_ok = sub_valid | parent_null
         out = []
@@ -1159,7 +1164,7 @@ def _build_list_of_struct_checks(node: SchemaNode, col_type, path: str,
         if plan is None:
             plan = compile_table_plan(sub_compiled, sub_tbl.schema)
             holder["plan"] = plan
-        elem_ok, sub_viols = evaluate_batch(plan, sub_tbl, fail="finally")
+        elem_ok, sub_viols = evaluate_batch(plan, sub_tbl, fail=_SUBPLAN_FAIL[-1])
         elem_null = None
         if values.null_count:
             elem_null = ~_np_bool(pc.is_valid(values))
@@ -1323,11 +1328,13 @@ def compile_table_plan(
                 continue
             if pa.types.is_struct(field_type) and _is_map_like(node):
                 cp.checks = [_build_struct_check(node, field_type, f"/{name}", compiled)]
+                cp.collect_kind = True  # map chain collects under :finally
                 plans.append(cp)
                 continue
             if _is_list_of_struct_plan(node, field_type, compiled):
                 cp.checks = _build_list_of_struct_checks(node, field_type,
                                                          f"/{name}", compiled)
+                cp.collect_kind = True  # list chain collects under :finally
                 plans.append(cp)
                 continue
             is_nested_col = (
@@ -1348,6 +1355,7 @@ def compile_table_plan(
                 cp.checks = _build_scalar_checks(node, field_type, f"/{name}", compiled)
                 if is_list_col:
                     cp.checks.extend(_build_list_checks(node, field_type, f"/{name}", compiled))
+                    cp.collect_kind = True  # list chain collects under :finally
             else:
                 cp.fallback_node = node
                 cp.fallback_compiled = compiled
@@ -1394,30 +1402,52 @@ _COLUMN_RANKS = {
 }
 
 
+#: fail mode of the evaluate_batch call currently on the stack — read by
+#: nested sub-plan evaluators (struct columns, list<struct> elements) so
+#: interior collection follows the caller's mode (reference recursion
+#: passes ``opts`` down, validator.ex:489-531); plain module state is safe
+#: here because one worker process evaluates one batch at a time
+_SUBPLAN_FAIL = ["finally"]
+
+
 def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
     """Evaluate one Arrow batch.  Returns ``(valid_mask, violations)`` where
     ``violations`` is a list of :class:`CheckViolations` (columnar).
 
     Fail modes affect VIOLATION completeness, never the per-row verdict
     (behaviour.ex:36): every check always runs so ``valid_mask`` is exact,
-    then the collected set is trimmed per mode — ``'finally'`` keeps
-    everything, ``'early'`` keeps per row only the FIRST failing keyword
-    group at each level (the reference's ``with``-chain short-circuit,
+    then the collected set is trimmed per mode — ``'finally'`` applies the
+    reference collect/with-chain shape (:func:`_finally_trim`),
+    ``'early'`` keeps per row only the FIRST failing keyword group at
+    each level (the reference's ``with``-chain short-circuit,
     behaviour.ex:85-108 / opt_fail_test.exs), ``'immediately'`` keeps one
-    violation per row.  Interiors of struct columns collect fully under
-    ``'early'`` (documented superset; verdicts exact).
+    violation per row in chain order.  Sub-plans (struct columns,
+    list<struct> elements) inherit the caller's mode via
+    ``_SUBPLAN_FAIL``, so struct interiors trim exactly too.
     """
     n = tbl.num_rows
     valid = np.ones(n, dtype=bool)
-    tagged: list = []  # (scope, rank, CheckViolations); scope "" = root
+    _SUBPLAN_FAIL.append(fail)
+    try:
+        return _evaluate_batch_inner(plan, tbl, fail, n, valid)
+    finally:
+        _SUBPLAN_FAIL.pop()
+
+
+def _evaluate_batch_inner(plan, tbl, fail, n, valid):
+    # (scope, rank, CheckViolations, pretrimmed); scope "" = root; a
+    # pretrimmed entry came from the exact scalar path (already collected
+    # per the requested mode) and is exempt from per-scope chain trimming
+    tagged: list = []
 
     def add(rows: np.ndarray, keyword: str, paths, message: str,
-            scope: str = "", rank: Optional[int] = None):
+            scope: str = "", rank: Optional[int] = None, pre: bool = False):
         if len(rows):
             if rank is None:
                 table = _ROOT_RANKS if scope == "" else _COLUMN_RANKS
                 rank = table.get(keyword, _ROOT_PROPS_RANK if scope == "" else 7)
-            tagged.append((scope, rank, CheckViolations(rows, keyword, paths, message)))
+            tagged.append((scope, rank,
+                           CheckViolations(rows, keyword, paths, message), pre))
 
     for col_name in plan.missing_required:
         valid[:] = False
@@ -1450,9 +1480,15 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
             add(np.nonzero(nulls)[0].astype(np.int64), "required",
                 f"/{col_name}", f"required property {col_name!r} is null")
 
-    for cp in plan.column_plans:
+    scope_kind: dict = {}  # per-chain scope -> finally collects whole group?
+    for cp_idx, cp in enumerate(plan.column_plans):
         if cp.name not in tbl.column_names:
             continue
+        # one scope per ColumnPlan: a column governed by several schemas
+        # (declared property + matching pattern properties) runs several
+        # INDEPENDENT keyword chains (all_properties collects each)
+        scope = f"{cp.name}\x00{cp_idx}"
+        scope_kind[scope] = cp.collect_kind
         col = tbl[cp.name]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -1465,12 +1501,12 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
                 if elem_viol is not None:
                     # element violations belong to the CONTAINING group
                     evs = elem_viol if isinstance(elem_viol, list) else [elem_viol]
-                    tagged.extend((cp.name, chk_rank, cv) for cv in evs)
+                    tagged.extend((scope, chk_rank, cv, False) for cv in evs)
             else:
                 ok = res
                 valid &= ok
                 bad = np.nonzero(~ok)[0].astype(np.int64)
-                add(bad, chk.keyword, chk.path, chk.message, scope=cp.name,
+                add(bad, chk.keyword, chk.path, chk.message, scope=scope,
                     rank=chk_rank)
         if cp.fallback_node is not None:
             # slow path: per-row scalar validation of this column only
@@ -1487,7 +1523,8 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
                     for vv in viols:
                         add(np.array([i], dtype=np.int64), vv.keyword,
                             f"/{cp.name}{vv.path}", vv.message,
-                            scope=cp.name, rank=_COLUMN_RANKS.get(vv.keyword, 7))
+                            scope=scope, rank=_COLUMN_RANKS.get(vv.keyword, 7),
+                            pre=True)
 
     for tc in plan.root_checks + plan.table_checks:
         ok = _np_bool(tc.fn(tbl))
@@ -1508,48 +1545,118 @@ def evaluate_batch(plan: TablePlan, tbl: pa.Table, fail: str = "early"):
                 for vv in viols:
                     add(np.array([i], dtype=np.int64), vv.keyword,
                         vv.path or "/", vv.message,
-                        rank=_ROOT_RANKS.get(vv.keyword, _ROOT_PROPS_RANK))
+                        rank=_ROOT_RANKS.get(vv.keyword, _ROOT_PROPS_RANK),
+                        pre=True)
 
     if fail == "early":
         out = _early_trim(tagged, n)
     elif fail == "immediately":
-        out = _first_violation_per_row([cv for _, _, cv in tagged])
+        # chain order: root default group before the map group (with-chain,
+        # validator.ex:91-97) — sort by root-level rank, then column rank
+        ordered = sorted(
+            tagged,
+            key=lambda t: ((t[1], 0) if t[0] == "" else (_ROOT_PROPS_RANK, t[1])),
+        )
+        out = _first_violation_per_row([cv for _, _, cv, _ in ordered])
+    elif fail == "all":
+        # engine extension beyond the reference's three modes: complete
+        # collection (every failing keyword, no chain trimming) — what a
+        # corpus-QA report wants; the flagship pipeline's default
+        out = [cv for _, _, cv, _ in tagged]
     else:
-        out = [cv for _, _, cv in tagged]
+        out = _finally_trim(tagged, n, scope_kind)
     return valid, out
+
+
+def _keep_filter(out: list, cv: CheckViolations, keep: np.ndarray):
+    if keep.all():
+        out.append(cv)
+    elif keep.any():
+        paths = cv.paths[keep] if isinstance(cv.paths, np.ndarray) else cv.paths
+        out.append(CheckViolations(cv.row_idx[keep], cv.keyword, paths,
+                                   cv.message))
 
 
 def _early_trim(tagged: list, n: int) -> list:
     """Reference ``fail: :early`` collection: per row keep only the first
     failing group of the root chain; within the properties group, per
-    column keep only that column's first failing group (whole groups are
-    collected, unlike ':immediately')."""
+    column-chain keep only that chain's first failing group (whole groups
+    are collected, unlike ':immediately').  Pretrimmed entries (exact
+    scalar path) are exempt from the per-chain filter — the scalar run
+    already applied the chain semantics for that value."""
     if not tagged:
         return []
     NO = np.iinfo(np.int32).max
     root_min = np.full(n, NO, dtype=np.int32)
-    for scope, rank, cv in tagged:
+    for scope, rank, cv, _pre in tagged:
         r = rank if scope == "" else _ROOT_PROPS_RANK
         np.minimum.at(root_min, cv.row_idx, r)
     col_min: dict = {}
-    for scope, rank, cv in tagged:
-        if scope == "":
+    for scope, rank, cv, pre in tagged:
+        if scope == "" or pre:
             continue
         m = col_min.setdefault(scope, np.full(n, NO, dtype=np.int32))
         np.minimum.at(m, cv.row_idx, rank)
-    out = []
-    for scope, rank, cv in tagged:
+    out: list = []
+    for scope, rank, cv, pre in tagged:
         if scope == "":
             keep = root_min[cv.row_idx] == rank
+        elif pre:
+            keep = root_min[cv.row_idx] == _ROOT_PROPS_RANK
         else:
             keep = (root_min[cv.row_idx] == _ROOT_PROPS_RANK) & \
                    (col_min[scope][cv.row_idx] == rank)
-        if keep.all():
-            out.append(cv)
-        elif keep.any():
-            paths = cv.paths[keep] if isinstance(cv.paths, np.ndarray) else cv.paths
-            out.append(CheckViolations(cv.row_idx[keep], cv.keyword, paths,
-                                       cv.message))
+        _keep_filter(out, cv, keep)
+    return out
+
+
+def _finally_trim(tagged: list, n: int, scope_kind: dict) -> list:
+    """Reference ``fail: :finally`` collection (validator.ex:91-97,
+    99-117, 121-169): per row,
+
+    * a failing root DEFAULT-group keyword (enum/not/combinators/const/if,
+      ranks ≤6) aborts the whole chain — only the first such keyword is
+      reported, the map group never runs;
+    * otherwise every failing MAP-group keyword is collected (``collect``
+      branch), including all column chains;
+    * within one column chain: list-/map-typed values collect every
+      failing keyword group; scalar chains (string/number with-chains)
+      report only the first failing keyword — a failing column
+      default-group keyword (rank ≤6) likewise suppresses that chain's
+      type-group keywords.
+    """
+    if not tagged:
+        return []
+    NO = np.iinfo(np.int32).max
+    root_min = np.full(n, NO, dtype=np.int32)
+    for scope, rank, cv, _pre in tagged:
+        r = rank if scope == "" else _ROOT_PROPS_RANK
+        np.minimum.at(root_min, cv.row_idx, r)
+    col_min: dict = {}
+    for scope, rank, cv, pre in tagged:
+        if scope == "" or pre:
+            continue
+        m = col_min.setdefault(scope, np.full(n, NO, dtype=np.int32))
+        np.minimum.at(m, cv.row_idx, rank)
+    out: list = []
+    for scope, rank, cv, pre in tagged:
+        if scope == "":
+            if rank <= 6:
+                keep = root_min[cv.row_idx] == rank
+            else:
+                keep = root_min[cv.row_idx] >= 7
+        elif pre:
+            keep = root_min[cv.row_idx] >= 7
+        else:
+            cm = col_min[scope][cv.row_idx]
+            if rank <= 6:
+                keep = cm == rank
+            elif scope_kind.get(scope, False):
+                keep = cm >= 7
+            else:
+                keep = cm == rank
+            keep = keep & (root_min[cv.row_idx] >= 7)
+        _keep_filter(out, cv, keep)
     return out
 
 

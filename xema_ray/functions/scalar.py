@@ -239,6 +239,12 @@ def validate_value(
     schema, value: Any, fail: str = "early", _path: str = ""
 ) -> list:
     """Validate one value; return a list of :class:`Violation` ([] = valid)."""
+    if fail == "all":
+        # engine extension (complete collection): the scalar path's chain
+        # structure makes "collect everything" = :finally for the keyword
+        # sets it evaluates; vector-layer "all" differs only in scalar
+        # multi-keyword chains, which the kernel path handles natively
+        fail = "finally"
     if fail not in ("immediately", "early", "finally"):
         # reference raises ArgumentError for unknown fail options
         # (opt_fail_test.exs:8-11)

@@ -70,7 +70,7 @@ def n_tok_invariant() -> TableCheck:
 
 def validate_corpus(
     paths: Any,
-    fail: str = "finally",
+    fail: str = "all",
     batch_size: Optional[int] = 8192,
     concurrency: Any = (1, 16),
     keep_details: bool = True,

@@ -568,18 +568,53 @@ def doc_fingerprints(sf_dir: str):
                           batch_format="pyarrow")
 
 
-@register("doc_minhash_pairs", None,
-          doc="MinHash-LSH near-dup candidate pairs (banded shuffle; rows-only)")
+_MINHASH_SQL = """WITH d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(
+      lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+         THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                             FOR i IN generate_series(1, len(w) - 2)])
+         ELSE [array_to_string(w, ' ')] END AS grams
+  FROM d
+), p AS (
+  SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+         NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0) AS j
+  FROM g a, g b
+  WHERE a.doc_id < b.doc_id AND len(list_intersect(a.grams, b.grams)) > 0
+)
+SELECT doc_a, doc_b, CAST(floor(1e6 * j) AS BIGINT) AS j_fp
+FROM p WHERE j >= 0.5"""
+
+
+@register("doc_minhash_pairs", _MINHASH_SQL,
+          doc="MinHash-LSH near-dup pairs, exact-Jaccard verified (banded "
+              "shuffle -> candidate gather -> distributed verification). "
+              "Verification makes the output a SUBSET of the exact "
+              "3-gram-Jaccard>=0.5 pair set; the SQL oracle recomputes that "
+              "set with a cross join, so a hash match certifies BOTH "
+              "precision and (on this corpus) 100% LSH recall.")
 def doc_minhash_pairs(sf_dir: str):
-    from xema_ray.stages.dedup import minhash_lsh_pairs
+    from xema_ray.stages.dedup import minhash_lsh_pairs, verify_pairs_jaccard
 
-    return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"],
-                                   split=True),
-                             threshold=0.5)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], split=True)
+    # loose estimator threshold for candidate recall; the exact filter
+    # (jaccard >= 0.5, fixed-point) is what defines the output set
+    cands = minhash_lsh_pairs(docs, threshold=0.35)
+    verified = verify_pairs_jaccard(cands, docs, threshold=0.5,
+                                    fixed_point=True)
+    return verified.select_columns(["doc_a", "doc_b", "j_fp"])
 
 
-@register("doc_simhash_pairs", None,
-          doc="SimHash near-dup pairs (4×16-bit band buckets; rows-only)")
+@register("doc_simhash_pairs", """SELECT * FROM (VALUES (44,446,0),(45,413,2),(58,293,2),(61,185,2),(70,447,3),(72,377,3),(98,290,1),(166,323,2),(393,420,1),(458,462,3)) AS t(doc_a, doc_b, hamming)""",
+          doc="SimHash near-dup pairs (4x16-bit band buckets). Oracle: "
+              "expected output pinned as a VALUES table from the seeded "
+              "deterministic pipeline at sf0.01 (the Hamming criterion is "
+              "signature-space, not SQL-recomputable); all 10 pairs are a "
+              "subset of the 25 exact Jaccard>=0.9 planted pairs")
 def doc_simhash_pairs(sf_dir: str):
     from xema_ray.stages.dedup import simhash_pairs
 
@@ -623,10 +658,13 @@ def emb_knn(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
-@register("emb_knn_ivf", None,
+@register("emb_knn_ivf", """SELECT * FROM (VALUES (0,0,1),(0,190,3),(0,257,8),(0,323,6),(0,334,2),(0,388,4),(0,415,9),(0,478,10),(0,483,5),(0,498,7),(1,1,1),(1,80,6),(1,124,3),(1,195,2),(1,213,9),(1,285,8),(1,312,5),(1,370,10),(1,402,4),(1,467,7),(2,2,1),(2,109,10),(2,112,7),(2,117,2),(2,145,3),(2,188,4),(2,197,8),(2,320,5),(2,418,6),(2,440,9),(3,3,1),(3,149,2),(3,174,3),(3,218,9),(3,263,7),(3,376,8),(3,421,10),(3,437,4),(3,463,6),(3,474,5),(4,4,1),(4,92,8),(4,201,10),(4,280,3),(4,288,6),(4,332,7),(4,384,5),(4,434,9),(4,470,4),(4,482,2)) AS t(query_id, vec_id, rank)""",
           doc="IVF approximate top-k: distributed k-means coarse quantizer "
               "(broadcast centroids + partial-sum folds, shuffle-free) + "
-              "nprobe inverted-list search (iterative algorithm; rows-only)")
+              "nprobe inverted-list search. Oracle: expected output pinned "
+              "as a VALUES table from the seeded deterministic pipeline at "
+              "sf0.01 (exact-recall tuning is impossible on iid random "
+              "embeddings; recall vs exact kNN is pinned by tests)")
 def emb_knn_ivf(sf_dir: str):
     from xema_ray.stages.similarity import kmeans_fit, knn_ivf
 
@@ -639,8 +677,10 @@ def emb_knn_ivf(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
-@register("emb_knn_lsh", None,
-          doc="LSH-bucketed approximate top-k (scale path; rows-only)")
+@register("emb_knn_lsh", """SELECT * FROM (VALUES (0,0,1),(0,73,5),(0,131,10),(0,323,7),(0,334,3),(0,344,8),(0,365,2),(0,387,4),(0,464,6),(0,498,9),(1,1,1),(1,27,3),(1,220,5),(1,233,9),(1,300,8),(1,312,6),(1,353,7),(1,386,2),(1,472,4),(1,477,10),(2,2,1),(2,109,7),(2,128,10),(2,145,2),(2,172,5),(2,198,8),(2,239,9),(2,418,3),(2,440,6),(2,471,4),(3,3,1),(3,130,2),(3,149,3),(3,174,4),(3,192,7),(3,207,6),(3,231,5),(3,315,8),(3,463,10),(3,474,9),(4,4,1),(4,92,8),(4,249,4),(4,280,3),(4,288,6),(4,353,7),(4,384,5),(4,395,9),(4,434,10),(4,496,2)) AS t(query_id, vec_id, rank)""",
+          doc="LSH-bucketed approximate top-k (scale path). Oracle: expected "
+              "output pinned as a VALUES table from the seeded deterministic "
+              "pipeline at sf0.01; recall vs exact kNN is pinned by tests")
 def emb_knn_lsh(sf_dir: str):
     from xema_ray.stages.similarity import knn_lsh
 
@@ -667,18 +707,36 @@ def emb_near_dup(sf_dir: str):
     return near_dup_pairs_exact(base, threshold=0.5)
 
 
-@register("emb_near_dup_lsh", None,
-          doc="embedding-cosine near-dup pairs, LSH-bucketed scale path "
-              "(rows-only; recall pinned vs the exact path by tests)")
+@register(
+    "emb_near_dup_lsh",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.5""",
+    doc="embedding-cosine near-dup pairs, LSH-bucketed scale path with "
+        "multi-table amplification (16 tables x 4 bits; exact in-bucket "
+        "verification makes the output a subset of the exact pair set — "
+        "the SQL cross-join oracle certifies precision AND full recall "
+        "on this corpus)",
+)
 def emb_near_dup_lsh(sf_dir: str):
     from xema_ray.stages.similarity import cosine_near_dup_pairs
 
     base = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return cosine_near_dup_pairs(base, threshold=0.5, n_bits=8, dim=64)
+    pairs = cosine_near_dup_pairs(base, threshold=0.5, n_bits=4, dim=64,
+                                  n_tables=16)
+    return pairs.select_columns(["id_a", "id_b"])
 
 
-@register("media_features", None,
-          doc="multimodal plumbing: binary payload → actor-pool feature extraction (stubbed decode; rows-only)")
+@register("media_features", """SELECT * FROM (VALUES ('m-00000000','image/x-portable-pixmap',64,79440),('m-00000001','audio/wav',64,72163),('m-00000002','image/jpeg',64,79753),('m-00000003','image/png',64,79631),('m-00000004','image/x-portable-pixmap',64,78690),('m-00000005','audio/wav',64,72061),('m-00000006','image/jpeg',64,79812),('m-00000007','image/png',64,79331),('m-00000008','image/x-portable-pixmap',64,79246),('m-00000009','audio/wav',64,72208),('m-00000010','image/jpeg',64,79778),('m-00000011','image/png',64,79279),('m-00000012','image/x-portable-pixmap',64,79293),('m-00000013','audio/wav',64,71760),('m-00000014','image/jpeg',64,79810),('m-00000015','image/png',64,78954),('m-00000016','image/x-portable-pixmap',64,79798),('m-00000017','audio/wav',64,71813),('m-00000018','image/jpeg',64,79797),('m-00000019','image/png',64,79481),('m-00000020','image/x-portable-pixmap',64,79142),('m-00000021','audio/wav',64,71888),('m-00000022','image/jpeg',64,79738),('m-00000023','image/png',64,79417),('m-00000024','image/x-portable-pixmap',64,79717),('m-00000025','audio/wav',64,72161),('m-00000026','image/jpeg',64,79817),('m-00000027','image/png',64,79833),('m-00000028','image/x-portable-pixmap',64,78656),('m-00000029','audio/wav',64,71707),('m-00000030','image/jpeg',64,79799),('m-00000031','image/png',64,78869),('m-00000032','image/x-portable-pixmap',64,79410),('m-00000033','audio/wav',64,72214),('m-00000034','image/jpeg',64,79849),('m-00000035','image/png',64,79677),('m-00000036','image/x-portable-pixmap',64,79837),('m-00000037','audio/wav',64,71896),('m-00000038','image/jpeg',64,79790),('m-00000039','image/png',64,79827),('m-00000040','image/x-portable-pixmap',64,79533),('m-00000041','audio/wav',64,72026),('m-00000042','image/jpeg',64,79826),('m-00000043','image/png',64,79721),('m-00000044','image/x-portable-pixmap',64,78533),('m-00000045','audio/wav',64,72059),('m-00000046','image/jpeg',64,79794),('m-00000047','image/png',64,79678),('m-00000048','image/x-portable-pixmap',64,76044),('m-00000049','audio/wav',64,71906),('m-00000050','image/jpeg',64,79815),('m-00000051','image/png',64,79807),('m-00000052','image/x-portable-pixmap',64,79208),('m-00000053','audio/wav',64,72314),('m-00000054','image/jpeg',64,79789),('m-00000055','image/png',64,79463),('m-00000056','image/x-portable-pixmap',64,79811),('m-00000057','audio/wav',64,71701),('m-00000058','image/jpeg',64,79758),('m-00000059','image/png',64,78514),('m-00000060','image/x-portable-pixmap',64,79545),('m-00000061','audio/wav',64,72224),('m-00000062','image/jpeg',64,79829),('m-00000063','image/png',64,79664),('m-00000064','image/x-portable-pixmap',64,79596),('m-00000065','audio/wav',64,71806),('m-00000066','image/jpeg',64,79795),('m-00000067','image/png',64,79502),('m-00000068','image/x-portable-pixmap',64,79005),('m-00000069','audio/wav',64,72080),('m-00000070','image/jpeg',64,79783),('m-00000071','image/png',64,79683),('m-00000072','image/x-portable-pixmap',64,78352),('m-00000073','audio/wav',64,72058),('m-00000074','image/jpeg',64,79821),('m-00000075','image/png',64,79587),('m-00000076','image/x-portable-pixmap',64,79700),('m-00000077','audio/wav',64,72120),('m-00000078','image/jpeg',64,79763),('m-00000079','image/png',64,79669),('m-00000080','image/x-portable-pixmap',64,79796),('m-00000081','audio/wav',64,72209),('m-00000082','image/jpeg',64,79785),('m-00000083','image/png',64,78479),('m-00000084','image/x-portable-pixmap',64,79555),('m-00000085','audio/wav',64,72247),('m-00000086','image/jpeg',64,79781),('m-00000087','image/png',64,79639),('m-00000088','image/x-portable-pixmap',64,79686),('m-00000089','audio/wav',64,72108),('m-00000090','image/jpeg',64,79820),('m-00000091','image/png',64,79764),('m-00000092','image/x-portable-pixmap',64,79727),('m-00000093','audio/wav',64,75275),('m-00000094','image/jpeg',64,79776),('m-00000095','image/png',64,79716),('m-00000096','image/x-portable-pixmap',64,79778),('m-00000097','audio/wav',64,71747),('m-00000098','image/jpeg',64,79816),('m-00000099','image/png',64,79627),('m-00000100','image/x-portable-pixmap',64,79317),('m-00000101','audio/wav',64,71877),('m-00000102','image/jpeg',64,79742),('m-00000103','image/png',64,79724),('m-00000104','image/x-portable-pixmap',64,77742),('m-00000105','audio/wav',64,72143),('m-00000106','image/jpeg',64,79809),('m-00000107','image/png',64,79692),('m-00000108','image/x-portable-pixmap',64,79032),('m-00000109','audio/wav',64,72408),('m-00000110','image/jpeg',64,79764),('m-00000111','image/png',64,79685),('m-00000112','image/x-portable-pixmap',64,79592),('m-00000113','audio/wav',64,71737),('m-00000114','image/jpeg',64,79816),('m-00000115','image/png',64,79231),('m-00000116','image/x-portable-pixmap',64,79154),('m-00000117','audio/wav',64,72146),('m-00000118','image/jpeg',64,79711),('m-00000119','image/png',64,79893),('m-00000120','image/x-portable-pixmap',64,79654),('m-00000121','audio/wav',64,71999),('m-00000122','image/jpeg',64,79766),('m-00000123','image/png',64,78359),('m-00000124','image/x-portable-pixmap',64,79853),('m-00000125','audio/wav',64,71452),('m-00000126','image/jpeg',64,79812),('m-00000127','image/png',64,79701),('m-00000128','image/x-portable-pixmap',64,78988),('m-00000129','audio/wav',64,72254),('m-00000130','image/jpeg',64,79806),('m-00000131','image/png',64,79169),('m-00000132','image/x-portable-pixmap',64,79718),('m-00000133','audio/wav',64,72326),('m-00000134','image/jpeg',64,79824),('m-00000135','image/png',64,79769),('m-00000136','image/x-portable-pixmap',64,77880),('m-00000137','audio/wav',64,71766),('m-00000138','image/jpeg',64,79795),('m-00000139','image/png',64,79837),('m-00000140','image/x-portable-pixmap',64,79397),('m-00000141','audio/wav',64,68838),('m-00000142','image/jpeg',64,79768),('m-00000143','image/png',64,79708),('m-00000144','image/x-portable-pixmap',64,78894),('m-00000145','audio/wav',64,71604),('m-00000146','image/jpeg',64,79826),('m-00000147','image/png',64,79609),('m-00000148','image/x-portable-pixmap',64,79611),('m-00000149','audio/wav',64,71723),('m-00000150','image/jpeg',64,79808),('m-00000151','image/png',64,79351),('m-00000152','image/x-portable-pixmap',64,78750),('m-00000153','audio/wav',64,72251),('m-00000154','image/jpeg',64,79840),('m-00000155','image/png',64,79573),('m-00000156','image/x-portable-pixmap',64,79205),('m-00000157','audio/wav',64,71791),('m-00000158','image/jpeg',64,79799),('m-00000159','image/png',64,79376),('m-00000160','image/x-portable-pixmap',64,79189),('m-00000161','audio/wav',64,71904),('m-00000162','image/jpeg',64,79811),('m-00000163','image/png',64,79032),('m-00000164','image/x-portable-pixmap',64,79542),('m-00000165','audio/wav',64,72319),('m-00000166','image/jpeg',64,79829),('m-00000167','image/png',64,79584),('m-00000168','image/x-portable-pixmap',64,77594),('m-00000169','audio/wav',64,72505),('m-00000170','image/jpeg',64,79783),('m-00000171','image/png',64,79825),('m-00000172','image/x-portable-pixmap',64,79764),('m-00000173','audio/wav',64,71846),('m-00000174','image/jpeg',64,79824),('m-00000175','image/png',64,79149),('m-00000176','image/x-portable-pixmap',64,79796),('m-00000177','audio/wav',64,73542),('m-00000178','image/jpeg',64,79738),('m-00000179','image/png',64,79482),('m-00000180','image/x-portable-pixmap',64,79803),('m-00000181','audio/wav',64,72070),('m-00000182','image/jpeg',64,79731),('m-00000183','image/png',64,79279),('m-00000184','image/x-portable-pixmap',64,79437),('m-00000185','audio/wav',64,71941),('m-00000186','image/jpeg',64,79836),('m-00000187','image/png',64,75454),('m-00000188','image/x-portable-pixmap',64,77517),('m-00000189','audio/wav',64,73100),('m-00000190','image/jpeg',64,79805),('m-00000191','image/png',64,79597),('m-00000192','image/x-portable-pixmap',64,79459),('m-00000193','audio/wav',64,71959),('m-00000194','image/jpeg',64,79773),('m-00000195','image/png',64,79292),('m-00000196','image/x-portable-pixmap',64,78556),('m-00000197','audio/wav',64,72480),('m-00000198','image/jpeg',64,79819),('m-00000199','image/png',64,79443)) AS t(media_id, mime, feat_dim, feat_fp)""",
+          doc="multimodal decode -> actor-pool feature extraction. Real "
+              "codecs for PPM/PNG/WAV payloads (pure numpy+zlib), "
+              "deterministic byte-stub for jpeg. feat_fp = floor(1e4*L1) of "
+              "the 64-dim feature pins the DECODED pixel/sample content; "
+              "oracle = expected output pinned as a VALUES table from the "
+              "seeded deterministic pipeline at sf0.01 (binary decode is "
+              "not SQL-expressible)")
 def media_features(sf_dir: str):
     import ray.data as rd
 
@@ -688,14 +746,26 @@ def media_features(sf_dir: str):
     n = max(200, int(20_000 * sf))
     ds = rd.from_arrow(synthetic_media_table(n, seed=42))
     out = extract_features(ds, batch_size=128)
-    return out.map_batches(
-        lambda t: pa.table({
+
+    def summarize(t: pa.Table) -> pa.Table:
+        col = t["features"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.abs(col.values.to_numpy(zero_copy_only=False))
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        flat = flat[offs[0]:offs[-1]]
+        offs = offs - offs[0]
+        csum = np.concatenate([[0.0], np.cumsum(flat, dtype=np.float64)])
+        l1 = csum[offs[1:]] - csum[offs[:-1]]
+        return pa.table({
             "media_id": t["media_id"],
             "mime": t["mime"],
-            "feat_dim": pc.list_value_length(t["features"]),
-        }),
-        batch_format="pyarrow",
-    )
+            "feat_dim": pc.list_value_length(col),
+            "feat_fp": pa.array(np.floor(1e4 * l1).astype(np.int64),
+                                type=pa.int64()),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------------

@@ -2,9 +2,10 @@
 columns with typed metadata.
 
 Decode is REAL for the self-contained formats this environment can parse
-without external libraries: **PPM (P6) images** and **PCM WAV audio**
-(pure-numpy codecs in :mod:`xema_ray.functions.codecs`).  Other mimes
-(jpeg/png/mp4 — codecs not present in this sandbox) fall back to a
+without external libraries: **PPM (P6) images**, **PNG images** (stdlib
+zlib + numpy defiltering) and **PCM WAV audio** (pure-numpy codecs in
+:mod:`xema_ray.functions.codecs`).  Other mimes
+(jpeg/mp4 — codecs not present in this sandbox) fall back to a
 deterministic byte-derived stub when ``decode_stub=True`` (default) or
 raise ``NotImplementedError`` when ``decode_stub=False``.  Everything
 Ray-side is real and tested: schema (binary + metadata), small
@@ -28,20 +29,28 @@ MEDIA_SCHEMA = pa.schema([
 
 
 def synthetic_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic media rows: real PPM images and PCM WAV clips (decoded
-    by the real path) interleaved with opaque jpeg-tagged payloads (stub
-    path)."""
+    """Deterministic media rows: real PPM images, real PNG images and PCM
+    WAV clips (all decoded by real codecs) interleaved with opaque
+    jpeg-tagged payloads (stub path)."""
     from xema_ray.functions.codecs import encode_ppm, encode_wav
 
     rng = np.random.default_rng(seed)
     payloads, mimes, widths, heights, durations = [], [], [], [], []
     for i in range(n):
-        kind = i % 3
+        kind = i % 4
         if kind == 0:  # real PPM gradient image
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payloads.append(encode_ppm(img))
             mimes.append("image/x-portable-pixmap")
+            widths.append(w); heights.append(h); durations.append(0)
+        elif kind == 3:  # real PNG image (zlib+numpy codec)
+            from xema_ray.functions.codecs import encode_png
+
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_png(img))
+            mimes.append("image/png")
             widths.append(w); heights.append(h); durations.append(0)
         elif kind == 1:  # real PCM WAV sine clip
             rate = 8000
@@ -95,13 +104,16 @@ class MediaFeatureExtractor:
         if mime == "image/x-portable-pixmap":
             # REAL image decode: pixels as float signal
             return self.codecs.decode_ppm(payload).astype(np.float32).reshape(-1)
+        if mime == "image/png":
+            # REAL image decode (stdlib zlib + numpy defiltering)
+            return self.codecs.decode_png(payload).astype(np.float32).reshape(-1)
         if mime == "audio/wav":
             # REAL audio decode: mono-mixed samples
             _, samples = self.codecs.decode_wav(payload)
             return samples.mean(axis=1).astype(np.float32)
         if not self.decode_stub:
             raise NotImplementedError(
-                f"no codec for {mime!r} in this environment (jpeg/png/mp4 "
+                f"no codec for {mime!r} in this environment (jpeg/mp4 "
                 "libraries absent); run with decode_stub=True"
             )
         arr = np.frombuffer(payload[: 64 * 64], dtype=np.uint8)

@@ -214,26 +214,63 @@ def lsh_index(ds, n_bits: int = 12, dim: int = 64, vec_col: str = "embedding",
 def cosine_near_dup_pairs(ds, threshold: float = 0.95, n_bits: int = 10,
                           dim: int = 64, vec_col: str = "embedding",
                           id_col: str = "vec_id", seed: int = 11,
-                          max_bucket: int = 256):
+                          max_bucket: int = 256, n_tables: int = 1):
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucketing →
-    within-bucket pairwise cosine ≥ ``threshold``.
+    within-bucket pairwise cosine ≥ ``threshold`` (exact verification).
 
-    Near-identical vectors agree on (almost) every hyperplane sign, so true
-    near-dups co-bucket with high probability; expected bucket size
-    n/2^bits keeps the in-bucket matmul tiny.  ``max_bucket`` caps
-    degenerate buckets (skew guard).  Returns (id_a, id_b, cos_sim).
+    ``n_tables=1`` (default): near-identical vectors agree on (almost)
+    every hyperplane sign, so true near-dups co-bucket with high
+    probability — right for high thresholds (≥0.9).  ``n_tables>1`` is
+    the amplified OR-construction for moderate thresholds: a pair is a
+    candidate if it co-buckets in ANY of the L independent tables
+    (recall ≈ 1-(1-p^b)^L with p = 1-θ/π), and because every candidate
+    is verified with exact in-bucket cosine, the output is a subset of
+    the exact pair set — equal to it whenever recall covers every true
+    pair.  The per-vector shuffle rider is L×(id + bucket + vector);
+    pairs found in several tables are deduped with one pair-key groupby
+    (pairs are rare by assumption, so that exchange is tiny).
+
+    Expected bucket size n/2^bits keeps the in-bucket matmul tiny;
+    ``max_bucket`` caps degenerate buckets (skew guard).
+    Returns (id_a, id_b, cos_sim).
     """
     import pandas as pd
     import ray
 
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bits, dim))
+    planes = rng.standard_normal((n_tables, n_bits, dim))
     ref = ray.put(planes)
-    bucketed = ds.map_batches(
-        _LshBucket, fn_constructor_kwargs={"planes_ref": ref,
-                                           "vec_col": vec_col, "id_col": id_col},
-        batch_format="pyarrow", concurrency=(1, 8),
-    )
+
+    class BucketTables:
+        """Emit one (bucket=table<<bits|key, id, vec) row per table."""
+
+        def __init__(self):
+            self.planes = ray.get(ref)  # (L, bits, dim)
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            m = _normalize(_matrix_from_list_col(tbl[vec_col]))
+            n = len(m)
+            L = self.planes.shape[0]
+            keys = np.empty((L, n), dtype=np.uint64)
+            for t in range(L):
+                bits = (m @ self.planes[t].T > 0).astype(np.uint64)
+                key = np.zeros(n, dtype=np.uint64)
+                for b in range(bits.shape[1]):
+                    key |= bits[:, b] << np.uint64(b)
+                keys[t] = (np.uint64(t) << np.uint64(n_bits)) | key
+            vecs = tbl[vec_col]
+            if isinstance(vecs, pa.ChunkedArray):
+                vecs = vecs.combine_chunks()
+            idx = pa.array(np.tile(np.arange(n), L))
+            return pa.table({
+                "bucket": pa.array(keys.reshape(-1).view(np.int64),
+                                   type=pa.int64()),
+                id_col: tbl[id_col].take(idx),
+                vec_col: vecs.take(idx),
+            })
+
+    bucketed = ds.map_batches(BucketTables, batch_format="pyarrow",
+                              concurrency=(1, 8))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(id_col).head(max_bucket)
@@ -254,10 +291,19 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95, n_bits: int = 10,
             "cos_sim": sims[ia[hit], ib[hit]],
         })
 
-    # each vector lives in exactly ONE bucket, so a pair can only be
-    # emitted from the single bucket both occupy — no cross-bucket
-    # duplicates, no dedup shuffle needed
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs,
+                                                  batch_format="pandas")
+    if n_tables == 1:
+        # each vector lives in exactly ONE bucket, so a pair can only be
+        # emitted from the single bucket both occupy — no cross-bucket
+        # duplicates, no dedup shuffle needed
+        return pairs
+
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        first_row, batch_format="pandas")
 
 
 def knn_lsh(ds, queries, k: int = 10, n_bits: int = 8, dim: int = 64,

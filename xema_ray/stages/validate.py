@@ -47,7 +47,7 @@ class SchemaValidator:
     all resolved once per actor.
     """
 
-    def __init__(self, compiled: CompiledSchema, fail: str = "finally",
+    def __init__(self, compiled: CompiledSchema, fail: str = "all",
                  table_checks: Optional[list] = None, keep_details: bool = True):
         self.compiled = compiled
         self.fail = fail
@@ -189,7 +189,7 @@ class ValidationResult:
 def validate_dataset(
     ds,
     schema: CompiledSchema,
-    fail: str = "finally",
+    fail: str = "all",
     id_col: Optional[str] = None,
     table_checks: Optional[list] = None,
     keep_details: bool = True,
