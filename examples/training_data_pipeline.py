@@ -67,6 +67,18 @@ deduped = exact_dedup(filtered, col="text", id_col="doc_id")
 out_dir = tempfile.mkdtemp(prefix="pipeline_out_", dir="/tmp")
 deduped.write_parquet(out_dir)
 
+# 6b. checkpointed dedup over raw shards (state/checkpoint.run_exact_dedup):
+# the manifest/resume layer for the dedup phase itself — a run killed
+# between tasks resumes to byte-identical survivor partitions
+from xema_ray.state.checkpoint import run_exact_dedup
+
+ckpt_dir = tempfile.mkdtemp(prefix="dedup_ckpt_", dir="/tmp")
+summary = run_exact_dedup([os.path.join(sf_dir, "documents.parquet")],
+                          ckpt_dir, col="text", id_col="doc_id")
+print(f"checkpointed dedup: {summary.rows} rows -> {summary.survivors} "
+      f"survivors ({summary.dup_groups} dup groups), "
+      f"resume skipped={summary.partitions_skipped}")
+
 # 7. near-duplicate report on the surviving docs (banded MinHash-LSH)
 pairs = minhash_lsh_pairs(deduped, threshold=0.8).take_all()
 

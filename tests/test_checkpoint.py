@@ -196,3 +196,60 @@ def test_colliding_basenames_get_unique_partitions(tmp_path, ray_session):
     # resume skips both
     s2 = run_validation(paths, out)
     assert s2.partitions_skipped == 2 and s2.rows == 5
+
+
+def test_run_exact_dedup_kill_and_resume(ray_session, tmp_path):
+    """r3 (VERDICT item 9): the manifest/resume layer covers the dedup
+    pipeline — a run killed mid-way resumes to byte-identical output."""
+    import glob
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xema_ray.state.checkpoint import run_exact_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    texts = [f"document body {i}" for i in range(300)]
+    for i in range(0, 60, 3):
+        texts[i + 1] = texts[i]  # 20 planted duplicate pairs
+    ids = list(range(300))
+    for s in range(4):
+        lo, hi = s * 75, (s + 1) * 75
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids[lo:hi], type=pa.int64()),
+                      "text": pa.array(texts[lo:hi])}),
+            str(src / f"shard-{s}.parquet"))
+    paths = sorted(glob.glob(str(src / "*.parquet")))
+    out = str(tmp_path / "out")
+
+    def treehash(d):
+        h = hashlib.sha256()
+        for f in sorted(glob.glob(os.path.join(d, "*"))):
+            h.update(open(f, "rb").read())
+        return h.hexdigest()
+
+    s1 = run_exact_dedup(paths, out)
+    assert s1.rows == 300 and s1.survivors == 280 and s1.dup_groups == 20
+    assert s1.partitions_done == 8 and s1.partitions_skipped == 0
+    h1 = treehash(os.path.join(out, "clean"))
+
+    # clean resume: everything skipped, nothing rewritten
+    s2 = run_exact_dedup(paths, out)
+    assert s2.partitions_done == 0 and s2.partitions_skipped == 8
+    assert treehash(os.path.join(out, "clean")) == h1
+
+    # crash simulation: one survivor partition never landed
+    os.remove(os.path.join(out, "clean", "shard-2.parquet"))
+    s3 = run_exact_dedup(paths, out)
+    assert s3.partitions_done == 1 and s3.survivors == 280
+    assert treehash(os.path.join(out, "clean")) == h1
+
+    # input-shard rewrite invalidates BOTH phases of that shard
+    t = pq.read_table(paths[1])
+    pq.write_table(t, paths[1])
+    s4 = run_exact_dedup(paths, out)
+    assert s4.partitions_done == 2  # partial:shard-1 + clean:shard-1
+    assert treehash(os.path.join(out, "clean")) == h1

@@ -117,3 +117,18 @@ def test_range_join_preserves_large_ints_and_drops_null_keys(ray_session):
     assert len(out) == 1  # ns+5 outside (no float rounding), null keys dropped
     assert out[0]["fid"] == big  # exact 2^53+1, not 2^53
     assert out[0]["ts"] == ns
+
+
+def test_cluster_aware_bucket_defaults():
+    """r3 (VERDICT item 10): coarse-bucket counts derive from advertised
+    CPUs — more cluster CPUs -> more reduce partitions."""
+    from xema_ray.stages.shuffle import default_bucket_bits, default_shuffle_buckets
+
+    small = default_shuffle_buckets(cpus=8)
+    big = default_shuffle_buckets(cpus=512)
+    assert small < big
+    assert default_shuffle_buckets(cpus=1) >= 16      # floor
+    assert default_shuffle_buckets(cpus=10**6) <= 4096  # ceiling
+    assert default_bucket_bits(cpus=8) < default_bucket_bits(cpus=2048)
+    # discovery path works under the live test cluster
+    assert default_shuffle_buckets() >= 16

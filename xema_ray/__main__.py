@@ -116,7 +116,7 @@ def main(argv=None):
     v.add_argument("input", help="directory or glob of parquet shards")
     v.add_argument("out", help="output dir (violations/ + manifest.jsonl)")
     v.add_argument("--schema", help="JSON-Schema file (default: flagship sequences schema)")
-    v.add_argument("--fail", choices=["immediately", "early", "finally"], default="finally")
+    v.add_argument("--fail", choices=["immediately", "early", "finally", "all"], default="all")
     v.add_argument("--batch-rows", type=int, default=8192)
     v.add_argument("--with-checks", action="store_true",
                    help="fuse stats/HLL/drift/referential/uniqueness into the same pass")

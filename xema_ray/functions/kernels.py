@@ -136,10 +136,20 @@ def _ok_with_nulls(result, col: pa.Array) -> np.ndarray:
     return _np_bool(ok)
 
 
-def _is_vectorizable(node: SchemaNode, compiled: CompiledSchema, depth: int = 0) -> bool:
-    """Can this node be fully expressed with vector checks on one column?"""
-    if depth > 4:
+def _is_vectorizable(node: SchemaNode, compiled: CompiledSchema, depth: int = 0,
+                     seen: Optional[frozenset] = None) -> bool:
+    """Can this node be fully expressed with vector checks on one column?
+
+    r3: the former depth-3 combinator bound is lifted — the mask-algebra
+    evaluators (:func:`_build_combinator_checks` → ``_branch_evaluators``)
+    recurse to arbitrary depth, so the gate only needs cycle safety
+    (``seen`` id-set for ref loops) plus a generous sanity bound."""
+    if depth > 32:
         return False
+    seen = seen or frozenset()
+    if id(node) in seen:
+        return False  # circular ref chain — scalar fallback handles it
+    seen = seen | {id(node)}
     if node.bool_schema is not None:
         return True
     if node.ref is not None:
@@ -149,12 +159,12 @@ def _is_vectorizable(node: SchemaNode, compiled: CompiledSchema, depth: int = 0)
             return False
         if target is node:
             return False
-        return _is_vectorizable(target, compiled, depth + 1)
+        return _is_vectorizable(target, compiled, depth + 1, seen)
     for slot in node.keywords_present():
         if slot == "validator":
             return False
         if slot in _COMBINATOR_SLOTS:
-            if not _combinator_branches_vectorizable(node, compiled):
+            if not _combinator_branches_vectorizable(node, compiled, seen=seen):
                 return False
             continue
         if slot not in _VECTOR_SAFE_SLOTS:
@@ -177,11 +187,18 @@ def _is_vectorizable(node: SchemaNode, compiled: CompiledSchema, depth: int = 0)
 
 
 def _is_scalar_vectorizable(node: SchemaNode, compiled: CompiledSchema,
-                            depth: int = 0) -> bool:
+                            depth: int = 0,
+                            seen: Optional[frozenset] = None) -> bool:
     """Element sub-schema: scalar-only keyword set (no nested lists/maps).
-    Combinators may nest up to three levels — each level is one round of
-    mask algebra (``_build_combinator_checks`` recurses through
-    ``_branch_evaluators`` → ``_build_scalar_checks``)."""
+    Combinators nest to arbitrary depth (each level is one round of mask
+    algebra, ``_build_combinator_checks`` → ``_branch_evaluators`` →
+    ``_build_scalar_checks``); the gate guards ref cycles via ``seen``."""
+    if depth > 32:
+        return False
+    seen = seen or frozenset()
+    if id(node) in seen:
+        return False
+    seen = seen | {id(node)}
     if node.bool_schema is not None:
         return True
     if node.ref is not None:
@@ -189,12 +206,14 @@ def _is_scalar_vectorizable(node: SchemaNode, compiled: CompiledSchema,
             target = resolve_pointer(compiled, node.ref)
         except KeyError:
             return False
-        return target is not node and _is_scalar_vectorizable(target, compiled, depth)
+        return target is not node and _is_scalar_vectorizable(
+            target, compiled, depth + 1, seen)
     for slot in node.keywords_present():
         if slot in ("items", "contains", "min_items", "max_items", "unique_items", "validator"):
             return False
         if slot in _COMBINATOR_SLOTS:
-            if not _combinator_branches_vectorizable(node, compiled, depth=depth):
+            if not _combinator_branches_vectorizable(node, compiled,
+                                                     depth=depth, seen=seen):
                 return False
             continue
         if slot not in _VECTOR_SAFE_SLOTS:
@@ -205,17 +224,18 @@ def _is_scalar_vectorizable(node: SchemaNode, compiled: CompiledSchema,
 
 
 def _combinator_branches_vectorizable(node: SchemaNode, compiled,
-                                      depth: int = 0) -> bool:
+                                      depth: int = 0,
+                                      seen: Optional[frozenset] = None) -> bool:
     """Every combinator branch must be scalar-vectorizable; branches may
-    carry their OWN combinators up to a bounded nesting depth (each level
-    is a recursive mask-algebra evaluator)."""
-    if depth > 2:
+    carry their OWN combinators to arbitrary depth (each level is a
+    recursive mask-algebra evaluator; ``seen`` breaks ref cycles)."""
+    if depth > 32:
         return False
     for b in _combinator_branches(node):
         b = _deref(b, compiled)
         if b.bool_schema is not None:
             continue
-        if not _is_scalar_vectorizable(b, compiled, depth=depth + 1):
+        if not _is_scalar_vectorizable(b, compiled, depth=depth + 1, seen=seen):
             return False
     return True
 
@@ -1298,6 +1318,46 @@ def compile_table_plan(
             fn=size_fn, path="/",
             message=f"property count outside [{lo}, {hi}]"))
 
+    # --- schema-form dependencies: vectorized when the dependency schema
+    # compiles to a fallback-free sub-plan over the same table (r3, VERDICT
+    # item 6) — present(key) ⇒ whole row validates the sub-plan ---------
+    schema_deps = {k: d for k, d in (root.dependencies or {}).items()
+                   if not isinstance(d, list)}
+    residual_deps = {}
+    for key, dep in sorted(schema_deps.items()):
+        dep_node = _deref(dep, compiled) if isinstance(dep, SchemaNode) else dep
+        sub_plan = None
+        if isinstance(dep_node, SchemaNode) and dep_node.bool_schema is not None:
+            const_ok = bool(dep_node.bool_schema)
+        elif isinstance(dep_node, SchemaNode) and _is_map_like(dep_node):
+            cand = compile_table_plan(
+                CompiledSchema(root=dep_node, refs=compiled.refs), table_schema)
+            if cand.root_fallback is None and all(
+                    cp.fallback_node is None for cp in cand.column_plans):
+                sub_plan, const_ok = cand, None
+            else:
+                residual_deps[key] = dep
+                continue
+        else:
+            residual_deps[key] = dep
+            continue
+
+        def dep_schema_fn(tbl: pa.Table, key=key, sub_plan=sub_plan,
+                          const_ok=const_ok) -> np.ndarray:
+            n = tbl.num_rows
+            if key not in tbl.column_names:
+                return np.ones(n, dtype=bool)  # key absent everywhere
+            present = _np_bool(pc.is_valid(tbl[key]))
+            if sub_plan is None:
+                ok = np.full(n, const_ok, dtype=bool)
+            else:
+                ok, _ = evaluate_batch(sub_plan, tbl, fail="immediately")
+            return ok | ~present
+
+        root_checks.append(TableCheck(
+            keyword="dependencies", fn=dep_schema_fn, path="/",
+            message=f"dependency schema for {key!r} failed"))
+
     # --- residual root keywords → per-row dict fallback ----------------
     residual_slots = {}
     if root.const is not UNSET:
@@ -1307,10 +1367,8 @@ def compile_table_plan(
         v = getattr(root, slot)
         if v is not None:
             residual_slots[slot] = v
-    schema_deps = {k: d for k, d in (root.dependencies or {}).items()
-                   if not isinstance(d, list)}
-    if schema_deps:
-        residual_slots["dependencies"] = schema_deps
+    if residual_deps:
+        residual_slots["dependencies"] = residual_deps
     root_fallback = None
     if residual_slots:
         reduced = SchemaNode(**{

@@ -97,7 +97,7 @@ def _merge_blobs(blobs) -> tuple:
 
 
 def duplicate_values(ds, col: str = "doc_id", strategy: str = "auto",
-                     bucket_bits: int = 4,
+                     bucket_bits: Optional[int] = None,
                      auto_driver_limit: int = 64_000_000):
     """Dataset of ``(col, n_occurrences)`` for values appearing more than
     once — the table-scale exact-uniqueness shuffle.
@@ -117,6 +117,10 @@ def duplicate_values(ds, col: str = "doc_id", strategy: str = "auto",
     import ray.data as rd
     from xema_ray.functions.sketches import hash_strings
 
+    if bucket_bits is None:
+        from xema_ray.stages.shuffle import default_bucket_bits
+
+        bucket_bits = default_bucket_bits()  # cluster-aware (r3 item 10)
     thin = ds.select_columns([col])
     partials = thin.map_batches(
         _hash_count_blobs(col, bucket_bits), batch_format="pyarrow"
@@ -312,7 +316,7 @@ def referential_violations_bloom(ds, dim, col: str = "source",
 
 def referential_violations_semijoin(ds, dim_ds, col: str = "source",
                                     dim_col: Optional[str] = None,
-                                    buckets: int = 64):
+                                    buckets: Optional[int] = None):
     """General-path referential check for dims too large to broadcast:
     explicit bucketed hash ANTI-join (ray guide "Joins and lookups").
 
@@ -326,8 +330,10 @@ def referential_violations_semijoin(ds, dim_ds, col: str = "source",
     """
     import pandas as pd
 
-    from xema_ray.stages.shuffle import add_hash_bucket
+    from xema_ray.stages.shuffle import add_hash_bucket, default_shuffle_buckets
 
+    if buckets is None:
+        buckets = default_shuffle_buckets()  # cluster-aware (r3 item 10)
     dim_col = dim_col or col
     fact = ds.select_columns([c for c in dict.fromkeys(["doc_id", col])
                               if c in ds.schema().names])

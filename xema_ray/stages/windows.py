@@ -8,9 +8,11 @@ key, sort by timestamp within the group, and close a session when the gap
 exceeds the timeout — ``groupby(key).map_groups`` with pandas inside.
 
 Partitioning assumption (documented per SURVEY §2 custom-operator rule):
-all events of one ``user_id`` fit in one group (true for bounded keys;
-salt + two-phase merge would be needed for a pathological single-key
-stream).
+all events of one ``user_id`` fit in one group for the default paths.
+For a pathological single-key stream (bot user with 10^8 events) pass
+``time_bucket_seconds`` to :func:`sessions_per_key` — (key, time-bucket)
+sub-partitioning with tiny per-bucket partials and a per-key boundary
+merge; output identical for any bucket width.
 """
 
 from __future__ import annotations
@@ -65,19 +67,67 @@ def session_stats(ds, key: str = "user_id", ts_col: str = "ts",
 
 
 def sessions_per_key(ds, key: str = "user_id", ts_col: str = "ts",
-                     gap_seconds: int = 1800):
-    """(key, n_sessions, n_events) — compact session summary per key."""
+                     gap_seconds: int = 1800,
+                     time_bucket_seconds: int = None):
+    """(key, n_sessions, n_events) — compact session summary per key.
+
+    ``time_bucket_seconds`` (r3, VERDICT item 7 hot-key hardening): when
+    set, events are sub-partitioned by ``(key, floor(ts/bucket))`` so a
+    pathological key (bot user with 10^8 events) never lands in one
+    group.  Each sub-bucket emits a TINY partial — (n_events, in-bucket
+    session breaks, first/last event time) — and a per-key merge over the
+    partials adds one break per adjacent-bucket boundary whose gap
+    exceeds the timeout.  Output is identical to the unbucketed path for
+    any bucket width (bucket boundaries only re-route where the gap test
+    runs, never change it).
+    """
     gap_us = gap_seconds * 1_000_000
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = sessionize_group(g, ts_col, gap_us)
+    if time_bucket_seconds is None:
+        def per_key(g: pd.DataFrame) -> pd.DataFrame:
+            g = sessionize_group(g, ts_col, gap_us)
+            return pd.DataFrame({
+                key: [g[key].iloc[0]],
+                "n_sessions": np.array([g["_session"].iloc[-1]], dtype=np.int64),
+                "n_events": np.array([len(g)], dtype=np.int64),
+            })
+
+        return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+    bucket_us = time_bucket_seconds * 1_000_000
+
+    def add_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["_tb"] = _epoch_us(g[ts_col]) // bucket_us
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(_epoch_us(g[ts_col]))
+        breaks = int(((ts[1:] - ts[:-1]) > gap_us).sum()) if len(ts) > 1 else 0
         return pd.DataFrame({
             key: [g[key].iloc[0]],
-            "n_sessions": np.array([g["_session"].iloc[-1]], dtype=np.int64),
-            "n_events": np.array([len(g)], dtype=np.int64),
+            "_tb": np.array([g["_tb"].iloc[0]], dtype=np.int64),
+            "_n": np.array([len(ts)], dtype=np.int64),
+            "_breaks": np.array([breaks], dtype=np.int64),
+            "_first": np.array([ts[0]], dtype=np.int64),
+            "_last": np.array([ts[-1]], dtype=np.int64),
         })
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    def merge_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_tb", kind="stable")
+        first = g["_first"].to_numpy()
+        last = g["_last"].to_numpy()
+        boundary = int(((first[1:] - last[:-1]) > gap_us).sum()) if len(g) > 1 else 0
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_sessions": np.array(
+                [1 + int(g["_breaks"].sum()) + boundary], dtype=np.int64),
+            "n_events": np.array([int(g["_n"].sum())], dtype=np.int64),
+        })
+
+    partials = ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby([key, "_tb"]).map_groups(per_bucket, batch_format="pandas")
+    return partials.groupby(key).map_groups(merge_key, batch_format="pandas")
 
 
 def hopping_window_partials(ds, ts_col: str = "ts", value_col: str = "value",

@@ -243,7 +243,7 @@ def run_validation(
     out_dir: str,
     compiled=None,
     table_checks=None,
-    fail: str = "finally",
+    fail: str = "all",
     id_col: str = "doc_id",
     batch_rows: int = 16384,
     with_checks: bool = False,
@@ -400,3 +400,208 @@ def _merge_check_partials(done: dict, paths: list, id_col: str):
                 duplicate_ids[k] = duplicate_ids.get(k, 0) + v
         duplicate_ids = {k: v for k, v in duplicate_ids.items() if v > 1}
     return report, duplicate_ids
+
+
+# ----------------------------------------------------------------------
+# checkpointed exact dedup (r3, VERDICT item 9): the manifest/resume layer
+# for a NON-validation pipeline — per-shard digest partials, one global
+# digest-only reduce, per-shard survivor filter; every per-shard phase is
+# resumable and the output is byte-identical across kill/resume
+# ----------------------------------------------------------------------
+
+
+@dataclass
+class DedupSummary:
+    rows: int
+    survivors: int
+    dup_groups: int
+    partitions_done: int
+    partitions_skipped: int
+    manifest_path: str
+    clean_dir: str
+
+
+def _dedup_digest_shard(path: str, col: str, id_col: str, hash_fn: str,
+                        out_file: str, partition_name: str,
+                        batch_rows: int) -> dict:
+    """Phase A task: per-shard (hash, min_id, cnt) digest partial."""
+    from xema_ray.stages.dedup import _content_hash_batch
+
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
+    try:
+        source = pa.memory_map(path)
+    except OSError:
+        source = path
+    pf = pq.ParquetFile(source)
+    parts = []
+    rows = 0
+    for batch in pf.iter_batches(batch_size=batch_rows, use_threads=False,
+                                 columns=[col, id_col]):
+        tbl = pa.Table.from_batches([batch])
+        rows += tbl.num_rows
+        parts.append(_content_hash_batch(tbl, col, id_col, hash_fn))
+    os.makedirs(os.path.dirname(out_file), exist_ok=True)
+    tmp = out_file + ".tmp"
+    merged = pa.concat_tables(parts) if parts else pa.table({
+        "h": pa.array([], type=pa.string()),
+        "min_id": pa.array([], type=pa.int64()),
+        "cnt": pa.array([], type=pa.int64())})
+    # re-reduce shard-locally so the partial is one row per distinct hash
+    import pandas as pd
+
+    df = merged.to_pandas()
+    g = df.groupby("h", sort=False).agg(
+        min_id=("min_id", "min"), cnt=("cnt", "sum")).reset_index()
+    pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+    os.replace(tmp, out_file)
+    return {"partition": f"partial:{partition_name}",
+            "lineage": _lineage(path), "out_file": out_file, "rows": rows}
+
+
+def _dedup_filter_shard(path: str, col: str, id_col: str, hash_fn: str,
+                        dup_h, keep_id, out_file: str, partition_name: str,
+                        dup_sig: str, batch_rows: int) -> dict:
+    """Phase C task: keep first-id-per-content rows of one shard."""
+    import pyarrow.compute as pc
+
+    from xema_ray.stages.dedup import _hash_text_column
+
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
+    try:
+        source = pa.memory_map(path)
+    except OSError:
+        source = path
+    pf = pq.ParquetFile(source)
+    kept = []
+    survivors = 0
+    for batch in pf.iter_batches(batch_size=batch_rows, use_threads=False):
+        tbl = pa.Table.from_batches([batch])
+        h = _hash_text_column(tbl, col, hash_fn)
+        idx = pc.index_in(h, value_set=dup_h)
+        keeper = pc.take(keep_id, idx) if len(keep_id) else None
+        keep = pc.is_null(idx) if keeper is None else pc.or_kleene(
+            pc.is_null(idx), pc.equal(tbl[id_col], keeper))
+        keep = pc.and_(pc.fill_null(keep, False),
+                       pc.and_(pc.is_valid(h), pc.is_valid(tbl[id_col])))
+        out = tbl.filter(keep)
+        survivors += out.num_rows
+        kept.append(out)
+    os.makedirs(os.path.dirname(out_file), exist_ok=True)
+    tmp = out_file + ".tmp"
+    pq.write_table(pa.concat_tables(kept) if kept
+                   else pf.schema_arrow.empty_table(), tmp)
+    os.replace(tmp, out_file)
+    return {"partition": f"clean:{partition_name}",
+            "lineage": f"{_lineage(path)}|dups:{dup_sig}",
+            "out_file": out_file, "rows": survivors}
+
+
+def run_exact_dedup(paths: list, out_dir: str, col: str = "text",
+                    id_col: str = "doc_id", hash_fn: str = "fast",
+                    batch_rows: int = 16384) -> DedupSummary:
+    """Checkpointed exact content dedup over parquet shards.
+
+    Three phases, same manifest/lineage contract as :func:`run_validation`:
+
+    A. per-shard digest partials (one Ray task per shard, resumable —
+       completed partitions with unchanged lineage are skipped);
+    B. global digest-only reduce of the partials to the duplicate-group
+       table ``(hash, keeper id)`` — O(duplicate groups), recomputed each
+       run (cheap) and written to ``dups.parquet`` for observability;
+    C. per-shard survivor filter (resumable; lineage also pins the
+       duplicate-table content hash, so adding/removing input shards
+       invalidates stale clean partitions automatically).
+
+    A run killed between any two tasks resumes to byte-identical output.
+    """
+    import hashlib as _hashlib
+
+    import pyarrow.compute as pc
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    part_names = _partition_names(paths)
+    done = load_manifest(out_dir)
+    skipped = 0
+    new_entries = []
+
+    def run_phase(tag: str, make_ref, extra_lineage: str = ""):
+        nonlocal skipped
+        pending = []
+        for p in paths:
+            name = f"{tag}:{part_names[p]}"
+            e = done.get(name)
+            lineage = _lineage(p) + extra_lineage
+            if (e is not None and e["lineage"] == lineage
+                    and os.path.exists(e["out_file"])):
+                skipped += 1
+            else:
+                pending.append(p)
+        refs = [make_ref(p) for p in pending]
+        with open(manifest_path, "a") as mf:
+            remaining = list(refs)
+            while remaining:
+                ready, remaining = ray.wait(
+                    remaining, num_returns=min(8, len(remaining)))
+                for entry in ray.get(ready):
+                    mf.write(json.dumps(entry) + "\n")
+                    new_entries.append(entry)
+                    done[entry["partition"]] = entry
+                mf.flush()
+
+    # phase A: digest partials
+    digest_task = ray.remote(_dedup_digest_shard)
+    run_phase("partial", lambda p: digest_task.remote(
+        p, col, id_col, hash_fn,
+        os.path.join(out_dir, "partials", part_names[p]),
+        part_names[p], batch_rows))
+
+    # phase B: tiny global reduce over the digest partials
+    import ray.data as rd
+
+    partial_files = [os.path.join(out_dir, "partials", part_names[p])
+                     for p in paths]
+    from ray.data.aggregate import Min, Sum
+
+    merged = rd.read_parquet(partial_files).groupby("h").aggregate(
+        Min("min_id", alias_name="keep_id"), Sum("cnt", alias_name="n"))
+    dup_rows = merged.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)).select(["h", "keep_id"]),
+        batch_format="pyarrow",
+    ).take_all()
+    dup_rows.sort(key=lambda r: r["h"])
+    dup_h = pa.array([r["h"] for r in dup_rows], type=pa.string())
+    keep_id = pa.array([r["keep_id"] for r in dup_rows])
+    dup_tbl = pa.table({"h": dup_h, "keep_id": keep_id})
+    dup_sig = _hashlib.sha256(
+        ("\n".join(f"{r['h']}={r['keep_id']}" for r in dup_rows)).encode()
+    ).hexdigest()[:16]
+    tmp = os.path.join(out_dir, "dups.parquet.tmp")
+    pq.write_table(dup_tbl, tmp)
+    os.replace(tmp, os.path.join(out_dir, "dups.parquet"))
+
+    # phase C: survivor filter per shard (dup table rides via object store)
+    dup_ref = ray.put((dup_h, keep_id))
+
+    def filter_ref(p):
+        @ray.remote
+        def _task(path, out_file, name):
+            h, k = ray.get(dup_ref)
+            return _dedup_filter_shard(path, col, id_col, hash_fn, h, k,
+                                       out_file, name, dup_sig, batch_rows)
+
+        return _task.remote(p, os.path.join(out_dir, "clean", part_names[p]),
+                            part_names[p])
+
+    run_phase("clean", filter_ref, extra_lineage=f"|dups:{dup_sig}")
+
+    rows = sum(done[f"partial:{part_names[p]}"]["rows"] for p in paths)
+    survivors = sum(done[f"clean:{part_names[p]}"]["rows"] for p in paths)
+    return DedupSummary(
+        rows=rows, survivors=survivors, dup_groups=len(dup_rows),
+        partitions_done=len(new_entries), partitions_skipped=skipped,
+        manifest_path=manifest_path,
+        clean_dir=os.path.join(out_dir, "clean"))
