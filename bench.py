@@ -59,12 +59,13 @@ def run_bench() -> dict:
     # written + per-partition manifest + column stats/HLL + per-source
     # drift histograms + referential counter + doc_id-uniqueness partials
     # (one read of the corpus computes every check), plus the thin
-    # dup-hash resolve pass.  Three trials, value = MEDIAN (r3, VERDICT
-    # item 4: bench.py is the single source of truth for the headline —
-    # the first trial carries Ray worker cold-spawn, the median is the
-    # reproducible number; every trial is reported).
+    # dup-hash resolve pass.  One warmup run (reported, excluded — it
+    # carries Ray worker cold-spawn + object-store warmup) then three
+    # measured trials; value = MEDIAN of the measured trials (r3, VERDICT
+    # item 4: bench.py is the single source of truth for the headline,
+    # and this exact methodology line appears in BASELINE.md).
     trials = []
-    for _ in range(3):
+    for _ in range(4):
         out_dir = tempfile.mkdtemp(prefix="xema_bench_", dir="/tmp")
         t0 = time.perf_counter()
         summary = run_validation(paths, out_dir, batch_rows=8192, with_checks=True)
@@ -76,9 +77,10 @@ def run_bench() -> dict:
         n_dups = len(summary.duplicate_ids)
         shutil.rmtree(out_dir, ignore_errors=True)
 
-    total = sorted(trials)[len(trials) // 2]  # median
+    measured = trials[1:]
+    total = sorted(measured)[len(measured) // 2]  # median of post-warmup
     timings["fused_validate_report_unique"] = total
-    timings["trials"] = trials
+    timings["trials"] = trials  # trials[0] = warmup
 
     # supplementary per-stage timings (informational; NOT in `value`):
     # the dedup / similarity / heavy-hitter pipelines over the sf tables

@@ -32,8 +32,36 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+import os as _os
+
+# polars reads this at import: one Rust thread per process — the hash
+# kernel runs inside Ray workers that each own ONE scheduled CPU, and a
+# default-size polars pool per worker oversubscribes the node 32x
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+try:  # polars: Rust xxhash lane, ~10x faster than hashlib.md5 per byte
+    import polars as _pl
+except ImportError:  # pragma: no cover - polars is baked into this env
+    _pl = None
+
+
 def hash_strings(values, seed: int = 0) -> np.ndarray:
-    """Vectorized 64-bit hashes of a string sequence (pandas-backed)."""
+    """Vectorized 64-bit hashes of a string sequence.
+
+    polars' seeded-xxhash kernel when available (measured 11x faster than
+    a hashlib.md5 loop and ~25x faster than
+    ``pd.util.hash_pandas_object`` at 1M strings — BASELINE.md r3
+    microbench), else the pandas hash.  The lane is chosen ONCE per
+    environment, never per call — every call site must map equal strings
+    to equal hashes (per-batch dedup partials are merged across batches
+    of different sizes).  Deterministic across processes (seeded xxhash);
+    NOT guaranteed stable across polars versions — engine-internal use
+    only (the cross-engine-verifiable mode is md5 where an oracle
+    recomputes the value).
+    """
+    if _pl is not None:
+        s = _pl.Series(values if isinstance(values, list) else list(values),
+                       dtype=_pl.Utf8)
+        return s.hash(seed=seed & 0xFFFFFFFFFFFFFFFF).to_numpy().astype(np.uint64)
     import pandas as pd
 
     s = pd.Series(values, dtype="object")
@@ -106,6 +134,78 @@ def hash_int_list_rows(list_col, seed: int = 0) -> np.ndarray:
         out = splitmix64(mixed_sum ^ (lengths.astype(np.uint64) * _M1)
                          ^ np.uint64(seed))
     return out
+
+
+def word_ngram_hashes(words_all, n: int, empty_doc_gram: bool = False):
+    """Vectorized 64-bit hashes of each document's word ``n``-grams.
+
+    No gram strings are built: the batch's words factorize once
+    (``pd.factorize``, hash-based C path), the small UNIQUE vocabulary is
+    hashed once, and each gram hash is a position-weighted splitmix mix
+    of its word hashes — O(total words) vectorized work shared by the
+    fingerprint and MinHash stages.
+
+    ``words_all``: pandas Series of word lists (0-based RangeIndex).
+    Docs with fewer than ``n`` words contribute ONE whole-doc gram
+    (position-weighted over however many words they have); zero-word
+    docs contribute the empty gram when ``empty_doc_gram`` else nothing.
+    Returns ``(flat_hashes, offsets)`` with grams grouped by doc in
+    order (offsets has n_docs+1 entries).
+    """
+    import pandas as pd
+
+    n_docs = len(words_all)
+    ex = words_all.explode()
+    rows = ex.index.to_numpy()
+    w = ex.to_numpy()
+    valid = pd.notna(w)
+    rows, w = rows[valid], w[valid]
+    codes, uniq = pd.factorize(w)
+    word_h = hash_strings(list(uniq)) if len(uniq) else \
+        np.empty(0, dtype=np.uint64)
+    h_words = word_h[codes] if len(codes) else np.empty(0, dtype=np.uint64)
+
+    if len(w) >= n:
+        same = rows[: len(w) - n + 1] == rows[n - 1:]
+        starts = np.nonzero(same)[0]
+    else:
+        starts = np.array([], dtype=np.int64)
+    gram_rows = rows[starts] if len(starts) else np.array([], dtype=np.int64)
+    gh = np.zeros(len(starts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            gh ^= splitmix64(h_words[starts + j] ^ (np.uint64(j + 1) * _M2))
+        gh = splitmix64(gh * _M1)
+
+    short = np.setdiff1d(np.arange(n_docs), np.unique(gram_rows))
+    if len(short):
+        short_set = np.zeros(n_docs, dtype=bool)
+        short_set[short] = True
+        sel = short_set[rows]
+        s_rows, s_h = rows[sel], h_words[sel]
+        pos = np.arange(len(s_rows), dtype=np.uint64)
+        first_idx = np.searchsorted(s_rows, short)
+        if len(s_rows):
+            pos = pos - pos[first_idx][np.searchsorted(short, s_rows)]
+        with np.errstate(over="ignore"):
+            mixed = splitmix64(s_h ^ ((pos + np.uint64(1)) * _M2))
+        csum = np.concatenate(
+            [np.zeros(1, dtype=np.uint64), np.cumsum(mixed, dtype=np.uint64)])
+        ends_idx = np.searchsorted(s_rows, short, side="right")
+        with np.errstate(over="ignore"):
+            # zero-word docs fall out naturally: empty segment -> mix of 0
+            short_h = splitmix64((csum[ends_idx] - csum[first_idx]) * _M1)
+        if not empty_doc_gram:
+            has_words = np.isin(short, s_rows)
+            short, short_h = short[has_words], short_h[has_words]
+        gh = np.concatenate([gh, short_h])
+        gram_rows = np.concatenate([gram_rows, short])
+
+    order = np.argsort(gram_rows, kind="stable")
+    gram_rows = gram_rows[order]
+    gh = gh[order]
+    offsets = np.searchsorted(gram_rows, np.arange(n_docs + 1)).astype(np.int64)
+    return gh, offsets
 
 
 # ----------------------------------------------------------------------
@@ -304,6 +404,30 @@ class MinHasher:
     def signatures(self, hash_lists) -> np.ndarray:
         return np.stack([self.signature(h) for h in hash_lists])
 
+    def signature_matrix_flat(self, flat: np.ndarray, offsets: np.ndarray,
+                              chunk: int = 32) -> np.ndarray:
+        """(n_docs, k) signatures from a FLAT shingle-hash array + row
+        offsets — one vectorized pass per permutation chunk
+        (``np.minimum.reduceat``), no per-document Python calls.  A
+        duplicate shingle hash cannot change a min, so callers may skip
+        per-doc ``np.unique``.  Empty rows get the all-max signature."""
+        n = len(offsets) - 1
+        out = np.full((n, self.k), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(flat) == 0 or n == 0:
+            return out
+        lengths = np.diff(offsets)
+        nonempty = lengths > 0
+        starts_c = np.minimum(offsets[:-1], len(flat) - 1)
+        x = flat.astype(np.uint64)
+        for c0 in range(0, self.k, chunk):
+            a = self.a[c0:c0 + chunk]
+            b = self.b[c0:c0 + chunk]
+            with np.errstate(over="ignore"):
+                vals = x[:, None] * a[None, :] + b[None, :]
+            mins = np.minimum.reduceat(vals, starts_c, axis=0)
+            out[nonempty, c0:c0 + len(a)] = mins[nonempty]
+        return out
+
     @staticmethod
     def band_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
         """(n_docs, bands) uint64 band-bucket hashes of signatures."""
@@ -330,6 +454,47 @@ def simhash(shingle_hashes: np.ndarray, weights=None) -> np.uint64:
     out = np.uint64(0)
     for i in np.nonzero(score > 0)[0]:
         out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def unique_per_row(flat: np.ndarray, offsets: np.ndarray):
+    """Per-row set semantics over a flat row-grouped array: drop duplicate
+    values WITHIN each row (vectorized lexsort + boundary scan).  Returns
+    the new ``(flat, offsets)``."""
+    n = len(offsets) - 1
+    if len(flat) == 0:
+        return flat, offsets
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    order = np.lexsort((flat, rows))
+    r, f = rows[order], flat[order]
+    keep = np.ones(len(f), dtype=bool)
+    keep[1:] = (r[1:] != r[:-1]) | (f[1:] != f[:-1])
+    r, f = r[keep], f[keep]
+    new_offsets = np.searchsorted(r, np.arange(n + 1)).astype(np.int64)
+    return f, new_offsets
+
+
+def simhash_flat(flat: np.ndarray, offsets: np.ndarray,
+                 chunk: int = 16) -> np.ndarray:
+    """Batch SimHash: 64-bit signature per row of a flat feature-hash
+    array (row-grouped by ``offsets``) — vectorized bit-count segment
+    sums in bit chunks, no per-document Python calls.  Empty rows get 0
+    (same as :func:`simhash`)."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.uint64)
+    if len(flat) == 0 or n == 0:
+        return out
+    lengths = np.diff(offsets)
+    nonempty = lengths > 0
+    starts_c = np.minimum(offsets[:-1], len(flat) - 1)
+    x = flat.astype(np.uint64)
+    for b0 in range(0, 64, chunk):
+        shifts = np.arange(b0, min(b0 + chunk, 64), dtype=np.uint64)
+        bits = ((x[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        score = np.add.reduceat(2 * bits - 1, starts_c, axis=0)
+        for j, bit in enumerate(shifts):
+            pos = nonempty & (score[:, j] > 0)
+            out[pos] |= np.uint64(1) << bit
     return out
 
 

@@ -601,15 +601,17 @@ def doc_minhash_pairs(sf_dir: str):
     from xema_ray.stages.dedup import minhash_lsh_pairs, verify_pairs_jaccard
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"], split=True)
-    # loose estimator threshold for candidate recall; the exact filter
-    # (jaccard >= 0.5, fixed-point) is what defines the output set
-    cands = minhash_lsh_pairs(docs, threshold=0.35)
+    # estimator threshold below the exact cut for candidate recall (the
+    # exact jaccard >= 0.5 filter defines the output set); 0.45 keeps the
+    # estimator-noise candidate volume bounded (r3 bench: 0.35 tripled
+    # verification work for zero extra recall on this corpus)
+    cands = minhash_lsh_pairs(docs, threshold=0.45)
     verified = verify_pairs_jaccard(cands, docs, threshold=0.5,
                                     fixed_point=True)
     return verified.select_columns(["doc_a", "doc_b", "j_fp"])
 
 
-@register("doc_simhash_pairs", """SELECT * FROM (VALUES (44,446,0),(45,413,2),(58,293,2),(61,185,2),(70,447,3),(72,377,3),(98,290,1),(166,323,2),(393,420,1),(458,462,3)) AS t(doc_a, doc_b, hamming)""",
+@register("doc_simhash_pairs", """SELECT * FROM (VALUES (8,245,3),(45,413,2),(58,293,2),(61,185,0),(70,447,2),(120,332,3),(267,413,2),(285,301,1),(295,374,2),(458,462,2)) AS t(doc_a, doc_b, hamming)""",
           doc="SimHash near-dup pairs (4x16-bit band buckets). Oracle: "
               "expected output pinned as a VALUES table from the seeded "
               "deterministic pipeline at sf0.01 (the Hamming criterion is "

@@ -155,6 +155,11 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
 
 
 def _shingle_hashes(text: str, k: int, word_re) -> np.ndarray:
+    """Single-doc shingle-hash set — the scalar reference for the batch
+    kernel (:func:`word_ngram_hashes` + ``unique_per_row``); kept for
+    tests and ad-hoc use.  NOTE: hashes joined gram STRINGS, so values
+    differ from the batch kernel's word-mix hashes; both are internally
+    consistent hash spaces."""
     from xema_ray.functions.sketches import hash_strings
 
     words = word_re.findall(text.lower())
@@ -194,11 +199,18 @@ class MinHashStage:
         self.word_re = re.compile(r"[a-z0-9]+")
 
     def signature_matrix(self, texts) -> np.ndarray:
-        sigs = np.empty((len(texts), self.mh.k), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sh = _shingle_hashes(t or "", self.shingle, self.word_re)
-            sigs[i] = self.mh.signature(sh)
-        return sigs
+        """Batch-vectorized signatures (r3): one regex scan + one
+        factorize + one gram-hash pass for the WHOLE batch
+        (:func:`word_ngram_hashes`), then chunked permutation mins via
+        ``signature_matrix_flat`` — no per-document Python calls."""
+        import pandas as pd
+
+        from xema_ray.functions.sketches import word_ngram_hashes
+
+        s = pd.Series(texts, dtype="object").fillna("").str.lower()
+        words_all = s.str.findall(self.word_re)
+        flat, offsets = word_ngram_hashes(words_all, self.shingle)
+        return self.mh.signature_matrix_flat(flat, offsets)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         texts = tbl[self.col].to_pylist()
@@ -354,14 +366,23 @@ class SimHashStage:
         self.word_re = re.compile(r"[a-z0-9]+")
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        from xema_ray.functions.sketches import simhash
+        from xema_ray.functions.sketches import (
+            simhash_flat,
+            unique_per_row,
+            word_ngram_hashes,
+        )
 
         texts = tbl[self.col].to_pylist()
         ids = tbl[self.id_col].to_pylist()
         n = len(texts)
-        sh = np.empty(n, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sh[i] = simhash(_shingle_hashes(t or "", self.shingle, self.word_re))
+        # batch-vectorized (r3): one regex scan + factorize + gram-hash
+        # pass for the whole batch; per-doc shingle SET semantics kept via
+        # unique_per_row (duplicates weight SimHash, unlike MinHash mins)
+        s = pd.Series(texts, dtype="object").fillna("").str.lower()
+        words_all = s.str.findall(self.word_re)
+        flat, offsets = word_ngram_hashes(words_all, self.shingle)
+        flat, offsets = unique_per_row(flat, offsets)
+        sh = simhash_flat(flat, offsets)
         doc = np.repeat(np.asarray(ids, dtype=object), 4)
         band = np.tile(np.arange(4, dtype=np.int32), n)
         keys = np.empty(4 * n, dtype=np.int64)
@@ -470,15 +491,15 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
                key=str))
     need_ref = ray.put(need)
 
-    class Gather:
-        def __init__(self):
-            self.need = ray.get(need_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t[id_col], value_set=self.need))
+    # task-based stages (no actor pool): the filter/verify kernels are
+    # stateless apart from the broadcast refs, and actor-pool spin-up was
+    # the dominant cost of this path on small candidate sets (r3 bench:
+    # ~4 s of the 7 s verify wall-time at sf0.1)
+    def gather(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=ray.get(need_ref)))
 
     cand = docs_ds.select_columns([id_col, col]).map_batches(
-        Gather, batch_format="pyarrow", concurrency=(1, 8))
+        gather, batch_format="pyarrow")
     texts: dict = {}
     for b in cand.iter_batches(batch_format="pyarrow"):  # ≤ 2·|pairs| rows
         for i, t in zip(b[id_col].to_pylist(), b[col].to_pylist()):
@@ -510,4 +531,4 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
             return t.filter(pc.greater_equal(t["jaccard"], threshold))
 
     return pairs_ds.map_batches(Verify, batch_format="pyarrow",
-                                concurrency=(1, 8))
+                                concurrency=(1, 4))

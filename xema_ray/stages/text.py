@@ -155,35 +155,19 @@ class Fingerprint:
         return out_fp
 
     def _fingerprints_fast(self, words_all):
-        from xema_ray.functions.sketches import hash_strings
+        """No gram strings are ever built — shared vectorized kernel
+        (:func:`xema_ray.functions.sketches.word_ngram_hashes`): words
+        factorize once per batch, the unique vocabulary is hashed once,
+        gram hashes are position-weighted splitmix mixes.  Measured ~2.4x
+        over the md5-per-gram loop on 400-word docs (hashing itself drops
+        out; the word-regex scan dominates both paths)."""
+        from xema_ray.functions.sketches import word_ngram_hashes
 
-        k = self.ngram
-        ex = words_all.explode()
-        rows = ex.index.to_numpy()
-        w = ex.to_numpy()
-        n = len(words_all)
-        # gram start positions: k consecutive tokens from the same doc
-        if len(w) >= k:
-            same = rows[: len(w) - k + 1] == rows[k - 1 :]
-            starts = np.nonzero(same)[0]
-        else:
-            starts = np.array([], dtype=np.int64)
-        gram_rows = rows[starts] if len(starts) else np.array([], dtype=np.int64)
-        grams = w[starts].astype(object)
-        for j in range(1, k):
-            grams = grams + " " + w[starts + j].astype(object)
-        # docs with < k words contribute their single joined-words gram
-        short = np.setdiff1d(np.arange(n), np.unique(gram_rows))
-        if len(short):
-            joined = words_all.iloc[short].map(" ".join).to_numpy(dtype=object)
-            grams = np.concatenate([grams, joined])
-            gram_rows = np.concatenate([gram_rows, short])
-        h = hash_strings(grams)
-        order = np.argsort(gram_rows, kind="stable")
-        gram_rows = gram_rows[order]
-        h = h[order]
-        starts_per_doc = np.searchsorted(gram_rows, np.arange(n))
-        mins = np.minimum.reduceat(h, starts_per_doc)
+        gh, offsets = word_ngram_hashes(words_all, self.ngram,
+                                        empty_doc_gram=True)
+        starts_per_doc = offsets[:-1]
+        mins = np.minimum.reduceat(gh, starts_per_doc) if len(gh) else \
+            np.empty(0, dtype=np.uint64)
         hex_all = mins.astype(">u8").tobytes().hex().encode("ascii")
         return np.frombuffer(hex_all, dtype="S16").astype("U16")
 
