@@ -1,0 +1,134 @@
+"""Round-3 training-data export operators: distributed prefix-scan /
+sequence packing, train-eval decontamination, deterministic sampling —
+each checked against an in-process numpy/set oracle on randomized data
+(the SQL oracles in pipelines/queries.py check them end-to-end)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _gather(out):
+    df = pd.concat([b.to_pandas() for b in
+                    out.iter_batches(batch_format="pyarrow")],
+                   ignore_index=True)
+    return df
+
+
+def test_global_offsets_matches_numpy_scan(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.pack import global_offsets
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    ids = [f"doc-{i:06d}" for i in rng.permutation(n)]
+    vals = rng.integers(1, 500, size=n)
+    tbl = pa.table({"doc_id": pa.array(ids), "n_tok": pa.array(vals)})
+    out = _gather(global_offsets(rd.from_arrow(tbl), n_buckets=7))
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    ref = pd.DataFrame({"doc_id": ids, "n_tok": vals}).sort_values("doc_id")
+    expect = np.concatenate([[0], np.cumsum(ref["n_tok"].to_numpy())[:-1]])
+    assert (out["offset"].to_numpy() == expect).all()
+
+
+def test_global_offsets_duplicate_keys_stable(ray_session):
+    # duplicate order keys with distinct values order by (key, value);
+    # exact-duplicate rows are interchangeable -> row SET is stable
+    import ray.data as rd
+
+    from xema_ray.stages.pack import global_offsets
+
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "a", "a", "b"]),
+        "n_tok": pa.array([5, 3, 3, 7]),
+    })
+    rows = set()
+    for _ in range(2):
+        df = _gather(global_offsets(rd.from_arrow(tbl), n_buckets=3))
+        rows_now = set(map(tuple, df[["doc_id", "n_tok", "offset"]]
+                           .itertuples(index=False)))
+        rows = rows or rows_now
+        assert rows_now == rows
+    assert rows == {("a", 3, 0), ("a", 3, 3), ("a", 5, 6), ("b", 7, 11)}
+
+
+def test_pack_assignments_bins(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.pack import pack_assignments
+
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d"]),
+        "n_tok": pa.array([100, 100, 100, 50]),
+    })
+    df = _gather(pack_assignments(rd.from_arrow(tbl), capacity=128)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    # stream: a[0,100) b[100,200) c[200,300) d[300,350); bins of 128
+    assert df["bin_first"].tolist() == [0, 0, 1, 2]
+    assert df["bin_last"].tolist() == [0, 1, 2, 2]
+    assert df["n_bins"].tolist() == [1, 2, 2, 1]
+
+
+def test_contaminated_docs_fixture(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.decontam import contaminated_docs
+
+    evl = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["the quick brown fox jumps over the lazy dog",
+                          "pack my box with five dozen liquor jugs"]),
+    }))
+    train = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], type=pa.int64()),
+        "text": pa.array([
+            "totally unrelated content about ray data pipelines",
+            # contains the 5-gram "quick brown fox jumps over"
+            "he saw the quick brown fox jumps over it all",
+            "pack my box with five dozen liquor jugs",  # full overlap
+        ]),
+    }))
+    df = _gather(contaminated_docs(train, evl, n=5)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert df["doc_id"].tolist() == [11, 12]
+    assert df.loc[1, "n_hits"] == 4  # 8 words -> 4 distinct 5-grams
+    assert df.loc[0, "n_hits"] >= 1
+
+
+def test_stratified_sample_deterministic_and_rate(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.sample import stratified_sample
+
+    n = 20000
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n)]),
+        "source": pa.array(["web" if i % 2 else "books" for i in range(n)]),
+    })
+    rates = {"web": 0.1, "books": 0.4}
+    for hash_fn in ("fast", "md5"):
+        a = _gather(stratified_sample(rd.from_arrow(tbl), rates,
+                                      hash_fn=hash_fn))
+        b = _gather(stratified_sample(rd.from_arrow(tbl), rates,
+                                      hash_fn=hash_fn))
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # reproducible
+        got = a.groupby("source").size()
+        assert abs(got.get("web", 0) / (n / 2) - 0.1) < 0.03
+        assert abs(got.get("books", 0) / (n / 2) - 0.4) < 0.03
+
+
+def test_train_val_split_disjoint_and_complete(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.sample import train_val_split
+
+    n = 5000
+    tbl = pa.table({"doc_id": pa.array([f"d{i}" for i in range(n)]),
+                    "x": pa.array(list(range(n)))})
+    train, val = train_val_split(rd.from_arrow(tbl), val_rate=0.1)
+    t = set(_gather(train)["doc_id"])
+    v = set(_gather(val)["doc_id"])
+    assert t.isdisjoint(v) and len(t) + len(v) == n
+    assert abs(len(v) / n - 0.1) < 0.02

@@ -1288,3 +1288,123 @@ def orders_join_native(sf_dir: str):
 def top_parts(sf_dir: str):
     ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
     return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10)
+
+
+# ----------------------------------------------------------------------
+# training-data export operators (r3): packing, decontamination, sampling
+# ----------------------------------------------------------------------
+
+
+@register(
+    "seq_packing",
+    f"""{_SEQ_CTE}
+    SELECT doc_id, n_tok,
+           CAST(coalesce(sum(n_tok) OVER (
+               ORDER BY doc_id, n_tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS "offset",
+           CAST(coalesce(sum(n_tok) OVER (
+               ORDER BY doc_id, n_tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // 2048 AS BIGINT) AS bin_first,
+           CAST((coalesce(sum(n_tok) OVER (
+               ORDER BY doc_id, n_tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n_tok - 1) // 2048 AS BIGINT) AS bin_last
+    FROM seq WHERE doc_id IS NOT NULL AND n_tok IS NOT NULL AND n_tok > 0""",
+    doc="SEQUENCE PACKING (concatenate-and-chunk, capacity 2048): "
+        "distributed prefix-scan via ONE range-bucket exchange (sampled "
+        "boundaries -> tiny per-bucket partials -> driver base fold -> "
+        "in-bucket cumsum) — no full sort, driver holds B rows. Oracle = "
+        "SQL window cumsum over the same (doc_id, n_tok) order.",
+)
+def seq_packing(sf_dir: str):
+    from xema_ray.stages.pack import pack_assignments
+
+    ds = _read_seq(sf_dir, ["doc_id", "n_tok"], split=True)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.is_valid(t["doc_id"]),
+            pc.and_(pc.is_valid(t["n_tok"]), pc.greater(t["n_tok"], 0)))),
+        batch_format="pyarrow")
+    out = pack_assignments(ds, capacity=2048, value_col="n_tok",
+                           order_col="doc_id")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_tok", "offset", "bin_first",
+                            "bin_last"]),
+        batch_format="pyarrow")
+
+
+_DECON_GRAM_CTE = """WITH d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(
+      lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 5
+         THEN list_distinct([array_to_string(w[i:i+4], ' ')
+                             FOR i IN generate_series(1, len(w) - 4)])
+         ELSE [array_to_string(w, ' ')] END AS grams
+  FROM d
+), ev AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20
+)"""
+
+
+@register(
+    "doc_contamination",
+    f"""{_DECON_GRAM_CTE}
+    SELECT t.doc_id, CAST(count(DISTINCT t.gr) AS BIGINT) AS n_hits
+    FROM (SELECT doc_id, unnest(grams) AS gr FROM g WHERE doc_id >= 20) t
+    JOIN ev ON t.gr = ev.gram
+    GROUP BY t.doc_id""",
+    doc="TRAIN/EVAL DECONTAMINATION: eval docs (doc_id < 20) contribute a "
+        "broadcast 5-gram hash set; training docs sharing any gram are "
+        "flagged with their distinct-hit count. One streaming pass, no "
+        "shuffle; oracle recomputes the identical gram-set intersection "
+        "with DuckDB lists.",
+)
+def doc_contamination(sf_dir: str):
+    from xema_ray.stages.decontam import contaminated_docs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], split=True)
+    evl = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 20)), batch_format="pyarrow")
+    train = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 20)),
+        batch_format="pyarrow")
+    return contaminated_docs(train, evl, n=5)
+
+
+def _sample_case_sql() -> str:
+    from xema_ray.stages.sample import rate_threshold_hex
+
+    rates = {"web": 0.125, "books": 0.5, "code": 0.25}
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{rate_threshold_hex(r)}'" for k, r in rates.items())
+    zero = rate_threshold_hex(0.0)
+    return f"""{_SEQ_CTE}
+    SELECT doc_id, source FROM seq
+    WHERE doc_id IS NOT NULL AND md5(doc_id) <
+        CASE source {cases} ELSE '{zero}' END"""
+
+
+@register(
+    "seq_sample_by_source",
+    _sample_case_sql(),
+    doc="DETERMINISTIC STRATIFIED SAMPLING: per-source keep rates decided "
+        "by hash(doc_id) — reproducible across reruns and engines. md5 "
+        "mode here so the SQL oracle recomputes the identical decision; "
+        "hash_fn='fast' (xxhash lane) is the 100 TB default. Pure "
+        "map_batches filter, no shuffle.",
+)
+def seq_sample_by_source(sf_dir: str):
+    from xema_ray.stages.sample import stratified_sample
+
+    ds = _read_seq(sf_dir, ["doc_id", "source"], split=True)
+    out = stratified_sample(ds, rates={"web": 0.125, "books": 0.5,
+                                       "code": 0.25},
+                            strat_col="source", id_col="doc_id",
+                            hash_fn="md5")
+    return out.map_batches(lambda t: t.select(["doc_id", "source"]),
+                           batch_format="pyarrow")
