@@ -421,3 +421,40 @@ def test_schema_form_dependencies_nonmap_dep_falls_back():
     tbl = pa.table({"a": [1]})
     plan = compile_table_plan(schema, tbl.schema)
     assert plan.root_fallback is not None
+
+
+def test_root_combinator_suppresses_map_group_all_modes():
+    """Reference do_validate chain: a failing root DEFAULT-group keyword
+    (enum) runs before the map group, so column violations must NOT
+    surface in ANY mode — vector matches scalar exactly."""
+    schema = compile_schema(("map", {
+        "properties": {"a": ("integer", {"minimum": 10})},
+        "enum": [{"a": 99}],
+    }))
+    tbl = pa.table({"a": pa.array([1], type=pa.int64())})
+    plan = compile_table_plan(schema, tbl.schema)
+    for mode in ("early", "finally", "immediately"):
+        _, viols = evaluate_batch(plan, tbl, fail=mode)
+        got = sorted({cv.keyword for cv in viols})
+        want = sorted({v.keyword
+                       for v in validate_value(schema, {"a": 1}, fail=mode)})
+        assert got == want == ["enum"], (mode, got, want)
+
+
+def test_root_map_group_collects_under_finally():
+    """dependencies (map group) + a column failure collect TOGETHER under
+    :finally but chain under :early — both matching the scalar path."""
+    schema = compile_schema(("map", {
+        "properties": {"a": ("integer", {"minimum": 10}), "b": "integer"},
+        "dependencies": {"a": ["b"]},
+    }))
+    tbl = pa.table({"a": pa.array([1], type=pa.int64()),
+                    "b": pa.array([None], type=pa.int64())})
+    plan = compile_table_plan(schema, tbl.schema)
+    for mode, want in (("early", ["dependencies"]),
+                       ("finally", ["dependencies", "minimum"])):
+        _, viols = evaluate_batch(plan, tbl, fail=mode)
+        got = sorted({cv.keyword for cv in viols})
+        sv = sorted({v.keyword
+                     for v in validate_value(schema, {"a": 1}, fail=mode)})
+        assert got == sv == want, (mode, got, sv)

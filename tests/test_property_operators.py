@@ -160,3 +160,39 @@ def test_hot_key_bucketed_range_join_matches_plain(ray_session):
             key="user_id", ts_col="ts", start_col="s", end_col="e",
             time_bucket_us=w))
         pd.testing.assert_frame_equal(plain, bucketed), w
+
+
+def test_hot_key_bucketed_asof_matches_plain(ray_session):
+    """r3 (VERDICT item 7): carry-in sub-bucketed as-of join equals the
+    one-group-per-key as-of join on a 10x-dominant key."""
+    import ray.data as rd
+
+    from xema_ray.stages.asof import asof_join_events
+
+    rng = np.random.default_rng(13)
+    rows = []
+    base = 1_700_000_000_000_000
+    for u, n in [(0, 3000)] + [(u, 300) for u in range(1, 6)]:
+        t = np.sort(rng.integers(0, 86_400_000_000, size=n)) + base
+        kinds = rng.choice(["click", "view", "other"], size=n,
+                           p=[0.4, 0.4, 0.2])
+        for ts, k in zip(t, kinds):
+            rows.append((u, int(ts), k))
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+
+    def gather(out):
+        df = pd.concat([b.to_pandas() for b in
+                        out.iter_batches(batch_format="pyarrow")],
+                       ignore_index=True)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    plain = gather(asof_join_events(rd.from_arrow(tbl)))
+    assert (plain["matched_us"] == -1).any()  # carry-less lefts exist
+    for bucket_s in (3600, 911):
+        bucketed = gather(asof_join_events(
+            rd.from_arrow(tbl), time_bucket_seconds=bucket_s))
+        pd.testing.assert_frame_equal(plain, bucketed), bucket_s
