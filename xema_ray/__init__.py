@@ -8,6 +8,43 @@ pools, with table-level checks (column stats, uniqueness, referential
 integrity, distribution drift) built on streaming groupby-aggregate and
 explicitly partitioned shuffles.
 
+Quick start (doctests, executed by ``tests/test_doctests.py`` — the
+executed-examples layer mirroring the reference's module doctests,
+``xema.ex:39-133``):
+
+>>> import xema_ray as xr
+>>> schema = xr.compile_schema("string")
+>>> xr.is_valid(schema, "hello")
+True
+>>> xr.is_valid(schema, 42)
+False
+
+Keyword constraints and reference-exact error reporting:
+
+>>> bounded = xr.compile_schema(("integer", {"minimum": 2}))
+>>> [v.keyword for v in xr.validate_value(bounded, 1)]
+['minimum']
+>>> xr.validation_message(bounded, 1)
+'Value 1 is less than minimum value of 2.'
+>>> xr.validation_reason(bounded, 1)
+{'minimum': 2, 'value': 1}
+
+Map schemas with required properties:
+
+>>> person = xr.compile_schema(("map", {
+...     "properties": {"name": "string",
+...                    "age": ("integer", {"minimum": 0})},
+...     "required": ["name"]}))
+>>> xr.is_valid(person, {"name": "Ada", "age": 36})
+True
+>>> xr.validation_message(person, {"age": -1})
+'Required properties are missing: ["name"].'
+
+Casting (the reference's ``Xema.cast``):
+
+>>> xr.cast_value(xr.compile_schema("integer"), "42")
+42
+
 Layout:
   schema/     schema AST, Python DSL builder, JSON-Schema loader, meta-validation
   functions/  pure compute: scalar validator (semantics ground truth),

@@ -8,24 +8,31 @@ Two class-based forms:
 * :class:`SchemaModule` — a module holding one or more NAMED schemas with
   ``valid``/``validate``/``validate_bang``/``cast``/``cast_bang``
   classmethods; ``multi=True`` enables several schemas per module,
-  ``default=`` names the schema used when no name is passed.
+  ``default=`` names the schema used when no name is passed
+  (doctests, executed by ``tests/test_doctests.py``):
 
-    class Schemas(SchemaModule, multi=True, default="person"):
-        person = xema(map_(properties={"name": string(min_length=1)}))
-        nums = xema(map_(properties={"pos": list_(items=integer(minimum=0))}))
-
-    Schemas.valid({"name": "John"})          # default schema
-    Schemas.validate_bang("nums", {...})     # raises ValidationError
+    >>> from xema_ray import SchemaModule, xema
+    >>> class Schemas(SchemaModule, multi=True, default="person"):
+    ...     person = xema(("map", {"properties":
+    ...         {"name": ("string", {"min_length": 1})}}))
+    ...     num = xema(("integer", {"minimum": 0}))
+    >>> Schemas.valid({"name": "John"})   # default schema
+    True
+    >>> Schemas.valid("num", -5)
+    False
 
 * :class:`Struct` — a struct class whose fields carry schemas and
   defaults; ``cast`` converts a map/keyword list INTO an instance
   (``struct!`` analogue), and instances validate as struct-typed values.
 
-    class User(Struct):
-        name = field("string", min_length=1, required=True)
-        age = field(("integer", {"minimum": 0}), default=0)
-
-    u = User.cast({"name": "Nick", "age": "42"})   # User(name='Nick', age=42)
+    >>> from xema_ray import Struct, field
+    >>> class User(Struct):
+    ...     name = field("string", min_length=1, required=True)
+    ...     age = field(["integer", "nil"], minimum=0)
+    >>> User.cast({"name": "Ada", "age": 36})
+    User(name='Ada', age=36)
+    >>> User.valid({"name": "", "age": 1})
+    False
 
 ``validate_bang`` raises :class:`xema_ray.functions.errors.ValidationError`
 whose message is the reference-exact rendering
