@@ -253,3 +253,39 @@ def test_run_exact_dedup_kill_and_resume(ray_session, tmp_path):
     s4 = run_exact_dedup(paths, out)
     assert s4.partitions_done == 2  # partial:shard-1 + clean:shard-1
     assert treehash(os.path.join(out, "clean")) == h1
+
+
+def test_run_exact_dedup_incremental_against_prior(ray_session, tmp_path):
+    """r3: incremental dedup — a new delivery deduped against a prior
+    run's DIGESTS only (prior data never re-read): contents already in
+    the prior corpus are dropped entirely; new-internal dups keep their
+    first id."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xema_ray.state.checkpoint import run_exact_dedup
+
+    prior_src = tmp_path / "prior_src"
+    prior_src.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["alpha", "beta", "gamma"]),
+    }), str(prior_src / "p0.parquet"))
+    prior_out = str(tmp_path / "prior_out")
+    run_exact_dedup(sorted(glob.glob(str(prior_src / "*.parquet"))), prior_out)
+
+    new_src = tmp_path / "new_src"
+    new_src.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+        # "alpha" already in prior (drop BOTH copies); "delta" new dup
+        "text": pa.array(["alpha", "delta", "delta", "alpha"]),
+    }), str(new_src / "n0.parquet"))
+    out = str(tmp_path / "new_out")
+    s = run_exact_dedup(sorted(glob.glob(str(new_src / "*.parquet"))), out,
+                        prior_dirs=[prior_out])
+    clean = pq.read_table(os.path.join(out, "clean", "n0.parquet"))
+    assert clean["doc_id"].to_pylist() == [11]  # first "delta" only
+    assert s.survivors == 1

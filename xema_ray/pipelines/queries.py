@@ -1408,3 +1408,34 @@ def seq_sample_by_source(sf_dir: str):
                             hash_fn="md5")
     return out.map_batches(lambda t: t.select(["doc_id", "source"]),
                            batch_format="pyarrow")
+
+
+_JSONL_PATH = "/tmp/xema_ray_corpus/documents_sf001.jsonl"
+
+
+@register(
+    "doc_token_counts_jsonl",
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words, "
+    f"CAST(length(text) AS BIGINT) AS n_chars_text FROM read_json_auto('{_JSONL_PATH}')",
+    doc="SOURCE-FORMAT coverage: the same token-count pipeline over a "
+        "JSONL corpus (ray.data.read_json; one file-split = one task) — "
+        "the pre-parquet shape training corpora usually arrive in. The "
+        "oracle reads the identical JSONL via DuckDB read_json_auto.",
+)
+def doc_token_counts_jsonl(sf_dir: str):
+    from xema_ray.sources.jsonl import mirror_documents_jsonl, read_jsonl
+    from xema_ray.stages.text import token_counts
+
+    # the oracle SQL reads the sf0.01 mirror path (driver contract: fixed
+    # SQL string at sf0.01); the Ray side mirrors whatever sf it is given
+    path = _JSONL_PATH if abs(sf_of_dir(sf_dir) - 0.01) < 1e-9 else \
+        f"/tmp/xema_ray_corpus/documents_sf{sf_of_dir(sf_dir)}.jsonl"
+    mirror_documents_jsonl(os.path.join(sf_dir, "documents.parquet"), path)
+    mirror_documents_jsonl(
+        os.path.join("/root/testdata/sf0.01", "documents.parquet"),
+        _JSONL_PATH)  # oracle input always exists
+    ds = read_jsonl(path)
+    out = token_counts(ds)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_words", "n_chars_text"]),
+        batch_format="pyarrow")

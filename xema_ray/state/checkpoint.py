@@ -23,6 +23,8 @@ from __future__ import annotations
 import json
 import os
 import time
+
+import numpy as np
 from dataclasses import dataclass
 from typing import Optional
 
@@ -500,7 +502,8 @@ def _dedup_filter_shard(path: str, col: str, id_col: str, hash_fn: str,
 
 def run_exact_dedup(paths: list, out_dir: str, col: str = "text",
                     id_col: str = "doc_id", hash_fn: str = "fast",
-                    batch_rows: int = 16384) -> DedupSummary:
+                    batch_rows: int = 16384,
+                    prior_dirs: list = None) -> DedupSummary:
     """Checkpointed exact content dedup over parquet shards.
 
     Three phases, same manifest/lineage contract as :func:`run_validation`:
@@ -515,6 +518,15 @@ def run_exact_dedup(paths: list, out_dir: str, col: str = "text",
        invalidates stale clean partitions automatically).
 
     A run killed between any two tasks resumes to byte-identical output.
+
+    ``prior_dirs`` = INCREMENTAL dedup (the 100 TB workflow: dedup a new
+    delivery against an already-deduped corpus WITHOUT re-reading it):
+    each listed directory is a previous run's ``out_dir`` whose
+    ``partials/`` digests join phase B with a sentinel keeper — any new
+    row whose content already exists in a prior corpus is dropped
+    entirely (no keeper survives from the new batch), while dup groups
+    WITHIN the new batch keep their own first id as usual.  Only prior
+    DIGESTS are read — never prior data rows.
     """
     import hashlib as _hashlib
 
@@ -566,7 +578,38 @@ def run_exact_dedup(paths: list, out_dir: str, col: str = "text",
                      for p in paths]
     from ray.data.aggregate import Min, Sum
 
-    merged = rd.read_parquet(partial_files).groupby("h").aggregate(
+    partials_ds = rd.read_parquet(partial_files)
+    if prior_dirs:
+        import glob as _glob
+
+        prior_files = sorted(
+            f for d in prior_dirs
+            for f in _glob.glob(os.path.join(d, "partials", "*"))
+            if not f.endswith(".tmp"))
+        if prior_files:
+            def as_prior(t: pa.Table) -> pa.Table:
+                # sentinel keeper that sorts BELOW every real id ("" for
+                # string ids, int64-min for integer ids — real doc ids
+                # are non-empty / non-negative by contract): Min picks
+                # the sentinel for any content also present in a prior
+                # corpus, no new row's id equals it, so every such new
+                # row is filtered.  cnt=1 keeps the dup-table broadcast
+                # O(overlap + new-batch dups): prior-ONLY contents stay
+                # at n=1 and never enter the broadcast.
+                n_rows = t.num_rows
+                idt = t["min_id"].type
+                sentinel = "" if pa.types.is_string(idt) or                     pa.types.is_large_string(idt) else                     np.iinfo(np.int64).min
+                return pa.table({
+                    "h": t["h"],
+                    "min_id": pa.array([sentinel] * n_rows, type=idt),
+                    "cnt": pa.array([1] * n_rows, type=pa.int64()),
+                })
+
+            partials_ds = partials_ds.union(
+                rd.read_parquet(prior_files).map_batches(
+                    as_prior, batch_format="pyarrow"))
+
+    merged = partials_ds.groupby("h").aggregate(
         Min("min_id", alias_name="keep_id"), Sum("cnt", alias_name="n"))
     dup_rows = merged.map_batches(
         lambda t: t.filter(pc.greater(t["n"], 1)).select(["h", "keep_id"]),
