@@ -1298,8 +1298,11 @@ def compile_table_plan(
                     else:
                         ok[:] = False
                 return ok | ~present
+            # path = the MAP's own path (scalar/reference parity: the
+            # dependencies violation belongs to the map, not the key —
+            # caught by the r3 fail-mode property differential)
             root_checks.append(TableCheck(
-                keyword="dependencies", fn=dep_fn, path=f"/{key}",
+                keyword="dependencies", fn=dep_fn, path="/",
                 message=f"{key!r} requires {dep}"))
     if root.min_properties is not None or root.max_properties is not None:
         lo, hi = root.min_properties, root.max_properties
