@@ -99,3 +99,64 @@ def test_vector_violation_sets_match_scalar(case, mode):
         else:
             assert got.get(i, set()) == want, (mode, i, row,
                                                got.get(i), want)
+
+
+_FIELD_KW = st.fixed_dictionaries({}, optional={
+    "minimum": st.integers(-3, 3),
+})
+
+
+@st.composite
+def struct_schema_and_table(draw):
+    n = draw(st.integers(1, 5))
+    inner_req = draw(st.booleans())
+    spec = ("map", {"properties": {
+        "o": ("map", {
+            "properties": {"a": ("integer", draw(_FIELD_KW)),
+                           "b": ("string", draw(_STR_KW))},
+            **({"required": ["a"]} if inner_req else {}),
+        }),
+        "i": ("integer", draw(_INT_KW)),
+    }})
+    structs = draw(st.lists(st.one_of(
+        st.none(),
+        st.fixed_dictionaries({
+            "a": st.one_of(st.none(), st.integers(-5, 5)),
+            "b": st.one_of(st.none(),
+                           st.sampled_from(["", "a", "ab", "zzz"])),
+        })), min_size=n, max_size=n))
+    tbl = pa.table({
+        "o": pa.array(structs, type=pa.struct([("a", pa.int64()),
+                                               ("b", pa.string())])),
+        "i": pa.array(draw(st.lists(
+            st.one_of(st.none(), st.integers(-5, 5)),
+            min_size=n, max_size=n)), type=pa.int64()),
+    })
+    return spec, tbl
+
+
+@settings(max_examples=50, deadline=None)
+@given(case=struct_schema_and_table())
+@pytest.mark.parametrize("mode", ["early", "finally"])
+def test_struct_interior_violation_sets_match_scalar(case, mode):
+    """Struct-column interiors inherit the caller's fail mode (r3) — the
+    nested sub-plan's trimmed sets must equal the scalar recursion's."""
+    src, tbl = case
+    schema = compile_schema(src)
+    plan = compile_table_plan(schema, tbl.schema)
+    valid, viols = evaluate_batch(plan, tbl, fail=mode)
+    got = {}
+    for cv in viols:
+        for j, r in enumerate(cv.row_idx.tolist()):
+            p = cv.paths[j] if hasattr(cv.paths, "tolist") else cv.paths
+            got.setdefault(r, set()).add((p, cv.keyword))
+    for i, row in enumerate(tbl.to_pylist()):
+        row = {k: v for k, v in row.items() if v is not None}
+        # struct interior: null FIELD = absent key (Arrow cannot
+        # distinguish) — normalize the scalar's view the same way
+        if "o" in row:
+            row["o"] = {k: v for k, v in row["o"].items() if v is not None}
+        sv = validate_value(schema, row, fail=mode)
+        want = {(v.path or "/", v.keyword) for v in sv}
+        assert valid[i] == (not want), (i, row, want)
+        assert got.get(i, set()) == want, (mode, i, row, got.get(i), want)

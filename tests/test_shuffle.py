@@ -132,3 +132,25 @@ def test_cluster_aware_bucket_defaults():
     assert default_bucket_bits(cpus=8) < default_bucket_bits(cpus=2048)
     # discovery path works under the live test cluster
     assert default_shuffle_buckets() >= 16
+
+
+def test_hash_strings_pandas_fallback_lane():
+    """The pandas fallback lane works when polars is unavailable; both
+    lanes are internally consistent (equal strings -> equal hashes,
+    regardless of call batch size — the per-batch-partials invariant)."""
+    import numpy as np
+
+    import xema_ray.functions.sketches as sk
+
+    vals = ["alpha", "beta", "alpha", "gamma"]
+    for lane_pl in (sk._pl, None):
+        saved = sk._pl
+        sk._pl = lane_pl
+        try:
+            h_all = sk.hash_strings(vals)
+            h_one = np.concatenate([sk.hash_strings([v]) for v in vals])
+            assert (h_all == h_one).all()
+            assert h_all[0] == h_all[2] and h_all[0] != h_all[1]
+            assert (sk.hash_strings(vals, seed=7) != h_all).any()
+        finally:
+            sk._pl = saved
