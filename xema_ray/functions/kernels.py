@@ -137,7 +137,7 @@ def _ok_with_nulls(result, col: pa.Array) -> np.ndarray:
 
 
 def _is_vectorizable(node: SchemaNode, compiled: CompiledSchema, depth: int = 0,
-                     seen: Optional[frozenset] = None) -> bool:
+                     seen: Optional[frozenset] = None, col_type=None) -> bool:
     """Can this node be fully expressed with vector checks on one column?
 
     r3: the former depth-3 combinator bound is lifted — the mask-algebra
@@ -159,7 +159,7 @@ def _is_vectorizable(node: SchemaNode, compiled: CompiledSchema, depth: int = 0,
             return False
         if target is node:
             return False
-        return _is_vectorizable(target, compiled, depth + 1, seen)
+        return _is_vectorizable(target, compiled, depth + 1, seen, col_type)
     for slot in node.keywords_present():
         if slot == "validator":
             return False
@@ -170,7 +170,11 @@ def _is_vectorizable(node: SchemaNode, compiled: CompiledSchema, depth: int = 0,
         if slot not in _VECTOR_SAFE_SLOTS:
             return False
     if node.types and any(t in ("map", "keyword", "struct", "tuple", "atom") for t in node.types):
-        return False
+        # a nested column could actually BE one of these; a primitive
+        # column cannot — its union-type kernel statically fails the
+        # impossible members, so the gate may pass it through
+        if col_type is None or pa.types.is_struct(col_type)                 or pa.types.is_map(col_type) or pa.types.is_list(col_type)                 or pa.types.is_large_list(col_type)                 or pa.types.is_fixed_size_list(col_type):
+            return False
     if isinstance(node.items, list):
         for s in node.items:
             s = _deref(s, compiled)
@@ -267,6 +271,42 @@ def _is_map_like(node: SchemaNode) -> bool:
     if present & combo_or_residual:
         return False  # residual map-level keywords → row fallback
     return bool(present & map_kw)
+
+
+_MAP_ONLY_SLOTS = ("properties", "required", "additional_properties",
+                   "pattern_properties", "property_names", "min_properties",
+                   "max_properties", "dependencies", "keys", "module")
+_LIST_ONLY_SLOTS = ("items", "additional_items", "min_items", "max_items",
+                    "unique_items", "contains")
+
+
+def _effective_node(node: SchemaNode, col_type) -> SchemaNode:
+    """Strip keyword groups that can NEVER apply to values of this
+    physical column type (r3): the reference dispatches keyword groups on
+    the VALUE's runtime type (validator.ex:99-208), so map keywords are
+    no-ops for an int64 column and list keywords are no-ops for a string
+    column.  The ``type`` keyword itself is untouched — the union type
+    kernel already fails impossible members.  Lifts map-keyword schemas
+    over primitive columns onto the pure-vector path."""
+    if node.bool_schema is not None or node.ref is not None:
+        return node
+    import dataclasses
+
+    nested_map = pa.types.is_struct(col_type) or pa.types.is_map(col_type)
+    nested_list = (pa.types.is_list(col_type) or pa.types.is_large_list(col_type)
+                   or pa.types.is_fixed_size_list(col_type))
+    drop = {}
+    if not nested_map:
+        for slot in _MAP_ONLY_SLOTS:
+            if getattr(node, slot) is not None:
+                drop[slot] = None
+    if not nested_list:
+        for slot in _LIST_ONLY_SLOTS:
+            if getattr(node, slot) is not None:
+                drop[slot] = None
+    if not drop:
+        return node
+    return dataclasses.replace(node, **drop)
 
 
 def _deref(node: SchemaNode, compiled: CompiledSchema) -> SchemaNode:
@@ -1384,6 +1424,7 @@ def compile_table_plan(
         field_type = table_schema.field(name).type
         for node in nodes:
             cp = ColumnPlan(name=name)
+            node = _effective_node(node, field_type)
             if node.is_trivial():
                 plans.append(cp)
                 continue
@@ -1405,7 +1446,7 @@ def compile_table_plan(
                 or pa.types.is_struct(field_type)
                 or pa.types.is_map(field_type)
             )
-            if _is_vectorizable(node, compiled) and not (
+            if _is_vectorizable(node, compiled, col_type=field_type) and not (
                 is_nested_col and (node.enum is not None or node.const is not UNSET)
             ):
                 is_list_col = (
