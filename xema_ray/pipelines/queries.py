@@ -1439,3 +1439,66 @@ def doc_token_counts_jsonl(sf_dir: str):
     return out.map_batches(
         lambda t: t.select(["doc_id", "n_words", "n_chars_text"]),
         batch_format="pyarrow")
+
+
+def _export_sql() -> str:
+    from xema_ray.stages.sample import rate_threshold_hex
+
+    thr = rate_threshold_hex(0.5)
+    return f"""{_SEQ_CTE},
+    valid AS (SELECT * FROM seq WHERE NOT {_SEQ_INVALID_COND}),
+    keyed AS (SELECT doc_id, n_tok, tokens,
+                     min(doc_id) OVER (PARTITION BY tokens) AS keeper
+              FROM valid),
+    ded AS (SELECT doc_id, n_tok FROM keyed WHERE doc_id = keeper),
+    samp AS (SELECT doc_id, n_tok FROM ded WHERE md5(doc_id) < '{thr}')
+    SELECT doc_id, n_tok,
+           CAST(coalesce(sum(n_tok) OVER (
+               ORDER BY doc_id, n_tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS "offset",
+           CAST(coalesce(sum(n_tok) OVER (
+               ORDER BY doc_id, n_tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // 2048 AS BIGINT) AS bin_first,
+           CAST((coalesce(sum(n_tok) OVER (
+               ORDER BY doc_id, n_tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n_tok - 1) // 2048 AS BIGINT) AS bin_last
+    FROM samp"""
+
+
+@register(
+    "seq_export_pipeline",
+    _export_sql(),
+    doc="THE EXPORT USER STORY, end to end in ONE composed streaming "
+        "pipeline: full-schema validate -> clean filter -> exact dedup on "
+        "the token payload (digest-only exchange over the list column) -> "
+        "deterministic 50% sample (md5-keyed, cross-engine) -> sequence "
+        "packing via the distributed prefix-scan. Oracle recomputes every "
+        "stage in SQL (window partition dedup + md5 threshold + window "
+        "cumsum).",
+)
+def seq_export_pipeline(sf_dir: str):
+    from xema_ray.pipelines.flagship import n_tok_invariant, sequences_schema
+    from xema_ray.stages.dedup import exact_dedup
+    from xema_ray.stages.pack import pack_assignments
+    from xema_ray.stages.sample import stratified_sample
+    from xema_ray.stages.validate import validate_dataset
+
+    res = validate_dataset(_read_seq(sf_dir), sequences_schema(),
+                           table_checks=[n_tok_invariant()],
+                           keep_details=False)
+    clean = res.clean()
+    ded = exact_dedup(clean, col="tokens", id_col="doc_id")
+    samp = stratified_sample(ded, rates={}, strat_col="source",
+                             id_col="doc_id", default_rate=0.5,
+                             hash_fn="md5")
+    packed = pack_assignments(
+        samp.map_batches(lambda t: t.select(["doc_id", "n_tok"]),
+                         batch_format="pyarrow"),
+        capacity=2048, value_col="n_tok", order_col="doc_id")
+    return packed.map_batches(
+        lambda t: t.select(["doc_id", "n_tok", "offset", "bin_first",
+                            "bin_last"]),
+        batch_format="pyarrow")

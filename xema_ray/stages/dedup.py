@@ -36,7 +36,30 @@ def _hash_text_column(tbl: pa.Table, col: str, hash_fn: str):
     """Per-row content keys for ``tbl[col]``: vectorized 128-bit hex
     (``hash_fn="fast"``, the engine default — round-2 verdict #2) or
     per-row md5 hex (``hash_fn="md5"``, cross-engine-recomputable mode).
-    Returns a ``pa.StringArray`` with null for null text."""
+    ``list<int>`` columns (pre-tokenized sequences) hash with the
+    order-sensitive vectorized token-row kernel regardless of mode.
+    Returns a ``pa.StringArray`` with null for null cells."""
+    import pyarrow.compute as pc
+
+    coltype = tbl[col].type
+    if pa.types.is_list(coltype) or pa.types.is_large_list(coltype):
+        from xema_ray.functions.sketches import hash_int_list_rows
+
+        colv = tbl[col]
+        if isinstance(colv, pa.ChunkedArray):
+            colv = colv.combine_chunks()
+        h0 = hash_int_list_rows(colv, seed=0)
+        h1 = hash_int_list_rows(colv, seed=0x9E3779B9)
+        packed = np.empty((len(h0), 2), dtype=">u8")
+        packed[:, 0] = h0
+        packed[:, 1] = h1
+        hex_all = packed.tobytes().hex().encode("ascii")
+        arr = pa.array(np.frombuffer(hex_all, dtype="S32").astype("U32"),
+                       type=pa.string())
+        valid = pc.is_valid(tbl[col])
+        if not pc.all(valid).as_py():
+            arr = pc.if_else(valid, arr, pa.scalar(None, type=pa.string()))
+        return arr
     if hash_fn == "md5":
         texts = tbl[col].to_pylist()
         return pa.array(
