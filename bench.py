@@ -94,7 +94,8 @@ def run_bench() -> dict:
         return res.num_rows if hasattr(res, "num_rows") else len(res)
 
     for extra in ("doc_exact_dedup", "doc_minhash_pairs", "doc_fingerprints",
-                  "emb_knn", "seq_top_tokens", "events_hopping"):
+                  "emb_knn", "seq_top_tokens", "events_hopping",
+                  "seq_packing", "seq_export_pipeline"):
         t0 = time.perf_counter()
         try:
             _consume(QUERIES[extra].fn(sf_dir))

@@ -99,6 +99,20 @@ def cmd_drift(args):
     print(json.dumps(rep, indent=2))
 
 
+def cmd_dedup(args):
+    _init_ray(args.num_cpus)
+    import dataclasses
+    import json as _json
+
+    from xema_ray.state.checkpoint import run_exact_dedup
+
+    summary = run_exact_dedup(
+        _paths(args.input), args.out, col=args.col, id_col=args.id_col,
+        hash_fn=args.hash_fn, batch_rows=args.batch_rows,
+        prior_dirs=args.prior or None)
+    print(_json.dumps(dataclasses.asdict(summary), indent=2))
+
+
 def cmd_gen(args):
     from xema_ray.sources.corpus import write_corpus
 
@@ -134,6 +148,20 @@ def main(argv=None):
     d.add_argument("--key", default="source")
     d.add_argument("--list-col", default="tokens")
     d.set_defaults(fn=cmd_drift)
+
+    dd = sub.add_parser(
+        "dedup", help="checkpointed exact content dedup (resumable; "
+                      "--prior dedupes against previous runs' digests)")
+    dd.add_argument("input", help="directory or glob of parquet shards")
+    dd.add_argument("out", help="output dir (partials/ clean/ manifest.jsonl)")
+    dd.add_argument("--col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--hash-fn", choices=["fast", "md5"], default="fast")
+    dd.add_argument("--batch-rows", type=int, default=16384)
+    dd.add_argument("--prior", action="append",
+                    help="prior run out_dir (repeatable): incremental dedup "
+                         "against its digest partials")
+    dd.set_defaults(fn=cmd_dedup)
 
     g = sub.add_parser("gen", help="generate the synthetic sequences corpus")
     g.add_argument("out")
