@@ -1481,7 +1481,7 @@ def _export_sql() -> str:
 )
 def seq_export_pipeline(sf_dir: str):
     from xema_ray.pipelines.flagship import n_tok_invariant, sequences_schema
-    from xema_ray.stages.dedup import exact_dedup
+    from xema_ray.stages.dedup import exact_dedup_project
     from xema_ray.stages.pack import pack_assignments
     from xema_ray.stages.sample import stratified_sample
     from xema_ray.stages.validate import validate_dataset
@@ -1490,7 +1490,12 @@ def seq_export_pipeline(sf_dir: str):
                            table_checks=[n_tok_invariant()],
                            keep_details=False)
     clean = res.clean()
-    ded = exact_dedup(clean, col="tokens", id_col="doc_id")
+    # ONE pass over the validation chain: digest + thin projection
+    # materialize; every later stage (dedup filter, sample, the 3-read
+    # packing prefix-scan) re-reads cheap thin blocks, never recomputes
+    # the upstream (r3 bench: the naive chain re-ran validation ~6x)
+    ded = exact_dedup_project(clean, col="tokens", id_col="doc_id",
+                              keep_cols=("n_tok", "source"))
     samp = stratified_sample(ded, rates={}, strat_col="source",
                              id_col="doc_id", default_rate=0.5,
                              hash_fn="md5")

@@ -555,3 +555,76 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
 
     return pairs_ds.map_batches(Verify, batch_format="pyarrow",
                                 concurrency=(1, 4))
+
+
+def exact_dedup_project(ds, col: str = "text", id_col: str = "doc_id",
+                        keep_cols: tuple = (), hash_fn: str = "fast"):
+    """Composition-friendly exact dedup: ONE pass over the (possibly
+    expensive) upstream computes content digests and materializes only
+    the THIN ``(id, keep_cols..., digest)`` projection — the heavy
+    columns and the upstream pipeline are never re-executed, unlike
+    :func:`exact_dedup`, whose survivor filter re-consumes its input.
+    Downstream multi-pass operators (the packing prefix-scan reads its
+    input three times) then re-read cheap materialized blocks instead of
+    recomputing the chain.  Returns the deduped thin projection (digest
+    column dropped).
+    """
+    import ray
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {id_col: t[id_col]}
+        for c in keep_cols:
+            cols[c] = t[c]
+        cols["_h"] = _hash_text_column(t, col, hash_fn)
+        return pa.table(cols)
+
+    thin = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    partials = thin.map_batches(
+        lambda t: _content_hash_partial_from(t, "_h", id_col),
+        batch_format="pyarrow")
+    merged = partials.groupby("h").aggregate(
+        Min("min_id", alias_name="keep_id"), Sum("cnt", alias_name="n"))
+    dup_rows = merged.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)).select(["h", "keep_id"]),
+        batch_format="pyarrow",
+    ).take_all()  # O(duplicate groups)
+    dup_h = pa.array([r["h"] for r in dup_rows], type=pa.string())
+    keep_id = pa.array([r["keep_id"] for r in dup_rows])
+    ref = ray.put((dup_h, keep_id))
+
+    def keep(t: pa.Table) -> pa.Table:
+        d_h, k_id = ray.get(ref)
+        idx = pc.index_in(t["_h"], value_set=d_h)
+        keeper = pc.take(k_id, idx) if len(k_id) else None
+        m = pc.is_null(idx) if keeper is None else pc.or_kleene(
+            pc.is_null(idx), pc.equal(t[id_col], keeper))
+        m = pc.and_(pc.fill_null(m, False),
+                    pc.and_(pc.is_valid(t["_h"]), pc.is_valid(t[id_col])))
+        return t.filter(m).drop_columns(["_h"])
+
+    return thin.map_batches(keep, batch_format="pyarrow")
+
+
+def _content_hash_partial_from(tbl: pa.Table, h_col: str,
+                               id_col: str) -> pa.Table:
+    """(hash, min_id, cnt) partial from an already-hashed column."""
+    df = pd.DataFrame({
+        "h": tbl[h_col].to_pandas(),
+        "id": tbl[id_col].to_pandas(),
+    }).dropna(subset=["h", "id"])
+    if not len(df):
+        return pa.table({
+            "h": pa.array([], type=pa.string()),
+            "min_id": pa.array([], type=tbl[id_col].type),
+            "cnt": pa.array([], type=pa.int64()),
+        })
+    g = df.groupby("h", sort=False)["id"].agg(["min", "size"]).reset_index()
+    return pa.table({
+        "h": pa.array(g["h"], type=pa.string()),
+        "min_id": pa.Array.from_pandas(g["min"], type=tbl[id_col].type),
+        "cnt": pa.array(g["size"].to_numpy(dtype=np.int64), type=pa.int64()),
+    })
