@@ -255,3 +255,71 @@ def test_png_media_extractor_real_decode():
     out = MediaFeatureExtractor()(tbl)
     f = out["features"].to_pylist()
     assert f[0] == f[1]
+
+
+# ----------------------------------------------------------------------
+# PPMV video container (r3: frame sampling)
+# ----------------------------------------------------------------------
+
+
+def test_ppmv_roundtrip_and_sampling():
+    from xema_ray.functions.codecs import (
+        decode_ppmv_header,
+        encode_ppmv,
+        iter_ppmv_frames,
+        sample_ppmv_frames,
+    )
+
+    rng = np.random.default_rng(8)
+    frames = [rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+              for _ in range(7)]
+    p = encode_ppmv(frames, fps=5)
+    assert decode_ppmv_header(p) == (7, 5)
+    dec = list(iter_ppmv_frames(p))
+    assert len(dec) == 7
+    assert all(np.array_equal(dec[i][1], frames[i]) for i in range(7))
+    s = sample_ppmv_frames(p, every_k=3)
+    assert [i for i, _ in s] == [0, 3, 6]
+    assert all(np.array_equal(f, frames[i]) for i, f in s)
+
+
+def test_ppmv_malformed_raises():
+    from xema_ray.functions.codecs import (
+        MediaDecodeError,
+        decode_ppmv_header,
+        encode_ppmv,
+        iter_ppmv_frames,
+    )
+
+    rng = np.random.default_rng(9)
+    p = encode_ppmv([rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)])
+    for bad in (b"nope", p[:10]):
+        with pytest.raises(MediaDecodeError):
+            decode_ppmv_header(bad) if len(bad) < 12 else None
+    with pytest.raises(MediaDecodeError):
+        list(iter_ppmv_frames(p[:20]))
+
+
+def test_ppmv_media_extractor_video_path():
+    """Video features = mean pool over the SAMPLED frames only."""
+    import pyarrow as pa
+
+    from xema_ray.functions.codecs import encode_ppmv
+    from xema_ray.stages.multimodal import MediaFeatureExtractor
+
+    rng = np.random.default_rng(10)
+    frames = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+              for _ in range(4)]
+    tbl = pa.table({
+        "media_id": pa.array(["v"]),
+        "payload": pa.array([encode_ppmv(frames)], type=pa.binary()),
+        "mime": pa.array(["video/x-ppmv"]),
+    })
+    out = MediaFeatureExtractor()(tbl)
+    feats = np.array(out["features"].to_pylist()[0], dtype=np.float32)
+    # recompute: frames 0 and 2 sampled (every_k=2), mean pooled
+    pooled = np.mean([frames[0].astype(np.float32),
+                      frames[2].astype(np.float32)], axis=0).reshape(-1)
+    chunks = pooled[: (len(pooled) // 64) * 64].reshape(64, -1).mean(axis=1)
+    expect = chunks / (np.linalg.norm(chunks) or 1.0)
+    assert np.allclose(feats, expect, atol=1e-5)

@@ -55,3 +55,37 @@ def test_fingerprint_stability_and_sensitivity():
     assert list(out1["fingerprint"]) == list(out2["fingerprint"])  # deterministic
     assert out1["fingerprint"][0] == out1["fingerprint"][1]        # same text
     assert out1["fingerprint"][0] != out1["fingerprint"][2]        # diff text
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint():
+    """Winnowing guarantee: two docs sharing a run of >= window+ngram-1
+    words share at least one fingerprint, in both hash modes."""
+    import pandas as pd
+
+    from xema_ray.stages.text import WinnowFingerprint
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = 4+3-1
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"unrelated prefix words {shared} and a suffix",
+                 f"totally different opening {shared} closing words here",
+                 "nothing in common with the others at all"],
+    })
+    for mode in ("md5", "fast"):
+        out = WinnowFingerprint(hash_fn=mode)(df.copy())
+        fps = {d: set(out[out.doc_id == d].fp) for d in (1, 2, 3)}
+        assert fps[1] & fps[2], mode
+        assert not (fps[1] & fps[3]) and not (fps[2] & fps[3]), mode
+
+
+def test_winnow_empty_and_short_docs():
+    import pandas as pd
+
+    from xema_ray.stages.text import WinnowFingerprint
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["a b c d e f g", "x y", "", None]})
+    for mode in ("md5", "fast"):
+        out = WinnowFingerprint(hash_fn=mode)(df.copy())
+        assert sorted(out.doc_id.unique()) == [1, 2, 3, 4], mode
+        assert (out.fp.str.len() == 16).all(), mode

@@ -270,3 +270,71 @@ def encode_wav(rate: int, samples: np.ndarray) -> bytes:
     chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
               + b"data" + struct.pack("<I", len(pcm)) + pcm)
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# ----------------------------------------------------------------------
+# PPMV — a self-contained video container for the sandbox: length-prefixed
+# P6 PPM frames behind a tiny header.  Real decode + frame sampling with
+# zero external dependencies (no mp4/h264 libs here); the Ray-side
+# plumbing (binary column, small batches, frame-sample stage) is the same
+# a production video pipeline needs.
+# ----------------------------------------------------------------------
+
+_PPMV_MAGIC = b"PPMV"
+
+
+def encode_ppmv(frames, fps: int = 10) -> bytes:
+    """List of ``(h, w, 3)`` uint8 frames → PPMV bytes."""
+    if not frames:
+        raise ValueError("encode_ppmv needs at least one frame")
+    parts = [_PPMV_MAGIC, struct.pack("<II", len(frames), fps)]
+    for f in frames:
+        blob = encode_ppm(f)
+        parts.append(struct.pack("<I", len(blob)))
+        parts.append(blob)
+    return b"".join(parts)
+
+
+def decode_ppmv_header(payload: bytes):
+    """(n_frames, fps) without touching frame data."""
+    if payload[:4] != _PPMV_MAGIC or len(payload) < 12:
+        raise MediaDecodeError("not a PPMV payload")
+    n, fps = struct.unpack("<II", payload[4:12])
+    return n, fps
+
+
+def iter_ppmv_frames(payload: bytes):
+    """Yield ``(frame_index, (h, w, 3) uint8)`` lazily — frame sampling
+    can skip-decode by seeking over the length prefixes."""
+    n, _fps = decode_ppmv_header(payload)
+    pos = 12
+    for i in range(n):
+        if pos + 4 > len(payload):
+            raise MediaDecodeError(f"PPMV truncated at frame {i}")
+        (ln,) = struct.unpack("<I", payload[pos:pos + 4])
+        pos += 4
+        blob = payload[pos:pos + ln]
+        if len(blob) != ln:
+            raise MediaDecodeError(f"PPMV frame {i} truncated")
+        pos += ln
+        yield i, decode_ppm(blob)
+
+
+def sample_ppmv_frames(payload: bytes, every_k: int = 2):
+    """Every k-th frame decoded; others are SKIPPED by seeking (the
+    frame-sample primitive — decode cost scales with sampled frames)."""
+    n, _fps = decode_ppmv_header(payload)
+    pos = 12
+    out = []
+    for i in range(n):
+        if pos + 4 > len(payload):
+            raise MediaDecodeError(f"PPMV truncated at frame {i}")
+        (ln,) = struct.unpack("<I", payload[pos:pos + 4])
+        pos += 4
+        if i % every_k == 0:
+            blob = payload[pos:pos + ln]
+            if len(blob) != ln:
+                raise MediaDecodeError(f"PPMV frame {i} truncated")
+            out.append((i, decode_ppm(blob)))
+        pos += ln
+    return out

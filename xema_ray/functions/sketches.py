@@ -186,7 +186,12 @@ def word_ngram_hashes(words_all, n: int, empty_doc_gram: bool = False):
         pos = np.arange(len(s_rows), dtype=np.uint64)
         first_idx = np.searchsorted(s_rows, short)
         if len(s_rows):
-            pos = pos - pos[first_idx][np.searchsorted(short, s_rows)]
+            # clamp: zero-word short docs have no rows, so their
+            # first_idx may point past the end — their slots never
+            # appear in the row->doc mapping, the clamp is inert for
+            # them (caught by the winnowing empty-doc fixture, r3)
+            first_c = np.minimum(first_idx, len(s_rows) - 1)
+            pos = pos - pos[first_c][np.searchsorted(short, s_rows)]
         with np.errstate(over="ignore"):
             mixed = splitmix64(s_h ^ ((pos + np.uint64(1)) * _M2))
         csum = np.concatenate(

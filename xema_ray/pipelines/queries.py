@@ -475,9 +475,16 @@ def doc_token_counts(sf_dir: str):
        CAST(floor(1e6 * length(regexp_replace(text, '[^0-9]', '', 'g'))
                   / greatest(length(text), 1)) AS BIGINT) AS digit_m,
        CAST(floor(1e6 * len(regexp_extract_all(text, '\\s'))
-                  / greatest(length(text), 1)) AS BIGINT) AS space_m
+                  / greatest(length(text), 1)) AS BIGINT) AS space_m,
+       CAST(floor(1e6 * len(regexp_extract_all(text, '[[:punct:]]'))
+                  / greatest(length(text), 1)) AS BIGINT) AS punct_m,
+       CAST(floor(1e6 * len(regexp_extract_all(lower(text),
+                  '\\b(the|and|of|to|in|is|that|it|for|was|with|as|his|on|be|at|by|this|had|not)\\b'))
+                  / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1))
+            AS BIGINT) AS stopword_m
     FROM documents""",
-    doc="quality scoring: char-class ratios, fixed-point for fp-safe parity",
+    doc="quality scoring: char-class + punctuation + stopword ratios, "
+        "fixed-point for fp-safe parity (both engines run RE2)",
 )
 def doc_quality(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -490,11 +497,20 @@ def doc_quality(sf_dir: str):
             c = pc.cast(pc.count_substring_regex(text, pattern=pattern), pa.float64())
             return pc.cast(pc.floor(pc.multiply(pc.divide(c, denom), 1e6)), pa.int64())
 
+        lower = pc.utf8_lower(text)
+        n_words = pc.max_element_wise(pc.cast(
+            pc.count_substring_regex(text, pattern=r"[A-Za-z0-9]+"),
+            pa.float64()), 1.0)
+        n_stop = pc.cast(pc.count_substring_regex(
+            lower, pattern=r"\b(the|and|of|to|in|is|that|it|for|was|with|as|his|on|be|at|by|this|had|not)\b"), pa.float64())
         return pa.table({
             "doc_id": t["doc_id"],
             "alpha_m": fixed(r"[A-Za-z]"),
             "digit_m": fixed(r"[0-9]"),
             "space_m": fixed(r"\s"),
+            "punct_m": fixed(r"[[:punct:]]"),
+            "stopword_m": pc.cast(pc.floor(pc.multiply(
+                pc.divide(n_stop, n_words), 1e6)), pa.int64()),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -731,9 +747,10 @@ def emb_near_dup_lsh(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"])
 
 
-@register("media_features", """SELECT * FROM (VALUES ('m-00000000','image/x-portable-pixmap',64,79440),('m-00000001','audio/wav',64,72163),('m-00000002','image/jpeg',64,79753),('m-00000003','image/png',64,79631),('m-00000004','image/x-portable-pixmap',64,78690),('m-00000005','audio/wav',64,72061),('m-00000006','image/jpeg',64,79812),('m-00000007','image/png',64,79331),('m-00000008','image/x-portable-pixmap',64,79246),('m-00000009','audio/wav',64,72208),('m-00000010','image/jpeg',64,79778),('m-00000011','image/png',64,79279),('m-00000012','image/x-portable-pixmap',64,79293),('m-00000013','audio/wav',64,71760),('m-00000014','image/jpeg',64,79810),('m-00000015','image/png',64,78954),('m-00000016','image/x-portable-pixmap',64,79798),('m-00000017','audio/wav',64,71813),('m-00000018','image/jpeg',64,79797),('m-00000019','image/png',64,79481),('m-00000020','image/x-portable-pixmap',64,79142),('m-00000021','audio/wav',64,71888),('m-00000022','image/jpeg',64,79738),('m-00000023','image/png',64,79417),('m-00000024','image/x-portable-pixmap',64,79717),('m-00000025','audio/wav',64,72161),('m-00000026','image/jpeg',64,79817),('m-00000027','image/png',64,79833),('m-00000028','image/x-portable-pixmap',64,78656),('m-00000029','audio/wav',64,71707),('m-00000030','image/jpeg',64,79799),('m-00000031','image/png',64,78869),('m-00000032','image/x-portable-pixmap',64,79410),('m-00000033','audio/wav',64,72214),('m-00000034','image/jpeg',64,79849),('m-00000035','image/png',64,79677),('m-00000036','image/x-portable-pixmap',64,79837),('m-00000037','audio/wav',64,71896),('m-00000038','image/jpeg',64,79790),('m-00000039','image/png',64,79827),('m-00000040','image/x-portable-pixmap',64,79533),('m-00000041','audio/wav',64,72026),('m-00000042','image/jpeg',64,79826),('m-00000043','image/png',64,79721),('m-00000044','image/x-portable-pixmap',64,78533),('m-00000045','audio/wav',64,72059),('m-00000046','image/jpeg',64,79794),('m-00000047','image/png',64,79678),('m-00000048','image/x-portable-pixmap',64,76044),('m-00000049','audio/wav',64,71906),('m-00000050','image/jpeg',64,79815),('m-00000051','image/png',64,79807),('m-00000052','image/x-portable-pixmap',64,79208),('m-00000053','audio/wav',64,72314),('m-00000054','image/jpeg',64,79789),('m-00000055','image/png',64,79463),('m-00000056','image/x-portable-pixmap',64,79811),('m-00000057','audio/wav',64,71701),('m-00000058','image/jpeg',64,79758),('m-00000059','image/png',64,78514),('m-00000060','image/x-portable-pixmap',64,79545),('m-00000061','audio/wav',64,72224),('m-00000062','image/jpeg',64,79829),('m-00000063','image/png',64,79664),('m-00000064','image/x-portable-pixmap',64,79596),('m-00000065','audio/wav',64,71806),('m-00000066','image/jpeg',64,79795),('m-00000067','image/png',64,79502),('m-00000068','image/x-portable-pixmap',64,79005),('m-00000069','audio/wav',64,72080),('m-00000070','image/jpeg',64,79783),('m-00000071','image/png',64,79683),('m-00000072','image/x-portable-pixmap',64,78352),('m-00000073','audio/wav',64,72058),('m-00000074','image/jpeg',64,79821),('m-00000075','image/png',64,79587),('m-00000076','image/x-portable-pixmap',64,79700),('m-00000077','audio/wav',64,72120),('m-00000078','image/jpeg',64,79763),('m-00000079','image/png',64,79669),('m-00000080','image/x-portable-pixmap',64,79796),('m-00000081','audio/wav',64,72209),('m-00000082','image/jpeg',64,79785),('m-00000083','image/png',64,78479),('m-00000084','image/x-portable-pixmap',64,79555),('m-00000085','audio/wav',64,72247),('m-00000086','image/jpeg',64,79781),('m-00000087','image/png',64,79639),('m-00000088','image/x-portable-pixmap',64,79686),('m-00000089','audio/wav',64,72108),('m-00000090','image/jpeg',64,79820),('m-00000091','image/png',64,79764),('m-00000092','image/x-portable-pixmap',64,79727),('m-00000093','audio/wav',64,75275),('m-00000094','image/jpeg',64,79776),('m-00000095','image/png',64,79716),('m-00000096','image/x-portable-pixmap',64,79778),('m-00000097','audio/wav',64,71747),('m-00000098','image/jpeg',64,79816),('m-00000099','image/png',64,79627),('m-00000100','image/x-portable-pixmap',64,79317),('m-00000101','audio/wav',64,71877),('m-00000102','image/jpeg',64,79742),('m-00000103','image/png',64,79724),('m-00000104','image/x-portable-pixmap',64,77742),('m-00000105','audio/wav',64,72143),('m-00000106','image/jpeg',64,79809),('m-00000107','image/png',64,79692),('m-00000108','image/x-portable-pixmap',64,79032),('m-00000109','audio/wav',64,72408),('m-00000110','image/jpeg',64,79764),('m-00000111','image/png',64,79685),('m-00000112','image/x-portable-pixmap',64,79592),('m-00000113','audio/wav',64,71737),('m-00000114','image/jpeg',64,79816),('m-00000115','image/png',64,79231),('m-00000116','image/x-portable-pixmap',64,79154),('m-00000117','audio/wav',64,72146),('m-00000118','image/jpeg',64,79711),('m-00000119','image/png',64,79893),('m-00000120','image/x-portable-pixmap',64,79654),('m-00000121','audio/wav',64,71999),('m-00000122','image/jpeg',64,79766),('m-00000123','image/png',64,78359),('m-00000124','image/x-portable-pixmap',64,79853),('m-00000125','audio/wav',64,71452),('m-00000126','image/jpeg',64,79812),('m-00000127','image/png',64,79701),('m-00000128','image/x-portable-pixmap',64,78988),('m-00000129','audio/wav',64,72254),('m-00000130','image/jpeg',64,79806),('m-00000131','image/png',64,79169),('m-00000132','image/x-portable-pixmap',64,79718),('m-00000133','audio/wav',64,72326),('m-00000134','image/jpeg',64,79824),('m-00000135','image/png',64,79769),('m-00000136','image/x-portable-pixmap',64,77880),('m-00000137','audio/wav',64,71766),('m-00000138','image/jpeg',64,79795),('m-00000139','image/png',64,79837),('m-00000140','image/x-portable-pixmap',64,79397),('m-00000141','audio/wav',64,68838),('m-00000142','image/jpeg',64,79768),('m-00000143','image/png',64,79708),('m-00000144','image/x-portable-pixmap',64,78894),('m-00000145','audio/wav',64,71604),('m-00000146','image/jpeg',64,79826),('m-00000147','image/png',64,79609),('m-00000148','image/x-portable-pixmap',64,79611),('m-00000149','audio/wav',64,71723),('m-00000150','image/jpeg',64,79808),('m-00000151','image/png',64,79351),('m-00000152','image/x-portable-pixmap',64,78750),('m-00000153','audio/wav',64,72251),('m-00000154','image/jpeg',64,79840),('m-00000155','image/png',64,79573),('m-00000156','image/x-portable-pixmap',64,79205),('m-00000157','audio/wav',64,71791),('m-00000158','image/jpeg',64,79799),('m-00000159','image/png',64,79376),('m-00000160','image/x-portable-pixmap',64,79189),('m-00000161','audio/wav',64,71904),('m-00000162','image/jpeg',64,79811),('m-00000163','image/png',64,79032),('m-00000164','image/x-portable-pixmap',64,79542),('m-00000165','audio/wav',64,72319),('m-00000166','image/jpeg',64,79829),('m-00000167','image/png',64,79584),('m-00000168','image/x-portable-pixmap',64,77594),('m-00000169','audio/wav',64,72505),('m-00000170','image/jpeg',64,79783),('m-00000171','image/png',64,79825),('m-00000172','image/x-portable-pixmap',64,79764),('m-00000173','audio/wav',64,71846),('m-00000174','image/jpeg',64,79824),('m-00000175','image/png',64,79149),('m-00000176','image/x-portable-pixmap',64,79796),('m-00000177','audio/wav',64,73542),('m-00000178','image/jpeg',64,79738),('m-00000179','image/png',64,79482),('m-00000180','image/x-portable-pixmap',64,79803),('m-00000181','audio/wav',64,72070),('m-00000182','image/jpeg',64,79731),('m-00000183','image/png',64,79279),('m-00000184','image/x-portable-pixmap',64,79437),('m-00000185','audio/wav',64,71941),('m-00000186','image/jpeg',64,79836),('m-00000187','image/png',64,75454),('m-00000188','image/x-portable-pixmap',64,77517),('m-00000189','audio/wav',64,73100),('m-00000190','image/jpeg',64,79805),('m-00000191','image/png',64,79597),('m-00000192','image/x-portable-pixmap',64,79459),('m-00000193','audio/wav',64,71959),('m-00000194','image/jpeg',64,79773),('m-00000195','image/png',64,79292),('m-00000196','image/x-portable-pixmap',64,78556),('m-00000197','audio/wav',64,72480),('m-00000198','image/jpeg',64,79819),('m-00000199','image/png',64,79443)) AS t(media_id, mime, feat_dim, feat_fp)""",
+@register("media_features", """SELECT * FROM (VALUES ('m-00000000','image/x-portable-pixmap',64,79440),('m-00000001','audio/wav',64,72163),('m-00000002','image/jpeg',64,79753),('m-00000003','image/png',64,79631),('m-00000004','video/x-ppmv',64,79510),('m-00000005','image/x-portable-pixmap',64,79444),('m-00000006','audio/wav',64,71920),('m-00000007','image/jpeg',64,79783),('m-00000008','image/png',64,79765),('m-00000009','video/x-ppmv',64,79845),('m-00000010','image/x-portable-pixmap',64,79638),('m-00000011','audio/wav',64,71269),('m-00000012','image/jpeg',64,79706),('m-00000013','image/png',64,79378),('m-00000014','video/x-ppmv',64,79386),('m-00000015','image/x-portable-pixmap',64,79605),('m-00000016','audio/wav',64,72160),('m-00000017','image/jpeg',64,79768),('m-00000018','image/png',64,79690),('m-00000019','video/x-ppmv',64,79599),('m-00000020','image/x-portable-pixmap',64,78867),('m-00000021','audio/wav',64,71619),('m-00000022','image/jpeg',64,79791),('m-00000023','image/png',64,79782),('m-00000024','video/x-ppmv',64,79823),('m-00000025','image/x-portable-pixmap',64,79640),('m-00000026','audio/wav',64,71734),('m-00000027','image/jpeg',64,79792),('m-00000028','image/png',64,78922),('m-00000029','video/x-ppmv',64,79595),('m-00000030','image/x-portable-pixmap',64,79788),('m-00000031','audio/wav',64,71974),('m-00000032','image/jpeg',64,79736),('m-00000033','image/png',64,79383),('m-00000034','video/x-ppmv',64,79703),('m-00000035','image/x-portable-pixmap',64,79137),('m-00000036','audio/wav',64,72603),('m-00000037','image/jpeg',64,79778),('m-00000038','image/png',64,79615),('m-00000039','video/x-ppmv',64,79548),('m-00000040','image/x-portable-pixmap',64,77151),('m-00000041','audio/wav',64,71642),('m-00000042','image/jpeg',64,79768),('m-00000043','image/png',64,79834),('m-00000044','video/x-ppmv',64,79121),('m-00000045','image/x-portable-pixmap',64,79485),('m-00000046','audio/wav',64,71700),('m-00000047','image/jpeg',64,79819),('m-00000048','image/png',64,79436),('m-00000049','video/x-ppmv',64,79449),('m-00000050','image/x-portable-pixmap',64,79485),('m-00000051','audio/wav',64,72324),('m-00000052','image/jpeg',64,79809),('m-00000053','image/png',64,79277),('m-00000054','video/x-ppmv',64,78979),('m-00000055','image/x-portable-pixmap',64,79636),('m-00000056','audio/wav',64,68343),('m-00000057','image/jpeg',64,79751),('m-00000058','image/png',64,79574),('m-00000059','video/x-ppmv',64,79186),('m-00000060','image/x-portable-pixmap',64,79512),('m-00000061','audio/wav',64,78611),('m-00000062','image/jpeg',64,79825),('m-00000063','image/png',64,78858),('m-00000064','video/x-ppmv',64,79874),('m-00000065','image/x-portable-pixmap',64,79681),('m-00000066','audio/wav',64,72250),('m-00000067','image/jpeg',64,79801),('m-00000068','image/png',64,79813),('m-00000069','video/x-ppmv',64,79827),('m-00000070','image/x-portable-pixmap',64,79738),('m-00000071','audio/wav',64,71949),('m-00000072','image/jpeg',64,79764),('m-00000073','image/png',64,79449),('m-00000074','video/x-ppmv',64,79464),('m-00000075','image/x-portable-pixmap',64,79847),('m-00000076','audio/wav',64,72578),('m-00000077','image/jpeg',64,79726),('m-00000078','image/png',64,78615),('m-00000079','video/x-ppmv',64,79783),('m-00000080','image/x-portable-pixmap',64,79436),('m-00000081','audio/wav',64,70525),('m-00000082','image/jpeg',64,79805),('m-00000083','image/png',64,79589),('m-00000084','video/x-ppmv',64,79621),('m-00000085','image/x-portable-pixmap',64,79792),('m-00000086','audio/wav',64,71871),('m-00000087','image/jpeg',64,79798),('m-00000088','image/png',64,79616),('m-00000089','video/x-ppmv',64,79882),('m-00000090','image/x-portable-pixmap',64,79583),('m-00000091','audio/wav',64,71706),('m-00000092','image/jpeg',64,79851),('m-00000093','image/png',64,79602),('m-00000094','video/x-ppmv',64,79468),('m-00000095','image/x-portable-pixmap',64,79742),('m-00000096','audio/wav',64,72652),('m-00000097','image/jpeg',64,79817),('m-00000098','image/png',64,79390),('m-00000099','video/x-ppmv',64,79685),('m-00000100','image/x-portable-pixmap',64,79398),('m-00000101','audio/wav',64,72474),('m-00000102','image/jpeg',64,79782),('m-00000103','image/png',64,78290),('m-00000104','video/x-ppmv',64,79658),('m-00000105','image/x-portable-pixmap',64,78917),('m-00000106','audio/wav',64,72072),('m-00000107','image/jpeg',64,79786),('m-00000108','image/png',64,79712),('m-00000109','video/x-ppmv',64,79608),('m-00000110','image/x-portable-pixmap',64,79784),('m-00000111','audio/wav',64,71661),('m-00000112','image/jpeg',64,79761),('m-00000113','image/png',64,79796),('m-00000114','video/x-ppmv',64,79670),('m-00000115','image/x-portable-pixmap',64,79750),('m-00000116','audio/wav',64,72184),('m-00000117','image/jpeg',64,79814),('m-00000118','image/png',64,79745),('m-00000119','video/x-ppmv',64,79191),('m-00000120','image/x-portable-pixmap',64,79397),('m-00000121','audio/wav',64,71733),('m-00000122','image/jpeg',64,79736),('m-00000123','image/png',64,79638),('m-00000124','video/x-ppmv',64,79642),('m-00000125','image/x-portable-pixmap',64,79698),('m-00000126','audio/wav',64,72222),('m-00000127','image/jpeg',64,79834),('m-00000128','image/png',64,77346),('m-00000129','video/x-ppmv',64,79805),('m-00000130','image/x-portable-pixmap',64,79772),('m-00000131','audio/wav',64,72068),('m-00000132','image/jpeg',64,79766),('m-00000133','image/png',64,79750),('m-00000134','video/x-ppmv',64,79144),('m-00000135','image/x-portable-pixmap',64,79034),('m-00000136','audio/wav',64,70900),('m-00000137','image/jpeg',64,79767),('m-00000138','image/png',64,78886),('m-00000139','video/x-ppmv',64,79696),('m-00000140','image/x-portable-pixmap',64,79079),('m-00000141','audio/wav',64,75021),('m-00000142','image/jpeg',64,79811),('m-00000143','image/png',64,79208),('m-00000144','video/x-ppmv',64,79804),('m-00000145','image/x-portable-pixmap',64,79328),('m-00000146','audio/wav',64,71323),('m-00000147','image/jpeg',64,79788),('m-00000148','image/png',64,79620),('m-00000149','video/x-ppmv',64,79001),('m-00000150','image/x-portable-pixmap',64,79839),('m-00000151','audio/wav',64,71607),('m-00000152','image/jpeg',64,79749),('m-00000153','image/png',64,79708),('m-00000154','video/x-ppmv',64,79478),('m-00000155','image/x-portable-pixmap',64,79509),('m-00000156','audio/wav',64,72392),('m-00000157','image/jpeg',64,79804),('m-00000158','image/png',64,79066),('m-00000159','video/x-ppmv',64,79341),('m-00000160','image/x-portable-pixmap',64,79189),('m-00000161','audio/wav',64,71863),('m-00000162','image/jpeg',64,79768),('m-00000163','image/png',64,77942),('m-00000164','video/x-ppmv',64,79495),('m-00000165','image/x-portable-pixmap',64,79623),('m-00000166','audio/wav',64,72588),('m-00000167','image/jpeg',64,79771),('m-00000168','image/png',64,79228),('m-00000169','video/x-ppmv',64,78901),('m-00000170','image/x-portable-pixmap',64,78144),('m-00000171','audio/wav',64,71590),('m-00000172','image/jpeg',64,79798),('m-00000173','image/png',64,79500),('m-00000174','video/x-ppmv',64,79861),('m-00000175','image/x-portable-pixmap',64,78559),('m-00000176','audio/wav',64,72174),('m-00000177','image/jpeg',64,79742),('m-00000178','image/png',64,79328),('m-00000179','video/x-ppmv',64,79644),('m-00000180','image/x-portable-pixmap',64,78871),('m-00000181','audio/wav',64,71722),('m-00000182','image/jpeg',64,79793),('m-00000183','image/png',64,79678),('m-00000184','video/x-ppmv',64,79780),('m-00000185','image/x-portable-pixmap',64,79054),('m-00000186','audio/wav',64,72084),('m-00000187','image/jpeg',64,79778),('m-00000188','image/png',64,79348),('m-00000189','video/x-ppmv',64,79704),('m-00000190','image/x-portable-pixmap',64,78191),('m-00000191','audio/wav',64,71779),('m-00000192','image/jpeg',64,79785),('m-00000193','image/png',64,79712),('m-00000194','video/x-ppmv',64,79788),('m-00000195','image/x-portable-pixmap',64,79380),('m-00000196','audio/wav',64,71697),('m-00000197','image/jpeg',64,79871),('m-00000198','image/png',64,79695),('m-00000199','video/x-ppmv',64,79752)) AS t(media_id, mime, feat_dim, feat_fp)""",
           doc="multimodal decode -> actor-pool feature extraction. Real "
-              "codecs for PPM/PNG/WAV payloads (pure numpy+zlib), "
+              "codecs for PPM/PNG/WAV/PPMV-video payloads (pure numpy+zlib; "
+              "video frames skip-seek SAMPLED every 2nd), "
               "deterministic byte-stub for jpeg. feat_fp = floor(1e4*L1) of "
               "the 64-dim feature pins the DECODED pixel/sample content; "
               "oracle = expected output pinned as a VALUES table from the "
@@ -1507,3 +1524,44 @@ def seq_export_pipeline(sf_dir: str):
         lambda t: t.select(["doc_id", "n_tok", "offset", "bin_first",
                             "bin_last"]),
         batch_format="pyarrow")
+
+
+@register(
+    "doc_winnow_fingerprints",
+    """WITH d AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(
+          lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+        CASE WHEN len(w) >= 3
+             THEN [array_to_string(w[i:i+2], ' ')
+                   FOR i IN generate_series(1, len(w) - 2)]
+             ELSE [array_to_string(w, ' ')] END AS grams
+      FROM d
+    ), h AS (
+      SELECT doc_id, generate_subscripts(grams, 1) AS ord,
+             substr(md5(unnest(grams)), 1, 16) AS gh
+      FROM g
+    ), m AS (
+      SELECT doc_id, ord,
+             min(gh) OVER (PARTITION BY doc_id ORDER BY ord
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM h
+    )
+    SELECT DISTINCT doc_id, fp FROM m WHERE ord >= 4
+    UNION
+    SELECT doc_id, min(gh) AS fp FROM h
+    GROUP BY doc_id HAVING count(*) < 4""",
+    doc="ROLLING-HASH document fingerprints (winnowing, Schleimer et al. "
+        "2003): distinct minima of every 4-gram-hash window — the "
+        "local-similarity detector; md5 mode so the SQL oracle recomputes "
+        "the identical set with window functions (fast mode = vectorized "
+        "sliding-window min over the shared gram-hash kernel)",
+)
+def doc_winnow_fingerprints(sf_dir: str):
+    from xema_ray.stages.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _read(sf_dir, "documents", ["doc_id", "text"], split=True),
+        ngram=3, window=4, hash_fn="md5")

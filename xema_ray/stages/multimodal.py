@@ -29,15 +29,16 @@ MEDIA_SCHEMA = pa.schema([
 
 
 def synthetic_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic media rows: real PPM images, real PNG images and PCM
-    WAV clips (all decoded by real codecs) interleaved with opaque
-    jpeg-tagged payloads (stub path)."""
+    """Deterministic media rows: real PPM images, PNG images, PCM WAV
+    clips and PPMV video clips (all decoded by real codecs; video frames
+    are SAMPLED) interleaved with opaque jpeg-tagged payloads (stub
+    path)."""
     from xema_ray.functions.codecs import encode_ppm, encode_wav
 
     rng = np.random.default_rng(seed)
     payloads, mimes, widths, heights, durations = [], [], [], [], []
     for i in range(n):
-        kind = i % 4
+        kind = i % 5
         if kind == 0:  # real PPM gradient image
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -52,6 +53,17 @@ def synthetic_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> 
             payloads.append(encode_png(img))
             mimes.append("image/png")
             widths.append(w); heights.append(h); durations.append(0)
+        elif kind == 4:  # real PPMV video clip (length-prefixed PPM frames)
+            from xema_ray.functions.codecs import encode_ppmv
+
+            w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+            n_frames = int(rng.integers(4, 12))
+            frames = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                      for _ in range(n_frames)]
+            payloads.append(encode_ppmv(frames, fps=10))
+            mimes.append("video/x-ppmv")
+            widths.append(w); heights.append(h)
+            durations.append(int(1000 * n_frames / 10))
         elif kind == 1:  # real PCM WAV sine clip
             rate = 8000
             t = np.arange(int(rng.integers(400, 2000))) / rate
@@ -107,6 +119,15 @@ class MediaFeatureExtractor:
         if mime == "image/png":
             # REAL image decode (stdlib zlib + numpy defiltering)
             return self.codecs.decode_png(payload).astype(np.float32).reshape(-1)
+        if mime == "video/x-ppmv":
+            # REAL video decode with frame SAMPLING: every 2nd frame is
+            # decoded (skip-seek over the others), mean-pooled per pixel
+            sampled = self.codecs.sample_ppmv_frames(payload, every_k=2)
+            if not sampled:
+                raise self.codecs.MediaDecodeError("PPMV with no frames")
+            pooled = np.mean([f.astype(np.float32)
+                              for _, f in sampled], axis=0)
+            return pooled.reshape(-1)
         if mime == "audio/wav":
             # REAL audio decode: mono-mixed samples
             _, samples = self.codecs.decode_wav(payload)

@@ -27,9 +27,15 @@ def token_count_batch(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+#: small English stopword list shared with LangId (common-knowledge)
+_EN_STOP_ALT = ("the|and|of|to|in|is|that|it|for|was|with|as|his|on|be|at|"
+                "by|this|had|not")
+
+
 def quality_score_batch(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     """Append vectorized quality signals: ``alpha_ratio``, ``digit_ratio``,
-    ``space_ratio``, ``mean_word_len`` (all double, 0 for empty text)."""
+    ``space_ratio``, ``punct_ratio``, ``stopword_ratio``,
+    ``mean_word_len`` (all double, 0 for empty text)."""
     text = tbl[text_col]
     n = pc.utf8_length(text)
     n_f = pc.cast(n, pa.float64())
@@ -42,12 +48,18 @@ def quality_score_batch(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     alpha = ratio(r"[A-Za-z]")
     digit = ratio(r"[0-9]")
     space = ratio(r"\s")
+    punct = ratio(r"[[:punct:]]")
     words = pc.cast(pc.count_substring_regex(text, pattern=WORD_RE), pa.float64())
     word_chars = pc.cast(pc.count_substring_regex(text, pattern=r"[A-Za-z0-9]"), pa.float64())
     mean_wl = pc.divide(word_chars, pc.max_element_wise(words, 1.0))
+    n_stop = pc.cast(pc.count_substring_regex(
+        pc.utf8_lower(text), pattern=rf"\b({_EN_STOP_ALT})\b"), pa.float64())
+    stop_ratio = pc.divide(n_stop, pc.max_element_wise(words, 1.0))
     out = tbl
     for name, arr in (("alpha_ratio", alpha), ("digit_ratio", digit),
-                      ("space_ratio", space), ("mean_word_len", mean_wl)):
+                      ("space_ratio", space), ("punct_ratio", punct),
+                      ("stopword_ratio", stop_ratio),
+                      ("mean_word_len", mean_wl)):
         out = out.append_column(name, pc.round(arr, ndigits=6))
     return out
 
@@ -208,5 +220,112 @@ def fingerprints(ds, text_col: str = "text", hash_fn: str = "fast",
     return ds.map_batches(
         Fingerprint,
         fn_constructor_kwargs={"text_col": text_col, "hash_fn": hash_fn},
+        batch_format="pandas", concurrency=concurrency,
+    )
+
+
+class WinnowFingerprint:
+    """Actor-pool stage: winnowing document fingerprints (Schleimer,
+    Wilkerson & Aiken 2003 — the rolling-window document-fingerprint
+    scheme): over the sequence of word n-gram hashes, every window of
+    ``w`` consecutive grams contributes its minimum; the doc's
+    fingerprint set is the distinct window minima.  Guarantees any
+    shared run of ``w + n - 1`` words between two docs shares >= 1
+    fingerprint — the local-similarity detector exact dedup misses.
+
+    ``hash_fn="md5"`` (first 16 md5 hex chars per gram) is the
+    cross-engine mode an SQL oracle can recompute with window functions;
+    ``hash_fn="fast"`` runs the shared vectorized gram-hash kernel with
+    a strided sliding-window min — no per-doc Python in the hot path.
+    Docs with fewer than ``w`` grams emit the single global minimum.
+    """
+
+    def __init__(self, text_col: str = "text", ngram: int = 3, window: int = 4,
+                 hash_fn: str = "fast"):
+        import re
+
+        self.text_col = text_col
+        self.ngram = ngram
+        self.window = window
+        self.hash_fn = hash_fn
+        self.word_re = re.compile(r"[a-z0-9]+")
+
+    def _gram_stream(self, words_all):
+        """(gram_values ndarray, row ndarray) in document order: md5 hex
+        ('S16') or 64-bit splitmix hashes depending on mode."""
+        if self.hash_fn == "md5":
+            import hashlib
+
+            vals, rows = [], []
+            for i, words in enumerate(words_all):
+                if len(words) < self.ngram:
+                    grams = [" ".join(words)]
+                else:
+                    grams = [" ".join(words[j:j + self.ngram])
+                             for j in range(len(words) - self.ngram + 1)]
+                for g in grams:
+                    # first 16 hex chars == the md5's top 64 bits: uint64
+                    # min == lexicographic min on fixed-width lower hex
+                    vals.append(int.from_bytes(
+                        hashlib.md5(g.encode()).digest()[:8], "big"))
+                    rows.append(i)
+            return (np.array(vals, dtype=np.uint64),
+                    np.array(rows, dtype=np.int64))
+        from xema_ray.functions.sketches import word_ngram_hashes
+
+        flat, offsets = word_ngram_hashes(words_all, self.ngram,
+                                          empty_doc_gram=True)
+        rows = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                         np.diff(offsets))
+        return flat, rows
+
+    def __call__(self, batch):
+        import pandas as pd
+
+        texts = batch[self.text_col].fillna("").str.lower() \
+            .reset_index(drop=True)
+        words_all = texts.str.findall(self.word_re)
+        vals, rows = self._gram_stream(words_all)
+        w = self.window
+        out_rows, out_fps = [], []
+        if len(vals):
+            if len(vals) >= w:
+                win = np.lib.stride_tricks.sliding_window_view(vals, w)
+                mins = win.min(axis=1)
+                ok = rows[: len(vals) - w + 1] == rows[w - 1:]
+                out_rows.append(rows[: len(vals) - w + 1][ok])
+                out_fps.append(mins[ok])
+            # docs with < w grams: single global min
+            covered = np.unique(out_rows[0]) if out_rows else \
+                np.empty(0, dtype=np.int64)
+            short = np.setdiff1d(np.unique(rows), covered)
+            if len(short):
+                df_all = pd.DataFrame({"r": rows, "v": vals})
+                g = df_all[df_all["r"].isin(short)].groupby("r")["v"].min()
+                out_rows.append(g.index.to_numpy(dtype=np.int64))
+                out_fps.append(g.to_numpy())
+        if out_rows:
+            r = np.concatenate(out_rows)
+            f = np.concatenate(out_fps)
+        else:
+            r = np.empty(0, dtype=np.int64)
+            f = np.empty(0, dtype=np.uint64)
+        df = pd.DataFrame({"r": r, "fp": f}).drop_duplicates()
+        ids = batch["doc_id"].reset_index(drop=True)
+        out = pd.DataFrame({
+            "doc_id": ids.iloc[df["r"]].to_numpy(),
+            "fp": [f"{int(v):016x}" for v in df["fp"]],
+        })
+        return out
+
+
+def winnow_fingerprints(ds, text_col: str = "text", ngram: int = 3,
+                        window: int = 4, hash_fn: str = "fast",
+                        concurrency=(1, 8)):
+    """(doc_id, fp) rows — distinct winnowing fingerprints per document."""
+    return ds.map_batches(
+        WinnowFingerprint,
+        fn_constructor_kwargs={"text_col": text_col, "ngram": ngram,
+                               "window": window, "hash_fn": hash_fn},
         batch_format="pandas", concurrency=concurrency,
     )
