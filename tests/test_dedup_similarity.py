@@ -320,3 +320,30 @@ def test_minhash_pair_ordering_natural(ray_session):
     pdf = pd.DataFrame({"doc_id": [2, 10], "text": ["same words here now"] * 2})
     pairs = minhash_lsh_pairs(rd.from_pandas(pdf), threshold=0.5).take_all()
     assert pairs and pairs[0]["doc_a"] == 2 and pairs[0]["doc_b"] == 10
+
+
+def test_signature_matrix_trailing_empty_doc_regression():
+    """code-review r3: a trailing zero-word document must not truncate
+    the preceding document's MinHash/SimHash signature (the reduceat
+    clamp bug)."""
+    import numpy as np
+
+    from xema_ray.stages.dedup import MinHashStage, SimHashStage
+    import pandas as pd
+    import pyarrow as pa
+
+    text = "the quick brown fox jumps over the lazy dog"
+    m = MinHashStage(col="text", id_col="doc_id")
+    alone = m.signature_matrix([text])
+    with_empty = m.signature_matrix([text, "", "   !!"])
+    assert np.array_equal(alone[0], with_empty[0])
+    assert (with_empty[1] == np.iinfo(np.uint64).max).all()
+
+    s = SimHashStage(col="text", id_col="doc_id")
+    t1 = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                   "text": pa.array([text])})
+    t2 = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                   "text": pa.array([text, ""])})
+    sig1 = s(t1)["simhash"].to_pylist()[0]
+    sig2 = s(t2)["simhash"].to_pylist()[0]
+    assert sig1 == sig2

@@ -132,3 +132,43 @@ def test_train_val_split_disjoint_and_complete(ray_session):
     v = set(_gather(val)["doc_id"])
     assert t.isdisjoint(v) and len(t) + len(v) == n
     assert abs(len(v) / n - 0.1) < 0.02
+
+
+def test_rate_threshold_one_keeps_everything(ray_session):
+    """code-review r3: rate 1.0 must keep 100% in BOTH hash modes (the
+    hex-truncation bug silently kept ~6%)."""
+    import ray.data as rd
+
+    from xema_ray.stages.sample import rate_threshold_hex, stratified_sample
+
+    assert rate_threshold_hex(1.0) > "f" * 32
+    tbl = pa.table({"doc_id": pa.array([f"d{i}" for i in range(500)]),
+                    "source": pa.array(["s"] * 500)})
+    for mode in ("md5", "fast"):
+        out = _gather(stratified_sample(rd.from_arrow(tbl), {"s": 1.0},
+                                        hash_fn=mode))
+        assert len(out) == 500, mode
+
+
+def test_dedup_resume_invalidates_on_config_change(ray_session, tmp_path):
+    """code-review r3: rerunning run_exact_dedup with a different hash_fn
+    must NOT reuse the stale digests."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from xema_ray.state.checkpoint import run_exact_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a", "a", "b"]),
+    }), str(src / "s0.parquet"))
+    paths = sorted(glob.glob(str(src / "*.parquet")))
+    out = str(tmp_path / "out")
+    s1 = run_exact_dedup(paths, out, hash_fn="fast")
+    assert s1.survivors == 2
+    s2 = run_exact_dedup(paths, out, hash_fn="md5")
+    assert s2.partitions_skipped == 0  # config change invalidated both phases
+    assert s2.survivors == 2

@@ -73,6 +73,15 @@ def hash_strings(values, seed: int = 0) -> np.ndarray:
     return h
 
 
+def pack_hex128(h0: np.ndarray, h1: np.ndarray) -> np.ndarray:
+    """Two uint64 lanes → 32-char hex keys ('S32'), one buffer pass."""
+    packed = np.empty((len(h0), 2), dtype=">u8")
+    packed[:, 0] = h0
+    packed[:, 1] = h1
+    hex_all = packed.tobytes().hex().encode("ascii")
+    return np.frombuffer(hex_all, dtype="S32")
+
+
 def hash_strings_hex128(values) -> np.ndarray:
     """Vectorized 128-bit content digests as 32-char hex keys.
 
@@ -82,13 +91,8 @@ def hash_strings_hex128(values) -> np.ndarray:
     width (collision-safe at 10^12 rows), no Python loop.  Returns an
     ``(n,)`` numpy ``S32`` array (ASCII hex) ready for ``pa.array``.
     """
-    h0 = hash_strings(values, seed=0)
-    h1 = hash_strings(values, seed=0x9E3779B9)
-    packed = np.empty((len(h0), 2), dtype=">u8")
-    packed[:, 0] = h0
-    packed[:, 1] = h1
-    hex_all = packed.tobytes().hex().encode("ascii")
-    return np.frombuffer(hex_all, dtype="S32")
+    return pack_hex128(hash_strings(values, seed=0),
+                       hash_strings(values, seed=0x9E3779B9))
 
 
 def hash_int_list_rows(list_col, seed: int = 0) -> np.ndarray:
@@ -421,16 +425,21 @@ class MinHasher:
         if len(flat) == 0 or n == 0:
             return out
         lengths = np.diff(offsets)
-        nonempty = lengths > 0
-        starts_c = np.minimum(offsets[:-1], len(flat) - 1)
+        ne_idx = np.nonzero(lengths > 0)[0]
+        # reduceat over NONEMPTY rows' starts only: a clamped start for a
+        # trailing empty row would shift the previous row's segment end
+        # and silently truncate its signature (code-review r3, confirmed
+        # bug); nonempty starts are strictly increasing and each segment
+        # ends exactly at the next nonempty row's start
+        starts_ne = offsets[:-1][ne_idx]
         x = flat.astype(np.uint64)
         for c0 in range(0, self.k, chunk):
             a = self.a[c0:c0 + chunk]
             b = self.b[c0:c0 + chunk]
             with np.errstate(over="ignore"):
                 vals = x[:, None] * a[None, :] + b[None, :]
-            mins = np.minimum.reduceat(vals, starts_c, axis=0)
-            out[nonempty, c0:c0 + len(a)] = mins[nonempty]
+            mins = np.minimum.reduceat(vals, starts_ne, axis=0)
+            out[ne_idx, c0:c0 + len(a)] = mins
         return out
 
     @staticmethod
@@ -490,16 +499,18 @@ def simhash_flat(flat: np.ndarray, offsets: np.ndarray,
     if len(flat) == 0 or n == 0:
         return out
     lengths = np.diff(offsets)
-    nonempty = lengths > 0
-    starts_c = np.minimum(offsets[:-1], len(flat) - 1)
+    ne_idx = np.nonzero(lengths > 0)[0]
+    # nonempty-only reduceat (see signature_matrix_flat): clamped empty
+    # starts truncated the previous row's segment
+    starts_ne = offsets[:-1][ne_idx]
     x = flat.astype(np.uint64)
     for b0 in range(0, 64, chunk):
         shifts = np.arange(b0, min(b0 + chunk, 64), dtype=np.uint64)
         bits = ((x[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-        score = np.add.reduceat(2 * bits - 1, starts_c, axis=0)
+        score = np.add.reduceat(2 * bits - 1, starts_ne, axis=0)
         for j, bit in enumerate(shifts):
-            pos = nonempty & (score[:, j] > 0)
-            out[pos] |= np.uint64(1) << bit
+            hit = ne_idx[score[:, j] > 0]
+            out[hit] |= np.uint64(1) << bit
     return out
 
 

@@ -97,9 +97,15 @@ def asof_join_events(ds, key: str = "user_id", ts_col: str = "ts",
 
     carry_map = {(r[key], r["_tb"]): r["_carry"] for r in carry_rows}
     cref = ray.put(carry_map)
+    _cache: dict = {}  # one deserialize per worker process, not per group
+    # (a plain dict is not zero-copy; re-fetching it for every
+    # (key, bucket) group was O(groups x map) — code-review r3)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        carry = ray.get(cref).get((g[key].iloc[0], int(g["_tb"].iloc[0])), -1)
+        cm = _cache.get("m")
+        if cm is None:
+            cm = _cache["m"] = ray.get(cref)
+        carry = cm.get((g[key].iloc[0], int(g["_tb"].iloc[0])), -1)
         return asof_frame(g.drop(columns=["_tb"]), carry_us=int(carry))
 
     return bucketed.groupby([key, "_tb"]).map_groups(

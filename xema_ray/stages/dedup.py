@@ -43,19 +43,15 @@ def _hash_text_column(tbl: pa.Table, col: str, hash_fn: str):
 
     coltype = tbl[col].type
     if pa.types.is_list(coltype) or pa.types.is_large_list(coltype):
-        from xema_ray.functions.sketches import hash_int_list_rows
+        from xema_ray.functions.sketches import hash_int_list_rows, pack_hex128
 
         colv = tbl[col]
         if isinstance(colv, pa.ChunkedArray):
             colv = colv.combine_chunks()
-        h0 = hash_int_list_rows(colv, seed=0)
-        h1 = hash_int_list_rows(colv, seed=0x9E3779B9)
-        packed = np.empty((len(h0), 2), dtype=">u8")
-        packed[:, 0] = h0
-        packed[:, 1] = h1
-        hex_all = packed.tobytes().hex().encode("ascii")
-        arr = pa.array(np.frombuffer(hex_all, dtype="S32").astype("U32"),
-                       type=pa.string())
+        arr = pa.array(pack_hex128(
+            hash_int_list_rows(colv, seed=0),
+            hash_int_list_rows(colv, seed=0x9E3779B9)).astype("U32"),
+            type=pa.string())
         valid = pc.is_valid(tbl[col])
         if not pc.all(valid).as_py():
             arr = pc.if_else(valid, arr, pa.scalar(None, type=pa.string()))
@@ -83,24 +79,11 @@ def _hash_text_column(tbl: pa.Table, col: str, hash_fn: str):
 def _content_hash_batch(tbl: pa.Table, col: str, id_col: str,
                         hash_fn: str = "fast") -> pa.Table:
     """Per-batch partial (hash, min_id, cnt) — the only thing that
-    shuffles.  Partial aggregation is a vectorized pandas groupby."""
-    h = _hash_text_column(tbl, col, hash_fn)
-    df = pd.DataFrame({
-        "h": h.to_pandas(),
-        "id": tbl[id_col].to_pandas(),
-    }).dropna(subset=["h", "id"])
-    if not len(df):
-        return pa.table({
-            "h": pa.array([], type=pa.string()),
-            "min_id": pa.array([], type=tbl[id_col].type),
-            "cnt": pa.array([], type=pa.int64()),
-        })
-    g = df.groupby("h", sort=False)["id"].agg(["min", "size"]).reset_index()
-    return pa.table({
-        "h": pa.array(g["h"], type=pa.string()),
-        "min_id": pa.Array.from_pandas(g["min"], type=tbl[id_col].type),
-        "cnt": pa.array(g["size"].to_numpy(dtype=np.int64), type=pa.int64()),
-    })
+    shuffles.  Hash + delegate to the shared partial builder (one body
+    to keep in sync — code-review r3)."""
+    t = pa.table({id_col: tbl[id_col],
+                  "_h": _hash_text_column(tbl, col, hash_fn)})
+    return _content_hash_partial_from(t, "_h", id_col)
 
 
 def exact_dedup_groups(ds, col: str = "text", id_col: str = "doc_id",

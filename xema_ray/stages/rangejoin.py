@@ -111,8 +111,13 @@ def range_join(fact_ds, intervals_ds, key: str, ts_col: str,
         w = int(time_bucket_us)
 
         def fact_bucket(t: pa.Table) -> pa.Table:
-            tb = pc.divide(pc.cast(t[ts_col], pa.int64()), w)
-            return t.append_column("_tb", pc.cast(tb, pa.int64()))
+            # numpy floor division, NOT pc.divide (which truncates toward
+            # zero): a pre-epoch negative timestamp must land in the same
+            # bucket its containing interval replicates into (code-review
+            # r3, confirmed divergence)
+            ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "_tb", pa.array(ts // w, type=pa.int64()))
 
         def iv_explode(t: pa.Table) -> pa.Table:
             s = pc.cast(t[start_col], pa.int64()).to_numpy(zero_copy_only=False)

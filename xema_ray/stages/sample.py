@@ -19,9 +19,16 @@ import pyarrow.compute as pc
 
 
 def rate_threshold_hex(rate: float) -> str:
-    """32-hex threshold: md5(id) < this hex string ⇔ uniform(id) < rate."""
+    """32-hex threshold: md5(id) < this hex string ⇔ uniform(id) < rate.
+
+    rate >= 1.0 returns a sentinel that sorts ABOVE every hex digest
+    ("g" > "f"), keeping 100% — format(2**128, "032x") would be 33 chars
+    and naive truncation silently produced a 2^124 threshold (~6.25%
+    keep; code-review r3, confirmed bug)."""
     rate = min(max(rate, 0.0), 1.0)
-    return format(int(rate * (1 << 128)), "032x")[:32]
+    if rate >= 1.0:
+        return "g" * 32
+    return format(int(rate * (1 << 128)), "032x")
 
 
 def stratified_sample(ds, rates: dict, strat_col: str = "source",

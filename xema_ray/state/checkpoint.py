@@ -447,7 +447,9 @@ def _dedup_digest_shard(path: str, col: str, id_col: str, hash_fn: str,
     tmp = out_file + ".tmp"
     merged = pa.concat_tables(parts) if parts else pa.table({
         "h": pa.array([], type=pa.string()),
-        "min_id": pa.array([], type=pa.int64()),
+        # id type from the SHARD schema: a hardcoded int64 here would
+        # schema-conflict with string-id partials (code-review r3)
+        "min_id": pa.array([], type=pf.schema_arrow.field(id_col).type),
         "cnt": pa.array([], type=pa.int64())})
     # re-reduce shard-locally so the partial is one row per distinct hash
     import pandas as pd
@@ -458,7 +460,8 @@ def _dedup_digest_shard(path: str, col: str, id_col: str, hash_fn: str,
     pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
     os.replace(tmp, out_file)
     return {"partition": f"partial:{partition_name}",
-            "lineage": _lineage(path), "out_file": out_file, "rows": rows}
+            "lineage": f"{_lineage(path)}|cfg:{col},{id_col},{hash_fn}",
+            "out_file": out_file, "rows": rows}
 
 
 def _dedup_filter_shard(path: str, col: str, id_col: str, hash_fn: str,
@@ -496,7 +499,8 @@ def _dedup_filter_shard(path: str, col: str, id_col: str, hash_fn: str,
                    else pf.schema_arrow.empty_table(), tmp)
     os.replace(tmp, out_file)
     return {"partition": f"clean:{partition_name}",
-            "lineage": f"{_lineage(path)}|dups:{dup_sig}",
+            "lineage": f"{_lineage(path)}|cfg:{col},{id_col},{hash_fn}"
+                       f"|dups:{dup_sig}",
             "out_file": out_file, "rows": survivors}
 
 
@@ -539,6 +543,10 @@ def run_exact_dedup(paths: list, out_dir: str, col: str = "text",
     done = load_manifest(out_dir)
     skipped = 0
     new_entries = []
+    # lineage pins the dedup CONFIG too: resuming with a different
+    # hash_fn/col/id_col must invalidate stale digests, not silently
+    # reuse them (code-review r3)
+    cfg = f"|cfg:{col},{id_col},{hash_fn}"
 
     def run_phase(tag: str, make_ref, extra_lineage: str = ""):
         nonlocal skipped
@@ -546,7 +554,7 @@ def run_exact_dedup(paths: list, out_dir: str, col: str = "text",
         for p in paths:
             name = f"{tag}:{part_names[p]}"
             e = done.get(name)
-            lineage = _lineage(p) + extra_lineage
+            lineage = _lineage(p) + cfg + extra_lineage
             if (e is not None and e["lineage"] == lineage
                     and os.path.exists(e["out_file"])):
                 skipped += 1
