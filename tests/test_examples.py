@@ -1,0 +1,26 @@
+"""Examples must stay runnable — each runs in its own subprocess with its
+own Ray session (they own ray.init; the test session must not)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize("script,needle", [
+    ("corpus_quickstart.py", "manifest:"),
+    ("training_data_pipeline.py", "near-dup pairs:"),
+    ("validate_documents.py", None),
+])
+def test_example_runs(script, needle):
+    out = subprocess.run(
+        [sys.executable, os.path.join(_ROOT, "examples", script)],
+        capture_output=True, text=True, timeout=300, cwd=_ROOT,
+        env={**os.environ, "RAY_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    if needle:
+        assert needle in out.stdout, out.stdout[-2000:]

@@ -41,7 +41,17 @@ def schema_and_table(draw):
         if not draw(st.booleans()):
             continue
         if kind == "int":
-            cols[name] = ("integer", draw(_INT_KW))
+            base = ("integer", draw(_INT_KW))
+            # sometimes wrap in a combinator — exercises the default-group
+            # chain ranks in the trims
+            wrap = draw(st.sampled_from(["none", "one_of", "any_of", "not"]))
+            if wrap == "one_of":
+                base = {"one_of": [base, ("integer", {"maximum": -4})]}
+            elif wrap == "any_of":
+                base = {"any_of": [base, ("integer", {"minimum": 6})]}
+            elif wrap == "not":
+                base = {"not": ("integer", draw(_INT_KW))}
+            cols[name] = base
             arrays[name] = pa.array(
                 draw(st.lists(st.one_of(st.none(), st.integers(-6, 6)),
                               min_size=n, max_size=n)), type=pa.int64())
