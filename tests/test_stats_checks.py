@@ -186,3 +186,36 @@ def test_token_frequencies_tree_matches_driver(ds, con):
         "GROUP BY tok ORDER BY tok").fetchall())
     got_nonzero = {int(t): int(c) for t, c in enumerate(a) if c}
     assert got_nonzero == {int(k): int(v) for k, v in want.items()}
+
+
+def test_top_words_exact_matches_bruteforce(ray_session):
+    """Misra-Gries two-pass exact top-k == brute-force counts, including
+    with a tiny sketch capacity (the exact recount repairs sketch error
+    as long as candidates cover the true top-k)."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.stats import top_words_exact
+
+    rng = np.random.default_rng(33)
+    # skewed vocabulary: a few hot words + a long uniform tail
+    hot = [f"hot{i}" for i in range(10)]
+    tail = [f"w{i}" for i in range(3000)]
+    docs = []
+    for _ in range(800):
+        words = list(rng.choice(hot, size=rng.integers(3, 10))) + \
+            list(rng.choice(tail, size=rng.integers(5, 15)))
+        rng.shuffle(words)
+        docs.append(" ".join(words))
+    truth = Counter()
+    for d in docs:
+        truth.update(d.split())
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    out = top_words_exact(
+        rd.from_arrow(pa.table({"text": pa.array(docs)})),
+        k=15, capacity=256)
+    got = list(zip(out["word"].to_pylist(), out["n"].to_pylist()))
+    assert got == want

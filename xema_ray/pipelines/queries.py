@@ -1565,3 +1565,25 @@ def doc_winnow_fingerprints(sf_dir: str):
     return winnow_fingerprints(
         _read(sf_dir, "documents", ["doc_id", "text"], split=True),
         ngram=3, window=4, hash_fn="md5")
+
+
+@register(
+    "doc_top_words",
+    """WITH w AS (
+      SELECT unnest(list_filter(regexp_split_to_array(
+          lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS word
+      FROM documents
+    )
+    SELECT word, count(*) AS n FROM w GROUP BY word
+    ORDER BY n DESC, word LIMIT 20""",
+    doc="EXACT top-k heavy hitters over an UNBOUNDED vocabulary "
+        "(Misra-Gries sketch partials -> candidate superset -> one exact "
+        "recount pass with the candidates broadcast): the two-pass shape "
+        "that replaces the vocab-bounded bincount when keys don't fit an "
+        "array. Oracle = plain SQL word counts.",
+)
+def doc_top_words(sf_dir: str):
+    from xema_ray.stages.stats import top_words_exact
+
+    return top_words_exact(
+        _read(sf_dir, "documents", ["text"], split=True), k=20)

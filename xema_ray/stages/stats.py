@@ -379,3 +379,107 @@ def top_tokens(ds, k: int = 20, list_col: str = "tokens",
         "tok": pa.array(order.astype(np.int64), type=pa.int64()),
         "n": pa.array(counts[order], type=pa.int64()),
     })
+
+
+# ----------------------------------------------------------------------
+# heavy hitters over an UNBOUNDED key space (r3): Misra-Gries sketch
+# partials + exact candidate recount — the two-pass exact top-k that
+# works when the vocabulary doesn't fit a bincount (word tokens, URLs,
+# user ids).  Misra & Gries 1982 / the "space-saving" family; the merge
+# (sum counters, subtract the (k+1)-th largest, clip) preserves the
+# deterministic guarantee count(x) >= true(x) - N/capacity, so every key
+# with true count > N/capacity SURVIVES the sketch and the exact second
+# pass makes the final top-k exact.
+# ----------------------------------------------------------------------
+
+
+def _mg_sketch_batch(words, capacity: int) -> dict:
+    """Misra-Gries counters for one batch (plain dict, <= capacity keys)."""
+    from collections import Counter
+
+    c = Counter(words)  # exact within batch (C-speed), then shrink
+    if len(c) > capacity:
+        kth = sorted(c.values(), reverse=True)[capacity]
+        c = Counter({k: v - kth for k, v in c.items() if v > kth})
+    return dict(c)
+
+
+def _mg_merge(a: dict, b: dict, capacity: int) -> dict:
+    for k, v in b.items():
+        a[k] = a.get(k, 0) + v
+    if len(a) > capacity:
+        kth = sorted(a.values(), reverse=True)[capacity]
+        a = {k: v - kth for k, v in a.items() if v > kth}
+    return a
+
+
+def top_words_exact(ds, k: int = 20, capacity: int = 4096,
+                    text_col: str = "text"):
+    """Exact top-k words over an unbounded vocabulary, two passes:
+
+    1. streaming Misra-Gries partials (one small dict per batch, merged
+       associatively on the driver — O(capacity) state); the surviving
+       counter keys are a SUPERSET of every word with true frequency
+       > N/capacity, hence of the true top-k whenever the k-th count
+       clears that bound (guaranteed here by capacity >> k);
+    2. one column-pruned recount pass with the candidate set broadcast —
+       exact counts for candidates only, then the true top-k.
+
+    Returns a pyarrow Table (word, n) sorted by (-n, word).
+    """
+    import pickle
+    import re
+
+    import ray
+
+    word_re = re.compile(r"[a-z0-9]+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        wre = _re.compile(r"[a-z0-9]+")
+        words = []
+        for txt in t[text_col].to_pylist():
+            if txt:
+                words.extend(wre.findall(txt.lower()))
+        sk = _mg_sketch_batch(words, capacity)
+        return pa.table({"blob": pa.array([pickle.dumps(sk)],
+                                          type=pa.binary())})
+
+    merged: dict = {}
+    for b in ds.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for blob in b["blob"].to_pylist():
+            merged = _mg_merge(merged, pickle.loads(blob), capacity)
+    cand = sorted(merged)  # candidate words (superset of true top-k)
+    cand_ref = ray.put(set(cand))
+
+    def recount(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cs = ray.get(cand_ref)
+        c = Counter()
+        for txt in t[text_col].to_pylist():
+            if txt:
+                for w in word_re.findall(txt.lower()):
+                    if w in cs:
+                        c[w] += 1
+        return pa.table({
+            "word": pa.array(list(c.keys()), type=pa.string()),
+            "n": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    from collections import Counter
+
+    total = Counter()
+    for b in ds.select_columns([text_col]).map_batches(
+            recount, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for w, n in zip(b["word"].to_pylist(), b["n"].to_pylist()):
+            total[w] += n
+    top = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table({
+        "word": pa.array([w for w, _ in top], type=pa.string()),
+        "n": pa.array([n for _, n in top], type=pa.int64()),
+    })
