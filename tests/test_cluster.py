@@ -1,0 +1,115 @@
+"""Connected components / near-dup cluster resolution (stages/cluster.py)
+on constructed graphs with known ground truth, plus a random-graph
+differential against a union-find oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _labels(pairs_df, ray_session, **kw):
+    import ray.data as rd
+
+    from xema_ray.stages.cluster import connected_components
+
+    ds = rd.from_pandas(pairs_df)
+    out = connected_components(ds, **kw).to_pandas()
+    return dict(zip(out["node"], out["lbl"]))
+
+
+def _uf_oracle(pairs_df):
+    """Union-find ground truth: node -> min node id of its component."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def test_basic_shapes(ray_session):
+    # path, clique, isolated pair, self loop
+    pairs = pd.DataFrame({
+        "doc_a": [1, 2, 3, 10, 10, 11, 20, 30],
+        "doc_b": [2, 3, 4, 11, 12, 12, 21, 30],
+    })
+    lab = _labels(pairs, ray_session)
+    assert lab == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20, 30: 30}
+
+
+def test_long_chain_pointer_doubling(ray_session):
+    # a 40-node path converges only via doubling within few rounds
+    n = 40
+    pairs = pd.DataFrame({"doc_a": np.arange(n - 1),
+                          "doc_b": np.arange(1, n)})
+    lab = _labels(pairs, ray_session, max_rounds=12)
+    assert set(lab.values()) == {0} and len(lab) == n
+
+
+def test_null_endpoints_dropped(ray_session):
+    pairs = pd.DataFrame({"doc_a": [1.0, None, 5.0],
+                          "doc_b": [2.0, 3.0, None]})
+    lab = _labels(pairs, ray_session)
+    assert lab == {1: 1, 2: 1}
+
+
+def test_empty_pairs(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.cluster import connected_components
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                      "doc_b": pd.array([], dtype="int64")}))
+    out = connected_components(ds)
+    # NB: Dataset.to_pandas() drops columns on 0-row datasets (Ray quirk);
+    # assert on the Dataset schema instead.
+    assert out.count() == 0 and out.schema().names == ["node", "lbl"]
+
+
+def test_random_graph_matches_union_find(ray_session):
+    rng = np.random.default_rng(7)
+    # sparse random graph over 200 nodes -> many nontrivial components
+    m = 150
+    pairs = pd.DataFrame({"doc_a": rng.integers(0, 200, m),
+                          "doc_b": rng.integers(0, 200, m)})
+    assert _labels(pairs, ray_session) == _uf_oracle(pairs)
+
+
+def test_dup_clusters_and_filter(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.cluster import dup_clusters, near_dup_dedup
+
+    pairs = rd.from_pandas(pd.DataFrame({"doc_a": [1, 2, 10],
+                                         "doc_b": [2, 3, 11]}))
+    cl = dup_clusters(pairs).to_pandas().set_index("doc_id")
+    assert cl.loc[1, "keep"] == 1 and cl.loc[10, "keep"] == 1
+    assert cl.loc[2, "keep"] == 0 and cl.loc[3, "keep"] == 0
+    assert cl.loc[11, "cluster_id"] == 10
+
+    corpus = rd.from_pandas(pd.DataFrame({"doc_id": range(15),
+                                          "text": [f"t{i}" for i in range(15)]}))
+    kept = sorted(near_dup_dedup(corpus, pairs).to_pandas()["doc_id"])
+    assert kept == [0, 1, 4, 5, 6, 7, 8, 9, 10, 12, 13, 14]
+
+
+def test_nonconvergence_raises(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.cluster import connected_components
+
+    # chains converge in ONE round (full driver-side compression), so a
+    # multi-round graph is needed: the sparse random graph takes 3-4
+    rng = np.random.default_rng(7)
+    pairs = rd.from_pandas(pd.DataFrame({"doc_a": rng.integers(0, 200, 150),
+                                         "doc_b": rng.integers(0, 200, 150)}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=1)

@@ -627,6 +627,56 @@ def doc_minhash_pairs(sf_dir: str):
     return verified.select_columns(["doc_a", "doc_b", "j_fp"])
 
 
+_CLUSTER_SQL = """WITH RECURSIVE d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(
+      lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+         THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                             FOR i IN generate_series(1, len(w) - 2)])
+         ELSE [array_to_string(w, ' ')] END AS grams
+  FROM d
+), p AS (
+  SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+  FROM g a, g b
+  WHERE a.doc_id < b.doc_id AND len(list_intersect(a.grams, b.grams)) > 0
+    AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0) >= 0.5
+), nodes AS (
+  SELECT doc_a AS node FROM p UNION SELECT doc_b FROM p
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION ALL SELECT doc_b, doc_a FROM p
+), walk(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.u, w.lbl FROM walk w JOIN edges e ON e.v = w.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id,
+       CAST(node = min(lbl) AS BIGINT) AS keep
+FROM walk GROUP BY node"""
+
+
+@register("doc_dup_clusters", _CLUSTER_SQL,
+          doc="near-dup CLUSTER resolution: MinHash-verified pairs -> "
+              "distributed connected components (min-label propagation + "
+              "pointer doubling, stages/cluster.py) -> one survivor per "
+              "component.  Oracle: recursive-CTE reachability over the "
+              "exact Jaccard>=0.5 pair graph — certifies the full "
+              "transitive closure, not just the pair set.")
+def doc_dup_clusters(sf_dir: str):
+    from xema_ray.stages.cluster import dup_clusters
+    from xema_ray.stages.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], split=True)
+    cands = minhash_lsh_pairs(docs, threshold=0.45)
+    verified = verify_pairs_jaccard(cands, docs, threshold=0.5,
+                                    fixed_point=True)
+    return dup_clusters(verified)
+
+
 @register("doc_simhash_pairs", """SELECT * FROM (VALUES (8,245,3),(45,413,2),(58,293,2),(61,185,0),(70,447,2),(120,332,3),(267,413,2),(285,301,1),(295,374,2),(458,462,2)) AS t(doc_a, doc_b, hamming)""",
           doc="SimHash near-dup pairs (4x16-bit band buckets). Oracle: "
               "expected output pinned as a VALUES table from the seeded "

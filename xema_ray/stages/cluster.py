@@ -1,0 +1,225 @@
+"""Connected components over a candidate-pair graph — near-duplicate
+CLUSTER resolution at corpus scale.
+
+The near-dup stages (``stages/dedup.py`` MinHash/SimHash,
+``stages/similarity.py`` embedding cosine) emit verified PAIRS; actual
+deduplication needs the transitive closure — one cluster per connected
+component, one survivor per cluster (the reference engine has no graph
+surface; this is a training-data addition, task brief "Deduplication").
+
+Ray Data has no graph API; the engine uses **edge contraction with a
+broadcast label table** (the parent-pointer contraction family of
+Kiveris et al., CIKM'14 "Connected Components in MapReduce and Beyond"),
+shaped around one asymmetry: the EDGE list can be huge (near-clique
+clusters are quadratic in members) and stays distributed, while the
+NODE set is the duplicate subset — rare relative to the corpus by the
+same rarity assumption ``exact_dedup`` documents for its loser
+broadcast — and fits the driver (16 bytes/node; 50M dup docs ≈ 800 MB).
+Each round is therefore shuffle-free:
+
+1. **hop partials** — ``map_batches`` over the symmetric edge list
+   emits per-block ``(u, min v)`` pairs (≤ block's distinct-u rows);
+   the driver merges them into ``lbl(u) = min(u, neighbours)``.
+2. **compress** — full pointer-jumping to idempotence in numpy on the
+   driver (microseconds; this is what makes path-shaped graphs contract
+   geometrically — a fixed doubling depth leaves labels shifting
+   injectively and nothing merges).
+3. **contract** — edges stream through a ``map_batches`` lookup against
+   the ``ray.put`` label arrays: endpoints relabel, self-edges drop,
+   block-local dups collapse (global dups are merged by the next hop's
+   min anyway).  The graph SHRINKS each round: near-dup graphs usually
+   finish in 2 rounds, sparse random graphs ~4-5 (measured), paths 1.
+4. the composed original-node → representative map lives on the driver
+   and is returned as a fresh Dataset.
+
+Termination is exact: the component minimum always labels itself, any
+surviving cross-label edge strictly decreases a label next hop, so
+``edges == ∅`` IS the fixed point and reps are component minima.
+
+A note on iterative Ray Data loops (measured, Ray 2.49): ``union``-free
+linear lineage is deliberate here.  Branching plans double the logical
+DAG every round (``materialize()`` does NOT drop plan history) and
+``union`` doubles block counts — a previous fully-distributed revision
+of this file slowed 2x per round from both.  The per-round
+``materialize()`` on the (shrinking) edge list keeps lineage shallow and
+is bounded by the pair-graph size, never the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _sym_edges(pairs, u_col: str, v_col: str):
+    """(u, v) ∪ (v, u) as int64, null endpoints dropped."""
+    import pyarrow.compute as pc
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        u = pc.cast(tbl[u_col], pa.int64())
+        v = pc.cast(tbl[v_col], pa.int64())
+        keep = pc.and_(pc.is_valid(u), pc.is_valid(v))
+        u, v = u.filter(keep), v.filter(keep)
+        return pa.table({
+            "u": pa.chunked_array([u, v]).combine_chunks(),
+            "v": pa.chunked_array([v, u]).combine_chunks(),
+        })
+
+    return pairs.map_batches(fn, batch_format="pyarrow")
+
+
+def _hop_labels(cur) -> tuple:
+    """Driver-merged ``lbl(u) = min(u, neighbours(u))`` over the current
+    edge list: per-block partial mins (node-bounded), then one numpy
+    merge.  Returns (nodes sorted, labels) arrays."""
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        un, inv = np.unique(u, return_inverse=True)
+        mn = np.full(len(un), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mn, inv, v)
+        return pa.table({"u": un, "mv": mn})
+
+    rows = cur.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    u = np.array([r["u"] for r in rows], dtype=np.int64)
+    mv = np.array([r["mv"] for r in rows], dtype=np.int64)
+    un, inv = np.unique(u, return_inverse=True)
+    mn = np.full(len(un), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(mn, inv, mv)
+    return un, np.minimum(un, mn)
+
+
+def _compress(nodes: np.ndarray, lbl: np.ndarray) -> np.ndarray:
+    """Full pointer-jumping to idempotence: lbl ← lbl(lbl) until stable.
+    Labels are node ids, so lookup is a searchsorted over ``nodes``."""
+    while True:
+        idx = np.searchsorted(nodes, lbl)
+        nxt = lbl[idx]
+        if np.array_equal(nxt, lbl):
+            return lbl
+        lbl = nxt
+
+
+def connected_components(pairs, u_col: str = "doc_a", v_col: str = "doc_b",
+                         max_rounds: int = 32, buckets: int = None):
+    """Labels for the connected components of an undirected pair graph.
+
+    Returns a Dataset ``(node: int64, lbl: int64)`` with one row per
+    distinct endpoint and ``lbl`` = the minimum node id of its component.
+
+    ``max_rounds`` bounds contraction rounds (~4-5 suffice for any
+    measured graph shape; raises RuntimeError rather than returning
+    partial labels).  ``buckets`` is accepted for interface parity but
+    unused — the rounds are shuffle-free.
+    """
+    import ray
+    import ray.data as rd
+
+    cur = _sym_edges(pairs, u_col, v_col).materialize()
+
+    orig_nodes = None   # all endpoints, fixed after round 1
+    total = None        # composed orig -> current representative
+
+    for _ in range(max_rounds):
+        nodes, lbl = _hop_labels(cur)
+        if len(nodes) == 0:
+            break
+        lbl = _compress(nodes, lbl)
+        if orig_nodes is None:
+            orig_nodes, total = nodes, lbl.copy()
+        else:
+            # compose: reps absent from this round's node set (already
+            # fully contracted components) keep their rep
+            idx = np.searchsorted(nodes, total)
+            idx = np.clip(idx, 0, max(len(nodes) - 1, 0))
+            hit = nodes[idx] == total
+            total = np.where(hit, lbl[idx], total)
+
+        ref = ray.put((nodes, lbl))
+
+        class Contract:
+            def __init__(self, ref):
+                self.nodes, self.lbl = ray.get(ref)  # one read per actor
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                u = t["u"].to_numpy(zero_copy_only=False)
+                v = t["v"].to_numpy(zero_copy_only=False)
+                nu = self.lbl[np.searchsorted(self.nodes, u)]
+                nv = self.lbl[np.searchsorted(self.nodes, v)]
+                keep = nu != nv
+                e = np.stack([nu[keep], nv[keep]])
+                if e.shape[1]:  # block-local dedupe only (cheap, lossless)
+                    e = np.unique(e, axis=1)
+                return pa.table({"u": e[0], "v": e[1]})
+
+        cur = cur.map_batches(Contract, fn_constructor_args=(ref,),
+                              batch_format="pyarrow",
+                              concurrency=(1, 8)).materialize()
+        if cur.count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds")
+
+    if orig_nodes is None:
+        return rd.from_arrow(pa.table({"node": pa.array([], type=pa.int64()),
+                                       "lbl": pa.array([], type=pa.int64())}))
+    return rd.from_arrow(pa.table({"node": orig_nodes, "lbl": total}))
+
+
+def dup_clusters(pairs, u_col: str = "doc_a", v_col: str = "doc_b",
+                 **kw):
+    """(doc_id, cluster_id, keep) — the dedup decision table.
+
+    ``cluster_id`` = min doc id of the near-dup component; ``keep`` = 1
+    for the survivor (the cluster representative), 0 for every other
+    member.  Docs in no pair are absent (they are all keepers).
+    """
+    import pyarrow.compute as pc
+
+    labels = connected_components(pairs, u_col, v_col, **kw)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["node"],
+            "cluster_id": t["lbl"],
+            "keep": pc.cast(pc.equal(t["node"], t["lbl"]), pa.int64()),
+        })
+
+    return labels.map_batches(fin, batch_format="pyarrow")
+
+
+def near_dup_dedup(ds, pairs, id_col: str = "doc_id",
+                   u_col: str = "doc_a", v_col: str = "doc_b", **kw):
+    """Filter ``ds`` to near-dup survivors: per connected component of the
+    verified pair graph, keep only the min-id member.
+
+    Scale shape mirrors ``exact_dedup``: only the NON-keeper id set (the
+    duplicate docs, rare by assumption) is collected and broadcast via
+    ``ray.put``; the corpus streams through an ``is_in`` filter.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    clusters = dup_clusters(pairs, u_col, v_col, **kw)
+    loser_rows = clusters.map_batches(
+        lambda t: t.filter(pc.equal(t["keep"], 0)).select(["doc_id"]),
+        batch_format="pyarrow",
+    ).take_all()  # O(duplicate docs), not O(corpus)
+    losers = pa.array([r["doc_id"] for r in loser_rows], type=pa.int64())
+    loser_ref = ray.put(losers)
+
+    class Keep:
+        def __init__(self, ref):
+            self.bad = ray.get(ref)  # one plasma read per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = pc.cast(t[id_col], pa.int64())
+            drop = pc.fill_null(pc.is_in(ids, value_set=self.bad), False)
+            return t.filter(pc.invert(drop))
+
+    return ds.map_batches(Keep, fn_constructor_args=(loser_ref,),
+                          batch_format="pyarrow", concurrency=(1, 8))
