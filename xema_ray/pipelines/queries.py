@@ -1637,3 +1637,28 @@ def doc_top_words(sf_dir: str):
 
     return top_words_exact(
         _read(sf_dir, "documents", ["text"], split=True), k=20)
+
+
+@register(
+    "seq_quantiles_n_tok",
+    f"""{_SEQ_CTE}
+    """ + "\n    UNION ALL ".join(
+        f"SELECT CAST({q_fp} AS BIGINT) AS q_fp, "
+        f"CAST(quantile_disc(n_tok, {q}) AS BIGINT) AS value FROM seq"
+        for q_fp, q in [(10000, 0.01), (100000, 0.10), (250000, 0.25),
+                        (500000, 0.50), (750000, 0.75), (900000, 0.90),
+                        (990000, 0.99)]),
+    doc="EXACT distributed quantiles WITHOUT a global sort (sample -> "
+        "histogram-count -> range-refine -> rank-holding-bucket fetch; "
+        "driver state O(buckets), data passes all streaming map_batches). "
+        "Rank convention = DuckDB quantile_disc. SURVEY §2.4 stats family.",
+)
+def seq_quantiles_n_tok(sf_dir: str):
+    from xema_ray.stages.quantiles import exact_quantiles
+
+    qs = [0.01, 0.10, 0.25, 0.50, 0.75, 0.90, 0.99]
+    out = exact_quantiles(
+        _read_seq(sf_dir, columns=["n_tok"], split=True), "n_tok", qs,
+        # small fetch_cap keeps the fetch pass tiny even at stress scale
+        buckets=256, fetch_cap=100_000)
+    return out.set_column(1, "value", pc.cast(out["value"], pa.int64()))
