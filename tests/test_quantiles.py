@@ -106,3 +106,64 @@ def test_matches_duckdb_quantile_disc(ray_session):
             [q, vals],
         ).fetchone()
         assert g == d, (q, g, d)
+
+
+# ---------------------------------------------------------------------------
+# grouped_quantiles_counted — sparse-histogram per-group quantiles
+
+
+def _grouped_expected(pairs, qs):
+    import collections
+    by = collections.defaultdict(list)
+    for k, v in pairs:
+        if v is not None:
+            by[k if k is not None else "__null__"].append(v)
+    rows = []
+    for k in sorted(by):
+        vs = sorted(by[k])
+        for q in qs:
+            rows.append((k, int(math.floor(1e6 * q)),
+                         vs[max(math.ceil(q * len(vs)) - 1, 0)]))
+    return rows
+
+
+def test_grouped_quantiles_counted(ray_session):
+    import ray.data as rd
+    from xema_ray.stages.quantiles import grouped_quantiles_counted
+
+    rng = np.random.default_rng(23)
+    keys = rng.choice(["a", "b", "c"], size=4_000).tolist()
+    vals = rng.integers(0, 200, size=4_000).tolist()
+    keys += [None] * 50 + ["onlynull"]
+    vals += rng.integers(0, 200, size=50).tolist() + [None]
+    tbl = pa.table({"k": pa.array(keys, type=pa.string()),
+                    "v": pa.array(vals, type=pa.int64())})
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    out = grouped_quantiles_counted(
+        rd.from_arrow(tbl).repartition(9), "k", "v", qs)
+    got = list(zip(out["k"].to_pylist(), out["q_fp"].to_pylist(),
+                   out["value"].to_pylist()))
+    assert got == _grouped_expected(zip(keys, vals), qs)
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session):
+    import ray.data as rd
+    from xema_ray.stages.quantiles import grouped_quantiles_counted
+
+    rng = np.random.default_rng(31)
+    keys = rng.choice(["x", "y"], size=2_000).tolist()
+    vals = rng.zipf(1.5, size=2_000).clip(1, 10_000).tolist()
+    tbl = pa.table({"k": keys, "v": pa.array(vals, type=pa.int64())})
+    out = grouped_quantiles_counted(
+        rd.from_arrow(tbl).repartition(5), "k", "v", [0.5, 0.99])
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    exp = con.execute(
+        """SELECT k, 500000 q, quantile_disc(v, 0.5) val FROM t GROUP BY k
+           UNION ALL
+           SELECT k, 990000, quantile_disc(v, 0.99) FROM t GROUP BY k
+           ORDER BY k, q"""
+    ).fetchall()
+    got = sorted(zip(out["k"].to_pylist(), out["q_fp"].to_pylist(),
+                     out["value"].to_pylist()))
+    assert got == [tuple(r) for r in exp]

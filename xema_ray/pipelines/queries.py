@@ -1662,3 +1662,28 @@ def seq_quantiles_n_tok(sf_dir: str):
         # small fetch_cap keeps the fetch pass tiny even at stress scale
         buckets=256, fetch_cap=100_000)
     return out.set_column(1, "value", pc.cast(out["value"], pa.int64()))
+
+
+@register(
+    "seq_quantiles_by_source",
+    f"""{_SEQ_CTE}
+    """ + "\n    UNION ALL ".join(
+        f"SELECT COALESCE(source, '__null__') AS source, "
+        f"CAST({q_fp} AS BIGINT) AS q_fp, "
+        f"CAST(quantile_disc(n_tok, {q}) AS BIGINT) AS value "
+        f"FROM seq GROUP BY 1 HAVING count(n_tok) > 0"
+        for q_fp, q in [(250000, 0.25), (500000, 0.50),
+                        (750000, 0.75), (950000, 0.95)]),
+    doc="EXACT per-group quantile_disc in ONE streaming pass over the "
+        "sparse (group, value) histogram: Arrow group_by partials per "
+        "batch, a single pre-aggregated groupby-sum exchange, driver "
+        "cumsum rank pick. The bounded/low-cardinality-domain complement "
+        "of seq_quantiles_n_tok's range refinement.",
+)
+def seq_quantiles_by_source(sf_dir: str):
+    from xema_ray.stages.quantiles import grouped_quantiles_counted
+
+    out = grouped_quantiles_counted(
+        _read_seq(sf_dir, columns=["source", "n_tok"], split=True),
+        "source", "n_tok", [0.25, 0.50, 0.75, 0.95])
+    return out.set_column(2, "value", pc.cast(out["value"], pa.int64()))

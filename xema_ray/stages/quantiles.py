@@ -197,6 +197,59 @@ def exact_quantiles(ds, col: str, qs, buckets: int = 256,
     })
 
 
+def grouped_quantiles_counted(ds, key: str, col: str, qs,
+                              null_key: str = "__null__") -> pa.Table:
+    """Exact per-group ``quantile_disc`` for a LOW-CARDINALITY-VALUE column
+    in one streaming pass — no per-group refinement loop.
+
+    Works off the sparse value histogram: per batch, Arrow ``group_by``
+    collapses to ``(key, value, n)`` partials (≤ groups × distinct values
+    rows per block, regardless of block row count); one Ray groupby-sum
+    merges the partials (the only exchange, and it moves pre-aggregated
+    counts, never data rows); the driver sorts the ≤ groups × distinct
+    final histogram and reads each rank off the cumsum.  Exact for any
+    integer/categorical column whose distinct-value count is bounded
+    (token lengths, scores, codes) — the complement of
+    :func:`exact_quantiles`, which handles unbounded domains.
+
+    Returns ``(key, q_fp, value)`` sorted by (key, q_fp); groups whose
+    values are all null are dropped (callers' SQL mirrors with
+    ``HAVING count(col) > 0``).
+    """
+    qs = list(qs)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table({
+            key: pc.fill_null(pc.cast(tbl[key], pa.string()), null_key),
+            col: tbl[col],
+        }).filter(pc.is_valid(tbl[col]))
+        g = t.group_by([key, col]).aggregate([([], "count_all")])
+        return g.rename_columns([key, col, "n"])
+
+    hist = ds.map_batches(partial, batch_format="pyarrow")
+    merged = hist.groupby([key, col]).sum("n")
+    rows = merged.take_all()  # ≤ groups × distinct values
+
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r[key], []).append((r[col], r["sum(n)"]))
+
+    out_k, out_q, out_v = [], [], []
+    for k in sorted(by_key):
+        vc = sorted(by_key[k])
+        cum = np.cumsum([c for _, c in vc])
+        n = int(cum[-1])
+        for q in qs:
+            r = max(math.ceil(q * n) - 1, 0)
+            j = int(np.searchsorted(cum, r + 1, side="left"))
+            out_k.append(k)
+            out_q.append(int(math.floor(1e6 * q)))
+            out_v.append(_pyval(vc[j][0]))
+    return pa.table({key: pa.array(out_k, type=pa.string()),
+                     "q_fp": pa.array(out_q, type=pa.int64()),
+                     "value": pa.array(out_v)})
+
+
 def _counts_in_range(ds, col: str, s: dict, sub: np.ndarray) -> np.ndarray:
     """Histogram of values within (s.lo, s.hi] over sub-edges ``sub``."""
     nb = len(sub) + 1
