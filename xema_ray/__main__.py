@@ -74,6 +74,17 @@ def cmd_stats(args):
     from xema_ray.stages.stats import column_stats
 
     stats = column_stats(rd.read_parquet(_paths(args.input)))
+    if args.quantiles:
+        from xema_ray.stages.quantiles import exact_quantiles
+
+        col, _, qspec = args.quantiles.partition("=")
+        qs = [float(x) for x in (qspec or "0.25,0.5,0.75,0.99").split(",")]
+        t = exact_quantiles(
+            rd.read_parquet(_paths(args.input), columns=[col]), col, qs)
+        stats.setdefault(col, {})["quantiles"] = {
+            f"{q_fp / 1e6:g}": v
+            for q_fp, v in zip(t["q_fp"].to_pylist(), t["value"].to_pylist())
+        }
     print(json.dumps(stats, indent=2, default=str))
 
 
@@ -139,6 +150,9 @@ def main(argv=None):
 
     s = sub.add_parser("stats", help="per-column statistics")
     s.add_argument("input")
+    s.add_argument("--quantiles", metavar="COL[=Q,Q,...]",
+                   help="exact distributed quantiles of COL "
+                        "(default qs 0.25,0.5,0.75,0.99)")
     s.set_defaults(fn=cmd_stats)
 
     d = sub.add_parser("drift", help="capture or compare length distributions")
