@@ -1689,3 +1689,151 @@ def seq_quantiles_by_source(sf_dir: str):
         _read_seq(sf_dir, columns=["source", "n_tok"], split=True),
         "source", "n_tok", [0.25, 0.50, 0.75, 0.95])
     return out.set_column(2, "value", pc.cast(out["value"], pa.int64()))
+
+
+# ----------------------------------------------------------------------
+# training-data extensions r3: chunking, PII scrub, repetition, mixture
+# ----------------------------------------------------------------------
+
+
+@register(
+    "doc_chunks",
+    """WITH d AS (SELECT doc_id, coalesce(text,'') AS t,
+                         length(coalesce(text,'')) AS n FROM documents),
+    k AS (SELECT doc_id, t, unnest(generate_series(0,
+            CASE WHEN n <= 120 THEN 0
+                 ELSE CAST(ceil((n - 120) / 90.0) AS INT) END)) AS chunk_id
+          FROM d)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           substr(t, CAST(chunk_id*90 + 1 AS INT), 120) AS chunk_text,
+           CAST(length(substr(t, CAST(chunk_id*90 + 1 AS INT), 120))
+                AS BIGINT) AS chunk_len
+    FROM k""",
+    doc="context-length chunking: fixed 120-char windows, stride 90 "
+        "(30-char overlap), pure map_batches explode vectorized over "
+        "chunk ordinals — no shuffle, no per-row Python",
+)
+def doc_chunks(sf_dir: str):
+    from xema_ray.stages.chunk import chunk_documents
+
+    return chunk_documents(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        size=120, stride=90)
+
+
+@register(
+    "doc_pii_scrub",
+    """WITH s0 AS (SELECT doc_id,
+        coalesce(text,'')
+        || CASE WHEN doc_id % 3 = 0 THEN ' contact u'
+             || CAST(doc_id AS VARCHAR) || '@ex-mail.com' ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN ' ssn 123-45-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.'
+             || CAST(doc_id % 256 AS VARCHAR) || '.9' ELSE '' END AS t
+      FROM documents),
+    s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         '<EMAIL>', 'g') AS t FROM s0),
+    s2 AS (SELECT doc_id, n_email, CAST(len(regexp_extract_all(t,
+         '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT) AS n_ssn,
+       regexp_replace(t, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b',
+         '<SSN>', 'g') AS t FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ssn, CAST(len(regexp_extract_all(t,
+         '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b')) AS BIGINT) AS n_phone,
+       regexp_replace(t, '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b',
+         '<PHONE>', 'g') AS t FROM s2),
+    s4 AS (SELECT doc_id, n_email, n_ssn, n_phone,
+       CAST(len(regexp_extract_all(t,
+         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ip,
+       regexp_replace(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+         '<IP>', 'g') AS t FROM s3)
+    SELECT doc_id, n_email, n_ssn, n_phone, n_ip, t AS scrubbed FROM s4""",
+    doc="PII scrubbing: chained RE2 redaction (email -> ssn -> phone -> "
+        "ipv4) with per-pattern counts; deterministic PII injected from "
+        "doc_id on BOTH sides so the scrubber is exercised on a corpus "
+        "that contains none (both engines run RE2 -> full text parity)",
+)
+def doc_pii_scrub(sf_dir: str):
+    import pandas as pd
+
+    from xema_ray.stages.pii import pii_scrub
+
+    def inject(df: "pd.DataFrame") -> "pd.DataFrame":
+        did = df["doc_id"].astype("int64")
+        t = df["text"].fillna("")
+        m4 = (did % 10000).astype(str).str.zfill(4)
+        t = t + np.where(did % 3 == 0,
+                         " contact u" + did.astype(str) + "@ex-mail.com", "")
+        t = t + np.where(did % 4 == 0, " ssn 123-45-" + m4, "")
+        t = t + np.where(did % 5 == 0, " call 555-123-" + m4, "")
+        t = t + np.where(did % 7 == 0,
+                         " from 10.0." + (did % 256).astype(str) + ".9", "")
+        return pd.DataFrame({"doc_id": df["doc_id"], "text": t})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(inject, batch_format="pandas")
+    return pii_scrub(ds).map_batches(
+        lambda t: t.select(["doc_id", "n_email", "n_ssn", "n_phone",
+                            "n_ip", "scrubbed"]),
+        batch_format="pyarrow")
+
+
+@register(
+    "doc_repetition",
+    """WITH w AS (
+      SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+      FROM (SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')),
+                   '[a-z0-9]+') AS ws FROM documents)
+    ), wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1,2),
+    tw AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM wc GROUP BY 1),
+    g AS (SELECT doc_id, word || ' ' || lead(word)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS gram FROM w),
+    tg AS (SELECT doc_id, count(*) AS ntot, count(DISTINCT gram) AS nd
+           FROM g WHERE gram IS NOT NULL GROUP BY 1)
+    SELECT d.doc_id AS doc_id,
+      CAST(coalesce(floor(1e6*mx/tot), 0) AS BIGINT) AS top_word_m,
+      CAST(coalesce(floor(1e6*(ntot-nd)/ntot), 0) AS BIGINT) AS dup2_m
+    FROM documents d LEFT JOIN tw ON d.doc_id=tw.doc_id
+                     LEFT JOIN tg ON d.doc_id=tg.doc_id""",
+    doc="Gopher-style repetition filters: top-word fraction + duplicate "
+        "2-gram fraction per doc (one explode + factorize + scatter "
+        "reductions per batch; per-document, shuffle-free)",
+)
+def doc_repetition(sf_dir: str):
+    from xema_ray.stages.text import repetition_signals
+
+    return repetition_signals(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+@register(
+    "doc_mixture_sample",
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    r AS (SELECT source, n,
+            least(1.0, (200.0 * CASE source WHEN 'src0' THEN 0.5
+                                 WHEN 'src1' THEN 0.25
+                                 ELSE 0.25/18 END) / n) AS rate
+          FROM c),
+    t AS (SELECT source, rate,
+            CASE WHEN rate >= 1.0 THEN 'gggggggg'
+                 ELSE lower(lpad(hex(CAST(least(floor(rate*4294967296.0),
+                      4294967295) AS BIGINT)), 8, '0')) END AS thr
+          FROM r)
+    SELECT d.doc_id AS doc_id, d.source AS source
+    FROM documents d JOIN t ON d.source = t.source
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr""",
+    doc="domain-mixture sampling (DoReMi/Pile-style reweighting): tiny "
+        "count aggregate -> per-source keep rates hitting target weights "
+        "within a 200-row budget -> deterministic md5-threshold filter; "
+        "the SQL oracle recomputes rates AND thresholds from its own "
+        "count CTE (32-bit hex threshold is SQL-computable)",
+)
+def doc_mixture_sample(sf_dir: str):
+    from xema_ray.stages.sample import mixture_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return mixture_sample(ds, {"src0": 0.5, "src1": 0.25}, 200.0,
+                          default_weight=0.25 / 18, hash_fn="md5")

@@ -31,6 +31,95 @@ def rate_threshold_hex(rate: float) -> str:
     return format(int(rate * (1 << 128)), "032x")
 
 
+def rate_threshold_hex32(rate: float) -> str:
+    """8-hex threshold on the md5's top 32 bits: ``md5(id)[:8] < this``
+    ⇔ uniform(id) < rate.  Unlike :func:`rate_threshold_hex` the 32-bit
+    form is computable inside a SQL engine from a *runtime* rate
+    (``lower(lpad(hex(floor(rate*2^32)), 8, '0'))``), which is what a
+    mixture oracle needs when the rate itself comes from data.  rate >=
+    1 returns the above-every-hex sentinel ('g' > 'f')."""
+    rate = min(max(rate, 0.0), 1.0)
+    if rate >= 1.0:
+        return "g" * 8
+    return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def stratum_counts(ds, strat_col: str = "source") -> dict:
+    """Per-stratum row counts via per-batch ``value_counts`` partials
+    merged on the driver — the small-side aggregate pattern (output is
+    O(#strata), so no groupby shuffle; cf. stages/stats.py)."""
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t[strat_col])
+        return pa.table({"stratum": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    out: dict = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        out[row["stratum"]] = out.get(row["stratum"], 0) + int(row["n"])
+    return out
+
+
+def mixture_rates(counts: dict, weights: dict, budget: float,
+                  default_weight: float = 0.0) -> dict:
+    """Per-stratum keep rates hitting target mixture ``weights`` (sum
+    ≈ 1) within a row ``budget``: rate_s = min(1, budget·w_s / n_s).
+    A stratum too small for its target share saturates at 1.0 (kept
+    whole) rather than upweighting — deterministic sampling cannot
+    replicate rows."""
+    out = {}
+    for s, n in counts.items():
+        w = weights.get(s, default_weight)
+        out[s] = min(1.0, (budget * w) / n) if n else 0.0
+    return out
+
+
+def mixture_sample(ds, weights: dict, budget: float,
+                   strat_col: str = "source", id_col: str = "doc_id",
+                   default_weight: float = 0.0, counts: dict = None,
+                   hash_fn: str = "fast", seed: int = 0):
+    """Deterministic domain-mixture sampling: resample each stratum so
+    the output approximates the target ``weights`` within ``budget``
+    rows (the DoReMi / Pile-style domain reweighting step).
+
+    Two passes over ``ds`` when ``counts`` is not supplied (a tiny
+    count aggregate, then the filter) — at 100 TB pass 1 is a
+    column-pruned scan of one dictionary column; pass the known corpus
+    composition via ``counts`` to skip it.  ``hash_fn="md5"`` compares
+    the md5's top 32 bits against a per-stratum 8-hex threshold so a
+    SQL oracle can recompute the selection from its own count CTE;
+    ``hash_fn="fast"`` is the vectorized xxhash lane.
+    """
+    if counts is None:
+        counts = stratum_counts(ds, strat_col)
+    rates = mixture_rates(counts, weights, budget, default_weight)
+    thresholds = {s: rate_threshold_hex32(r) for s, r in rates.items()}
+
+    def keep_md5(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        strata = t[strat_col].to_pylist()
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for i, (v, s) in enumerate(zip(ids, strata)):
+            if v is None:
+                continue
+            thr = thresholds.get(s, "0" * 8)
+            keep[i] = hashlib.md5(str(v).encode()).hexdigest()[:8] < thr
+        return t.filter(pa.array(keep))
+
+    def keep_fast(t: pa.Table) -> pa.Table:
+        from xema_ray.functions.sketches import hash_strings
+
+        ids = t[id_col].to_pylist()
+        h = hash_strings([str(v) if v is not None else "" for v in ids],
+                         seed=seed)
+        u = h.astype(np.float64) / float(1 << 64)
+        r = np.array([rates.get(s, 0.0) for s in t[strat_col].to_pylist()])
+        keep = (u < r) & np.array([v is not None for v in ids])
+        return t.filter(pa.array(keep))
+
+    fn = keep_md5 if hash_fn == "md5" else keep_fast
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def stratified_sample(ds, rates: dict, strat_col: str = "source",
                       id_col: str = "doc_id", default_rate: float = 0.0,
                       hash_fn: str = "fast", seed: int = 0):

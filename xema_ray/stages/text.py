@@ -319,6 +319,79 @@ class WinnowFingerprint:
         return out
 
 
+class RepetitionSignals:
+    """Actor-pool stage: repetitiveness quality signals in the style of
+    the Gopher data-filtering rules — ``top_word_m`` (fraction of words
+    that are the single most frequent word, fixed-point ×1e6) and
+    ``dup2_m`` (fraction of word 2-grams that are repeats of an earlier
+    2-gram in the same doc).  High values flag boilerplate / spam /
+    degenerate repetition that length or stopword ratios miss.
+
+    Fully vectorized across the batch: one explode, one factorize, and
+    bincount/`maximum.at` scatter reductions — no per-row Python.  Both
+    signals are per-document (no shuffle).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.word_re = re.compile(r"[a-z0-9]+")
+
+    def __call__(self, batch):
+        import pandas as pd
+
+        n = len(batch)
+        texts = batch[self.text_col].fillna("").str.lower() \
+            .reset_index(drop=True)
+        words = texts.str.findall(self.word_re)
+        top_m = np.zeros(n, dtype=np.int64)
+        dup2_m = np.zeros(n, dtype=np.int64)
+        ex = words.explode().dropna()
+        if len(ex):
+            rows = ex.index.to_numpy().astype(np.int64)
+            codes, uniques = pd.factorize(ex.to_numpy())
+            v = len(uniques)
+            # per-(row, word) counts → per-row max and total
+            uk, cnt = np.unique(rows * v + codes, return_counts=True)
+            tot = np.bincount(rows, minlength=n)
+            mx = np.zeros(n, dtype=np.int64)
+            np.maximum.at(mx, uk // v, cnt)
+            nz = tot > 0
+            top_m[nz] = np.floor(1e6 * mx[nz] / tot[nz]).astype(np.int64)
+            # consecutive word pairs within a row; re-factorize the pair
+            # code so the packed (row, gram) key stays far from int64
+            # overflow regardless of batch vocabulary size
+            if len(rows) > 1:
+                same = rows[:-1] == rows[1:]
+                if same.any():
+                    r2 = rows[:-1][same]
+                    pg = codes[:-1][same].astype(np.int64) * v \
+                        + codes[1:][same]
+                    pgc, pgu = pd.factorize(pg)
+                    g = len(pgu)
+                    ntot2 = np.bincount(r2, minlength=n)
+                    nd2 = np.bincount(
+                        np.unique(r2 * g + pgc) // g, minlength=n)
+                    nz2 = ntot2 > 0
+                    dup2_m[nz2] = np.floor(
+                        1e6 * (ntot2[nz2] - nd2[nz2]) / ntot2[nz2]
+                    ).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].reset_index(drop=True),
+            "top_word_m": top_m,
+            "dup2_m": dup2_m,
+        })
+
+
+def repetition_signals(ds, text_col: str = "text", concurrency=(1, 8)):
+    """(doc_id, top_word_m, dup2_m) — Gopher-style repetition filters."""
+    return ds.map_batches(
+        RepetitionSignals, fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pandas", concurrency=concurrency,
+    )
+
+
 def winnow_fingerprints(ds, text_col: str = "text", ngram: int = 3,
                         window: int = 4, hash_fn: str = "fast",
                         concurrency=(1, 8)):
