@@ -347,3 +347,39 @@ def test_signature_matrix_trailing_empty_doc_regression():
     sig1 = s(t1)["simhash"].to_pylist()[0]
     sig2 = s(t2)["simhash"].to_pylist()[0]
     assert sig1 == sig2
+
+
+def test_exact_dedup_project_strategies_agree(ray_session):
+    """driver and coarse-bucket-groupby merge strategies must select the
+    identical survivor set (and match a naive dedup), including the
+    numpy bytes-sort min-id path and non-ASCII / numeric id fallbacks."""
+    import ray.data as rd
+
+    from xema_ray.stages.dedup import exact_dedup_project
+
+    pdf = pd.DataFrame({
+        "doc_id": [f"id-{i:03d}" for i in range(40)],
+        "text": [f"body {i % 12}" for i in range(40)],  # 12 groups, dups
+        "extra": np.arange(40),
+    })
+    expect = set(pdf.groupby("text")["doc_id"].min())
+    for strategy in ("driver", "groupby"):
+        out = exact_dedup_project(
+            rd.from_pandas(pdf), col="text", id_col="doc_id",
+            keep_cols=("extra",), strategy=strategy).take_all()
+        assert {r["doc_id"] for r in out} == expect, strategy
+        assert all(set(r) == {"doc_id", "extra"} for r in out)
+
+    # numeric ids: keeper is the numeric (not lexicographic) min
+    pdf2 = pd.DataFrame({"doc_id": [9, 10, 100, 2],
+                         "text": ["x", "x", "x", "y"]})
+    out = exact_dedup_project(rd.from_pandas(pdf2), col="text",
+                              id_col="doc_id", strategy="driver").take_all()
+    assert {r["doc_id"] for r in out} == {9, 2}
+
+    # non-ASCII ids exercise the object-compare fallback
+    pdf3 = pd.DataFrame({"doc_id": ["zz", "é-1", "aa"],
+                         "text": ["s", "s", "s"]})
+    out = exact_dedup_project(rd.from_pandas(pdf3), col="text",
+                              id_col="doc_id", strategy="driver").take_all()
+    assert {r["doc_id"] for r in out} == {"aa"}
