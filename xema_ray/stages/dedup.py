@@ -106,7 +106,8 @@ def exact_dedup_groups(ds, col: str = "text", id_col: str = "doc_id",
 
 
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
-                hash_fn: str = "fast"):
+                hash_fn: str = "fast", strategy: str = "auto",
+                auto_driver_limit: int = 8_000_000):
     """Survivor rows (first id per distinct content).
 
     Scale shape (round-1 verdict fix): only the DUPLICATE groups —
@@ -114,25 +115,22 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
     assumption — are collected and broadcast.  The corpus-sized survivor
     set never materializes on the driver; a row is kept when its content
     hash is not in a duplicate group, or it IS that group's keeper.
+    The partial merge uses the measured-auto driver / coarse-bucket
+    strategy (:func:`_collect_dup_groups`) rather than a one-group-per-
+    digest Ray groupby.
     """
     import ray
 
     import pyarrow.compute as pc
-    from ray.data.aggregate import Min, Sum
 
-    partials = ds.map_batches(
-        lambda t: _content_hash_batch(t, col, id_col, hash_fn),
-        batch_format="pyarrow",
-    )
-    merged = partials.groupby("h").aggregate(
-        Min("min_id", alias_name="keep_id"), Sum("cnt", alias_name="n")
-    )
-    dup_rows = merged.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)).select(["h", "keep_id"]),
-        batch_format="pyarrow",
-    ).take_all()  # O(duplicate groups), not O(corpus)
-    dup_h = pa.array([r["h"] for r in dup_rows], type=pa.string())
-    keep_id = pa.array([r["keep_id"] for r in dup_rows])
+    def partial(t: pa.Table) -> pa.Table:
+        thin = pa.table({id_col: t[id_col],
+                         "_h": _hash_text_column(t, col, hash_fn)})
+        return _bucketed_hash_partial(thin, "_h", id_col)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    dup_h, keep_id = _collect_dup_groups(partials, strategy,
+                                         auto_driver_limit)
     ref = ray.put((dup_h, keep_id))
 
     class Keep:
@@ -540,6 +538,95 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
                                 concurrency=(1, 4))
 
 
+def _bucketed_hash_partial(t: pa.Table, h_col: str, id_col: str,
+                           n_buckets: int = None) -> pa.Table:
+    """Per-batch (h, min_id, cnt) partial + coarse hash bucket for the
+    groupby merge path (the bucket is a pure function of h, so it needs
+    no coordination and every digest lands in exactly one bucket)."""
+    from xema_ray.functions.sketches import hash_strings
+    from xema_ray.stages.shuffle import default_shuffle_buckets
+
+    if n_buckets is None:
+        n_buckets = default_shuffle_buckets()
+    g = _content_hash_partial_from(t, h_col, id_col)
+    if g.num_rows:
+        bucket = (hash_strings(g["h"].to_pylist()) % n_buckets) \
+            .astype(np.int32)
+    else:
+        bucket = np.empty(0, dtype=np.int32)
+    return g.append_column("bucket", pa.array(bucket, type=pa.int32()))
+
+
+def _dup_from_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """(h, keep_id) for digest groups with Σcnt > 1 — numpy fixed-width-
+    bytes group-sort instead of a pandas object groupby + string-min
+    aggregate (PyObject comparisons per group made the latter the whole
+    export pipeline's bottleneck: 28 s vs 2.3 s on 580 k partials)."""
+    if not len(df):
+        return pd.DataFrame({"h": [], "keep_id": []})
+    hb = df["h"].to_numpy().astype("S")     # hex digests — ASCII
+    uniq, inv = np.unique(hb, return_inverse=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, df["cnt"].to_numpy(dtype=np.int64))
+    ids = df["min_id"].to_numpy()
+    if np.issubdtype(ids.dtype, np.number):
+        id_key = ids
+    else:
+        try:
+            # ASCII bytes order == str order (NUL-padded compare ok)
+            id_key = ids.astype("S")
+        except UnicodeEncodeError:
+            id_key = ids                    # object compare fallback
+    order = np.lexsort((id_key, inv))
+    inv_s = inv[order]
+    firsts = np.ones(len(inv_s), dtype=bool)
+    firsts[1:] = inv_s[1:] != inv_s[:-1]
+    keep_pos = order[firsts]                # min-id row per group
+    keep_idx = np.empty(len(uniq), np.int64)
+    keep_idx[inv[keep_pos]] = keep_pos
+    sel = keep_idx[sums > 1]
+    return pd.DataFrame({"h": df["h"].to_numpy()[sel],
+                         "keep_id": ids[sel]})
+
+
+def _collect_dup_groups(partials, strategy: str = "auto",
+                        auto_driver_limit: int = 8_000_000):
+    """Merge bucketed (h, min_id, cnt, bucket) partials into the
+    duplicate-group broadcast set ``(dup_h, keep_id)``.
+
+    ``'driver'`` folds the partials on the driver (right while
+    Σ distinct-per-batch is modest — one vectorized group sort, no
+    exchange); ``'groupby'`` merges through a COARSE hash-bucket
+    ``groupby(bucket).map_groups`` (the multi-node path: B buckets
+    instead of one sort group per distinct digest, which made Ray's
+    sort-based aggregate the bottleneck — measured 14.5 s → ~1 s at
+    sf0.1).  ``'auto'`` counts the materialized partial rows and picks
+    driver below ``auto_driver_limit``.  Mirrors
+    :func:`~xema_ray.stages.checks.duplicate_values`.
+    """
+    if strategy == "auto":
+        partials = partials.materialize()
+        strategy = "driver" if partials.count() <= auto_driver_limit \
+            else "groupby"
+
+    if strategy == "driver":
+        frames = [b.to_pandas() for b in
+                  partials.iter_batches(batch_format="pyarrow")]
+        dup = _dup_from_frame(pd.concat(frames, ignore_index=True)) \
+            if frames else pd.DataFrame({"h": [], "keep_id": []})
+        dup_h = pa.array(dup["h"], type=pa.string())
+        keep_id = pa.Array.from_pandas(dup["keep_id"])
+    else:
+        # each digest lands in exactly one bucket, so per-bucket merges
+        # are globally complete; only dup groups leave the workers
+        dup_rows = partials.groupby("bucket").map_groups(
+            lambda g: _dup_from_frame(g.drop(columns=["bucket"])),
+            batch_format="pandas").take_all()  # O(duplicate groups)
+        dup_h = pa.array([r["h"] for r in dup_rows], type=pa.string())
+        keep_id = pa.array([r["keep_id"] for r in dup_rows])
+    return dup_h, keep_id
+
+
 def exact_dedup_project(ds, col: str = "text", id_col: str = "doc_id",
                         keep_cols: tuple = (), hash_fn: str = "fast",
                         strategy: str = "auto",
@@ -578,74 +665,11 @@ def exact_dedup_project(ds, col: str = "text", id_col: str = "doc_id",
 
     thin = ds.map_batches(project, batch_format="pyarrow").materialize()
 
-    from xema_ray.stages.shuffle import default_shuffle_buckets
-
-    n_buckets = default_shuffle_buckets()
-
-    def partial(t: pa.Table) -> pa.Table:
-        from xema_ray.functions.sketches import hash_strings
-
-        g = _content_hash_partial_from(t, "_h", id_col)
-        if g.num_rows:
-            bucket = (hash_strings(g["h"].to_pylist()) % n_buckets) \
-                .astype(np.int32)
-        else:
-            bucket = np.empty(0, dtype=np.int32)
-        return g.append_column("bucket", pa.array(bucket, type=pa.int32()))
-
-    partials = thin.map_batches(partial, batch_format="pyarrow")
-
-    if strategy == "auto":
-        partials = partials.materialize()
-        strategy = "driver" if partials.count() <= auto_driver_limit \
-            else "groupby"
-
-    def _dup_from_frame(df: pd.DataFrame) -> pd.DataFrame:
-        """(h, keep_id) for groups with Σcnt > 1 — numpy fixed-width-
-        bytes group-sort instead of a pandas object groupby + string-min
-        aggregate (PyObject comparisons per group made the latter the
-        whole pipeline's bottleneck: 28 s vs 2.3 s on 580 k partials)."""
-        if not len(df):
-            return pd.DataFrame({"h": [], "keep_id": []})
-        hb = df["h"].to_numpy().astype("S")     # hex digests — ASCII
-        uniq, inv = np.unique(hb, return_inverse=True)
-        sums = np.zeros(len(uniq), np.int64)
-        np.add.at(sums, inv, df["cnt"].to_numpy(dtype=np.int64))
-        ids = df["min_id"].to_numpy()
-        if np.issubdtype(ids.dtype, np.number):
-            id_key = ids
-        else:
-            try:
-                # ASCII bytes order == str order (NUL-padded compare ok)
-                id_key = ids.astype("S")
-            except UnicodeEncodeError:
-                id_key = ids                    # object compare fallback
-        order = np.lexsort((id_key, inv))
-        inv_s = inv[order]
-        firsts = np.ones(len(inv_s), dtype=bool)
-        firsts[1:] = inv_s[1:] != inv_s[:-1]
-        keep_pos = order[firsts]                # min-id row per group
-        keep_idx = np.empty(len(uniq), np.int64)
-        keep_idx[inv[keep_pos]] = keep_pos
-        sel = keep_idx[sums > 1]
-        return pd.DataFrame({"h": df["h"].to_numpy()[sel],
-                             "keep_id": ids[sel]})
-
-    if strategy == "driver":
-        frames = [b.to_pandas() for b in
-                  partials.iter_batches(batch_format="pyarrow")]
-        dup = _dup_from_frame(pd.concat(frames, ignore_index=True)) \
-            if frames else pd.DataFrame({"h": [], "keep_id": []})
-        dup_h = pa.array(dup["h"], type=pa.string())
-        keep_id = pa.Array.from_pandas(dup["keep_id"])
-    else:
-        # each digest lands in exactly one bucket, so per-bucket merges
-        # are globally complete; only dup groups leave the workers
-        dup_rows = partials.groupby("bucket").map_groups(
-            lambda g: _dup_from_frame(g.drop(columns=["bucket"])),
-            batch_format="pandas").take_all()  # O(duplicate groups)
-        dup_h = pa.array([r["h"] for r in dup_rows], type=pa.string())
-        keep_id = pa.array([r["keep_id"] for r in dup_rows])
+    partials = thin.map_batches(
+        lambda t: _bucketed_hash_partial(t, "_h", id_col),
+        batch_format="pyarrow")
+    dup_h, keep_id = _collect_dup_groups(partials, strategy,
+                                         auto_driver_limit)
     ref = ray.put((dup_h, keep_id))
 
     def keep(t: pa.Table) -> pa.Table:
