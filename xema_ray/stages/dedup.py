@@ -91,18 +91,24 @@ def exact_dedup_groups(ds, col: str = "text", id_col: str = "doc_id",
     """One row per distinct content: ``(doc_id=min id, n_copies)``.
 
     Matches ``SELECT min(id), count(*) FROM t GROUP BY content`` (128-bit
-    hash collisions are negligible at any practical corpus size).
+    hash collisions are negligible at any practical corpus size).  The
+    output is O(distinct contents) so it stays distributed: per-batch
+    partials exchange through a COARSE hash-bucket groupby (B buckets,
+    each digest in exactly one bucket) and merge with the vectorized
+    group sort — not one Ray sort group per digest.
     """
-    from ray.data.aggregate import Min, Sum
+    def partial(t: pa.Table) -> pa.Table:
+        thin = pa.table({id_col: t[id_col],
+                         "_h": _hash_text_column(t, col, hash_fn)})
+        return _bucketed_hash_partial(thin, "_h", id_col)
 
-    partials = ds.map_batches(
-        lambda t: _content_hash_batch(t, col, id_col, hash_fn),
-        batch_format="pyarrow",
-    )
-    merged = partials.groupby("h").aggregate(
-        Min("min_id", alias_name="doc_id"), Sum("cnt", alias_name="n_copies")
-    )
-    return merged.select_columns(["doc_id", "n_copies"])
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = _groups_from_frame(g.drop(columns=["bucket"]))
+        return pd.DataFrame({"doc_id": out["keep_id"],
+                             "n_copies": out["n"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
@@ -557,13 +563,14 @@ def _bucketed_hash_partial(t: pa.Table, h_col: str, id_col: str,
     return g.append_column("bucket", pa.array(bucket, type=pa.int32()))
 
 
-def _dup_from_frame(df: pd.DataFrame) -> pd.DataFrame:
-    """(h, keep_id) for digest groups with Σcnt > 1 — numpy fixed-width-
-    bytes group-sort instead of a pandas object groupby + string-min
-    aggregate (PyObject comparisons per group made the latter the whole
-    export pipeline's bottleneck: 28 s vs 2.3 s on 580 k partials)."""
+def _groups_from_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Merge (h, min_id, cnt) partial rows into one row per digest group
+    ``(h, keep_id=min id, n=Σcnt)`` — numpy fixed-width-bytes group-sort
+    instead of a pandas object groupby + string-min aggregate (PyObject
+    comparisons per group made the latter the whole export pipeline's
+    bottleneck: 28 s vs 2.3 s on 580 k partials)."""
     if not len(df):
-        return pd.DataFrame({"h": [], "keep_id": []})
+        return pd.DataFrame({"h": [], "keep_id": [], "n": []})
     hb = df["h"].to_numpy().astype("S")     # hex digests — ASCII
     uniq, inv = np.unique(hb, return_inverse=True)
     sums = np.zeros(len(uniq), np.int64)
@@ -584,9 +591,14 @@ def _dup_from_frame(df: pd.DataFrame) -> pd.DataFrame:
     keep_pos = order[firsts]                # min-id row per group
     keep_idx = np.empty(len(uniq), np.int64)
     keep_idx[inv[keep_pos]] = keep_pos
-    sel = keep_idx[sums > 1]
-    return pd.DataFrame({"h": df["h"].to_numpy()[sel],
-                         "keep_id": ids[sel]})
+    return pd.DataFrame({"h": df["h"].to_numpy()[keep_idx],
+                         "keep_id": ids[keep_idx], "n": sums})
+
+
+def _dup_from_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """(h, keep_id) restricted to groups with Σcnt > 1."""
+    g = _groups_from_frame(df)
+    return g[g["n"] > 1][["h", "keep_id"]]
 
 
 def _collect_dup_groups(partials, strategy: str = "auto",

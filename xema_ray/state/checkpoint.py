@@ -451,13 +451,19 @@ def _dedup_digest_shard(path: str, col: str, id_col: str, hash_fn: str,
         # schema-conflict with string-id partials (code-review r3)
         "min_id": pa.array([], type=pf.schema_arrow.field(id_col).type),
         "cnt": pa.array([], type=pa.int64())})
-    # re-reduce shard-locally so the partial is one row per distinct hash
-    import pandas as pd
+    # re-reduce shard-locally so the partial is one row per distinct
+    # hash (vectorized group sort — the pandas object groupby it
+    # replaces was O(PyObject compare) per group)
+    from xema_ray.stages.dedup import _groups_from_frame
 
     df = merged.to_pandas()
-    g = df.groupby("h", sort=False).agg(
-        min_id=("min_id", "min"), cnt=("cnt", "sum")).reset_index()
-    pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+    if len(df):
+        g = _groups_from_frame(df).rename(
+            columns={"keep_id": "min_id", "n": "cnt"})
+        out_tbl = pa.Table.from_pandas(g, preserve_index=False)
+    else:
+        out_tbl = merged  # keeps the typed empty schema
+    pq.write_table(out_tbl, tmp)
     os.replace(tmp, out_file)
     return {"partition": f"partial:{partition_name}",
             "lineage": f"{_lineage(path)}|cfg:{col},{id_col},{hash_fn}",
@@ -584,8 +590,6 @@ def run_exact_dedup(paths: list, out_dir: str, col: str = "text",
 
     partial_files = [os.path.join(out_dir, "partials", part_names[p])
                      for p in paths]
-    from ray.data.aggregate import Min, Sum
-
     partials_ds = rd.read_parquet(partial_files)
     if prior_dirs:
         import glob as _glob
@@ -617,18 +621,31 @@ def run_exact_dedup(paths: list, out_dir: str, col: str = "text",
                 rd.read_parquet(prior_files).map_batches(
                     as_prior, batch_format="pyarrow"))
 
-    merged = partials_ds.groupby("h").aggregate(
-        Min("min_id", alias_name="keep_id"), Sum("cnt", alias_name="n"))
-    dup_rows = merged.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)).select(["h", "keep_id"]),
-        batch_format="pyarrow",
-    ).take_all()
-    dup_rows.sort(key=lambda r: r["h"])
-    dup_h = pa.array([r["h"] for r in dup_rows], type=pa.string())
-    keep_id = pa.array([r["keep_id"] for r in dup_rows])
+    # shard partials are already one row per distinct hash; merge them
+    # via the measured-auto driver / coarse-bucket strategy (stages/
+    # dedup._collect_dup_groups) — not one Ray sort group per digest
+    from xema_ray.functions.sketches import hash_strings
+    from xema_ray.stages.dedup import _collect_dup_groups
+    from xema_ray.stages.shuffle import default_shuffle_buckets
+
+    n_buckets = default_shuffle_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            b = (hash_strings(t["h"].to_pylist()) % n_buckets) \
+                .astype(np.int32)
+        else:
+            b = np.empty(0, dtype=np.int32)
+        return t.append_column("bucket", pa.array(b, type=pa.int32()))
+
+    dup_h, keep_id = _collect_dup_groups(
+        partials_ds.map_batches(add_bucket, batch_format="pyarrow"))
+    pairs = sorted(zip(dup_h.to_pylist(), keep_id.to_pylist()))
+    dup_h = pa.array([p[0] for p in pairs], type=pa.string())
+    keep_id = pa.array([p[1] for p in pairs], type=keep_id.type)
     dup_tbl = pa.table({"h": dup_h, "keep_id": keep_id})
     dup_sig = _hashlib.sha256(
-        ("\n".join(f"{r['h']}={r['keep_id']}" for r in dup_rows)).encode()
+        ("\n".join(f"{h}={k}" for h, k in pairs)).encode()
     ).hexdigest()[:16]
     tmp = os.path.join(out_dir, "dups.parquet.tmp")
     pq.write_table(dup_tbl, tmp)
@@ -652,7 +669,7 @@ def run_exact_dedup(paths: list, out_dir: str, col: str = "text",
     rows = sum(done[f"partial:{part_names[p]}"]["rows"] for p in paths)
     survivors = sum(done[f"clean:{part_names[p]}"]["rows"] for p in paths)
     return DedupSummary(
-        rows=rows, survivors=survivors, dup_groups=len(dup_rows),
+        rows=rows, survivors=survivors, dup_groups=len(dup_h),
         partitions_done=len(new_entries), partitions_skipped=skipped,
         manifest_path=manifest_path,
         clean_dir=os.path.join(out_dir, "clean"))
