@@ -1,0 +1,82 @@
+"""CLI chunk/scrub/sample subcommands (in-process under the session Ray
+fixture, like test_cli_stats)."""
+
+import argparse
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _docs(tmp_path, texts, sources=None):
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": [f"d{i:03d}" for i in range(len(texts))],
+        "text": texts,
+        "source": sources or ["s0"] * len(texts),
+    }), str(d / "part.parquet"))
+    return str(d)
+
+
+def test_cmd_chunk(ray_session, tmp_path, capsys):
+    from xema_ray.__main__ import cmd_chunk
+
+    inp = _docs(tmp_path, ["x" * 250, "short"])
+    out = str(tmp_path / "chunks")
+    cmd_chunk(argparse.Namespace(input=inp, out=out, text_col="text",
+                                 id_col="doc_id", size=100, stride=75,
+                                 num_cpus=4))
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["chunks"] == 4        # 250 chars -> 3 chunks, short -> 1
+    import ray.data as rd
+
+    rows = rd.read_parquet(out).take_all()
+    assert {r["doc_id"] for r in rows} == {"d000", "d001"}
+    assert max(r["chunk_id"] for r in rows) == 2
+
+
+def test_cmd_scrub(ray_session, tmp_path, capsys):
+    from xema_ray.__main__ import cmd_scrub
+
+    inp = _docs(tmp_path, ["mail a@b.io and 10.0.0.1", "clean"])
+    out = str(tmp_path / "scrubbed")
+    cmd_scrub(argparse.Namespace(input=inp, out=out, text_col="text",
+                                 num_cpus=4))
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["n_email"] == 1 and rep["n_ip"] == 1
+    assert rep["n_phone"] == 0 and rep["n_ssn"] == 0
+    import ray.data as rd
+
+    texts = {r["doc_id"]: r["scrubbed"]
+             for r in rd.read_parquet(out).take_all()}
+    assert texts["d000"] == "mail <EMAIL> and <IP>"
+    assert texts["d001"] == "clean"
+
+
+def test_cmd_sample_uniform_and_mixture(ray_session, tmp_path, capsys):
+    from xema_ray.__main__ import cmd_sample
+
+    texts = [f"body {i}" for i in range(300)]
+    sources = ["a"] * 150 + ["b"] * 150
+    inp = _docs(tmp_path, texts, sources)
+
+    out1 = str(tmp_path / "uniform")
+    cmd_sample(argparse.Namespace(
+        input=inp, out=out1, rate=0.3, weights=None, budget=0,
+        default_weight=0.0, strat_col="source", id_col="doc_id",
+        hash_fn="md5", num_cpus=4))
+    n1 = json.loads(capsys.readouterr().out)["rows"]
+    assert 50 < n1 < 130                     # ~90 expected
+
+    out2 = str(tmp_path / "mix")
+    cmd_sample(argparse.Namespace(
+        input=inp, out=out2, rate=0.0, weights='{"a": 1.0}', budget=60,
+        default_weight=0.0, strat_col="source", id_col="doc_id",
+        hash_fn="md5", num_cpus=4))
+    rep = json.loads(capsys.readouterr().out)
+    import ray.data as rd
+
+    rows = rd.read_parquet(out2).take_all()
+    assert all(r["source"] == "a" for r in rows)   # b has weight 0
+    assert rep["rows"] == len(rows) > 0

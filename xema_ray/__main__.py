@@ -132,6 +132,70 @@ def cmd_gen(args):
     print(out)
 
 
+def cmd_chunk(args):
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from xema_ray.stages.chunk import chunk_documents
+
+    ds = chunk_documents(
+        rd.read_parquet(_paths(args.input),
+                        columns=[args.id_col, args.text_col]),
+        text_col=args.text_col, id_col=args.id_col,
+        size=args.size, stride=args.stride)
+    ds.write_parquet(args.out)
+    # count from the written files (metadata read) — not a re-execution
+    print(json.dumps({"chunks": rd.read_parquet(args.out).count(),
+                      "out": args.out}))
+
+
+def cmd_scrub(args):
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from xema_ray.stages.pii import DEFAULT_PII_PATTERNS, pii_scrub
+
+    ds = pii_scrub(rd.read_parquet(_paths(args.input)),
+                   text_col=args.text_col)
+    ds.write_parquet(args.out)
+    # totals from the written output's count columns — one pruned read,
+    # per-batch partials merged on the driver (no pipeline re-execution)
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+
+    cols = [f"n_{name}" for name, _, _ in DEFAULT_PII_PATTERNS]
+
+    def part(t):
+        return pa_.table({c: [pc_.sum(t[c]).as_py() or 0] for c in cols})
+
+    parts = rd.read_parquet(args.out, columns=cols).map_batches(
+        part, batch_format="pyarrow").take_all()
+    totals = {c: int(sum(r[c] for r in parts)) for c in cols}
+    print(json.dumps({"out": args.out, **totals}))
+
+
+def cmd_sample(args):
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from xema_ray.stages.sample import mixture_sample, stratified_sample
+
+    ds = rd.read_parquet(_paths(args.input))
+    if args.weights:
+        weights = json.loads(args.weights)
+        out = mixture_sample(ds, weights, args.budget,
+                             strat_col=args.strat_col, id_col=args.id_col,
+                             default_weight=args.default_weight,
+                             hash_fn=args.hash_fn)
+    else:
+        out = stratified_sample(ds, rates={}, strat_col=args.strat_col,
+                                id_col=args.id_col, default_rate=args.rate,
+                                hash_fn=args.hash_fn)
+    out.write_parquet(args.out)
+    print(json.dumps({"rows": rd.read_parquet(args.out).count(),
+                      "out": args.out}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="xema_ray")
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
@@ -176,6 +240,39 @@ def main(argv=None):
                     help="prior run out_dir (repeatable): incremental dedup "
                          "against its digest partials")
     dd.set_defaults(fn=cmd_dedup)
+
+    c = sub.add_parser("chunk", help="split documents into fixed-size "
+                                     "overlapping windows")
+    c.add_argument("input")
+    c.add_argument("out")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--size", type=int, default=2048)
+    c.add_argument("--stride", type=int, default=1536)
+    c.set_defaults(fn=cmd_chunk)
+
+    sc = sub.add_parser("scrub", help="redact PII (email/SSN/phone/IPv4) "
+                                      "from a text column")
+    sc.add_argument("input")
+    sc.add_argument("out")
+    sc.add_argument("--text-col", default="text")
+    sc.set_defaults(fn=cmd_scrub)
+
+    sm = sub.add_parser(
+        "sample", help="deterministic hash sampling (uniform --rate, or "
+                       "--weights JSON + --budget for domain mixture)")
+    sm.add_argument("input")
+    sm.add_argument("out")
+    sm.add_argument("--rate", type=float, default=0.1)
+    sm.add_argument("--weights", help='JSON dict source->target weight, '
+                                      'e.g. \'{"web":0.6,"code":0.4}\'')
+    sm.add_argument("--budget", type=float, default=1_000_000,
+                    help="target output rows for --weights mode")
+    sm.add_argument("--default-weight", type=float, default=0.0)
+    sm.add_argument("--strat-col", default="source")
+    sm.add_argument("--id-col", default="doc_id")
+    sm.add_argument("--hash-fn", choices=["fast", "md5"], default="fast")
+    sm.set_defaults(fn=cmd_sample)
 
     g = sub.add_parser("gen", help="generate the synthetic sequences corpus")
     g.add_argument("out")

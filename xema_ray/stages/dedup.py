@@ -710,9 +710,13 @@ def _content_hash_partial_from(tbl: pa.Table, h_col: str,
             "min_id": pa.array([], type=tbl[id_col].type),
             "cnt": pa.array([], type=pa.int64()),
         })
-    g = df.groupby("h", sort=False)["id"].agg(["min", "size"]).reset_index()
+    # same vectorized group sort as the global merge — the pandas object
+    # groupby string-min this replaces ran once per BATCH in the hot path
+    df = df.rename(columns={"id": "min_id"})
+    df["cnt"] = 1
+    g = _groups_from_frame(df)
     return pa.table({
         "h": pa.array(g["h"], type=pa.string()),
-        "min_id": pa.Array.from_pandas(g["min"], type=tbl[id_col].type),
-        "cnt": pa.array(g["size"].to_numpy(dtype=np.int64), type=pa.int64()),
+        "min_id": pa.Array.from_pandas(g["keep_id"], type=tbl[id_col].type),
+        "cnt": pa.array(g["n"].to_numpy(dtype=np.int64), type=pa.int64()),
     })
