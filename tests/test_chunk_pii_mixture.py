@@ -220,3 +220,34 @@ def test_mixture_sample_fast_lane(ray_session):
                          counts={"x": 250, "y": 250}).take_all()
     assert all(r["source"] == "x" for r in out)
     assert 10 < len(out) < 90       # ~50 expected of 250 at rate 0.2
+
+
+# ------------------------------------------------------- filter pipeline
+
+def test_doc_filter_pipeline_gates_and_null_text(ray_session, tmp_path):
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from xema_ray.pipelines.queries import QUERIES
+
+    # a passing doc: 50 distinct 7-letter words + 2 stopwords
+    words = ["".join(c) * 2 + "x" for c in
+             itertools.islice(itertools.product("abcdefgh", repeat=3), 50)]
+    good = " ".join(words[:25] + ["the"] + words[25:] + ["the"])
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [good,
+                 None,                          # null text → dropped
+                 "spam " * 60,                  # top-word 100% → dropped
+                 "a b"],                        # too short → dropped
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": [len(good), 0, 300, 3],
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = QUERIES["doc_filter_pipeline"].fn(str(tmp_path)).take_all()
+    assert [r["doc_id"] for r in out] == [1]
+    r = out[0]
+    assert r["n_words"] == 52 and r["dup2_m"] == 0
+    assert r["alpha_m"] > 750000 and r["top_word_m"] < 120000

@@ -1837,3 +1837,89 @@ def doc_mixture_sample(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
     return mixture_sample(ds, {"src0": 0.5, "src1": 0.25}, 200.0,
                           default_weight=0.25 / 18, hash_fn="md5")
+
+
+@register(
+    "doc_filter_pipeline",
+    """WITH q AS (SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+           AS n_words,
+       CAST(floor(1e6 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / greatest(length(text), 1)) AS BIGINT) AS alpha_m,
+       CAST(floor(1e6 * len(regexp_extract_all(lower(text),
+          '\\b(the|and|of|to|in|is|that|it|for|was|with|as|his|on|be|at|by|this|had|not)\\b'))
+          / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1))
+            AS BIGINT) AS stopword_m
+      FROM documents),
+    w AS (
+      SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+      FROM (SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')),
+                   '[a-z0-9]+') AS ws FROM documents)
+    ), wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1,2),
+    tw AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM wc GROUP BY 1),
+    g AS (SELECT doc_id, word || ' ' || lead(word)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS gram FROM w),
+    tg AS (SELECT doc_id, count(*) AS ntot, count(DISTINCT gram) AS nd
+           FROM g WHERE gram IS NOT NULL GROUP BY 1),
+    r AS (SELECT d.doc_id AS doc_id,
+      CAST(coalesce(floor(1e6*mx/tot), 0) AS BIGINT) AS top_word_m,
+      CAST(coalesce(floor(1e6*(ntot-nd)/ntot), 0) AS BIGINT) AS dup2_m
+     FROM documents d LEFT JOIN tw ON d.doc_id=tw.doc_id
+                      LEFT JOIN tg ON d.doc_id=tg.doc_id)
+    SELECT q.doc_id AS doc_id, n_words, alpha_m, stopword_m,
+           top_word_m, dup2_m
+    FROM q JOIN r ON q.doc_id = r.doc_id
+    WHERE n_words >= 40 AND alpha_m > 750000 AND stopword_m >= 20000
+      AND top_word_m < 120000 AND dup2_m < 60000""",
+    doc="THE DOCUMENT-FILTER USER STORY in one streaming actor-pool "
+        "pass, no shuffle: length gate + quality ratios (Arrow RE2 "
+        "kernels) + Gopher-style repetition gates (explode/factorize/"
+        "scatter) computed per batch and fused into a single keep mask; "
+        "survivors carry their signals for auditability",
+)
+def doc_filter_pipeline(sf_dir: str):
+    from xema_ray.stages.text import RepetitionSignals
+
+    class Filter:
+        """Actor-pool stage: all signals + the keep decision per batch."""
+
+        def __init__(self):
+            self.rep = RepetitionSignals()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            text = t["text"]
+            n_words = pc.cast(pc.count_substring_regex(
+                text, pattern=r"[A-Za-z0-9]+"), pa.int64())
+            denom = pc.max_element_wise(
+                pc.cast(pc.utf8_length(text), pa.float64()), 1.0)
+            n_alpha = pc.cast(pc.count_substring_regex(
+                text, pattern=r"[A-Za-z]"), pa.float64())
+            alpha_m = pc.cast(pc.floor(pc.multiply(
+                pc.divide(n_alpha, denom), 1e6)), pa.int64())
+            wden = pc.max_element_wise(pc.cast(n_words, pa.float64()), 1.0)
+            n_stop = pc.cast(pc.count_substring_regex(
+                pc.utf8_lower(text),
+                pattern=r"\b(the|and|of|to|in|is|that|it|for|was|with|as|"
+                        r"his|on|be|at|by|this|had|not)\b"), pa.float64())
+            stopword_m = pc.cast(pc.floor(pc.multiply(
+                pc.divide(n_stop, wden), 1e6)), pa.int64())
+            rep = self.rep(t.select(["doc_id", "text"]).to_pandas())
+            top_word_m = pa.array(rep["top_word_m"].to_numpy(),
+                                  type=pa.int64())
+            dup2_m = pa.array(rep["dup2_m"].to_numpy(), type=pa.int64())
+            keep = pc.and_kleene(
+                pc.and_kleene(pc.greater_equal(n_words, 40),
+                              pc.greater(alpha_m, 750000)),
+                pc.and_kleene(
+                    pc.greater_equal(stopword_m, 20000),
+                    pc.and_(pc.less(top_word_m, 120000),
+                            pc.less(dup2_m, 60000))))
+            out = pa.table({
+                "doc_id": t["doc_id"], "n_words": n_words,
+                "alpha_m": alpha_m, "stopword_m": stopword_m,
+                "top_word_m": top_word_m, "dup2_m": dup2_m,
+            })
+            return out.filter(pc.fill_null(keep, False))
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        Filter, batch_format="pyarrow", concurrency=(1, 8))
