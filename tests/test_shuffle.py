@@ -154,3 +154,44 @@ def test_hash_strings_pandas_fallback_lane():
             assert (sk.hash_strings(vals, seed=7) != h_all).any()
         finally:
             sk._pl = saved
+
+
+def test_deterministic_shuffle_fast_lane(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.shuffle import deterministic_shuffle
+
+    tbl = pa.table({"doc_id": [f"d{i}" for i in range(400)],
+                    "payload": list(range(400))})
+    out = deterministic_shuffle(rd.from_arrow(tbl), shards=8,
+                                hash_fn="fast").take_all()
+    assert len(out) == 400
+    # positions are 0..n_s-1 within each shard; payload rides along
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(8)) and len(by_shard) > 1
+    for rows in by_shard.values():
+        assert sorted(r["pos"] for r in rows) == list(range(len(rows)))
+    # reproducible: identical assignment on rerun
+    out2 = deterministic_shuffle(rd.from_arrow(tbl), shards=8,
+                                 hash_fn="fast").take_all()
+    k1 = sorted((r["doc_id"], r["shard"], r["pos"]) for r in out)
+    k2 = sorted((r["doc_id"], r["shard"], r["pos"]) for r in out2)
+    assert k1 == k2
+    # order within a shard is decorrelated from input order
+    big = max(by_shard.values(), key=len)
+    ordered = [r["payload"] for r in sorted(big, key=lambda r: r["pos"])]
+    assert ordered != sorted(ordered)
+
+
+def test_deterministic_shuffle_md5_requires_16_shards(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.shuffle import deterministic_shuffle
+
+    with pytest.raises(ValueError):
+        deterministic_shuffle(rd.from_arrow(pa.table({"doc_id": [1]})),
+                              shards=8, hash_fn="md5")

@@ -1923,3 +1923,31 @@ def doc_filter_pipeline(sf_dir: str):
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         Filter, batch_format="pyarrow", concurrency=(1, 8))
+
+
+@register(
+    "doc_shuffle_export",
+    """WITH s AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+                  FROM documents),
+    a AS (SELECT doc_id, h,
+            CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+                 AS BIGINT) AS shard
+          FROM s)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                - 1 AS BIGINT) AS pos
+    FROM a""",
+    doc="deterministic global shuffle for training export: shard = "
+        "hash(id) nibble, pos = rank within shard by hash order — "
+        "reproducible on every rerun (what random_shuffle is not), one "
+        "grouping exchange, per-shard sort bounded by shard size",
+)
+def doc_shuffle_export(sf_dir: str):
+    from xema_ray.stages.shuffle import deterministic_shuffle
+
+    out = deterministic_shuffle(
+        _read(sf_dir, "documents", ["doc_id"]), id_col="doc_id",
+        shards=16, hash_fn="md5")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "shard", "pos"]),
+        batch_format="pyarrow")

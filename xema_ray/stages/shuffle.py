@@ -137,3 +137,56 @@ def add_hash_bucket(ds, key: str, buckets: int, out_col: str = "bucket"):
         return tbl.append_column(out_col, pa.array(h.astype(np.int32)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def deterministic_shuffle(ds, id_col: str = "doc_id", shards: int = 16,
+                          hash_fn: str = "fast", seed: int = 0):
+    """Reproducible global shuffle for training exports: every row gets
+    ``shard = hash(id) % shards`` and ``pos`` = its rank within the
+    shard by hash order — output order is decorrelated from input order
+    yet identical on every rerun (unlike ``Dataset.random_shuffle``,
+    which is neither deterministic nor cheap: it moves whole payloads
+    through a full exchange; here only the grouping exchange moves
+    rows, once).
+
+    One ``groupby(shard)`` exchange; the per-shard sort is bounded by
+    shard size, so size ``shards`` ≈ corpus_rows / target_shard_rows at
+    scale.  ``hash_fn="md5"`` derives the shard from the digest's first
+    hex nibble (16 shards, fixed) and is SQL-recomputable; ``"fast"``
+    is the vectorized xxhash lane with any shard count.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    if hash_fn == "md5" and shards != 16:
+        raise ValueError("md5 mode derives shards from the first hex "
+                         "nibble: shards must be 16")
+
+    def assign(t: pa.Table) -> pa.Table:
+        from xema_ray.functions.sketches import hash_strings
+
+        ids = t[id_col].to_pylist()
+        if hash_fn == "md5":
+            hs = [hashlib.md5(str(v).encode()).hexdigest()
+                  if v is not None else None for v in ids]
+            shard = np.array([int(h[0], 16) if h else -1 for h in hs],
+                             dtype=np.int32)
+            key = pa.array(hs, type=pa.string())
+        else:
+            h = hash_strings([str(v) if v is not None else "" for v in ids],
+                             seed=seed)
+            shard = (h % np.uint64(shards)).astype(np.int32)
+            key = pa.array([f"{x:016x}" for x in h], type=pa.string())
+        t = t.append_column("_sk", key)
+        t = t.append_column("shard", pa.array(shard, type=pa.int64()))
+        return t.filter(pa.array(shard >= 0))
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_sk", id_col], kind="stable") \
+            .reset_index(drop=True)
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        return g.drop(columns=["_sk"])
+
+    return ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("shard").map_groups(rank, batch_format="pandas")
