@@ -289,3 +289,69 @@ def test_run_exact_dedup_incremental_against_prior(ray_session, tmp_path):
     clean = pq.read_table(os.path.join(out, "clean", "n0.parquet"))
     assert clean["doc_id"].to_pylist() == [11]  # first "delta" only
     assert s.survivors == 1
+
+
+def test_run_map_shards_resume_and_config_invalidation(ray_session, tmp_path):
+    from functools import partial
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xema_ray.stages.chunk import chunk_batch
+    from xema_ray.state.checkpoint import run_map_shards
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    for i in range(3):
+        pq.write_table(pa.table({
+            "doc_id": [f"{i}-{j}" for j in range(5)],
+            "text": ["y" * (40 * j) for j in range(5)],
+        }), str(ind / f"shard-{i}.parquet"))
+    paths = sorted(str(p) for p in ind.glob("*.parquet"))
+    out = str(tmp_path / "out")
+    fn = partial(chunk_batch, size=64, stride=48)
+
+    s1 = run_map_shards(paths, out, fn, cfg_sig="c:64:48")
+    assert s1.partitions_done == 3 and s1.partitions_skipped == 0
+    assert s1.rows_in == 15 and s1.rows_out > 15
+
+    # resume: nothing changed → all skipped, totals intact
+    s2 = run_map_shards(paths, out, fn, cfg_sig="c:64:48")
+    assert s2.partitions_done == 0 and s2.partitions_skipped == 3
+    assert s2.rows_out == s1.rows_out
+
+    # touch one input shard → only that shard recomputes
+    t = pq.read_table(paths[1])
+    pq.write_table(t, paths[1])
+    s3 = run_map_shards(paths, out, fn, cfg_sig="c:64:48")
+    assert s3.partitions_done == 1 and s3.partitions_skipped == 2
+
+    # config change invalidates everything
+    s4 = run_map_shards(paths, out, partial(chunk_batch, size=32, stride=24),
+                        cfg_sig="c:32:24")
+    assert s4.partitions_done == 3 and s4.rows_out > s1.rows_out
+
+
+def test_run_map_shards_empty_shard_keeps_schema(ray_session, tmp_path):
+    from functools import partial
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xema_ray.stages.chunk import chunk_batch
+    from xema_ray.state.checkpoint import run_map_shards
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([], type=pa.string()),
+                             "text": pa.array([], type=pa.string())}),
+                   str(ind / "empty.parquet"))
+    out = str(tmp_path / "out")
+    s = run_map_shards([str(ind / "empty.parquet")], out,
+                       partial(chunk_batch, size=10, stride=5),
+                       cfg_sig="c")
+    assert s.rows_in == 0 and s.rows_out == 0
+    t = pq.read_table(str(tmp_path / "out" / "shards" / "empty.parquet"))
+    assert t.num_rows == 0
+    assert set(t.schema.names) == {"doc_id", "chunk_id", "chunk_text",
+                                   "chunk_len"}

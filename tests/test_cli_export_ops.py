@@ -19,21 +19,28 @@ def _docs(tmp_path, texts, sources=None):
     return str(d)
 
 
-def test_cmd_chunk(ray_session, tmp_path, capsys):
+def test_cmd_chunk_and_resume(ray_session, tmp_path, capsys):
     from xema_ray.__main__ import cmd_chunk
 
     inp = _docs(tmp_path, ["x" * 250, "short"])
     out = str(tmp_path / "chunks")
-    cmd_chunk(argparse.Namespace(input=inp, out=out, text_col="text",
-                                 id_col="doc_id", size=100, stride=75,
-                                 num_cpus=4))
+    ns = argparse.Namespace(input=inp, out=out, text_col="text",
+                            id_col="doc_id", size=100, stride=75,
+                            num_cpus=4)
+    cmd_chunk(ns)
     rep = json.loads(capsys.readouterr().out)
-    assert rep["chunks"] == 4        # 250 chars -> 3 chunks, short -> 1
+    assert rep["rows_out"] == 4      # 250 chars -> 3 chunks, short -> 1
+    assert rep["partitions_done"] == 1 and rep["partitions_skipped"] == 0
     import ray.data as rd
 
-    rows = rd.read_parquet(out).take_all()
+    rows = rd.read_parquet(out + "/shards").take_all()
     assert {r["doc_id"] for r in rows} == {"d000", "d001"}
     assert max(r["chunk_id"] for r in rows) == 2
+    # unchanged input + config resumes by skipping the shard
+    cmd_chunk(ns)
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["partitions_skipped"] == 1 and rep2["partitions_done"] == 0
+    assert rep2["rows_out"] == 4     # totals survive from the manifest
 
 
 def test_cmd_scrub(ray_session, tmp_path, capsys):
@@ -49,7 +56,7 @@ def test_cmd_scrub(ray_session, tmp_path, capsys):
     import ray.data as rd
 
     texts = {r["doc_id"]: r["scrubbed"]
-             for r in rd.read_parquet(out).take_all()}
+             for r in rd.read_parquet(out + "/shards").take_all()}
     assert texts["d000"] == "mail <EMAIL> and <IP>"
     assert texts["d001"] == "clean"
 

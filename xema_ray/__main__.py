@@ -134,30 +134,37 @@ def cmd_gen(args):
 
 def cmd_chunk(args):
     _init_ray(args.num_cpus)
-    import ray.data as rd
+    import dataclasses
+    from functools import partial
 
-    from xema_ray.stages.chunk import chunk_documents
+    from xema_ray.stages.chunk import chunk_batch
+    from xema_ray.state.checkpoint import run_map_shards
 
-    ds = chunk_documents(
-        rd.read_parquet(_paths(args.input),
-                        columns=[args.id_col, args.text_col]),
-        text_col=args.text_col, id_col=args.id_col,
-        size=args.size, stride=args.stride)
-    ds.write_parquet(args.out)
-    # count from the written files (metadata read) — not a re-execution
-    print(json.dumps({"chunks": rd.read_parquet(args.out).count(),
-                      "out": args.out}))
+    summary = run_map_shards(
+        _paths(args.input), args.out,
+        partial(chunk_batch, text_col=args.text_col, id_col=args.id_col,
+                size=args.size, stride=args.stride),
+        columns=[args.id_col, args.text_col],
+        cfg_sig=f"chunk:{args.text_col}:{args.id_col}:"
+                f"{args.size}:{args.stride}")
+    print(json.dumps(dataclasses.asdict(summary)))
 
 
 def cmd_scrub(args):
     _init_ray(args.num_cpus)
+    import dataclasses
+    from functools import partial
+
     import ray.data as rd
 
-    from xema_ray.stages.pii import DEFAULT_PII_PATTERNS, pii_scrub
+    from xema_ray.stages.pii import DEFAULT_PII_PATTERNS, scrub_batch
+    from xema_ray.state.checkpoint import run_map_shards
 
-    ds = pii_scrub(rd.read_parquet(_paths(args.input)),
-                   text_col=args.text_col)
-    ds.write_parquet(args.out)
+    pat_sig = ",".join(name for name, _, _ in DEFAULT_PII_PATTERNS)
+    summary = run_map_shards(
+        _paths(args.input), args.out,
+        partial(scrub_batch, text_col=args.text_col),
+        cfg_sig=f"scrub:{args.text_col}:{pat_sig}")
     # totals from the written output's count columns — one pruned read,
     # per-batch partials merged on the driver (no pipeline re-execution)
     import pyarrow as pa_
@@ -168,10 +175,11 @@ def cmd_scrub(args):
     def part(t):
         return pa_.table({c: [pc_.sum(t[c]).as_py() or 0] for c in cols})
 
-    parts = rd.read_parquet(args.out, columns=cols).map_batches(
+    parts = rd.read_parquet(os.path.join(args.out, "shards"),
+                            columns=cols).map_batches(
         part, batch_format="pyarrow").take_all()
     totals = {c: int(sum(r[c] for r in parts)) for c in cols}
-    print(json.dumps({"out": args.out, **totals}))
+    print(json.dumps({**dataclasses.asdict(summary), **totals}))
 
 
 def cmd_sample(args):

@@ -673,3 +673,119 @@ def run_exact_dedup(paths: list, out_dir: str, col: str = "text",
         partitions_done=len(new_entries), partitions_skipped=skipped,
         manifest_path=manifest_path,
         clean_dir=os.path.join(out_dir, "clean"))
+
+
+# ----------------------------------------------------------------------
+# generic checkpointed per-shard map (chunk / scrub / any 1:1 shard stage)
+# ----------------------------------------------------------------------
+
+
+@dataclass
+class MapSummary:
+    rows_in: int
+    rows_out: int
+    partitions_done: int
+    partitions_skipped: int
+    manifest_path: str
+    out_dir: str
+
+
+def _map_shard(path: str, batch_fn, columns, out_file: str,
+               partition_name: str, cfg_sig: str, batch_rows: int) -> dict:
+    """Apply ``batch_fn(pa.Table) -> pa.Table`` to one shard, write the
+    output shard atomically, return the manifest entry.  One Ray task
+    per shard; same mmap/single-threaded-Arrow discipline as
+    ``_validate_shard``."""
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
+    try:
+        source = pa.memory_map(path)
+    except OSError:
+        source = path
+    pf = pq.ParquetFile(source)
+    writer = None
+    rows_in = rows_out = 0
+    os.makedirs(os.path.dirname(out_file), exist_ok=True)
+    tmp = out_file + ".tmp"
+    try:
+        for batch in pf.iter_batches(batch_size=batch_rows,
+                                     use_threads=False, columns=columns):
+            tbl = pa.Table.from_batches([batch])
+            rows_in += tbl.num_rows
+            out = batch_fn(tbl)
+            rows_out += out.num_rows
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, out.schema)
+            writer.write_table(out)
+        if writer is None:
+            # empty shard: preserve the output schema by probing with an
+            # empty table of the input schema
+            empty_cols = columns or pf.schema_arrow.names
+            probe = pa.table({
+                n: pa.array([], type=pf.schema_arrow.field(n).type)
+                for n in empty_cols})
+            out = batch_fn(probe)
+            writer = pq.ParquetWriter(tmp, out.schema)
+            writer.write_table(out)
+    finally:
+        if writer is not None:
+            writer.close()
+    os.replace(tmp, out_file)
+    return {"partition": partition_name,
+            "lineage": f"{_lineage(path)}|cfg:{cfg_sig}",
+            "out_file": out_file, "rows": rows_in, "rows_out": rows_out}
+
+
+def run_map_shards(paths: list, out_dir: str, batch_fn, columns=None,
+                   cfg_sig: str = "", batch_rows: int = 16384) -> MapSummary:
+    """Checkpointed 1-shard-in → 1-shard-out map stage: one Ray task per
+    shard, atomic per-shard output under ``<out_dir>/shards/``, manifest
+    entries appended as tasks finish, and resume that skips shards whose
+    input lineage (size + mtime_ns) AND config signature are unchanged.
+    The reusable runner behind CLI ``chunk``/``scrub`` — the task
+    brief's "resumable output" requirement for every export stage, not
+    just validation/dedup.
+
+    ``batch_fn`` must be picklable (a top-level function or a bound
+    stage kernel); ``cfg_sig`` should encode every parameter that
+    changes the output so a config change invalidates old shards.
+    """
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    done = load_manifest(out_dir)
+    part_names = _partition_names(paths)
+
+    task = ray.remote(_map_shard)
+    pending, skipped = [], 0
+    for p in paths:
+        e = done.get(part_names[p])
+        lineage = f"{_lineage(p)}|cfg:{cfg_sig}"
+        if e and e["lineage"] == lineage \
+                and os.path.exists(e.get("out_file", "")):
+            skipped += 1
+        else:
+            pending.append(p)
+    refs = [task.remote(p, batch_fn, columns,
+                        os.path.join(out_dir, "shards", part_names[p]),
+                        part_names[p], cfg_sig, batch_rows)
+            for p in pending]
+    new_entries = []
+    with open(manifest_path, "a") as mf:
+        remaining = list(refs)
+        while remaining:
+            ready, remaining = ray.wait(
+                remaining, num_returns=min(8, len(remaining)))
+            for entry in ray.get(ready):
+                mf.write(json.dumps(entry) + "\n")
+                new_entries.append(entry)
+                done[entry["partition"]] = entry
+            mf.flush()
+
+    rows_in = sum(done[part_names[p]]["rows"] for p in paths)
+    rows_out = sum(done[part_names[p]].get("rows_out", 0) for p in paths)
+    return MapSummary(rows_in=rows_in, rows_out=rows_out,
+                      partitions_done=len(new_entries),
+                      partitions_skipped=skipped,
+                      manifest_path=manifest_path, out_dir=out_dir)
