@@ -251,3 +251,45 @@ def test_doc_filter_pipeline_gates_and_null_text(ray_session, tmp_path):
     r = out[0]
     assert r["n_words"] == 52 and r["dup2_m"] == 0
     assert r["alpha_m"] > 750000 and r["top_word_m"] < 120000
+
+
+# -------------------------------------------------------- token chunking
+
+def test_token_chunk_batch_matches_naive():
+    from xema_ray.stages.chunk import token_chunk_batch
+
+    rng = np.random.default_rng(3)
+    lists = [list(map(int, rng.integers(0, 1000, n)))
+             for n in [0, 1, 9, 10, 11, 25, 47]] + [None]
+    tbl = pa.table({"doc_id": [f"d{i}" for i in range(8)],
+                    "tokens": pa.array(lists, type=pa.list_(pa.int32()))})
+    out = token_chunk_batch(tbl, size=10, stride=7).to_pandas()
+    assert "d7" not in set(out["doc_id"])          # null list dropped
+    for i, toks in enumerate(lists[:-1]):
+        rows = out[out.doc_id == f"d{i}"].sort_values("chunk_id")
+        expect = [toks[k * 7: k * 7 + 10]
+                  for k in range(1 if len(toks) <= 10
+                                 else -(-(len(toks) - 10) // 7) + 1)]
+        assert list(rows["n_chunk"]) == [len(c) for c in expect]
+        assert list(rows["tok_sum"]) == [sum(c) for c in expect]
+
+
+def test_token_chunk_payload_roundtrip(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.chunk import chunk_sequences
+
+    toks = list(range(100))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": ["a"],
+        "tokens": pa.array([toks], type=pa.list_(pa.int32()))}))
+    rows = []
+    for b in chunk_sequences(ds, size=40, stride=30, with_payload=True) \
+            .iter_batches(batch_format="pyarrow"):
+        rows.extend(b.to_pylist())
+    rows.sort(key=lambda r: r["chunk_id"])
+    # overlapped windows reconstruct the original stream
+    rebuilt = list(rows[0]["chunk_tokens"])
+    for r in rows[1:]:
+        rebuilt.extend(r["chunk_tokens"][40 - 30:])
+    assert rebuilt == toks

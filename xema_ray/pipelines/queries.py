@@ -1951,3 +1951,31 @@ def doc_shuffle_export(sf_dir: str):
     return out.map_batches(
         lambda t: t.select(["doc_id", "shard", "pos"]),
         batch_format="pyarrow")
+
+
+@register(
+    "seq_token_chunks",
+    f"""{_SEQ_CTE},
+    k AS (SELECT doc_id, tokens,
+            unnest(generate_series(0, CASE WHEN len(tokens) <= 256 THEN 0
+                 ELSE CAST(ceil((len(tokens) - 256) / 192.0) AS INT) END))
+                AS chunk_id
+          FROM seq WHERE tokens IS NOT NULL)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(tokens, chunk_id*192 + 1, chunk_id*192 + 256))
+                AS BIGINT) AS n_chunk,
+           CAST(coalesce(list_sum(list_slice(tokens, chunk_id*192 + 1,
+                chunk_id*192 + 256)), 0) AS BIGINT) AS tok_sum
+    FROM k""",
+    doc="TOKEN-level context-length chunking over the list<int32> "
+        "column (size 256, stride 192 — 64-token overlap): one "
+        "list_slice kernel per chunk ordinal, window checksums via "
+        "cumsum differences; null token lists dropped; streaming "
+        "explode, no shuffle",
+)
+def seq_token_chunks(sf_dir: str):
+    from xema_ray.stages.chunk import chunk_sequences
+
+    return chunk_sequences(
+        _read_seq(sf_dir, columns=["doc_id", "tokens"], split=True),
+        size=256, stride=192)

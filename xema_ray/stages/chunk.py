@@ -73,6 +73,77 @@ def chunk_batch(tbl: pa.Table, text_col: str = "text",
     return pa.concat_tables(pieces)
 
 
+def token_chunk_batch(tbl: pa.Table, tokens_col: str = "tokens",
+                      id_col: str = "doc_id", size: int = 256,
+                      stride: int = 192,
+                      with_payload: bool = False) -> pa.Table:
+    """Token-level context-length chunking over a ``list<int>`` column —
+    the actual LLM preprocessing op (``chunk_batch`` is its char-level
+    sibling).  Rows with a null token list are dropped (no defined
+    chunks).  Emits ``(id, chunk_id, n_chunk, tok_sum)`` per window —
+    ``tok_sum`` is the window's token sum, a cheap cross-engine
+    checksum of the slice content; ``with_payload=True`` adds the
+    sliced token list itself (``chunk_tokens``) for real exports.
+
+    Vectorized over chunk ordinals: one ``list_slice`` kernel per
+    ordinal; window sums via one cumulative-sum difference per ordinal
+    (safe for empty windows, unlike ``reduceat``).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    tbl = tbl.filter(pc.is_valid(tbl[tokens_col]))
+    lens = pc.list_value_length(tbl[tokens_col]) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = n_chunks_for_lengths(lens, size, stride)
+    max_k = int(counts.max()) if len(counts) else 0
+    pieces = []
+    for k in range(max_k):
+        mask = pa.array(counts > k)
+        sub = tbl.filter(mask)
+        sl = pc.list_slice(sub[tokens_col], start=k * stride,
+                           stop=k * stride + size)
+        ln = pc.list_value_length(sl).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(sl).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(flat)])
+        offs = np.concatenate([[0], np.cumsum(ln)[:-1]])
+        sums = cs[offs + ln] - cs[offs]
+        cols = {
+            id_col: sub[id_col],
+            "chunk_id": pa.array(np.full(len(ln), k, dtype=np.int64)),
+            "n_chunk": pa.array(ln, type=pa.int64()),
+            "tok_sum": pa.array(sums, type=pa.int64()),
+        }
+        if with_payload:
+            cols["chunk_tokens"] = sl
+        pieces.append(pa.table(cols))
+    if not pieces:
+        cols = {
+            id_col: tbl[id_col],
+            "chunk_id": pa.array([], type=pa.int64()),
+            "n_chunk": pa.array([], type=pa.int64()),
+            "tok_sum": pa.array([], type=pa.int64()),
+        }
+        if with_payload:
+            cols["chunk_tokens"] = tbl[tokens_col]
+        return pa.table(cols)
+    return pa.concat_tables(pieces)
+
+
+def chunk_sequences(ds, tokens_col: str = "tokens", id_col: str = "doc_id",
+                    size: int = 256, stride: int = 192,
+                    with_payload: bool = False):
+    """Dataset → token-window rows (streaming explode, no shuffle)."""
+    return ds.map_batches(
+        lambda t: token_chunk_batch(t, tokens_col=tokens_col,
+                                    id_col=id_col, size=size,
+                                    stride=stride,
+                                    with_payload=with_payload),
+        batch_format="pyarrow",
+    )
+
+
 def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
                     size: int = 120, stride: int = 90):
     """Dataset → chunk rows.  Pure streaming explode; at 100 TB the only
