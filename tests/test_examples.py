@@ -14,6 +14,7 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ("corpus_quickstart.py", "manifest:"),
     ("training_data_pipeline.py", "near-dup pairs:"),
     ("validate_documents.py", None),
+    ("export_pipeline.py", "chunks_exported"),
 ])
 def test_example_runs(script, needle):
     out = subprocess.run(
