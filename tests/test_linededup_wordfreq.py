@@ -1,0 +1,150 @@
+"""Round-3 additions: cross-corpus line dedup, corpus-frequency scoring,
+label centroid sums, CSV source round-trip."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+# ----------------------------------------------------------------------
+# line dedup
+# ----------------------------------------------------------------------
+
+
+def test_segment_batch_fixed_width_lines():
+    from xema_ray.stages.linededup import _segment_batch
+
+    texts = pd.Series(["a b c d e f", "", "x y"])
+    rows, line_no, lines = _segment_batch(texts, words_per_line=4)
+    assert list(rows) == [0, 0, 2]
+    assert list(line_no) == [0, 1, 0]
+    assert list(lines) == ["a b c d", "e f", "x y"]
+
+
+def test_line_dedup_removes_cross_doc_lines(ray_session):
+    from xema_ray.stages.linededup import line_dedup
+
+    boiler = "all rights reserved legal footer"
+    ds = _docs_ds({
+        "doc_id": [1, 2, 3],
+        "text": [f"unique alpha text here {boiler}",
+                 f"different beta words now {boiler}",
+                 "totally fresh gamma content stands alone"],
+    })
+    out = {r["doc_id"]: r for r in
+           line_dedup(ds, words_per_line=5, max_docs=1).take_all()}
+    # the shared 5-word boilerplate line is dropped from docs 1 and 2
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 1
+    assert out[2]["n_kept"] == 1
+    assert boiler not in out[1]["clean_text"]
+    assert out[3]["n_kept"] == out[3]["n_lines"] == 2
+    assert "totally fresh gamma content stands" in out[3]["clean_text"]
+
+
+def test_line_dedup_within_doc_repeat_kept(ray_session):
+    """A line repeated INSIDE one doc counts that doc once (count
+    DISTINCT doc semantics) — it survives when no other doc has it."""
+    from xema_ray.stages.linededup import line_dedup
+
+    ds = _docs_ds({"doc_id": [1],
+                   "text": "same two same two other words"})
+    row = line_dedup(ds, words_per_line=2, max_docs=1).take_all()[0]
+    assert row["n_lines"] == 3 and row["n_kept"] == 3
+
+
+def test_line_dedup_groupby_strategy_matches_driver(ray_session):
+    from xema_ray.stages.linededup import line_dedup
+
+    rows = {"doc_id": list(range(20)),
+            "text": ["common shared boiler line here unique%d word" % i
+                     for i in range(20)]}
+    a = sorted(line_dedup(_docs_ds(rows), words_per_line=5, max_docs=1,
+                          strategy="driver").take_all(),
+               key=lambda r: r["doc_id"])
+    b = sorted(line_dedup(_docs_ds(rows), words_per_line=5, max_docs=1,
+                          strategy="groupby").take_all(),
+               key=lambda r: r["doc_id"])
+    assert a == b
+    assert all(r["n_kept"] == r["n_lines"] - 1 for r in a)
+
+
+# ----------------------------------------------------------------------
+# word-frequency scoring
+# ----------------------------------------------------------------------
+
+
+def test_global_word_counts(ray_session):
+    from xema_ray.stages.text import global_word_counts
+
+    ds = _docs_ds({"doc_id": [1, 2], "text": ["a a b", "b c"]})
+    words, counts = global_word_counts(ds)
+    assert [w.decode() for w in words] == ["a", "b", "c"]
+    assert list(counts) == [2, 2, 1]
+
+
+def test_word_freq_scores(ray_session):
+    from xema_ray.stages.text import word_freq_scores
+
+    ds = _docs_ds({"doc_id": [1, 2],
+                   "text": ["common common rare1", "common rare2"]})
+    out = {r["doc_id"]: r
+           for r in word_freq_scores(ds, rare_below=2).take_all()}
+    # 'common' count 3; rare1/rare2 count 1 (<2 -> rare)
+    assert out[1]["n_words"] == 3 and out[1]["sum_wc"] == 3 + 3 + 1
+    assert out[1]["n_rare"] == 1
+    assert out[1]["rare_m"] == int(np.floor(1e6 / 3))
+    assert out[2]["sum_wc"] == 4 and out[2]["n_rare"] == 1
+
+
+# ----------------------------------------------------------------------
+# label centroid sums
+# ----------------------------------------------------------------------
+
+
+def test_label_centroid_sums(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.stats import label_centroid_sums
+
+    tbl = pa.table({
+        "label": pa.array([0, 0, 1], type=pa.int32()),
+        "embedding": pa.array([[0.5, -0.25], [0.5, 0.75], [1.0, 2.0]],
+                              type=pa.list_(pa.float32())),
+    })
+    out = label_centroid_sums(rd.from_arrow(tbl)).to_pandas()
+    out = out.set_index(["label", "dim"])
+    # floor(1e6*0.5)+floor(1e6*0.5) = 1_000_000
+    assert out.loc[(0, 1), "s_m"] == 1_000_000 and out.loc[(0, 1), "n"] == 2
+    # floor(-250000.0) = -250000 exactly; + 750000
+    assert out.loc[(0, 2), "s_m"] == 500_000
+    assert out.loc[(1, 1), "s_m"] == 1_000_000 and out.loc[(1, 1), "n"] == 1
+
+
+# ----------------------------------------------------------------------
+# CSV source
+# ----------------------------------------------------------------------
+
+
+def test_csv_mirror_roundtrip(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from xema_ray.sources.csvfile import mirror_documents_csv, read_csv
+
+    src = tmp_path / "docs.parquet"
+    texts = ['plain words', 'with, comma', 'quoted "inner" text',
+             "multi  space"]
+    pq.write_table(pa.table({"doc_id": [1, 2, 3, 4], "text": texts}),
+                   str(src))
+    out = str(tmp_path / "docs.csv")
+    mirror_documents_csv(str(src), out)
+    got = read_csv(out).take_all()
+    assert [r["text"] for r in got] == texts
+    # idempotent second call (marker short-circuit)
+    assert mirror_documents_csv(str(src), out) == out

@@ -1979,3 +1979,116 @@ def seq_token_chunks(sf_dir: str):
     return chunk_sequences(
         _read_seq(sf_dir, columns=["doc_id", "tokens"], split=True),
         size=256, stride=192)
+
+
+@register(
+    "doc_line_dedup",
+    """WITH w AS (SELECT doc_id, unnest(ws) AS word,
+                generate_subscripts(ws, 1) AS pos
+           FROM (SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')),
+                        '[a-z0-9]+') AS ws FROM documents)),
+    l AS (SELECT doc_id, CAST((pos-1)//8 AS BIGINT) AS line_no,
+                 string_agg(word, ' ' ORDER BY pos) AS line
+          FROM w GROUP BY 1, 2),
+    c AS (SELECT line, count(DISTINCT doc_id) AS ndocs FROM l GROUP BY 1),
+    k AS (SELECT l.doc_id, l.line_no, l.line, c.ndocs
+          FROM l JOIN c USING (line)),
+    agg AS (SELECT doc_id, count(*) AS n_lines,
+              sum(CASE WHEN ndocs <= 1 THEN 1 ELSE 0 END) AS n_kept,
+              coalesce(string_agg(CASE WHEN ndocs <= 1 THEN line END,
+                                  chr(10) ORDER BY line_no), '') AS clean_text
+            FROM k GROUP BY 1)
+    SELECT d.doc_id AS doc_id,
+           CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+    doc="CCNet-style cross-corpus LINE dedup: fixed 8-word lines, lines "
+        "present in >1 distinct doc are boilerplate and removed; "
+        "digest-only counting shuffle + O(boilerplate) broadcast set + "
+        "streaming filter pass reassembling clean_text (full text parity "
+        "vs the SQL reconstruction)",
+)
+def doc_line_dedup(sf_dir: str):
+    from xema_ray.stages.linededup import line_dedup
+
+    return line_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                      words_per_line=8, max_docs=1)
+
+
+@register(
+    "doc_word_freq",
+    """WITH w AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(coalesce(text,'')),
+                       '[a-z0-9]+')) AS word FROM documents),
+    c AS (SELECT word, count(*) AS wc FROM w GROUP BY 1),
+    s AS (SELECT w.doc_id, count(*) AS n_words, sum(c.wc) AS sum_wc,
+                 sum(CASE WHEN c.wc < 100 THEN 1 ELSE 0 END) AS n_rare
+          FROM w JOIN c USING (word) GROUP BY 1)
+    SELECT d.doc_id AS doc_id,
+           CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(s.sum_wc, 0) AS BIGINT) AS sum_wc,
+           CAST(coalesce(s.n_rare, 0) AS BIGINT) AS n_rare,
+           CAST(floor(1e6 * coalesce(s.n_rare, 0)
+                / greatest(coalesce(s.n_words, 0), 1)) AS BIGINT) AS rare_m
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
+    doc="corpus-frequency quality scoring (unigram-LM-style): pass 1 "
+        "folds vocab-bounded word-count partials, pass 2 broadcasts the "
+        "table and scores each doc vectorized (searchsorted + "
+        "scatter-add) — sum of global counts + rare-word (<100) ratio",
+)
+def doc_word_freq(sf_dir: str):
+    from xema_ray.stages.text import word_freq_scores
+
+    return word_freq_scores(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            rare_below=100)
+
+
+@register(
+    "emb_label_centroids",
+    """SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+           CAST(sum(CAST(floor(1e6 * CAST(val AS DOUBLE)) AS BIGINT))
+                AS BIGINT) AS s_m,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT label, unnest(embedding) AS val,
+                 generate_subscripts(embedding, 1) AS dim FROM embeddings)
+    GROUP BY 1, 2 ORDER BY 1, 2""",
+    doc="per-label embedding centroid aggregate: fixed-point element "
+        "sums (order-free int64 — float means can't hash-match across "
+        "engines) via per-batch dense scatter-add partials; output is "
+        "O(labels x dims), the classic tiny-result wide aggregate",
+)
+def emb_label_centroids(sf_dir: str):
+    from xema_ray.stages.stats import label_centroid_sums
+
+    return label_centroid_sums(
+        _read(sf_dir, "embeddings", ["embedding", "label"]))
+
+
+_CSV_PATH = "/tmp/xema_ray_corpus/documents_sf001.csv"
+
+
+@register(
+    "doc_token_counts_csv",
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words, "
+    f"CAST(length(text) AS BIGINT) AS n_chars_text FROM read_csv_auto('{_CSV_PATH}')",
+    doc="SOURCE-FORMAT coverage: token counts over a CSV corpus "
+        "(ray.data.read_csv, Arrow CSV parser per block) with the oracle "
+        "reading the identical file via DuckDB read_csv_auto — "
+        "round-trips quoting/escaping through two independent parsers",
+)
+def doc_token_counts_csv(sf_dir: str):
+    from xema_ray.sources.csvfile import mirror_documents_csv, read_csv
+    from xema_ray.stages.text import token_counts
+
+    path = _CSV_PATH if abs(sf_of_dir(sf_dir) - 0.01) < 1e-9 else \
+        f"/tmp/xema_ray_corpus/documents_sf{sf_of_dir(sf_dir)}.csv"
+    mirror_documents_csv(os.path.join(sf_dir, "documents.parquet"), path)
+    mirror_documents_csv(
+        os.path.join("/root/testdata/sf0.01", "documents.parquet"),
+        _CSV_PATH)  # oracle input always exists
+    ds = read_csv(path)
+    out = token_counts(ds)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_words", "n_chars_text"]),
+        batch_format="pyarrow")

@@ -483,3 +483,69 @@ def top_words_exact(ds, k: int = 20, capacity: int = 4096,
         "word": pa.array([w for w, _ in top], type=pa.string()),
         "n": pa.array([n for _, n in top], type=pa.int64()),
     })
+
+
+def label_centroid_sums(ds, vec_col: str = "embedding",
+                        label_col: str = "label", scale: float = 1e6):
+    """Per-label embedding centroid aggregate: one output row per
+    ``(label, dim)`` with the FIXED-POINT element sum ``s_m =
+    Σ floor(scale·v)`` (int64 — order-free, so cross-engine hash-stable
+    where a float mean is not) and the contributing row count ``n``.
+    ``centroid ≈ s_m / (scale·n)``.
+
+    Shape: per-batch dense scatter-add partials (labels × dims ints —
+    the only thing leaving workers), folded on the driver; the output is
+    O(|labels|·dims) by definition, so the fold is always tiny.  float32
+    → float64 is exact, and ``floor(scale·x)`` is one IEEE double op —
+    both reproducible bit-for-bit by an independent SQL engine.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.is_valid(t[vec_col]), pc.is_valid(t[label_col]))
+        t = t.filter(valid)
+        if not t.num_rows:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "s_m": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        vec = t[vec_col]
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        offsets = vec.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = vec.values.to_numpy(zero_copy_only=False)
+        fixed = np.floor(flat.astype(np.float64) * scale).astype(np.int64)
+        dims = np.diff(offsets)
+        rows = np.repeat(np.arange(t.num_rows, dtype=np.int64), dims)
+        dim_idx = np.arange(len(flat), dtype=np.int64) \
+            - np.repeat(offsets[:-1], dims)
+        labels = pc.cast(t[label_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        max_dim = int(dims.max()) if len(dims) else 0
+        key = codes[rows] * max_dim + dim_idx
+        sums = np.zeros(len(uniq) * max_dim, dtype=np.int64)
+        cnts = np.zeros(len(uniq) * max_dim, dtype=np.int64)
+        np.add.at(sums, key, fixed)
+        np.add.at(cnts, key, 1)
+        nz = cnts > 0
+        idx = np.flatnonzero(nz)
+        return pa.table({
+            "label": pa.array(uniq[idx // max_dim], type=pa.int64()),
+            "dim": pa.array(idx % max_dim + 1, type=pa.int64()),  # 1-based
+            "s_m": pa.array(sums[idx], type=pa.int64()),
+            "n": pa.array(cnts[idx], type=pa.int64()),
+        })
+
+    import pandas as pd
+
+    frames = [b.to_pandas() for b in
+              ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")]
+    if not frames:
+        return pa.table({"label": pa.array([], type=pa.int64()),
+                         "dim": pa.array([], type=pa.int64()),
+                         "s_m": pa.array([], type=pa.int64()),
+                         "n": pa.array([], type=pa.int64())})
+    df = pd.concat(frames, ignore_index=True)
+    out = df.groupby(["label", "dim"], sort=True, as_index=False).sum()
+    return pa.Table.from_pandas(out[["label", "dim", "s_m", "n"]],
+                                preserve_index=False)

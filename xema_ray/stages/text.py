@@ -392,6 +392,118 @@ def repetition_signals(ds, text_col: str = "text", concurrency=(1, 8)):
     )
 
 
+def global_word_counts(ds, text_col: str = "text"):
+    """Corpus-wide word frequencies as ``(words_sorted 'S'-bytes array,
+    counts int64 array)`` — pass 1 of corpus-frequency scoring.
+
+    Per-batch factorize + bincount partials fold on the driver with one
+    vectorized byte-sort merge — right while the VOCABULARY (not the
+    corpus) is driver-sized, which holds for natural-language word
+    vocabularies at any corpus size (Heaps' law; ~10^7 words at 100 TB
+    ≈ one small array).  For unbounded key spaces use the hash-bucket
+    groupby (:func:`~xema_ray.stages.dedup.exact_dedup_groups` shape) or
+    the Misra-Gries top-k (:func:`~xema_ray.stages.stats.top_words`).
+    """
+    import re
+
+    word_pat = re.compile(r"[a-z0-9]+")
+
+    def partial(batch):
+        import pandas as pd
+
+        texts = batch[text_col].fillna("").str.lower() \
+            .reset_index(drop=True)
+        ex = texts.str.findall(word_pat).explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        codes, uniques = pd.factorize(ex.to_numpy())
+        return pd.DataFrame({"word": uniques,
+                             "cnt": np.bincount(codes).astype(np.int64)})
+
+    frames = [b.to_pandas() for b in
+              ds.map_batches(partial, batch_format="pandas")
+              .iter_batches(batch_format="pyarrow")]
+    if not frames:
+        return np.empty(0, dtype="S1"), np.empty(0, dtype=np.int64)
+    import pandas as pd
+
+    df = pd.concat(frames, ignore_index=True)
+    wb = df["word"].to_numpy().astype("S")
+    uniq, inv = np.unique(wb, return_inverse=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, df["cnt"].to_numpy(dtype=np.int64))
+    return uniq, sums
+
+
+class WordFreqScore:
+    """Actor-pool stage: per-document corpus-frequency quality signals
+    against a broadcast global word-count table — ``n_words``,
+    ``sum_wc`` (Σ global count of each word occurrence, high for
+    stopword-heavy text), ``n_rare`` (words with global count <
+    ``rare_below`` — OOV/typo/garbage signal) and fixed-point
+    ``rare_m = floor(1e6·n_rare/n_words)``.
+
+    The vocabulary table ships once via ``ray.put`` and is read once per
+    actor; scoring is one explode + ``searchsorted`` + two scatter-adds
+    per batch — no per-row Python.
+    """
+
+    def __init__(self, vocab_ref, text_col: str = "text",
+                 rare_below: int = 100):
+        import ray
+        import re
+
+        self.words_sorted, self.counts = ray.get(vocab_ref)
+        self.text_col = text_col
+        self.rare_below = rare_below
+        self.word_re = re.compile(r"[a-z0-9]+")
+
+    def __call__(self, batch):
+        import pandas as pd
+
+        n = len(batch)
+        texts = batch[self.text_col].fillna("").str.lower() \
+            .reset_index(drop=True)
+        ex = texts.str.findall(self.word_re).explode().dropna()
+        n_words = np.zeros(n, dtype=np.int64)
+        sum_wc = np.zeros(n, dtype=np.int64)
+        n_rare = np.zeros(n, dtype=np.int64)
+        if len(ex):
+            rows = ex.index.to_numpy().astype(np.int64)
+            wb = ex.to_numpy().astype("S")
+            pos = np.searchsorted(self.words_sorted, wb)
+            pos = np.minimum(pos, max(len(self.words_sorted) - 1, 0))
+            hit = (self.words_sorted[pos] == wb) \
+                if len(self.words_sorted) else np.zeros(len(wb), bool)
+            wc = np.where(hit, self.counts[pos], 0).astype(np.int64)
+            np.add.at(n_words, rows, 1)
+            np.add.at(sum_wc, rows, wc)
+            np.add.at(n_rare, rows, (wc < self.rare_below).astype(np.int64))
+        rare_m = np.floor(
+            1e6 * n_rare / np.maximum(n_words, 1)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].reset_index(drop=True),
+            "n_words": n_words, "sum_wc": sum_wc,
+            "n_rare": n_rare, "rare_m": rare_m,
+        })
+
+
+def word_freq_scores(ds, text_col: str = "text", rare_below: int = 100,
+                     concurrency=(1, 8)):
+    """Two-pass corpus-frequency scoring: count pass (vocab-bounded fold)
+    → broadcast → vectorized per-doc scoring pass."""
+    import ray
+
+    vocab_ref = ray.put(global_word_counts(ds, text_col))
+    return ds.map_batches(
+        WordFreqScore,
+        fn_constructor_kwargs={"vocab_ref": vocab_ref, "text_col": text_col,
+                               "rare_below": rare_below},
+        batch_format="pandas", concurrency=concurrency,
+    )
+
+
 def winnow_fingerprints(ds, text_col: str = "text", ngram: int = 3,
                         window: int = 4, hash_fn: str = "fast",
                         concurrency=(1, 8)):
