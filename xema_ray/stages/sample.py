@@ -192,3 +192,60 @@ def train_val_split(ds, val_rate: float = 0.05, id_col: str = "doc_id",
                               batch_format="pyarrow")
 
     return side(False), side(True)
+
+
+def stratified_topk_sample(ds, k: int, strat_col: str = "source",
+                           id_col: str = "doc_id", hash_fn: str = "fast"):
+    """EXACT-k per-stratum sample: the ``k`` rows with the smallest
+    ``hash(id)`` in each stratum (plus id as tiebreak) — deterministic,
+    rerun- and engine-stable, and unlike the rate-based samplers it hits
+    the quota exactly regardless of stratum sizes.
+
+    Shape: per-batch per-stratum top-k PARTIALS (k smallest hash rows
+    per stratum per batch — one lexsort, no per-row Python) fold on the
+    driver over O(#strata · k · #batches) rows; the full strata never
+    leave the workers and nothing shuffles.  Returns a pyarrow Table
+    ``(strat_col, id_col)``.
+
+    ``hash_fn="md5"`` ranks by the md5 hex of the id so an SQL oracle
+    can replay the identical selection (``ORDER BY md5(id), id``);
+    ``"fast"`` uses the vectorized xxhash lane.
+    """
+    import pandas as pd
+
+    def _hashes(ids) -> np.ndarray:
+        svals = [str(v) if v is not None else "" for v in ids]
+        if hash_fn == "md5":
+            import hashlib
+
+            return np.array([hashlib.md5(s.encode()).hexdigest()
+                             for s in svals], dtype="S32")
+        from xema_ray.functions.sketches import hash_strings
+
+        return hash_strings(np.array(svals, dtype=object))
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hashes(df[id_col].tolist())
+        ids = df[id_col].to_numpy()
+        id_key = ids if np.issubdtype(ids.dtype, np.number) \
+            else ids.astype("S")
+        codes, _ = pd.factorize(df[strat_col].to_numpy())
+        order = np.lexsort((id_key, h, codes))
+        codes_s = codes[order]
+        firsts = np.ones(len(codes_s), dtype=bool)
+        firsts[1:] = codes_s[1:] != codes_s[:-1]
+        rank = np.arange(len(codes_s)) - np.maximum.accumulate(
+            np.where(firsts, np.arange(len(codes_s)), 0))
+        keep = order[rank < k]
+        return df.iloc[np.sort(keep)][[strat_col, id_col]]
+
+    parts = ds.map_batches(
+        lambda df: _topk(df), batch_format="pandas")
+    frames = [b.to_pandas() for b in
+              parts.iter_batches(batch_format="pyarrow")]
+    if not frames:
+        return pa.table({strat_col: pa.array([], type=pa.string()),
+                         id_col: pa.array([], type=pa.string())})
+    merged = _topk(pd.concat(frames, ignore_index=True))
+    return pa.Table.from_pandas(merged.reset_index(drop=True),
+                                preserve_index=False)

@@ -549,3 +549,75 @@ def label_centroid_sums(ds, vec_col: str = "embedding",
     out = df.groupby(["label", "dim"], sort=True, as_index=False).sum()
     return pa.Table.from_pandas(out[["label", "dim", "s_m", "n"]],
                                 preserve_index=False)
+
+
+def top_token_bigrams(ds, k: int = 20, list_col: str = "tokens",
+                      vocab: int = 50257):
+    """Exact global top-``k`` ADJACENT token bigrams — the unbounded-ish
+    key-space companion to :func:`top_tokens` (vocab² pairs can't
+    bincount; per-batch ``np.unique`` partials over packed ``t1·V + t2``
+    int64 keys exchange through a coarse hash-bucket groupby).
+
+    Each pair key lands in exactly one bucket, so per-bucket exact merge
+    + per-bucket top-k (same total order) is globally complete; the
+    driver merges only B·k candidate rows.  Ties break (n desc, t1 asc,
+    t2 asc) — a total order, so the top-k cut is deterministic.
+    """
+    import pandas as pd
+
+    from xema_ray.stages.shuffle import default_shuffle_buckets
+
+    n_buckets = default_shuffle_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col)
+        if not pc.all(valid).as_py():
+            col = col.filter(valid)
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) < 2:
+            pairs = np.empty(0, dtype=np.int64)
+        else:
+            keys = flat[:-1] * vocab + flat[1:]
+            # drop positions where the NEXT element starts a new row;
+            # offsets == len(flat) (trailing empty rows) touch no pair
+            row_starts = np.zeros(len(flat), dtype=bool)
+            starts = offsets[:-1]
+            row_starts[starts[starts < len(flat)]] = True
+            pairs = keys[~row_starts[1:]]
+        up, cnt = (np.unique(pairs, return_counts=True)
+                   if len(pairs) else (np.empty(0, np.int64),
+                                       np.empty(0, np.int64)))
+        return pa.table({
+            "pair": pa.array(up, type=pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            "bucket": pa.array((up % n_buckets).astype(np.int32),
+                               type=pa.int32()),
+        })
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        p = g["pair"].to_numpy(dtype=np.int64)
+        uniq, inv = np.unique(p, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, g["cnt"].to_numpy(dtype=np.int64))
+        order = np.lexsort((uniq, -sums))[:k]
+        return pd.DataFrame({"pair": uniq[order], "n": sums[order]})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_topk, batch_format="pandas") \
+        .take_all()  # ≤ B·k rows
+    if not cand:
+        return pa.table({"t1": pa.array([], type=pa.int64()),
+                         "t2": pa.array([], type=pa.int64()),
+                         "n": pa.array([], type=pa.int64())})
+    pairs = np.array([r["pair"] for r in cand], dtype=np.int64)
+    ns = np.array([r["n"] for r in cand], dtype=np.int64)
+    order = np.lexsort((pairs, -ns))[:k]
+    return pa.table({
+        "t1": pa.array(pairs[order] // vocab, type=pa.int64()),
+        "t2": pa.array(pairs[order] % vocab, type=pa.int64()),
+        "n": pa.array(ns[order], type=pa.int64()),
+    })

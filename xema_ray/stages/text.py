@@ -514,3 +514,117 @@ def winnow_fingerprints(ds, text_col: str = "text", ngram: int = 3,
                                "window": window, "hash_fn": hash_fn},
         batch_format="pandas", concurrency=concurrency,
     )
+
+
+def global_doc_frequencies(ds, text_col: str = "text"):
+    """Document frequencies: ``(words_sorted 'S'-bytes, df int64)`` where
+    ``df`` counts DISTINCT documents containing each word.  Same
+    vocab-bounded fold shape as :func:`global_word_counts` (per-batch
+    distinct-(doc, word) first, so partials sum exactly — a doc never
+    spans batches)."""
+    import re
+
+    word_pat = re.compile(r"[a-z0-9]+")
+
+    def partial(batch):
+        import pandas as pd
+
+        texts = batch[text_col].fillna("").str.lower() \
+            .reset_index(drop=True)
+        ex = texts.str.findall(word_pat).explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        df = pd.DataFrame({"r": ex.index.to_numpy(),
+                           "w": ex.to_numpy()}).drop_duplicates()
+        codes, uniques = pd.factorize(df["w"].to_numpy())
+        return pd.DataFrame({"word": uniques,
+                             "cnt": np.bincount(codes).astype(np.int64)})
+
+    frames = [b.to_pandas() for b in
+              ds.map_batches(partial, batch_format="pandas")
+              .iter_batches(batch_format="pyarrow")]
+    if not frames:
+        return np.empty(0, dtype="S1"), np.empty(0, dtype=np.int64)
+    import pandas as pd
+
+    df = pd.concat(frames, ignore_index=True)
+    wb = df["word"].to_numpy().astype("S")
+    uniq, inv = np.unique(wb, return_inverse=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, df["cnt"].to_numpy(dtype=np.int64))
+    return uniq, sums
+
+
+class TfIdfTopTerms:
+    """Actor-pool stage: top-``k`` characteristic terms per document by
+    an INTEGER tf-idf surrogate ``score = tf·10^12 // df`` (exact int64
+    arithmetic — a float ``tf·ln(N/df)`` could land either side of a
+    ULP on different engines and break cross-engine parity; monotone in
+    tf and 1/df, which is all a ranking needs).  Ties break on term
+    ascending.  Emits ``(doc_id, term, tf, df, score)`` rows.
+
+    The df table ships once via ``ray.put``; per batch: one explode,
+    one (row, word) group count, one lexsort — no per-row Python.
+    """
+
+    def __init__(self, df_ref, text_col: str = "text", k: int = 3):
+        import ray
+        import re
+
+        self.words_sorted, self.df = ray.get(df_ref)
+        self.text_col = text_col
+        self.k = k
+        self.word_re = re.compile(r"[a-z0-9]+")
+
+    def __call__(self, batch):
+        import pandas as pd
+
+        texts = batch[self.text_col].fillna("").str.lower() \
+            .reset_index(drop=True)
+        ex = texts.str.findall(self.word_re).explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({"doc_id": [], "term": [], "tf": [],
+                                 "df": [], "score": []})
+        pairs = pd.DataFrame({"r": ex.index.to_numpy().astype(np.int64),
+                              "w": ex.to_numpy()})
+        tf = pairs.groupby(["r", "w"], sort=False).size()
+        rows = tf.index.get_level_values(0).to_numpy(dtype=np.int64)
+        words = tf.index.get_level_values(1).to_numpy(dtype=object)
+        tfv = tf.to_numpy(dtype=np.int64)
+        wb = words.astype("S")
+        pos = np.searchsorted(self.words_sorted, wb)
+        pos = np.minimum(pos, max(len(self.words_sorted) - 1, 0))
+        hit = (self.words_sorted[pos] == wb) if len(self.words_sorted) \
+            else np.zeros(len(wb), bool)
+        dfv = np.where(hit, self.df[pos], 1).astype(np.int64)
+        score = tfv * 1_000_000_000_000 // dfv
+        # rank within doc: score desc, term asc -> lexsort minor-first
+        order = np.lexsort((wb, -score, rows))
+        rows_s = rows[order]
+        firsts = np.ones(len(rows_s), dtype=bool)
+        firsts[1:] = rows_s[1:] != rows_s[:-1]
+        rank = np.arange(len(rows_s)) - np.maximum.accumulate(
+            np.where(firsts, np.arange(len(rows_s)), 0))
+        keep = order[rank < self.k]
+        ids = batch["doc_id"].reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": ids.iloc[rows[keep]].to_numpy(),
+            "term": words[keep],
+            "tf": tfv[keep], "df": dfv[keep], "score": score[keep],
+        })
+
+
+def tfidf_top_terms(ds, text_col: str = "text", k: int = 3,
+                    concurrency=(1, 8)):
+    """Two-pass tf-idf: df fold (vocab-bounded) → broadcast → per-doc
+    integer-scored top-k terms."""
+    import ray
+
+    df_ref = ray.put(global_doc_frequencies(ds, text_col))
+    return ds.map_batches(
+        TfIdfTopTerms,
+        fn_constructor_kwargs={"df_ref": df_ref, "text_col": text_col,
+                               "k": k},
+        batch_format="pandas", concurrency=concurrency,
+    )
