@@ -87,3 +87,34 @@ def test_cmd_sample_uniform_and_mixture(ray_session, tmp_path, capsys):
     rows = rd.read_parquet(out2).take_all()
     assert all(r["source"] == "a" for r in rows)   # b has weight 0
     assert rep["rows"] == len(rows) > 0
+
+
+def test_cmd_infer(ray_session, tmp_path, capsys):
+    from xema_ray.__main__ import cmd_infer
+
+    inp = _docs(tmp_path, ["aa", "bbb", "c"])
+    ns = argparse.Namespace(input=inp, validate=True, num_cpus=4)
+    cmd_infer(ns)
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["profile"]["text"]["min_length"] == 1
+    assert rep["profile"]["text"]["max_length"] == 3
+    assert rep["profile"]["source"]["enum"] == ["s0"]
+    assert rep["self_check"]["pass"] is True
+    assert rep["self_check"]["violations"] == 0
+
+
+def test_cmd_linededup(ray_session, tmp_path, capsys):
+    from xema_ray.__main__ import cmd_linededup
+
+    boiler = "one two three four five"
+    inp = _docs(tmp_path, [f"alpha beta gamma delta eps {boiler}",
+                           f"zeta eta theta iota kappa {boiler}",
+                           "unique solo text line here"])
+    out = str(tmp_path / "ld")
+    ns = argparse.Namespace(input=inp, out=out, text_col="text",
+                            id_col="doc_id", words_per_line=5, max_docs=1,
+                            num_cpus=4)
+    cmd_linededup(ns)
+    rep = json.loads(capsys.readouterr().out)
+    assert rep == {"rows": 3, "lines": 5, "kept": 3, "removed": 2,
+                   "out": out}

@@ -204,6 +204,47 @@ def cmd_sample(args):
                       "out": args.out}))
 
 
+def cmd_infer(args):
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from xema_ray.schema.infer import (profile_dataset, schema_from_profile)
+
+    ds = rd.read_parquet(_paths(args.input))
+    prof = profile_dataset(ds)
+    dsl = schema_from_profile(prof)
+    out = {"profile": prof,
+           # display form (tuples render as JSON lists); the programmatic
+           # path is compile_schema(infer_schema(ds))
+           "schema_dsl": dsl}
+    if args.validate:
+        from xema_ray.schema.builder import compile_schema
+        from xema_ray.stages.validate import validate_dataset
+
+        res = validate_dataset(ds, compile_schema(dsl))
+        out["self_check"] = res.verdict()
+    print(json.dumps(out, indent=2, default=str))
+
+
+def cmd_linededup(args):
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from xema_ray.stages.linededup import line_dedup
+
+    out = line_dedup(rd.read_parquet(_paths(args.input)),
+                     text_col=args.text_col, id_col=args.id_col,
+                     words_per_line=args.words_per_line,
+                     max_docs=args.max_docs)
+    out.write_parquet(args.out)
+    agg = rd.read_parquet(args.out)
+    n_lines = agg.sum("n_lines")
+    n_kept = agg.sum("n_kept")
+    print(json.dumps({"rows": agg.count(), "lines": n_lines,
+                      "kept": n_kept, "removed": n_lines - n_kept,
+                      "out": args.out}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="xema_ray")
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
@@ -281,6 +322,26 @@ def main(argv=None):
     sm.add_argument("--id-col", default="doc_id")
     sm.add_argument("--hash-fn", choices=["fast", "md5"], default="fast")
     sm.set_defaults(fn=cmd_sample)
+
+    inf = sub.add_parser(
+        "infer", help="profile a corpus and propose a schema "
+                      "(bounds, lengths, enums, required)")
+    inf.add_argument("input")
+    inf.add_argument("--validate", action="store_true",
+                     help="also run the inferred schema back over the "
+                          "corpus and report the verdict")
+    inf.set_defaults(fn=cmd_infer)
+
+    ld = sub.add_parser(
+        "linededup", help="remove lines repeated across >max-docs "
+                          "documents (CCNet-style boilerplate removal)")
+    ld.add_argument("input")
+    ld.add_argument("out")
+    ld.add_argument("--text-col", default="text")
+    ld.add_argument("--id-col", default="doc_id")
+    ld.add_argument("--words-per-line", type=int, default=8)
+    ld.add_argument("--max-docs", type=int, default=1)
+    ld.set_defaults(fn=cmd_linededup)
 
     g = sub.add_parser("gen", help="generate the synthetic sequences corpus")
     g.add_argument("out")
