@@ -177,3 +177,26 @@ def test_stratified_topk_md5_matches_sql_rule(ray_session):
                   key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
                                  i))[:5]
     assert sorted(got["doc_id"].tolist()) == sorted(want)
+
+
+def test_top_token_bigrams_mg_equals_groupby(ray_session):
+    """The no-shuffle MG+recount scale path and the unconditional
+    groupby exchange agree — on skewed (certifiable) and near-uniform
+    (certificate-failing, auto falls back) inputs alike."""
+    import ray.data as rd
+
+    from xema_ray.stages.stats import top_token_bigrams
+
+    rng = np.random.default_rng(11)
+    for dist in ("zipf", "uniform"):
+        if dist == "zipf":
+            vals = np.minimum(rng.zipf(1.5, size=(400, 20)), 99) - 1
+        else:
+            vals = rng.integers(0, 99, size=(400, 20))
+        tbl = pa.table({"tokens": pa.array(vals.tolist(),
+                                           type=pa.list_(pa.int32()))})
+        a = top_token_bigrams(rd.from_arrow(tbl), k=10, vocab=100,
+                              strategy="auto", capacity=64)
+        b = top_token_bigrams(rd.from_arrow(tbl), k=10, vocab=100,
+                              strategy="groupby")
+        assert a.equals(b), dist

@@ -2139,17 +2139,21 @@ def doc_tfidf(sf_dir: str):
            CAST(n AS BIGINT) AS n
     FROM c ORDER BY n DESC, t1, t2 LIMIT 20""",
     doc="exact top-20 ADJACENT token bigrams — vocab^2 keys can't "
-        "bincount, so per-batch np.unique partials over packed t1*V+t2 "
-        "exchange through a coarse hash-bucket groupby; per-bucket "
-        "top-k under the same total order is globally complete "
-        "(each pair lives in exactly one bucket); driver merges B*k "
-        "candidates",
+        "bincount; the library default (strategy='auto') tries the "
+        "no-shuffle Misra-Gries + recount scale path with a SOUND "
+        "self-certificate and falls back to the bucket-groupby exact "
+        "exchange when it fails; this corpus's near-uniform bigrams "
+        "(top count ~29 over 175M pairs at sf0.1) defeat every "
+        "heavy-hitter sketch, so the query pins the unconditional "
+        "groupby path (uint32-packed pairs, per-bucket top-k under "
+        "the global total order)",
 )
 def seq_top_bigrams(sf_dir: str):
     from xema_ray.stages.stats import top_token_bigrams
 
     return top_token_bigrams(
-        _read_seq(sf_dir, columns=["tokens"], split=True), k=20)
+        _read_seq(sf_dir, columns=["tokens"], split=True), k=20,
+        strategy="groupby")
 
 
 @register(

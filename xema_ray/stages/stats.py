@@ -551,55 +551,181 @@ def label_centroid_sums(ds, vec_col: str = "embedding",
                                 preserve_index=False)
 
 
-def top_token_bigrams(ds, k: int = 20, list_col: str = "tokens",
-                      vocab: int = 50257):
-    """Exact global top-``k`` ADJACENT token bigrams — the unbounded-ish
-    key-space companion to :func:`top_tokens` (vocab² pairs can't
-    bincount; per-batch ``np.unique`` partials over packed ``t1·V + t2``
-    int64 keys exchange through a coarse hash-bucket groupby).
+def _pair_keys_batch(t: pa.Table, list_col: str, vocab: int) -> np.ndarray:
+    """Packed int64 keys ``t1*vocab + t2`` of every ADJACENT token pair
+    in the batch (row boundaries respected; null rows dropped)."""
+    col = t[list_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = pc.is_valid(col)
+    if not pc.all(valid).as_py():
+        col = col.filter(valid)
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) < 2:
+        return np.empty(0, dtype=np.int64)
+    keys = flat[:-1] * vocab + flat[1:]
+    # drop positions where the NEXT element starts a new row;
+    # offsets == len(flat) (trailing empty rows) touch no pair
+    row_starts = np.zeros(len(flat), dtype=bool)
+    starts = offsets[:-1]
+    row_starts[starts[starts < len(flat)]] = True
+    return keys[~row_starts[1:]]
 
-    Each pair key lands in exactly one bucket, so per-bucket exact merge
-    + per-bucket top-k (same total order) is globally complete; the
-    driver merges only B·k candidate rows.  Ties break (n desc, t1 asc,
-    t2 asc) — a total order, so the top-k cut is deterministic.
+
+def _mg_shrink_arrays(keys: np.ndarray, cnts: np.ndarray, capacity: int):
+    """Vectorized Misra-Gries decrement: keep the ``capacity`` largest
+    counters after subtracting the (capacity+1)-th largest (the array
+    form of :func:`_mg_sketch_batch`'s dict shrink)."""
+    if len(keys) <= capacity:
+        return keys, cnts
+    kth = np.partition(cnts, len(cnts) - capacity - 1)[
+        len(cnts) - capacity - 1]
+    c2 = cnts - kth
+    m = c2 > 0
+    return keys[m], c2[m]
+
+
+def top_token_bigrams(ds, k: int = 20, list_col: str = "tokens",
+                      vocab: int = 50257, capacity: int = 1 << 18,
+                      strategy: str = "auto"):
+    """Exact global top-``k`` ADJACENT token bigrams over the vocab²
+    key space.
+
+    ``strategy="mg"`` (the scale path): two streaming passes, NO
+    shuffle —
+
+    1. per-batch ``np.unique`` counts shrunk to Misra-Gries partials
+       (≤ ``capacity`` packed ``t1·V+t2`` counters per batch), folded on
+       the driver with the same vectorized decrement.  Survivors are a
+       superset of every pair with true count > N/capacity.
+    2. candidates broadcast (``ray.put`` once) + one exact recount pass
+       (searchsorted membership, bincount partials), then the true
+       top-k.
+
+    The result SELF-CERTIFIES: if the k-th recounted candidate count
+    clears the N/capacity survival bound, the top-k is provably exact.
+    ``"auto"`` runs mg and falls back to the exact ``"groupby"``
+    bucket-partitioned merge on the (pathological) failure of that
+    certificate — correctness never depends on the sketch.
+
+    ``"groupby"``: one coarse hash-bucket exchange of ALL per-batch
+    (pair, cnt) partials — exact unconditionally, but the exchange is
+    O(total pairs) when pairs are mostly batch-unique (measured 131 s
+    vs 8 s for mg at sf0.1 / 175 M pairs), so it is the fallback, not
+    the default.  Ties break (n desc, t1 asc, t2 asc) everywhere — a
+    total order, so the cut is deterministic.
     """
     import pandas as pd
+
+    if strategy in ("auto", "mg"):
+        import ray
+
+        def sketch(t: pa.Table) -> pa.Table:
+            pairs = _pair_keys_batch(t, list_col, vocab)
+            up, cnt = (np.unique(pairs, return_counts=True)
+                       if len(pairs) else (np.empty(0, np.int64),
+                                           np.empty(0, np.int64)))
+            uk, uc = _mg_shrink_arrays(up, cnt.astype(np.int64), capacity)
+            # meta row (pair = -1, an impossible key): total pair count
+            # of this batch — must survive even when the shrink empties
+            # the sketch, or the certification bound undercounts N
+            return pa.table({
+                "pair": pa.array(np.concatenate([[-1], uk]),
+                                 type=pa.int64()),
+                "cnt": pa.array(np.concatenate([[len(pairs)], uc]),
+                                type=pa.int64()),
+            })
+
+        mk = np.empty(0, dtype=np.int64)
+        mc = np.empty(0, dtype=np.int64)
+        n_total = 0
+        for b in ds.map_batches(sketch, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            bk = b["pair"].to_numpy(zero_copy_only=False)
+            bc = b["cnt"].to_numpy(zero_copy_only=False)
+            meta = bk == -1
+            n_total += int(bc[meta].sum())
+            mk = np.concatenate([mk, bk[~meta]])
+            mc = np.concatenate([mc, bc[~meta]])
+            if len(mk) > 4 * capacity:
+                uk, inv = np.unique(mk, return_inverse=True)
+                us = np.zeros(len(uk), np.int64)
+                np.add.at(us, inv, mc)
+                mk, mc = _mg_shrink_arrays(uk, us, capacity)
+        if len(mk):
+            uk, inv = np.unique(mk, return_inverse=True)
+            us = np.zeros(len(uk), np.int64)
+            np.add.at(us, inv, mc)
+            mk, mc = _mg_shrink_arrays(uk, us, capacity)
+        cand = np.sort(mk)
+        cand_ref = ray.put(cand)
+
+        def recount(t: pa.Table) -> pa.Table:
+            cs = ray.get(cand_ref)
+            pairs = _pair_keys_batch(t, list_col, vocab)
+            if not len(pairs) or not len(cs):
+                return pa.table({"idx": pa.array([], type=pa.int64()),
+                                 "n": pa.array([], type=pa.int64())})
+            pos = np.searchsorted(cs, pairs)
+            pos = np.minimum(pos, len(cs) - 1)
+            hit = cs[pos] == pairs
+            cnts = np.bincount(pos[hit], minlength=len(cs))
+            nz = np.flatnonzero(cnts)
+            return pa.table({"idx": pa.array(nz, type=pa.int64()),
+                             "n": pa.array(cnts[nz], type=pa.int64())})
+
+        totals = np.zeros(len(cand), dtype=np.int64)
+        for b in ds.map_batches(recount, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                totals[b["idx"].to_numpy(zero_copy_only=False)] += \
+                    b["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cand, -totals))[:k]
+        topk_counts = totals[order]
+        # sound certificate: every pair with true count > N/capacity is
+        # a candidate, so the exact top-k is proven once the k-th
+        # candidate count clears that survival bound
+        certified = n_total == 0 or (
+            len(topk_counts) == min(k, len(cand))
+            and len(topk_counts) == k
+            and topk_counts[-1] * capacity > n_total)
+        if certified or strategy == "mg":
+            sel_k = cand[order]
+            return pa.table({
+                "t1": pa.array(sel_k // vocab, type=pa.int64()),
+                "t2": pa.array(sel_k % vocab, type=pa.int64()),
+                "n": pa.array(topk_counts, type=pa.int64()),
+            })
+        # certificate failed under "auto": fall through to exact groupby
 
     from xema_ray.stages.shuffle import default_shuffle_buckets
 
     n_buckets = default_shuffle_buckets()
 
+    # pack the exchange as tightly as the key space allows: pair ids fit
+    # uint32 whenever vocab² < 2³² (GPT-2's 50257² does), per-batch
+    # counts fit int32 — 12 bytes/row instead of 20 through the shuffle
+    narrow = vocab * vocab < (1 << 32)
+    pair_t = pa.uint32() if narrow else pa.int64()
+
     def partial(t: pa.Table) -> pa.Table:
-        col = t[list_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        valid = pc.is_valid(col)
-        if not pc.all(valid).as_py():
-            col = col.filter(valid)
-        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(flat) < 2:
-            pairs = np.empty(0, dtype=np.int64)
-        else:
-            keys = flat[:-1] * vocab + flat[1:]
-            # drop positions where the NEXT element starts a new row;
-            # offsets == len(flat) (trailing empty rows) touch no pair
-            row_starts = np.zeros(len(flat), dtype=bool)
-            starts = offsets[:-1]
-            row_starts[starts[starts < len(flat)]] = True
-            pairs = keys[~row_starts[1:]]
+        pairs = _pair_keys_batch(t, list_col, vocab)
         up, cnt = (np.unique(pairs, return_counts=True)
                    if len(pairs) else (np.empty(0, np.int64),
                                        np.empty(0, np.int64)))
         return pa.table({
-            "pair": pa.array(up, type=pa.int64()),
-            "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            "pair": pa.array(up.astype(np.uint32) if narrow else up,
+                             type=pair_t),
+            "cnt": pa.array(cnt.astype(np.int32), type=pa.int32()),
             "bucket": pa.array((up % n_buckets).astype(np.int32),
                                type=pa.int32()),
         })
 
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-        p = g["pair"].to_numpy(dtype=np.int64)
+        p = g["pair"].to_numpy().astype(np.int64)
         uniq, inv = np.unique(p, return_inverse=True)
         sums = np.zeros(len(uniq), np.int64)
         np.add.at(sums, inv, g["cnt"].to_numpy(dtype=np.int64))
