@@ -9,19 +9,25 @@ values only; at corpus scale this is a counting shuffle:
    "lines" of ``words_per_line`` words (the corpus has no natural
    newlines; a real web corpus would split on ``\\n`` instead — the
    counting/filter machinery is identical either way).
-2. **count** — per-batch partials ``(line_hash, min_doc, n_docs)`` where
+2. **count** — per-batch partials ``(line_hash, n_docs)`` where
    ``n_docs`` counts DISTINCT docs in the batch containing that line
    (a doc never spans batches, so partial counts sum exactly).  Only
-   16-byte digests shuffle, never line text — same digest-only exchange
-   as :func:`xema_ray.stages.dedup.exact_dedup`.
+   8-byte digests shuffle, never line text — and the counting pass is
+   STRING-FREE: line hashes are positional-polynomial mixes of
+   per-word hashes (factorize once per batch, hash the unique
+   vocabulary once, one ``add.reduceat`` per batch), the
+   :func:`~xema_ray.functions.sketches.word_ngram_hashes` trick
+   applied to variable-width segments.
 3. **broadcast** — lines with ``n_docs > max_docs`` form the "common
    line" set: O(boilerplate lines), small by assumption, shipped once
    via ``ray.put`` and read once per actor.
-4. **filter** — a second streaming pass re-segments each doc, drops
-   common lines with one ``np.isin`` against the broadcast set, and
-   reassembles ``clean_text``.
+4. **filter** — a second streaming pass re-hashes each doc's lines,
+   drops common lines with one ``searchsorted`` membership test, and
+   reassembles ``clean_text`` with ONE join per document (separator
+   prefixes computed vectorized; line strings are never materialized
+   for dropped lines).
 
-Merge strategy for step 2/3 mirrors ``_collect_dup_groups``
+Merge strategy for steps 2-3 mirrors ``_collect_dup_groups``
 (driver fold below ``auto_driver_limit`` partial rows, coarse
 hash-bucket ``groupby(bucket).map_groups`` above — the multi-node path).
 """
@@ -35,30 +41,59 @@ import pyarrow as pa
 _WORD_RE = r"[a-z0-9]+"
 
 
-def _segment_batch(texts: pd.Series, words_per_line: int):
-    """Vectorized segmentation: returns ``(rows, line_no, lines)`` —
-    one entry per line, rows is the batch-row index of each line.
-
-    One explode + one ``'' .join``-free reassembly: lines are built by
-    joining word slices per (row, line_no) group with a single pandas
-    ``groupby().agg`` — the join itself is per-line (the output unit),
-    never per word pair.
-    """
+def _word_stream(texts: pd.Series):
+    """Explode the batch into its word stream: ``(words pd.Series
+    indexed by row, rows ndarray, pos-in-doc ndarray)``."""
     import re
 
     words = texts.str.findall(re.compile(_WORD_RE))
     ex = words.explode().dropna()
     if not len(ex):
-        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
-                np.empty(0, dtype=object))
+        return ex, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     rows = ex.index.to_numpy().astype(np.int64)
-    # word position within its doc -> fixed-width line number
     starts = np.ones(len(rows), dtype=bool)
     starts[1:] = rows[1:] != rows[:-1]
     first_of_row = np.flatnonzero(starts)
     pos = np.arange(len(rows), dtype=np.int64)
     pos -= np.repeat(pos[first_of_row], np.diff(
         np.append(first_of_row, len(rows))))
+    return ex, rows, pos
+
+
+def _line_hashes_from_stream(ex: pd.Series, rows: np.ndarray,
+                             pos: np.ndarray, words_per_line: int):
+    """String-free line digests: ``(line_rows, line_no, line_hash,
+    line_starts)`` — one 64-bit hash per (doc, line) without building
+    line strings.  Words hash once per batch vocabulary; a line's hash
+    is the wrapped sum of position-mixed word hashes (order-sensitive:
+    equal word sequences ⇒ equal hashes, independent of batching)."""
+    from xema_ray.functions.sketches import hash_strings, splitmix64
+
+    if not len(ex):
+        e = np.empty(0, dtype=np.int64)
+        return e, e, np.empty(0, dtype=np.uint64), e
+    line_no = pos // words_per_line
+    pos_in_line = (pos % words_per_line).astype(np.uint64)
+    codes, uniq = pd.factorize(ex.to_numpy())
+    wh = hash_strings(uniq.astype(object))
+    pos_mix = splitmix64(np.arange(words_per_line, dtype=np.uint64)
+                         + np.uint64(0x51ED2701))
+    terms = splitmix64(wh[codes] ^ pos_mix[pos_in_line])
+    starts = np.ones(len(rows), dtype=bool)
+    starts[1:] = (rows[1:] != rows[:-1]) | (line_no[1:] != line_no[:-1])
+    sidx = np.flatnonzero(starts)
+    with np.errstate(over="ignore"):
+        sums = np.add.reduceat(terms, sidx)
+    return rows[sidx], line_no[sidx], splitmix64(sums), sidx
+
+
+def _segment_batch(texts: pd.Series, words_per_line: int):
+    """Line STRINGS (used by tests and ad-hoc callers; the engine's hot
+    paths are string-free): ``(rows, line_no, lines)``."""
+    ex, rows, pos = _word_stream(texts)
+    if not len(ex):
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=object))
     line_no = pos // words_per_line
     df = pd.DataFrame({"r": rows, "ln": line_no,
                        "w": ex.to_numpy(dtype=object)})
@@ -67,16 +102,6 @@ def _segment_batch(texts: pd.Series, words_per_line: int):
     return (idx.get_level_values(0).to_numpy(dtype=np.int64),
             idx.get_level_values(1).to_numpy(dtype=np.int64),
             g.to_numpy(dtype=object))
-
-
-def _line_hashes(lines: np.ndarray) -> np.ndarray:
-    """64-bit vectorized line digests (engine-internal only — the SQL
-    oracle groups on the line STRINGS, so the hash space is free)."""
-    from xema_ray.functions.sketches import hash_strings
-
-    if not len(lines):
-        return np.empty(0, dtype=np.uint64)
-    return hash_strings(lines)
 
 
 def common_lines(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -92,11 +117,12 @@ def common_lines(ds, text_col: str = "text", id_col: str = "doc_id",
     def partial(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pandas().fillna("").str.lower() \
             .reset_index(drop=True)
-        rows, _, lines = _segment_batch(texts, words_per_line)
-        h = _line_hashes(lines)
+        ex, rows, pos = _word_stream(texts)
+        lrows, _, h, _ = _line_hashes_from_stream(ex, rows, pos,
+                                                  words_per_line)
         # distinct (doc, line) first: a line repeated inside one doc
         # counts that doc once (count(DISTINCT doc_id) semantics)
-        key = np.stack([rows.astype(np.uint64), h], axis=1) if len(h) \
+        key = np.stack([lrows.astype(np.uint64), h], axis=1) if len(h) \
             else np.empty((0, 2), dtype=np.uint64)
         key = np.unique(key, axis=0)
         uh, cnt = (np.unique(key[:, 1], return_counts=True)
@@ -166,19 +192,34 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             n = len(batch)
             texts = batch[text_col].fillna("").str.lower() \
                 .reset_index(drop=True)
-            rows, line_no, lines = _segment_batch(texts, words_per_line)
-            h = _line_hashes(lines)
-            keep = ~np.isin(h, self.common, assume_unique=False) \
-                if len(h) else np.empty(0, dtype=bool)
-            n_lines = np.bincount(rows, minlength=n).astype(np.int64)
-            n_kept = np.bincount(rows[keep], minlength=n).astype(np.int64)
+            ex, rows, pos = _word_stream(texts)
+            lrows, _, h, line_starts = _line_hashes_from_stream(
+                ex, rows, pos, words_per_line)
+            if len(h) and len(self.common):
+                p = np.searchsorted(self.common, h)
+                p = np.minimum(p, len(self.common) - 1)
+                keep = self.common[p] != h
+            else:
+                keep = np.ones(len(h), dtype=bool)
+            n_lines = np.bincount(lrows, minlength=n).astype(np.int64)
+            n_kept = np.bincount(lrows[keep], minlength=n).astype(np.int64)
             clean = np.full(n, "", dtype=object)
-            if keep.any():
-                kdf = pd.DataFrame({"r": rows[keep], "l": lines[keep]})
-                # _segment_batch returns (row, line_no)-sorted entries,
-                # so a stable groupby join preserves document order
-                joined = kdf.groupby("r", sort=True)["l"].agg(
-                    join_sep.join)
+            if len(ex) and keep.any():
+                # expand line-keep to the word stream, then ONE join per
+                # document: separator prefixes ("" doc-start, join_sep
+                # line-start, " " in-line) computed vectorized
+                line_len = np.diff(np.append(line_starts, len(rows)))
+                word_keep = np.repeat(keep, line_len)
+                kw = ex.to_numpy(dtype=object)[word_keep]
+                krows = rows[word_keep]
+                kpos = pos[word_keep]
+                sep = np.full(len(kw), " ", dtype=object)
+                line_start = (kpos % words_per_line == 0)
+                sep[line_start] = join_sep
+                doc_start = np.ones(len(kw), dtype=bool)
+                doc_start[1:] = krows[1:] != krows[:-1]
+                sep[doc_start] = ""
+                joined = pd.Series(sep + kw).groupby(krows).agg("".join)
                 clean[joined.index.to_numpy()] = joined.to_numpy()
             return pd.DataFrame({
                 "doc_id": batch[id_col].reset_index(drop=True),
