@@ -200,3 +200,64 @@ def test_top_token_bigrams_mg_equals_groupby(ray_session):
         b = top_token_bigrams(rd.from_arrow(tbl), k=10, vocab=100,
                               strategy="groupby")
         assert a.equals(b), dist
+
+
+# ----------------------------------------------------------------------
+# shared passages + tokenize ids
+# ----------------------------------------------------------------------
+
+
+def test_shared_passage_pairs_detects_copied_run(ray_session):
+    from xema_ray.stages.dedup import shared_passage_pairs
+
+    passage = "alpha beta gamma delta epsilon zeta"   # 6 words = w+n-1
+    ds = _ds({"doc_id": [1, 2, 3],
+              "text": [f"one unique opening here {passage}",
+                       f"{passage} totally different tail words",
+                       "no overlap at all in this document text"]})
+    out = shared_passage_pairs(ds, window=4, ngram=3).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    assert (out["n_shared"] >= 1).all()
+
+
+def test_shared_passage_skew_cap_drops_boilerplate_fp(ray_session):
+    from xema_ray.stages.dedup import shared_passage_pairs
+
+    shared = "common shared boiler plate words here"
+    ds = _ds({"doc_id": list(range(6)),
+              "text": [f"{shared} unique tail {i} marker" for i in range(6)]})
+    # cap below the bucket size -> the boilerplate fp emits no pairs
+    out = shared_passage_pairs(ds, window=4, ngram=3,
+                               max_bucket=3).to_pandas()
+    big = shared_passage_pairs(ds, window=4, ngram=3,
+                               max_bucket=256).to_pandas()
+    assert len(big) >= len(out)
+    assert len(big) == 15   # all C(6,2) pairs share the passage fp
+
+
+def test_tokenize_ids_rank_and_roundtrip(ray_session):
+    from xema_ray.stages.text import build_rank_vocab, tokenize_ids
+
+    ds = _ds({"doc_id": [1, 2], "text": ["b b b a", "a c b"]})
+    words, ids = build_rank_vocab(ds)
+    vocab = {w.decode(): i for w, i in zip(words, ids)}
+    assert vocab == {"b": 0, "a": 1, "c": 2}   # by (-count, word)
+    out = pd.concat([b.to_pandas() for b in tokenize_ids(ds)
+                     .iter_batches(batch_format="pyarrow")])
+    d1 = out[out.doc_id == 1].sort_values("pos")
+    assert d1["id"].tolist() == [0, 0, 0, 1]
+    assert d1["pos"].tolist() == [1, 2, 3, 4]
+
+
+def test_tokenize_ids_unk_for_out_of_vocab(ray_session):
+    import numpy as np
+
+    from xema_ray.stages.text import tokenize_ids
+
+    ds = _ds({"doc_id": [1], "text": ["hello world"]})
+    vocab = (np.array([b"hello"], dtype="S"), np.array([0], dtype=np.int64))
+    out = pd.concat([b.to_pandas() for b in tokenize_ids(ds, vocab=vocab)
+                     .iter_batches(batch_format="pyarrow")])
+    assert out.sort_values("pos")["id"].tolist() == [0, -1]

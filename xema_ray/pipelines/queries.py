@@ -2228,3 +2228,73 @@ def doc_stratified_topk(sf_dir: str):
     return stratified_topk_sample(
         _read(sf_dir, "documents", ["doc_id", "source"]),
         k=10, strat_col="source", id_col="doc_id", hash_fn="md5")
+
+
+@register(
+    "doc_shared_passages",
+    """WITH d AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(
+          lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+        CASE WHEN len(w) >= 3
+             THEN [array_to_string(w[i:i+2], ' ')
+                   FOR i IN generate_series(1, len(w) - 2)]
+             ELSE [array_to_string(w, ' ')] END AS grams
+      FROM d
+    ), h AS (
+      SELECT doc_id, generate_subscripts(grams, 1) AS ord,
+             substr(md5(unnest(grams)), 1, 16) AS gh
+      FROM g
+    ), m AS (
+      SELECT doc_id, ord,
+             min(gh) OVER (PARTITION BY doc_id ORDER BY ord
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM h
+    ), f AS (
+      SELECT DISTINCT doc_id, fp FROM m WHERE ord >= 4
+      UNION
+      SELECT doc_id, min(gh) AS fp FROM h
+      GROUP BY doc_id HAVING count(*) < 4
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2""",
+    doc="cross-doc SHARED-PASSAGE pairs: docs whose winnowing "
+        "fingerprint sets intersect (guarantee: any shared 6-word run "
+        "produces a shared fp) — one groupby(fp) co-location, "
+        "vectorized in-bucket pair expansion, skew-capped; catches "
+        "copied passages whole-document dedup misses",
+)
+def doc_shared_passages(sf_dir: str):
+    from xema_ray.stages.dedup import shared_passage_pairs
+
+    return shared_passage_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"], split=True),
+        ngram=3, window=4, hash_fn="md5")
+
+
+@register(
+    "doc_tokenize_ids",
+    """WITH w AS (SELECT doc_id, unnest(ws) AS word,
+                generate_subscripts(ws, 1) AS pos
+           FROM (SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')),
+                        '[a-z0-9]+') AS ws FROM documents)),
+    v AS (SELECT word, row_number() OVER (ORDER BY count(*) DESC, word) - 1
+                 AS id
+          FROM w GROUP BY word)
+    SELECT w.doc_id AS doc_id, CAST(w.pos AS BIGINT) AS pos,
+           CAST(v.id AS BIGINT) AS id
+    FROM w JOIN v USING (word)""",
+    doc="TOKENIZATION: text -> token-id rows against a corpus-derived "
+        "frequency-ranked vocabulary (word-level stand-in for BPE; "
+        "vocab-build counting pass + broadcast + vectorized "
+        "searchsorted lookup — the exact plumbing a subword tokenizer "
+        "stage needs)",
+)
+def doc_tokenize_ids(sf_dir: str):
+    from xema_ray.stages.text import tokenize_ids
+
+    return tokenize_ids(_read(sf_dir, "documents", ["doc_id", "text"]))

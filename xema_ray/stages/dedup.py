@@ -720,3 +720,52 @@ def _content_hash_partial_from(tbl: pa.Table, h_col: str,
         "min_id": pa.Array.from_pandas(g["keep_id"], type=tbl[id_col].type),
         "cnt": pa.array(g["n"].to_numpy(dtype=np.int64), type=pa.int64()),
     })
+
+
+def shared_passage_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                         ngram: int = 3, window: int = 4,
+                         hash_fn: str = "fast", max_bucket: int = 256):
+    """Cross-document SHARED-PASSAGE detection: pairs of docs whose
+    winnowing fingerprint sets intersect, with the intersection size.
+    By the winnowing guarantee (Schleimer et al. 2003) any two docs
+    sharing a run of ``window + ngram - 1`` words share >= 1
+    fingerprint — this catches copied passages that whole-document
+    dedup (exact or MinHash) misses.
+
+    Shape: the fingerprint stage streams (doc_id, fp) rows; ONE
+    ``groupby(fp)`` co-locates each fingerprint's postings; in-bucket
+    pair expansion is vectorized (triu indices) and skew-capped at
+    ``max_bucket`` docs per fingerprint (a fp shared by B docs is
+    boilerplate, not plagiarism — emitting B² pairs for it would be
+    the quadratic blowup every LSH-family stage here guards against).
+    Pair rows are O(near-duplicate pairs); the final per-pair
+    intersection count folds on the driver (documented bound — swap
+    for a coarse-bucket groupby when pairs outgrow the driver).
+
+    Returns a pyarrow Table ``(doc_a, doc_b, n_shared)`` with
+    ``doc_a < doc_b``.
+    """
+    from xema_ray.stages.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(ds, text_col=text_col, ngram=ngram,
+                              window=window, hash_fn=hash_fn)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0]})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi]})
+
+    pair_rows = fps.groupby("fp").map_groups(bucket_pairs,
+                                             batch_format="pandas")
+    frames = [b.to_pandas() for b in
+              pair_rows.iter_batches(batch_format="pyarrow")]
+    if not frames:
+        return pa.table({"doc_a": pa.array([]), "doc_b": pa.array([]),
+                         "n_shared": pa.array([], type=pa.int64())})
+    df = pd.concat(frames, ignore_index=True)
+    out = df.groupby(["doc_a", "doc_b"], sort=True, as_index=False) \
+        .size().rename(columns={"size": "n_shared"})
+    out["n_shared"] = out["n_shared"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -628,3 +628,86 @@ def tfidf_top_terms(ds, text_col: str = "text", k: int = 3,
                                "k": k},
         batch_format="pandas", concurrency=concurrency,
     )
+
+
+def build_rank_vocab(ds, text_col: str = "text"):
+    """Frequency-ranked vocabulary: ``(words_sorted 'S'-bytes,
+    id int64)`` where id 0 is the most frequent word (ties by word
+    ascending) — the word-level analogue of a BPE vocab build, derived
+    from the corpus itself in one counting pass
+    (:func:`global_word_counts`)."""
+    words, counts = global_word_counts(ds, text_col)
+    if not len(words):
+        return words, np.empty(0, dtype=np.int64)
+    rank_order = np.lexsort((words, -counts))
+    ids = np.empty(len(words), dtype=np.int64)
+    ids[rank_order] = np.arange(len(words), dtype=np.int64)
+    return words, ids  # aligned with the SORTED word array
+
+
+class TokenizeIds:
+    """Actor-pool stage: text → ``(doc_id, pos, id)`` token-id rows
+    against a broadcast frequency-ranked vocabulary — the tokenization
+    step of a training-data pipeline (word-level stand-in for BPE; the
+    plumbing — broadcast vocab, searchsorted lookup, explode output —
+    is exactly what a real subword tokenizer stage needs).
+
+    Words absent from the vocabulary map to id -1 (unk).  ``pos`` is
+    1-based (SQL ``generate_subscripts`` convention).
+    """
+
+    def __init__(self, vocab_ref, text_col: str = "text"):
+        import ray
+        import re
+
+        self.words_sorted, self.ids = ray.get(vocab_ref)
+        self.text_col = text_col
+        self.word_re = re.compile(r"[a-z0-9]+")
+
+    def __call__(self, batch):
+        import pandas as pd
+
+        texts = batch[self.text_col].fillna("").str.lower() \
+            .reset_index(drop=True)
+        ex = texts.str.findall(self.word_re).explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].iloc[:0],
+                "pos": pd.Series([], dtype=np.int64),
+                "id": pd.Series([], dtype=np.int64)})
+        rows = ex.index.to_numpy().astype(np.int64)
+        starts = np.ones(len(rows), dtype=bool)
+        starts[1:] = rows[1:] != rows[:-1]
+        first = np.flatnonzero(starts)
+        pos = np.arange(len(rows), dtype=np.int64)
+        pos -= np.repeat(pos[first], np.diff(np.append(first, len(rows))))
+        wb = ex.to_numpy().astype("S")
+        p = np.searchsorted(self.words_sorted, wb)
+        p = np.minimum(p, max(len(self.words_sorted) - 1, 0))
+        hit = (self.words_sorted[p] == wb) if len(self.words_sorted) \
+            else np.zeros(len(wb), bool)
+        ids = np.where(hit, self.ids[p] if len(self.ids) else 0, -1) \
+            .astype(np.int64)
+        out_ids = batch["doc_id"].reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": out_ids.iloc[rows].to_numpy(),
+            "pos": pos + 1,
+            "id": ids,
+        })
+
+
+def tokenize_ids(ds, text_col: str = "text", vocab=None,
+                 concurrency=(1, 8)):
+    """Two-pass tokenization: vocab build (or a caller-provided
+    ``(words_sorted, ids)``) → broadcast → vectorized id lookup."""
+    import ray
+
+    if vocab is None:
+        vocab = build_rank_vocab(ds, text_col)
+    vocab_ref = ray.put(vocab)
+    return ds.map_batches(
+        TokenizeIds,
+        fn_constructor_kwargs={"vocab_ref": vocab_ref,
+                               "text_col": text_col},
+        batch_format="pandas", concurrency=concurrency,
+    )
