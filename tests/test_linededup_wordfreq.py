@@ -148,3 +148,17 @@ def test_csv_mirror_roundtrip(tmp_path, ray_session):
     assert [r["text"] for r in got] == texts
     # idempotent second call (marker short-circuit)
     assert mirror_documents_csv(str(src), out) == out
+
+
+def test_line_dedup_duplicate_doc_id_counts_once(ray_session):
+    """Regression (code-review r3): distinct-doc counting must key on
+    the doc_id VALUE (count(DISTINCT doc_id)), not the batch row — two
+    rows sharing one id contribute ONE doc to a line's count."""
+    from xema_ray.stages.linededup import line_dedup
+
+    ds = _docs_ds({"doc_id": [7, 7],
+                   "text": ["only here once special line words",
+                            "only here once special line words"]})
+    out = line_dedup(ds, words_per_line=6, max_docs=1).take_all()
+    # the line appears in ONE distinct doc -> kept in both rows
+    assert all(r["n_kept"] == 1 for r in out)

@@ -27,10 +27,10 @@ def test_tfidf_ranks_rare_terms_first(ray_session):
     out = pd.concat([b.to_pandas() for b in tfidf_top_terms(ds, k=1)
                      .iter_batches(batch_format="pyarrow")])
     top = out.set_index("doc_id")["term"]
-    # unique-to-doc terms beat corpus-wide 'shared' (df=3) even at tf=2
-    assert top.loc[1] == "zebra" and top.loc[2] == "common" or True
     # doc 1: zebra df=1 tf=1 -> 1e12; shared df=3 tf=2 -> 666e9
     assert top.loc[1] == "zebra"
+    # doc 2: 'yak' (df=1) outranks 'common' (df=2) and 'shared' (df=3)
+    assert top.loc[2] == "yak"
     assert set(out.columns) == {"doc_id", "term", "tf", "df", "score"}
 
 
@@ -261,3 +261,73 @@ def test_tokenize_ids_unk_for_out_of_vocab(ray_session):
     out = pd.concat([b.to_pandas() for b in tokenize_ids(ds, vocab=vocab)
                      .iter_batches(batch_format="pyarrow")])
     assert out.sort_values("pos")["id"].tolist() == [0, -1]
+
+
+def test_top_token_bigrams_out_of_vocab_no_aliasing(ray_session):
+    """Regression (code-review r3): t1*vocab+t2 packing aliased
+    out-of-range tokens onto unrelated bigrams; the injective 64-bit
+    pack must count (7,60000), (3,-1) etc. faithfully."""
+    import ray.data as rd
+
+    from xema_ray.stages.stats import top_token_bigrams
+
+    lists = [[7, 60000]] * 5 + [[8, 9743]] * 3 + [[3, -1]] * 4
+    tbl = pa.table({"tokens": pa.array(lists, type=pa.list_(pa.int32()))})
+    for strat in ("mg", "groupby"):
+        got = top_token_bigrams(rd.from_arrow(tbl), k=5, vocab=50257,
+                                strategy=strat)
+        rows = list(zip(got["t1"].to_pylist(), got["t2"].to_pylist(),
+                        got["n"].to_pylist()))
+        assert rows == [(7, 60000, 5), (3, -1, 4), (8, 9743, 3)], strat
+
+
+def test_infer_float_column_stays_number(ray_session):
+    """Regression (code-review r3): integral float bounds must not
+    flip a float column to type 'integer' — 2.5 would fail the schema
+    inferred from its own data."""
+    import ray.data as rd
+
+    from xema_ray.schema.builder import compile_schema
+    from xema_ray.schema.infer import infer_schema
+    from xema_ray.stages.validate import validate_dataset
+
+    tbl = pa.table({"x": pa.array([1.0, 2.5, 4.0], type=pa.float64())})
+    ds = rd.from_arrow(tbl)
+    dsl = infer_schema(ds)
+    assert dsl[1]["properties"]["x"][0] == "number"
+    res = validate_dataset(ds, compile_schema(dsl))
+    assert res.violations().count() == 0
+
+
+def test_infer_int_bounds_exact_above_2_53(ray_session):
+    import ray.data as rd
+
+    from xema_ray.schema.infer import profile_dataset
+
+    big = (1 << 53) + 1
+    tbl = pa.table({"x": pa.array([1, big], type=pa.int64())})
+    prof = profile_dataset(rd.from_arrow(tbl))
+    assert prof["x"]["maximum"] == big          # float64 would round
+
+
+def test_infer_nan_column_yields_no_bounds(ray_session):
+    import ray.data as rd
+
+    from xema_ray.schema.infer import profile_dataset
+
+    tbl = pa.table({"x": pa.array([float("nan"), 2.0, float("nan")],
+                                  type=pa.float64())})
+    prof = profile_dataset(rd.from_arrow(tbl))
+    assert prof["x"]["minimum"] == 2.0 and prof["x"]["maximum"] == 2.0
+
+
+def test_stratified_topk_empty_keeps_input_types(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.sample import stratified_topk_sample
+
+    tbl = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                    "source": pa.array([], type=pa.string())})
+    out = stratified_topk_sample(rd.from_arrow(tbl), k=3)
+    assert out.schema.field("doc_id").type == pa.int64()
+    assert out.schema.field("source").type == pa.string()

@@ -2051,12 +2051,16 @@ def doc_word_freq(sf_dir: str):
                 AS BIGINT) AS s_m,
            CAST(count(*) AS BIGINT) AS n
     FROM (SELECT label, unnest(embedding) AS val,
-                 generate_subscripts(embedding, 1) AS dim FROM embeddings)
+                 generate_subscripts(embedding, 1) AS dim FROM embeddings
+          WHERE label IS NOT NULL AND embedding IS NOT NULL)
     GROUP BY 1, 2 ORDER BY 1, 2""",
     doc="per-label embedding centroid aggregate: fixed-point element "
         "sums (order-free int64 — float means can't hash-match across "
         "engines) via per-batch dense scatter-add partials; output is "
-        "O(labels x dims), the classic tiny-result wide aggregate",
+        "O(labels x dims), the classic tiny-result wide aggregate; "
+        "null-label/null-vector rows are excluded on BOTH sides "
+        "(engine filters them — a centroid of unlabeled rows is not a "
+        "label centroid)",
 )
 def emb_label_centroids(sf_dir: str):
     from xema_ray.stages.stats import label_centroid_sums
@@ -2071,11 +2075,15 @@ _CSV_PATH = "/tmp/xema_ray_corpus/documents_sf001.csv"
 @register(
     "doc_token_counts_csv",
     "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words, "
-    f"CAST(length(text) AS BIGINT) AS n_chars_text FROM read_csv_auto('{_CSV_PATH}')",
+    "CAST(length(text) AS BIGINT) AS n_chars_text "
+    f"FROM read_csv_auto('{_CSV_PATH}', force_not_null=['text'])",
     doc="SOURCE-FORMAT coverage: token counts over a CSV corpus "
         "(ray.data.read_csv, Arrow CSV parser per block) with the oracle "
         "reading the identical file via DuckDB read_csv_auto — "
-        "round-trips quoting/escaping through two independent parsers",
+        "round-trips quoting/escaping through two independent parsers. "
+        "CSV cannot distinguish null text from '': both parsers are "
+        "pinned to the empty-string reading (Arrow's default; "
+        "force_not_null on the DuckDB side)",
 )
 def doc_token_counts_csv(sf_dir: str):
     from xema_ray.sources.csvfile import mirror_documents_csv, read_csv

@@ -49,9 +49,21 @@ def _partial_rows(tbl: pa.Table, columns) -> pa.Table:
         if len(nn) == 0:
             continue
         if pa.types.is_integer(t) or pa.types.is_floating(t):
+            is_int = pa.types.is_integer(t)
+            add(c, "_ptype", "kind", s="int" if is_int else "float")
+            if not is_int:
+                # NaN poisons min_max (it is not null); non-finite
+                # bounds don't compile to usable keywords either
+                nn = nn.filter(pc.is_finite(nn))
+                if len(nn) == 0:
+                    continue
             mm = pc.min_max(nn).as_py()
-            add(c, "minimum", "min", num=mm["min"])
-            add(c, "maximum", "max", num=mm["max"])
+            # int bounds ride in the string slot: the float64 num lane
+            # silently rounds int64 values above 2^53 (code-review r3)
+            add(c, "minimum", "min", num=mm["min"],
+                s=str(mm["min"]) if is_int else None)
+            add(c, "maximum", "max", num=mm["max"],
+                s=str(mm["max"]) if is_int else None)
         elif pa.types.is_string(t) or pa.types.is_large_string(t):
             ln = pc.utf8_length(nn)
             mm = pc.min_max(ln).as_py()
@@ -74,9 +86,16 @@ def _partial_rows(tbl: pa.Table, columns) -> pa.Table:
             flat = nn.combine_chunks().flatten()
             if len(flat) and (pa.types.is_integer(flat.type)
                               or pa.types.is_floating(flat.type)):
-                fm = pc.min_max(flat).as_py()
-                add(c, "elem_minimum", "min", num=fm["min"])
-                add(c, "elem_maximum", "max", num=fm["max"])
+                e_int = pa.types.is_integer(flat.type)
+                add(c, "_etype", "kind", s="int" if e_int else "float")
+                if not e_int:
+                    flat = flat.filter(pc.is_finite(flat))
+                if len(flat):
+                    fm = pc.min_max(flat).as_py()
+                    add(c, "elem_minimum", "min", num=fm["min"],
+                        s=str(fm["min"]) if e_int else None)
+                    add(c, "elem_maximum", "max", num=fm["max"],
+                        s=str(fm["max"]) if e_int else None)
     return pa.table({
         "col": pa.array(cols, type=pa.string()),
         "prop": pa.array(props, type=pa.string()),
@@ -102,12 +121,17 @@ def profile_dataset(ds, columns: Optional[list] = None) -> dict:
         slot = out.setdefault(c, {})
         if a == "sum":
             slot[p] = int(slot.get(p, 0) + row["num"])
-        elif a == "min":
-            v = row["num"]
-            slot[p] = v if p not in slot else min(slot[p], v)
-        elif a == "max":
-            v = row["num"]
-            slot[p] = v if p not in slot else max(slot[p], v)
+        elif a == "kind":
+            slot[p] = row["s"]
+        elif a in ("min", "max"):
+            # exact int bounds ride the string slot — the float64 num
+            # lane rounds int64 above 2^53 (code-review r3)
+            v = int(row["s"]) if row["s"] is not None else row["num"]
+            if p not in slot:
+                slot[p] = v
+            else:
+                slot[p] = min(slot[p], v) if a == "min" \
+                    else max(slot[p], v)
         elif a == "set":
             if row["s"] is None:
                 enum_overflow.add(c)
@@ -121,9 +145,16 @@ def profile_dataset(ds, columns: Optional[list] = None) -> dict:
             None if c in enum_overflow else sorted(vals)
     for c in enum_overflow:
         out.setdefault(c, {})["enum"] = None
-    # integral floats back to int for int-typed bound props
+    # structurally-integer props (counts and lengths) back to int; value
+    # BOUNDS keep their column kind — a float column whose observed
+    # bounds happen to be integral must NOT become type 'integer'
+    # (2.5 would then fail the schema inferred from its own data —
+    # code-review r3, confirmed repro)
+    _COUNT_PROPS = ("count", "nulls", "min_length", "max_length",
+                    "min_items", "max_items")
     for c, slot in out.items():
-        for p, v in list(slot.items()):
+        for p in _COUNT_PROPS:
+            v = slot.get(p)
             if isinstance(v, float) and float(v).is_integer():
                 slot[p] = int(v)
     return out
@@ -137,6 +168,8 @@ def profile_rows(profile: dict) -> pa.Table:
     for c in sorted(profile):
         for p in sorted(profile[c]):
             v = profile[c][p]
+            if p.startswith("_"):
+                continue  # internal (column-kind markers)
             if p == "enum":
                 if v is None:
                     continue  # no enum candidate
@@ -169,8 +202,11 @@ def schema_from_profile(profile: dict, dataset_columns=None):
                 kw["minimum"] = slot["minimum"]
             if "maximum" in slot:
                 kw["maximum"] = slot["maximum"]
-            is_int = all(isinstance(slot[k], (int, np.integer))
-                         for k in ("minimum", "maximum") if k in slot)
+            # the column's physical kind decides int-vs-number — NOT
+            # whether the observed bounds happen to be integral (a
+            # float column [1.0, 2.5, 4.0] must stay 'number';
+            # code-review r3, confirmed repro)
+            is_int = slot.get("_ptype") == "int"
             props[c] = ("integer" if is_int else "number", kw)
         elif "min_items" in slot or "max_items" in slot:
             kw = {}
@@ -184,9 +220,8 @@ def schema_from_profile(profile: dict, dataset_columns=None):
                     ikw["minimum"] = slot["elem_minimum"]
                 if "elem_maximum" in slot:
                     ikw["maximum"] = slot["elem_maximum"]
-                kw["items"] = ("integer" if all(
-                    isinstance(v, (int, np.integer))
-                    for v in ikw.values()) else "number", ikw)
+                kw["items"] = ("integer" if slot.get("_etype") == "int"
+                               else "number", ikw)
             props[c] = ("list", kw)
         elif "min_length" in slot or "max_length" in slot:
             kw = {}

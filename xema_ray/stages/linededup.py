@@ -120,10 +120,16 @@ def common_lines(ds, text_col: str = "text", id_col: str = "doc_id",
         ex, rows, pos = _word_stream(texts)
         lrows, _, h, _ = _line_hashes_from_stream(ex, rows, pos,
                                                   words_per_line)
-        # distinct (doc, line) first: a line repeated inside one doc
-        # counts that doc once (count(DISTINCT doc_id) semantics)
-        key = np.stack([lrows.astype(np.uint64), h], axis=1) if len(h) \
-            else np.empty((0, 2), dtype=np.uint64)
+        # distinct (doc_id VALUE, line) first — count(DISTINCT doc_id)
+        # semantics: two batch rows sharing one doc_id count once
+        # (code-review r3: the batch-row index is NOT the identity).
+        # Cross-batch duplicate ids still count once per batch — exact
+        # global distinctness would exchange (line, doc) pairs instead
+        # of counts; documented co-batched/unique-id assumption.
+        id_codes = pd.factorize(
+            t[id_col].to_pandas().to_numpy())[0].astype(np.int64)
+        key = np.stack([id_codes[lrows].astype(np.uint64), h], axis=1) \
+            if len(h) else np.empty((0, 2), dtype=np.uint64)
         key = np.unique(key, axis=0)
         uh, cnt = (np.unique(key[:, 1], return_counts=True)
                    if len(key) else (np.empty(0, np.uint64),

@@ -244,8 +244,11 @@ def stratified_topk_sample(ds, k: int, strat_col: str = "source",
     frames = [b.to_pandas() for b in
               parts.iter_batches(batch_format="pyarrow")]
     if not frames:
-        return pa.table({strat_col: pa.array([], type=pa.string()),
-                         id_col: pa.array([], type=pa.string())})
+        # empty result keeps the INPUT column types (hardcoded strings
+        # broke schema-sensitive consumers on int ids — code-review r3)
+        sch = ds.schema().base_schema
+        return pa.table({c: pa.array([], type=sch.field(c).type)
+                         for c in (strat_col, id_col)})
     merged = _topk(pd.concat(frames, ignore_index=True))
     return pa.Table.from_pandas(merged.reset_index(drop=True),
                                 preserve_index=False)

@@ -551,9 +551,16 @@ def label_centroid_sums(ds, vec_col: str = "embedding",
                                 preserve_index=False)
 
 
-def _pair_keys_batch(t: pa.Table, list_col: str, vocab: int) -> np.ndarray:
-    """Packed int64 keys ``t1*vocab + t2`` of every ADJACENT token pair
-    in the batch (row boundaries respected; null rows dropped)."""
+_PAIR_BIAS = np.uint64(1 << 31)
+
+
+def _pair_keys_batch(t: pa.Table, list_col: str) -> np.ndarray:
+    """Packed uint64 keys ``(t1+2³¹)<<32 | (t2+2³¹)`` of every ADJACENT
+    token pair in the batch (row boundaries respected; null rows
+    dropped).  INJECTIVE for any token values in [-2³¹, 2³¹) — a
+    ``t1*vocab + t2`` pack would alias out-of-vocab tokens (which the
+    corpus injects by design) onto unrelated bigrams (code-review r3,
+    confirmed repro)."""
     col = t[list_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -563,14 +570,24 @@ def _pair_keys_batch(t: pa.Table, list_col: str, vocab: int) -> np.ndarray:
     offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     flat = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
     if len(flat) < 2:
-        return np.empty(0, dtype=np.int64)
-    keys = flat[:-1] * vocab + flat[1:]
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        biased = flat.astype(np.uint64) + _PAIR_BIAS  # wraps int32 → [0, 2³²)
+        biased &= np.uint64(0xFFFFFFFF)
+        keys = (biased[:-1] << np.uint64(32)) | biased[1:]
     # drop positions where the NEXT element starts a new row;
     # offsets == len(flat) (trailing empty rows) touch no pair
     row_starts = np.zeros(len(flat), dtype=bool)
     starts = offsets[:-1]
     row_starts[starts[starts < len(flat)]] = True
     return keys[~row_starts[1:]]
+
+
+def _unpack_pairs(keys: np.ndarray):
+    """Inverse of :func:`_pair_keys_batch`: ``(t1, t2)`` int64 arrays."""
+    t1 = (keys >> np.uint64(32)).astype(np.int64) - (1 << 31)
+    t2 = (keys & np.uint64(0xFFFFFFFF)).astype(np.int64) - (1 << 31)
+    return t1, t2
 
 
 def _mg_shrink_arrays(keys: np.ndarray, cnts: np.ndarray, capacity: int):
@@ -596,9 +613,11 @@ def top_token_bigrams(ds, k: int = 20, list_col: str = "tokens",
     shuffle —
 
     1. per-batch ``np.unique`` counts shrunk to Misra-Gries partials
-       (≤ ``capacity`` packed ``t1·V+t2`` counters per batch), folded on
-       the driver with the same vectorized decrement.  Survivors are a
-       superset of every pair with true count > N/capacity.
+       (≤ ``capacity`` injectively-packed uint64 pair counters per
+       batch — ``vocab`` is kept for API compatibility but no longer
+       shapes the packing), folded on the driver with the same
+       vectorized decrement.  Survivors are a superset of every pair
+       with true count > N/capacity.
     2. candidates broadcast (``ray.put`` once) + one exact recount pass
        (searchsorted membership, bincount partials), then the true
        top-k.
@@ -622,22 +641,27 @@ def top_token_bigrams(ds, k: int = 20, list_col: str = "tokens",
         import ray
 
         def sketch(t: pa.Table) -> pa.Table:
-            pairs = _pair_keys_batch(t, list_col, vocab)
+            pairs = _pair_keys_batch(t, list_col)
             up, cnt = (np.unique(pairs, return_counts=True)
-                       if len(pairs) else (np.empty(0, np.int64),
+                       if len(pairs) else (np.empty(0, np.uint64),
                                            np.empty(0, np.int64)))
             uk, uc = _mg_shrink_arrays(up, cnt.astype(np.int64), capacity)
-            # meta row (pair = -1, an impossible key): total pair count
-            # of this batch — must survive even when the shrink empties
-            # the sketch, or the certification bound undercounts N
+            # meta row (flagged, not a sentinel key — every uint64 is a
+            # legal pair key): total pair count of this batch — must
+            # survive even when the shrink empties the sketch, or the
+            # certification bound undercounts N
             return pa.table({
-                "pair": pa.array(np.concatenate([[-1], uk]),
-                                 type=pa.int64()),
+                "pair": pa.array(np.concatenate(
+                    [[np.uint64(0)], uk.astype(np.uint64)]),
+                    type=pa.uint64()),
                 "cnt": pa.array(np.concatenate([[len(pairs)], uc]),
                                 type=pa.int64()),
+                "meta": pa.array(
+                    np.concatenate([[True], np.zeros(len(uk), bool)]),
+                    type=pa.bool_()),
             })
 
-        mk = np.empty(0, dtype=np.int64)
+        mk = np.empty(0, dtype=np.uint64)
         mc = np.empty(0, dtype=np.int64)
         n_total = 0
         for b in ds.map_batches(sketch, batch_format="pyarrow") \
@@ -646,7 +670,7 @@ def top_token_bigrams(ds, k: int = 20, list_col: str = "tokens",
                 continue
             bk = b["pair"].to_numpy(zero_copy_only=False)
             bc = b["cnt"].to_numpy(zero_copy_only=False)
-            meta = bk == -1
+            meta = b["meta"].to_numpy(zero_copy_only=False)
             n_total += int(bc[meta].sum())
             mk = np.concatenate([mk, bk[~meta]])
             mc = np.concatenate([mc, bc[~meta]])
@@ -665,7 +689,7 @@ def top_token_bigrams(ds, k: int = 20, list_col: str = "tokens",
 
         def recount(t: pa.Table) -> pa.Table:
             cs = ray.get(cand_ref)
-            pairs = _pair_keys_batch(t, list_col, vocab)
+            pairs = _pair_keys_batch(t, list_col)
             if not len(pairs) or not len(cs):
                 return pa.table({"idx": pa.array([], type=pa.int64()),
                                  "n": pa.array([], type=pa.int64())})
@@ -693,10 +717,10 @@ def top_token_bigrams(ds, k: int = 20, list_col: str = "tokens",
             and len(topk_counts) == k
             and topk_counts[-1] * capacity > n_total)
         if certified or strategy == "mg":
-            sel_k = cand[order]
+            sel_t1, sel_t2 = _unpack_pairs(cand[order])
             return pa.table({
-                "t1": pa.array(sel_k // vocab, type=pa.int64()),
-                "t2": pa.array(sel_k % vocab, type=pa.int64()),
+                "t1": pa.array(sel_t1, type=pa.int64()),
+                "t2": pa.array(sel_t2, type=pa.int64()),
                 "n": pa.array(topk_counts, type=pa.int64()),
             })
         # certificate failed under "auto": fall through to exact groupby
@@ -705,27 +729,22 @@ def top_token_bigrams(ds, k: int = 20, list_col: str = "tokens",
 
     n_buckets = default_shuffle_buckets()
 
-    # pack the exchange as tightly as the key space allows: pair ids fit
-    # uint32 whenever vocab² < 2³² (GPT-2's 50257² does), per-batch
-    # counts fit int32 — 12 bytes/row instead of 20 through the shuffle
-    narrow = vocab * vocab < (1 << 32)
-    pair_t = pa.uint32() if narrow else pa.int64()
-
     def partial(t: pa.Table) -> pa.Table:
-        pairs = _pair_keys_batch(t, list_col, vocab)
+        pairs = _pair_keys_batch(t, list_col)
         up, cnt = (np.unique(pairs, return_counts=True)
-                   if len(pairs) else (np.empty(0, np.int64),
+                   if len(pairs) else (np.empty(0, np.uint64),
                                        np.empty(0, np.int64)))
+        # per-batch counts fit int32 — 12 bytes of payload per row
+        # through the shuffle (uint64 key + int32 count)
         return pa.table({
-            "pair": pa.array(up.astype(np.uint32) if narrow else up,
-                             type=pair_t),
+            "pair": pa.array(up.astype(np.uint64), type=pa.uint64()),
             "cnt": pa.array(cnt.astype(np.int32), type=pa.int32()),
-            "bucket": pa.array((up % n_buckets).astype(np.int32),
-                               type=pa.int32()),
+            "bucket": pa.array((up % np.uint64(n_buckets))
+                               .astype(np.int32), type=pa.int32()),
         })
 
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-        p = g["pair"].to_numpy().astype(np.int64)
+        p = g["pair"].to_numpy().astype(np.uint64)
         uniq, inv = np.unique(p, return_inverse=True)
         sums = np.zeros(len(uniq), np.int64)
         np.add.at(sums, inv, g["cnt"].to_numpy(dtype=np.int64))
@@ -739,11 +758,12 @@ def top_token_bigrams(ds, k: int = 20, list_col: str = "tokens",
         return pa.table({"t1": pa.array([], type=pa.int64()),
                          "t2": pa.array([], type=pa.int64()),
                          "n": pa.array([], type=pa.int64())})
-    pairs = np.array([r["pair"] for r in cand], dtype=np.int64)
+    pairs = np.array([r["pair"] for r in cand], dtype=np.uint64)
     ns = np.array([r["n"] for r in cand], dtype=np.int64)
     order = np.lexsort((pairs, -ns))[:k]
+    t1, t2 = _unpack_pairs(pairs[order])
     return pa.table({
-        "t1": pa.array(pairs[order] // vocab, type=pa.int64()),
-        "t2": pa.array(pairs[order] % vocab, type=pa.int64()),
+        "t1": pa.array(t1, type=pa.int64()),
+        "t2": pa.array(t2, type=pa.int64()),
         "n": pa.array(ns[order], type=pa.int64()),
     })

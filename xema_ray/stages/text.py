@@ -392,9 +392,13 @@ def repetition_signals(ds, text_col: str = "text", concurrency=(1, 8)):
     )
 
 
-def global_word_counts(ds, text_col: str = "text"):
+def global_word_counts(ds, text_col: str = "text",
+                       distinct_per_doc: bool = False):
     """Corpus-wide word frequencies as ``(words_sorted 'S'-bytes array,
     counts int64 array)`` — pass 1 of corpus-frequency scoring.
+    ``distinct_per_doc=True`` counts each word once per document
+    (document frequencies; a doc never spans batches, so partials sum
+    exactly).
 
     Per-batch factorize + bincount partials fold on the driver with one
     vectorized byte-sort merge — right while the VOCABULARY (not the
@@ -418,8 +422,16 @@ def global_word_counts(ds, text_col: str = "text"):
             return pd.DataFrame({"word": pd.Series([], dtype=object),
                                  "cnt": pd.Series([], dtype=np.int64)})
         codes, uniques = pd.factorize(ex.to_numpy())
+        if distinct_per_doc:
+            key = ex.index.to_numpy().astype(np.int64) * len(uniques) \
+                + codes
+            keep = np.zeros(len(key), dtype=bool)
+            keep[np.unique(key, return_index=True)[1]] = True
+            codes = codes[keep]
         return pd.DataFrame({"word": uniques,
-                             "cnt": np.bincount(codes).astype(np.int64)})
+                             "cnt": np.bincount(
+                                 codes, minlength=len(uniques)
+                             ).astype(np.int64)})
 
     frames = [b.to_pandas() for b in
               ds.map_batches(partial, batch_format="pandas")
@@ -518,42 +530,10 @@ def winnow_fingerprints(ds, text_col: str = "text", ngram: int = 3,
 
 def global_doc_frequencies(ds, text_col: str = "text"):
     """Document frequencies: ``(words_sorted 'S'-bytes, df int64)`` where
-    ``df`` counts DISTINCT documents containing each word.  Same
-    vocab-bounded fold shape as :func:`global_word_counts` (per-batch
-    distinct-(doc, word) first, so partials sum exactly — a doc never
-    spans batches)."""
-    import re
-
-    word_pat = re.compile(r"[a-z0-9]+")
-
-    def partial(batch):
-        import pandas as pd
-
-        texts = batch[text_col].fillna("").str.lower() \
-            .reset_index(drop=True)
-        ex = texts.str.findall(word_pat).explode().dropna()
-        if not len(ex):
-            return pd.DataFrame({"word": pd.Series([], dtype=object),
-                                 "cnt": pd.Series([], dtype=np.int64)})
-        df = pd.DataFrame({"r": ex.index.to_numpy(),
-                           "w": ex.to_numpy()}).drop_duplicates()
-        codes, uniques = pd.factorize(df["w"].to_numpy())
-        return pd.DataFrame({"word": uniques,
-                             "cnt": np.bincount(codes).astype(np.int64)})
-
-    frames = [b.to_pandas() for b in
-              ds.map_batches(partial, batch_format="pandas")
-              .iter_batches(batch_format="pyarrow")]
-    if not frames:
-        return np.empty(0, dtype="S1"), np.empty(0, dtype=np.int64)
-    import pandas as pd
-
-    df = pd.concat(frames, ignore_index=True)
-    wb = df["word"].to_numpy().astype("S")
-    uniq, inv = np.unique(wb, return_inverse=True)
-    sums = np.zeros(len(uniq), np.int64)
-    np.add.at(sums, inv, df["cnt"].to_numpy(dtype=np.int64))
-    return uniq, sums
+    ``df`` counts DISTINCT documents containing each word — one shared
+    fold body (:func:`global_word_counts` with ``distinct_per_doc``;
+    code-review r3 deduplication)."""
+    return global_word_counts(ds, text_col, distinct_per_doc=True)
 
 
 class TfIdfTopTerms:
@@ -658,29 +638,23 @@ class TokenizeIds:
 
     def __init__(self, vocab_ref, text_col: str = "text"):
         import ray
-        import re
 
         self.words_sorted, self.ids = ray.get(vocab_ref)
         self.text_col = text_col
-        self.word_re = re.compile(r"[a-z0-9]+")
 
     def __call__(self, batch):
         import pandas as pd
 
+        from xema_ray.stages.linededup import _word_stream
+
         texts = batch[self.text_col].fillna("").str.lower() \
             .reset_index(drop=True)
-        ex = texts.str.findall(self.word_re).explode().dropna()
+        ex, rows, pos = _word_stream(texts)
         if not len(ex):
             return pd.DataFrame({
                 "doc_id": batch["doc_id"].iloc[:0],
                 "pos": pd.Series([], dtype=np.int64),
                 "id": pd.Series([], dtype=np.int64)})
-        rows = ex.index.to_numpy().astype(np.int64)
-        starts = np.ones(len(rows), dtype=bool)
-        starts[1:] = rows[1:] != rows[:-1]
-        first = np.flatnonzero(starts)
-        pos = np.arange(len(rows), dtype=np.int64)
-        pos -= np.repeat(pos[first], np.diff(np.append(first, len(rows))))
         wb = ex.to_numpy().astype("S")
         p = np.searchsorted(self.words_sorted, wb)
         p = np.minimum(p, max(len(self.words_sorted) - 1, 0))
