@@ -331,3 +331,60 @@ def test_stratified_topk_empty_keeps_input_types(ray_session):
     out = stratified_topk_sample(rd.from_arrow(tbl), k=3)
     assert out.schema.field("doc_id").type == pa.int64()
     assert out.schema.field("source").type == pa.string()
+
+
+# ----------------------------------------------------------------------
+# funnel
+# ----------------------------------------------------------------------
+
+
+def test_funnel_depths_ordering_semantics(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from xema_ray.stages.funnel import funnel_depths
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(u, typ, sec):
+        return {"user_id": u, "event_type": typ,
+                "ts": t0 + dt.timedelta(seconds=sec)}
+
+    rows = [
+        # u1: full ordered funnel -> depth 3
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        # u2: purchase BEFORE click -> depth 2
+        ev(2, "view", 0), ev(2, "purchase", 5), ev(2, "click", 10),
+        # u3: only view -> depth 1
+        ev(3, "view", 0), ev(3, "error", 5),
+        # u4: click without view -> depth 0
+        ev(4, "click", 0),
+        # u5: no funnel events at all -> depth 0
+        ev(5, "error", 0),
+        # u6: click at the SAME instant as view (not strictly after) -> 1
+        ev(6, "view", 0), ev(6, "click", 0),
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = funnel_depths(ds, ["view", "click", "purchase"]).to_pandas()
+    got = dict(zip(out["depth"], out["n_users"]))
+    assert got == {0: 2, 1: 2, 2: 1, 3: 1}
+
+
+def test_funnel_user_spanning_batches(ray_session):
+    """Per-batch min partials must fold exactly when one user's events
+    land in different blocks."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from xema_ray.stages.funnel import funnel_depths
+
+    t0 = dt.datetime(2026, 1, 1)
+    a = pd.DataFrame([{"user_id": 1, "event_type": "view", "ts": t0}])
+    b = pd.DataFrame([{"user_id": 1, "event_type": "click",
+                       "ts": t0 + dt.timedelta(seconds=5)}])
+    ds = rd.from_pandas(a).union(rd.from_pandas(b))
+    out = funnel_depths(ds, ["view", "click", "purchase"]).to_pandas()
+    got = dict(zip(out["depth"], out["n_users"]))
+    assert got == {0: 0, 1: 0, 2: 1, 3: 0}

@@ -2306,3 +2306,70 @@ def doc_tokenize_ids(sf_dir: str):
     from xema_ray.stages.text import tokenize_ids
 
     return tokenize_ids(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+@register(
+    "events_funnel",
+    """WITH m AS (SELECT user_id,
+        min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+        min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+        min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+      FROM events GROUP BY 1),
+    d AS (SELECT user_id,
+        CASE WHEN t1 IS NULL THEN 0
+             WHEN t2 IS NULL OR t2 <= t1 THEN 1
+             WHEN t3 IS NULL OR t3 <= t2 THEN 2
+             ELSE 3 END AS depth FROM m),
+    c AS (SELECT depth, count(*) AS n_users FROM d GROUP BY 1)
+    SELECT s.depth, CAST(coalesce(c.n_users, 0) AS BIGINT) AS n_users
+    FROM (SELECT unnest(generate_series(0, 3)) AS depth) s
+    LEFT JOIN c USING (depth) ORDER BY s.depth""",
+    doc="FUNNEL analysis (view -> click -> purchase on strictly "
+        "increasing FIRST-occurrence times): per-batch per-user "
+        "min-timestamp partials are the only exchange (data rows stay "
+        "put), coarse bucket groupby folds each user exactly once, "
+        "output = depth histogram",
+)
+def events_funnel(sf_dir: str):
+    from xema_ray.stages.funnel import funnel_depths
+
+    return funnel_depths(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"],
+              split=True),
+        steps=["view", "click", "purchase"])
+
+
+@register(
+    "seq_outlier_filter",
+    f"""{_SEQ_CTE},
+    b AS (SELECT quantile_disc(n_tok, 0.01) AS lo,
+                 quantile_disc(n_tok, 0.99) AS hi FROM seq)
+    SELECT coalesce(doc_id, '') AS doc_id, n_tok
+    FROM seq, b WHERE n_tok BETWEEN lo AND hi""",
+    doc="quantile-clip OUTLIER filter (drop sequences outside the "
+        "exact [p1, p99] length band): composes the shuffle-free exact "
+        "distributed quantiles (sample -> bucket-count refinement, "
+        "O(buckets) driver state) with a broadcast-bounds streaming "
+        "filter — the length-outlier removal step of a training-data "
+        "pipeline",
+)
+def seq_outlier_filter(sf_dir: str):
+    import pyarrow.compute as _pc
+
+    from xema_ray.stages.quantiles import exact_quantiles
+
+    ds = _read_seq(sf_dir, columns=["doc_id", "n_tok"], split=True)
+    qt = exact_quantiles(ds, "n_tok", [0.01, 0.99])
+    vals = dict(zip(qt["q_fp"].to_pylist(), qt["value"].to_pylist()))
+    lo, hi = vals[10000], vals[990000]
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = _pc.and_(_pc.greater_equal(t["n_tok"], lo),
+                     _pc.less_equal(t["n_tok"], hi))
+        t = t.filter(_pc.fill_null(m, False))
+        return pa.table({
+            "doc_id": _pc.fill_null(t["doc_id"], ""),
+            "n_tok": t["n_tok"],
+        })
+
+    return ds.map_batches(keep, batch_format="pyarrow")
