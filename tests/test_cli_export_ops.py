@@ -113,8 +113,14 @@ def test_cmd_linededup(ray_session, tmp_path, capsys):
     out = str(tmp_path / "ld")
     ns = argparse.Namespace(input=inp, out=out, text_col="text",
                             id_col="doc_id", words_per_line=5, max_docs=1,
-                            num_cpus=4)
+                            batch_rows=16384, num_cpus=4)
     cmd_linededup(ns)
     rep = json.loads(capsys.readouterr().out)
-    assert rep == {"rows": 3, "lines": 5, "kept": 3, "removed": 2,
-                   "out": out}
+    assert rep["rows_in"] == 3 and rep["rows_out"] == 3
+    assert rep["lines"] == 5 and rep["kept"] == 3 and rep["removed"] == 2
+    assert rep["partitions_done"] == 1
+    # unchanged input + config resumes: shard skipped, common set loaded
+    cmd_linededup(ns)
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["partitions_skipped"] == 1 and rep2["partitions_done"] == 0
+    assert rep2["lines"] == 5 and rep2["kept"] == 3

@@ -162,3 +162,38 @@ def test_line_dedup_duplicate_doc_id_counts_once(ray_session):
     out = line_dedup(ds, words_per_line=6, max_docs=1).take_all()
     # the line appears in ONE distinct doc -> kept in both rows
     assert all(r["n_kept"] == 1 for r in out)
+
+
+def test_run_line_dedup_resume_and_invalidation(ray_session, tmp_path):
+    import json
+    import pyarrow.parquet as pq
+
+    from xema_ray.stages.linededup import run_line_dedup
+
+    d = tmp_path / "in"; d.mkdir()
+    boiler = "shared boiler plate line here"
+    for i in range(2):
+        pq.write_table(pa.table({
+            "doc_id": [i * 10, i * 10 + 1],
+            "text": [f"unique words {i} alpha beta {boiler}",
+                     f"other text {i} gamma delta {boiler}"],
+        }), str(d / f"s{i}.parquet"))
+    paths = sorted(str(p) for p in d.glob("*.parquet"))
+    out = str(tmp_path / "out")
+    s1 = run_line_dedup(paths, out, words_per_line=5)
+    assert s1.partitions_done == 2 and s1.rows_out == 4
+    shards1 = {p.name: p.stat().st_mtime_ns
+               for p in (tmp_path / "out" / "shards").glob("*.parquet")}
+    # resume: everything skipped, outputs untouched
+    s2 = run_line_dedup(paths, out, words_per_line=5)
+    assert s2.partitions_skipped == 2 and s2.partitions_done == 0
+    shards2 = {p.name: p.stat().st_mtime_ns
+               for p in (tmp_path / "out" / "shards").glob("*.parquet")}
+    assert shards1 == shards2
+    # config change invalidates: shards rerun with the new signature
+    s3 = run_line_dedup(paths, out, words_per_line=4)
+    assert s3.partitions_done == 2
+    # the boilerplate line was removed from every doc
+    got = pq.read_table(out + "/shards/s0.parquet").to_pandas()
+    assert (got["n_kept"] < got["n_lines"]).all()
+    assert not got["clean_text"].str.contains("boiler").any()

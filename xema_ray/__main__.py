@@ -228,21 +228,24 @@ def cmd_infer(args):
 
 def cmd_linededup(args):
     _init_ray(args.num_cpus)
+    import dataclasses
+
     import ray.data as rd
 
-    from xema_ray.stages.linededup import line_dedup
+    from xema_ray.stages.linededup import run_line_dedup
 
-    out = line_dedup(rd.read_parquet(_paths(args.input)),
-                     text_col=args.text_col, id_col=args.id_col,
-                     words_per_line=args.words_per_line,
-                     max_docs=args.max_docs)
-    out.write_parquet(args.out)
-    agg = rd.read_parquet(args.out)
+    summary = run_line_dedup(_paths(args.input), args.out,
+                             text_col=args.text_col, id_col=args.id_col,
+                             words_per_line=args.words_per_line,
+                             max_docs=args.max_docs,
+                             batch_rows=args.batch_rows)
+    agg = rd.read_parquet(args.out + "/shards")
     n_lines = agg.sum("n_lines")
     n_kept = agg.sum("n_kept")
-    print(json.dumps({"rows": agg.count(), "lines": n_lines,
-                      "kept": n_kept, "removed": n_lines - n_kept,
-                      "out": args.out}))
+    out = dataclasses.asdict(summary)
+    out.update({"lines": n_lines, "kept": n_kept,
+                "removed": n_lines - n_kept})
+    print(json.dumps(out))
 
 
 def main(argv=None):
@@ -341,6 +344,7 @@ def main(argv=None):
     ld.add_argument("--id-col", default="doc_id")
     ld.add_argument("--words-per-line", type=int, default=8)
     ld.add_argument("--max-docs", type=int, default=1)
+    ld.add_argument("--batch-rows", type=int, default=16384)
     ld.set_defaults(fn=cmd_linededup)
 
     g = sub.add_parser("gen", help="generate the synthetic sequences corpus")

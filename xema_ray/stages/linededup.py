@@ -195,44 +195,129 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             self.common = ray.get(common_ref)  # one plasma read per actor
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            n = len(batch)
-            texts = batch[text_col].fillna("").str.lower() \
-                .reset_index(drop=True)
-            ex, rows, pos = _word_stream(texts)
-            lrows, _, h, line_starts = _line_hashes_from_stream(
-                ex, rows, pos, words_per_line)
-            if len(h) and len(self.common):
-                p = np.searchsorted(self.common, h)
-                p = np.minimum(p, len(self.common) - 1)
-                keep = self.common[p] != h
-            else:
-                keep = np.ones(len(h), dtype=bool)
-            n_lines = np.bincount(lrows, minlength=n).astype(np.int64)
-            n_kept = np.bincount(lrows[keep], minlength=n).astype(np.int64)
-            clean = np.full(n, "", dtype=object)
-            if len(ex) and keep.any():
-                # expand line-keep to the word stream, then ONE join per
-                # document: separator prefixes ("" doc-start, join_sep
-                # line-start, " " in-line) computed vectorized
-                line_len = np.diff(np.append(line_starts, len(rows)))
-                word_keep = np.repeat(keep, line_len)
-                kw = ex.to_numpy(dtype=object)[word_keep]
-                krows = rows[word_keep]
-                kpos = pos[word_keep]
-                sep = np.full(len(kw), " ", dtype=object)
-                line_start = (kpos % words_per_line == 0)
-                sep[line_start] = join_sep
-                doc_start = np.ones(len(kw), dtype=bool)
-                doc_start[1:] = krows[1:] != krows[:-1]
-                sep[doc_start] = ""
-                joined = pd.Series(sep + kw).groupby(krows).agg("".join)
-                clean[joined.index.to_numpy()] = joined.to_numpy()
-            return pd.DataFrame({
-                "doc_id": batch[id_col].reset_index(drop=True),
-                "n_lines": n_lines,
-                "n_kept": n_kept,
-                "clean_text": clean,
-            })
+            return filter_lines_batch(batch, self.common,
+                                      text_col=text_col, id_col=id_col,
+                                      words_per_line=words_per_line,
+                                      join_sep=join_sep)
 
     return ds.map_batches(KeepLines, batch_format="pandas",
                           concurrency=concurrency)
+
+
+def filter_lines_batch(batch: pd.DataFrame, common: np.ndarray,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       words_per_line: int = 8,
+                       join_sep: str = "\n") -> pd.DataFrame:
+    """The line-filter kernel for one batch against a SORTED common-line
+    hash set: one hash pass + one ``searchsorted`` membership test +
+    ONE join per document (separator prefixes — "" doc-start,
+    ``join_sep`` line-start, " " in-line — computed vectorized)."""
+    n = len(batch)
+    texts = batch[text_col].fillna("").str.lower().reset_index(drop=True)
+    ex, rows, pos = _word_stream(texts)
+    lrows, _, h, line_starts = _line_hashes_from_stream(
+        ex, rows, pos, words_per_line)
+    if len(h) and len(common):
+        p = np.searchsorted(common, h)
+        p = np.minimum(p, len(common) - 1)
+        keep = common[p] != h
+    else:
+        keep = np.ones(len(h), dtype=bool)
+    n_lines = np.bincount(lrows, minlength=n).astype(np.int64)
+    n_kept = np.bincount(lrows[keep], minlength=n).astype(np.int64)
+    clean = np.full(n, "", dtype=object)
+    if len(ex) and keep.any():
+        line_len = np.diff(np.append(line_starts, len(rows)))
+        word_keep = np.repeat(keep, line_len)
+        kw = ex.to_numpy(dtype=object)[word_keep]
+        krows = rows[word_keep]
+        kpos = pos[word_keep]
+        sep = np.full(len(kw), " ", dtype=object)
+        line_start = (kpos % words_per_line == 0)
+        sep[line_start] = join_sep
+        doc_start = np.ones(len(kw), dtype=bool)
+        doc_start[1:] = krows[1:] != krows[:-1]
+        sep[doc_start] = ""
+        joined = pd.Series(sep + kw).groupby(krows).agg("".join)
+        clean[joined.index.to_numpy()] = joined.to_numpy()
+    return pd.DataFrame({
+        "doc_id": batch[id_col].reset_index(drop=True),
+        "n_lines": n_lines,
+        "n_kept": n_kept,
+        "clean_text": clean,
+    })
+
+
+def _line_filter_table(tbl, common, text_col, id_col, words_per_line,
+                       join_sep):
+    """pyarrow-in/pyarrow-out adapter for the checkpointed shard map."""
+    import pyarrow as pa_
+
+    out = filter_lines_batch(tbl.to_pandas(), common, text_col=text_col,
+                             id_col=id_col, words_per_line=words_per_line,
+                             join_sep=join_sep)
+    return pa_.Table.from_pandas(out, preserve_index=False)
+
+
+def run_line_dedup(paths, out_dir: str, text_col: str = "text",
+                   id_col: str = "doc_id", words_per_line: int = 8,
+                   max_docs: int = 1, join_sep: str = "\n",
+                   batch_rows: int = 16384):
+    """Checkpointed, RESUMABLE cross-corpus line dedup — the production
+    runner (mirrors ``run_exact_dedup``):
+
+    1. the common-line set is computed once and persisted to
+       ``<out_dir>/common_lines.parquet`` with a signature covering
+       every input shard's lineage (size + mtime_ns) AND the config —
+       a rerun with unchanged inputs loads it instead of recounting;
+    2. the filter pass runs through
+       :func:`~xema_ray.state.checkpoint.run_map_shards` (one Ray task
+       per shard, atomic per-shard parquet, manifest resume); its
+       config signature embeds a digest of the common set, so a
+       changed input corpus invalidates exactly the downstream shards.
+
+    Returns the :class:`~xema_ray.state.checkpoint.MapSummary`.
+    """
+    import functools
+    import hashlib
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from xema_ray.state.checkpoint import _lineage, run_map_shards
+
+    paths = sorted(paths)
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = {"wpl": words_per_line, "max_docs": max_docs,
+           "text_col": text_col, "sep": join_sep}
+    sig = hashlib.md5(json.dumps(
+        [cfg] + [_lineage(p) for p in paths]).encode()).hexdigest()
+    common_file = os.path.join(out_dir, "common_lines.parquet")
+    sig_file = common_file + ".sig"
+    if (os.path.exists(common_file) and os.path.exists(sig_file)
+            and open(sig_file).read() == sig):
+        common = pq.read_table(common_file)["h"].to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+    else:
+        common = common_lines(rd.read_parquet(paths), text_col=text_col,
+                              id_col=id_col,
+                              words_per_line=words_per_line,
+                              max_docs=max_docs)
+        tmp = common_file + ".tmp"
+        pq.write_table(
+            pa.table({"h": pa.array(common, type=pa.uint64())}), tmp)
+        os.replace(tmp, common_file)
+        with open(sig_file, "w") as f:
+            f.write(sig)
+    common_sig = hashlib.md5(common.tobytes()).hexdigest()[:16]
+    fn = functools.partial(_line_filter_table, common=common,
+                           text_col=text_col, id_col=id_col,
+                           words_per_line=words_per_line,
+                           join_sep=join_sep)
+    return run_map_shards(
+        paths, out_dir, fn, columns=[id_col, text_col],
+        cfg_sig=f"linededup:{json.dumps(cfg, sort_keys=True)}"
+                f":common={common_sig}",
+        batch_rows=batch_rows)
