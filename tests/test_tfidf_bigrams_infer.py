@@ -388,3 +388,56 @@ def test_funnel_user_spanning_batches(ray_session):
     out = funnel_depths(ds, ["view", "click", "purchase"]).to_pandas()
     got = dict(zip(out["depth"], out["n_users"]))
     assert got == {0: 0, 1: 0, 2: 1, 3: 0}
+
+
+def test_retention_counts_brute_differential(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from xema_ray.stages.funnel import retention_counts
+
+    rng = np.random.default_rng(3)
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [{"user_id": int(rng.integers(0, 25)),
+             "ts": t0 + dt.timedelta(hours=int(rng.integers(0, 24 * 12)))}
+            for _ in range(400)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    got = retention_counts(ds, horizon_days=7).to_pandas()
+
+    # brute force
+    df = pd.DataFrame(rows)
+    df["day"] = (df["ts"].astype("int64") // 1000) // 86_400_000_000 * 0 \
+        + (df["ts"] - pd.Timestamp("1970-01-01")).dt.days
+    ud = df[["user_id", "day"]].drop_duplicates()
+    cohort = ud.groupby("user_id")["day"].min().rename("cohort")
+    j = ud.join(cohort, on="user_id")
+    j["k"] = j["day"] - j["cohort"]
+    want = j[j["k"] <= 7].groupby(["cohort", "k"]).size() \
+        .rename("n_users").reset_index().sort_values(["cohort", "k"]) \
+        .reset_index(drop=True)
+    got = got.sort_values(["cohort", "k"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"))
+
+
+def test_retention_user_spanning_batches(ray_session):
+    """Cross-batch distinct (user, day) pairs must dedupe in the fold
+    and the cohort must be the GLOBAL min day."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from xema_ray.stages.funnel import retention_counts
+
+    t0 = dt.datetime(2026, 1, 5)
+    a = pd.DataFrame([{"user_id": 1, "ts": t0 + dt.timedelta(days=2)},
+                      {"user_id": 1, "ts": t0 + dt.timedelta(days=2,
+                                                             hours=3)}])
+    b = pd.DataFrame([{"user_id": 1, "ts": t0}])
+    ds = rd.from_pandas(a).union(rd.from_pandas(b))
+    out = retention_counts(ds, horizon_days=7).to_pandas()
+    day0 = (pd.Timestamp(t0) - pd.Timestamp("1970-01-01")).days
+    assert out.to_dict("records") == [
+        {"cohort": day0, "k": 0, "n_users": 1},
+        {"cohort": day0, "k": 2, "n_users": 1}]

@@ -2373,3 +2373,29 @@ def seq_outlier_filter(sf_dir: str):
         })
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+@register(
+    "events_retention",
+    """WITH e AS (SELECT user_id,
+            CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events),
+    f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, day FROM e)
+    SELECT f.cohort AS cohort, a.day - f.cohort AS k,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    WHERE a.day - f.cohort <= 7
+    GROUP BY 1, 2 ORDER BY 1, 2""",
+    doc="cohort RETENTION matrix (users by first-activity epoch-day, "
+        "retained on day cohort+k, k<=7): per-batch DISTINCT "
+        "(user, day) pairs are the only exchange, one coarse bucket "
+        "groupby folds each user exactly once into pre-counted "
+        "(cohort, k) partials — skew-immune (a bot user contributes "
+        "<= horizon+1 distinct days, never its event count)",
+)
+def events_retention(sf_dir: str):
+    from xema_ray.stages.funnel import retention_counts
+
+    return retention_counts(
+        _read(sf_dir, "events", ["user_id", "ts"], split=True),
+        horizon_days=7)

@@ -20,6 +20,17 @@ import pyarrow.compute as pc
 _SENTINEL = np.int64(2**62)  # "never happened" (far future)
 
 
+def _ts_us(col) -> np.ndarray:
+    """int64 epoch-MICROSECONDS regardless of the column's datetime unit
+    (pandas-sourced data arrives as timestamp[ns]; a raw int64 cast
+    would then be off by 1000x)."""
+    t = col.type
+    if pa.types.is_timestamp(t) and t.unit != "us":
+        col = pc.cast(col, pa.timestamp("us"))
+    return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+
 def funnel_depths(ds, steps, user_col: str = "user_id",
                   type_col: str = "event_type", ts_col: str = "ts"):
     """Depth histogram ``(depth int64, n_users int64)`` for the ordered
@@ -38,7 +49,7 @@ def funnel_depths(ds, steps, user_col: str = "user_id",
     def partial(t: pa.Table) -> pa.Table:
         users = t[user_col].to_numpy(zero_copy_only=False)
         types = t[type_col].to_pandas()
-        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        ts = _ts_us(t[ts_col])
         sidx = types.map(step_index).to_numpy()
         rel = ~pd.isna(sidx)
         # EVERY user seen in the batch emits a partial row (a user with
@@ -88,4 +99,70 @@ def funnel_depths(ds, steps, user_col: str = "user_id",
         "depth": pa.array(np.arange(n_steps + 1, dtype=np.int64),
                           type=pa.int64()),
         "n_users": pa.array(totals, type=pa.int64()),
+    })
+
+
+def retention_counts(ds, user_col: str = "user_id", ts_col: str = "ts",
+                     horizon_days: int = 7):
+    """Cohort RETENTION matrix over an event log: users cohorted by
+    their first-activity day (epoch days), counted as retained on day
+    ``cohort + k`` for k = 0..horizon.  Returns ``(cohort, k, n_users)``
+    sorted.
+
+    Exchange discipline: per-batch DISTINCT (user, day) pairs are the
+    only rows that move (already a huge reduction over raw events), the
+    coarse bucket groupby gives each user to exactly one fold, and the
+    fold emits pre-counted ``(cohort, k, n)`` partials the driver sums
+    — no per-event shuffle, no skew sensitivity (a bot user with 10^8
+    events still contributes ≤ horizon+1 distinct days).
+    """
+    from xema_ray.stages.shuffle import default_shuffle_buckets
+
+    day_us = np.int64(86_400_000_000)
+    n_buckets = default_shuffle_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        users = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_us(t[ts_col])
+        days = ts // day_us
+        pairs = np.unique(np.stack([users, days], axis=1), axis=0)
+        return pa.table({
+            "user": pa.array(pairs[:, 0], type=pa.int64()),
+            "day": pa.array(pairs[:, 1], type=pa.int64()),
+            "bucket": pa.array((pairs[:, 0] % n_buckets).astype(np.int32),
+                               type=pa.int32()),
+        })
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = np.unique(np.stack([g["user"].to_numpy(dtype=np.int64),
+                                    g["day"].to_numpy(dtype=np.int64)],
+                                   axis=1), axis=0)  # cross-batch distinct
+        users, days = pairs[:, 0], pairs[:, 1]
+        firsts = np.ones(len(users), dtype=bool)
+        firsts[1:] = users[1:] != users[:-1]
+        # rows are (user, day)-sorted -> first row per user = cohort day
+        cohort = np.repeat(days[firsts], np.diff(
+            np.append(np.flatnonzero(firsts), len(users))))
+        k = days - cohort
+        m = k <= horizon_days
+        key = cohort[m] * (horizon_days + 1) + k[m]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({
+            "cohort": uk // (horizon_days + 1),
+            "k": uk % (horizon_days + 1),
+            "n": cnt.astype(np.int64),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas").take_all()
+    agg: dict = {}
+    for r in rows:
+        key = (int(r["cohort"]), int(r["k"]))
+        agg[key] = agg.get(key, 0) + int(r["n"])
+    keys = sorted(agg)
+    return pa.table({
+        "cohort": pa.array([c for c, _ in keys], type=pa.int64()),
+        "k": pa.array([k for _, k in keys], type=pa.int64()),
+        "n_users": pa.array([agg[x] for x in keys], type=pa.int64()),
     })
