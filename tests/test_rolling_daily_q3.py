@@ -1,0 +1,150 @@
+"""Tests for the rolling window, daily-active, broadcast semi-join and
+filtered-kNN operators (late round 3)."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events(n=300, users=7, seed=11):
+    rng = np.random.default_rng(seed)
+    t0 = dt.datetime(2026, 1, 1)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, users, n).astype(np.int64),
+        "ts": [t0 + dt.timedelta(seconds=int(s))
+               for s in rng.integers(0, 30 * 86400, n)],
+        "value": rng.normal(10, 5, n),
+    })
+
+
+def test_rolling_per_key_brute_differential(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.windows import rolling_per_key
+
+    df = _events()
+    got = rolling_per_key(rd.from_pandas(df), window_rows=4) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    d = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    d["fp"] = np.floor(d["value"].to_numpy() * 1_000_000).astype(np.int64)
+    d["roll"] = d.groupby("user_id")["fp"] \
+        .transform(lambda s: s.rolling(4, min_periods=1).sum()).astype(np.int64)
+    us = d["ts"].astype("datetime64[us]").astype("int64")
+    d["delta"] = us.groupby(d["user_id"]).diff().fillna(-1).astype(np.int64)
+    want = d.sort_values("event_id").reset_index(drop=True)
+
+    assert (got["roll_sum_fp"].to_numpy() == want["roll"].to_numpy()).all()
+    assert (got["delta_us"].to_numpy() == want["delta"].to_numpy()).all()
+
+
+def test_rolling_user_spanning_batches(ray_session):
+    """One user's events split across input blocks must still see a
+    single ts-ordered stream after the groupby."""
+    import ray.data as rd
+
+    from xema_ray.stages.windows import rolling_per_key
+
+    t0 = dt.datetime(2026, 1, 1)
+    a = pd.DataFrame({"event_id": [2], "user_id": [1],
+                      "ts": [t0 + dt.timedelta(seconds=20)], "value": [3.0]})
+    b = pd.DataFrame({"event_id": [1], "user_id": [1],
+                      "ts": [t0], "value": [2.0]})
+    ds = rd.from_pandas(a).union(rd.from_pandas(b))
+    out = rolling_per_key(ds, window_rows=4).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out["delta_us"].tolist() == [-1, 20_000_000]
+    assert out["roll_sum_fp"].tolist() == [2_000_000, 5_000_000]
+
+
+def test_daily_active_brute_differential(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.funnel import daily_active
+
+    df = _events(n=500, users=12, seed=5)
+    got = daily_active(rd.from_pandas(df)).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+
+    d = df.copy()
+    d["day"] = (d["ts"] - pd.Timestamp("1970-01-01")).dt.days
+    want = d.groupby("day").agg(
+        n_events=("user_id", "size"),
+        n_users=("user_id", "nunique")).reset_index()
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  want.astype("int64"))
+
+
+def test_daily_active_cross_batch_distinct(ray_session):
+    """The same (day, user) pair arriving in two blocks must count one
+    user but both events."""
+    import ray.data as rd
+
+    from xema_ray.stages.funnel import daily_active
+
+    t0 = dt.datetime(2026, 1, 1)
+    a = pd.DataFrame({"user_id": [1], "ts": [t0]})
+    b = pd.DataFrame({"user_id": [1],
+                      "ts": [t0 + dt.timedelta(hours=5)]})
+    ds = rd.from_pandas(a).union(rd.from_pandas(b))
+    out = daily_active(ds).to_pandas()
+    assert len(out) == 1
+    assert int(out["n_events"].iloc[0]) == 2
+    assert int(out["n_users"].iloc[0]) == 1
+
+
+def test_broadcast_semi_join(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.shuffle import broadcast_semi_join
+
+    fact = rd.from_arrow(pa.table({"k": [1, 2, 3, 4], "v": list("abcd")}))
+    dim = pa.table({"kk": [2, 4, 9]})
+    out = broadcast_semi_join(fact, dim, on="k", right_on="kk") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [2, 4]
+    assert out["v"].tolist() == ["b", "d"]
+
+
+def test_broadcast_semi_join_dataset_dim_and_empty(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.shuffle import broadcast_semi_join
+
+    fact = rd.from_arrow(pa.table({"k": [1, 2], "v": [10, 20]}))
+    dim = rd.from_arrow(pa.table({"k": [2]}))
+    out = broadcast_semi_join(fact, dim, on="k").to_pandas()
+    assert out["k"].tolist() == [2]
+
+    none = broadcast_semi_join(
+        fact, pa.table({"k": pa.array([], type=pa.int64())}), on="k")
+    assert none.count() == 0
+
+
+def test_knn_filtered_matches_prefiltered_brute(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.similarity import knn_brute_force, knn_filtered
+
+    rng = np.random.default_rng(7)
+    n, d = 120, 16
+    vecs = rng.normal(size=(n, d))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in vecs]),
+    })
+    keep = np.arange(0, n, 3, dtype=np.int64)  # every 3rd id passes
+    queries = ([0, 1], vecs[:2])
+
+    ds = rd.from_arrow(tbl)
+    got = knn_filtered(ds, keep, queries, k=5).to_pandas()
+
+    mask = np.isin(np.arange(n), keep)
+    pre = rd.from_arrow(tbl.filter(pa.array(mask)))
+    want = knn_brute_force(pre, queries, k=5).to_pandas()
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got["vec_id"]).issubset(set(keep.tolist()))

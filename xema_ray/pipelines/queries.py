@@ -2399,3 +2399,208 @@ def events_retention(sf_dir: str):
     return retention_counts(
         _read(sf_dir, "events", ["user_id", "ts"], split=True),
         horizon_days=7)
+
+
+@register(
+    "events_rolling",
+    """SELECT event_id, user_id,
+       CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1)
+            AS BIGINT) AS delta_us,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT))
+            OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS roll_sum_fp
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id""",
+    doc="per-key ROLLING count-window (4-row fixed-point sum) + lag "
+        "delta over the ts-ordered log — the fourth window class next "
+        "to tumbling/hopping/session; one groupby(key) shuffle, "
+        "in-group numpy cumsum; values quantised to floor(v*1e6) "
+        "BEFORE summation so the rolling sum is an order-exact "
+        "integer",
+)
+def events_rolling(sf_dir: str):
+    from xema_ray.stages.windows import rolling_per_key
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"], split=True)
+    return rolling_per_key(ds, key="user_id", ts_col="ts",
+                           value_col="value", id_col="event_id",
+                           window_rows=4, scale=1_000_000)
+
+
+@register(
+    "events_daily_active",
+    """SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1 ORDER BY 1""",
+    doc="daily-active rollup: exact COUNT(DISTINCT user) per epoch-day "
+        "— per-batch pre-aggregated (day, user, n) triples are the "
+        "only exchange (bounded by users x days, never events), "
+        "user-bucketed so cross-batch distinct folds exactly once",
+)
+def events_daily_active(sf_dir: str):
+    from xema_ray.stages.funnel import daily_active
+
+    return daily_active(
+        _read(sf_dir, "events", ["user_id", "ts"], split=True))
+
+
+@register(
+    "emb_filtered_knn",
+    """SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])) DESC,
+                    e.vec_id) AS BIGINT) AS rank
+    FROM (SELECT emb.* FROM embeddings emb
+          JOIN documents d ON emb.vec_id = d.doc_id
+          WHERE d.n_chars >= 300) e,
+         (SELECT * FROM embeddings WHERE vec_id < 5) q
+    QUALIFY rank <= 10""",
+    doc="FILTERED vector search: metadata gate (document n_chars >= "
+        "300) restricts the corpus before exact cosine top-k — the "
+        "allow-list of surviving ids is broadcast once (ray.put, ids "
+        "only) and the gate mask runs inside the same pass as the "
+        "matmul; no embedding payload moves for the gate",
+)
+def emb_filtered_knn(sf_dir: str):
+    from xema_ray.stages.similarity import knn_filtered
+
+    gate = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_chars"], 300))
+                   .select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    keep = pa.concat_arrays(
+        [pa.concat_arrays(b["doc_id"].chunks) if b["doc_id"].num_chunks > 1
+         else b["doc_id"].chunk(0)
+         for b in gate.iter_batches(batch_format="pyarrow")])
+    queries = _query_vectors(sf_dir)
+    out = knn_filtered(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                       keep, queries, k=10)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+@register(
+    "orders_shipping_priority",
+    """SELECT l.l_orderkey AS l_orderkey,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_c,
+       o.o_orderdate AS o_orderdate, o.o_orderpriority AS o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_c DESC, o_orderdate, l_orderkey LIMIT 10""",
+    doc="TPC-H Q3 shipping-priority: small dim (filtered customer) "
+        "broadcast into orders, lineitem pre-aggregated per batch to "
+        "(orderkey, revenue) partials BEFORE the native hash-partitioned "
+        "Dataset.join — the all-to-all moves one row per surviving "
+        "order, not per lineitem; fixed-point cents make the revenue "
+        "sum order-exact",
+)
+def orders_shipping_priority(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from xema_ray.stages.shuffle import broadcast_semi_join
+
+    cutoff_us = 883_612_800_000_000  # 1998-01-01 epoch-us
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                       .select(["c_custkey"]),
+            batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.less(pc.cast(t["o_orderdate"], pa.int64()),
+                                   cutoff_us)),
+        batch_format="pyarrow")
+    # broadcast SEMI join keeps only BUILDING-segment orders
+    orders = broadcast_semi_join(orders, cust, on="o_custkey",
+                                 right_on="c_custkey",
+                                 concurrency=(1, 4)) \
+        .select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(pc.cast(t["l_shipdate"], pa.int64()),
+                                cutoff_us))
+        rev = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev}) \
+            .group_by("l_orderkey").aggregate([("rev", "sum")])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_extendedprice",
+                "l_discount"], split=True) \
+        .map_batches(li_partial, batch_format="pyarrow")
+
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = joined.groupby(
+        ["l_orderkey", "o_orderdate", "o_orderpriority"]
+    ).aggregate(Sum("rev_sum", alias_name="revenue_c"))
+    out = agg.sort(["revenue_c", "o_orderdate", "l_orderkey"],
+                   descending=[True, False, False]).limit(10)
+    return out.map_batches(
+        lambda t: t.select(["l_orderkey", "revenue_c", "o_orderdate",
+                            "o_orderpriority"]),
+        batch_format="pyarrow")
+
+
+@register(
+    "seq_variance_by_source",
+    f"""{_SEQ_CTE}
+    SELECT source, count(n_tok) AS n,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           CAST(count(n_tok) * sum(n_tok * n_tok)
+                - sum(n_tok) * sum(n_tok) AS BIGINT) AS var_num
+    FROM seq WHERE source IS NOT NULL AND n_tok IS NOT NULL
+    GROUP BY source ORDER BY source""",
+    doc="EXACT single-pass distributed variance per source: per-batch "
+        "integer partials (n, sum, sum-of-squares) merge associatively "
+        "— var_num = n*ssq - sum^2 = n^2 * population variance, an "
+        "exact BIGINT with no float accumulation-order sensitivity",
+)
+def seq_variance_by_source(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read_seq(sf_dir, columns=["source", "n_tok"], split=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["source"]),
+                             pc.is_valid(t["n_tok"])))
+        n = pc.cast(t["n_tok"], pa.int64())
+        return pa.table({
+            "source": t["source"], "n_tok": n,
+            "sq": pc.multiply(n, n),
+        }).group_by("source").aggregate(
+            [("n_tok", "count"), ("n_tok", "sum"), ("sq", "sum")])
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n_tok_count", alias_name="n"),
+            Sum("n_tok_sum", alias_name="sum_tok"),
+            Sum("sq_sum", alias_name="ssq"),
+        )
+    return merged.map_batches(
+        lambda t: pa.table({
+            "source": t["source"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_tok": pc.cast(t["sum_tok"], pa.int64()),
+            "var_num": pc.subtract(
+                pc.multiply(pc.cast(t["n"], pa.int64()),
+                            pc.cast(t["ssq"], pa.int64())),
+                pc.multiply(pc.cast(t["sum_tok"], pa.int64()),
+                            pc.cast(t["sum_tok"], pa.int64()))),
+        }),
+        batch_format="pyarrow")

@@ -166,3 +166,53 @@ def retention_counts(ds, user_col: str = "user_id", ts_col: str = "ts",
         "k": pa.array([k for _, k in keys], type=pa.int64()),
         "n_users": pa.array([agg[x] for x in keys], type=pa.int64()),
     })
+
+
+def daily_active(ds, user_col: str = "user_id", ts_col: str = "ts"):
+    """Daily-active rollup ``(day, n_events, n_users)`` — the exact
+    COUNT(DISTINCT user) per epoch-day, plus the raw event count.
+
+    Exchange discipline (same as :func:`retention_counts`): per-batch
+    pre-aggregated ``(day, user, n)`` triples are the only rows that
+    move — bounded by |users| × |days| per batch, never by events —
+    bucketed by ``user % B`` so each user folds in exactly one group
+    (cross-batch distinct is exact), and the final ``groupby(day)``
+    merges B tiny per-bucket partials.  A bot user with 10^8 events
+    contributes one triple per (batch, day); its *event count* still
+    arrives exactly through the pre-summed ``n``.
+    """
+    from ray.data.aggregate import Sum
+
+    from xema_ray.stages.shuffle import default_shuffle_buckets
+
+    day_us = np.int64(86_400_000_000)
+    n_buckets = default_shuffle_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        users = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        days = _ts_us(t[ts_col]) // day_us
+        pairs, counts = np.unique(np.stack([days, users], axis=1), axis=0,
+                                  return_counts=True)
+        return pa.table({
+            "day": pa.array(pairs[:, 0], type=pa.int64()),
+            "user": pa.array(pairs[:, 1], type=pa.int64()),
+            "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+            "bucket": pa.array((pairs[:, 1] % n_buckets).astype(np.int32),
+                               type=pa.int32()),
+        })
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        per_pair = g.groupby(["day", "user"], sort=True)["n"].sum()
+        per_day = per_pair.groupby(level="day").agg(["count", "sum"])
+        return pd.DataFrame({
+            "day": per_day.index.to_numpy(dtype=np.int64),
+            "n_users": per_day["count"].to_numpy(dtype=np.int64),
+            "n_events": per_day["sum"].to_numpy(dtype=np.int64),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_fold, batch_format="pandas") \
+        .groupby("day").aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_users", alias_name="n_users"),
+        )

@@ -114,6 +114,39 @@ def broadcast_join(ds, dim, on: str, right_on: str = None, columns=None,
                           concurrency=concurrency)
 
 
+def broadcast_semi_join(ds, dim, on: str, right_on: str = None,
+                        concurrency=(1, 8)):
+    """Broadcast SEMI join: keep only fact rows whose key appears in the
+    small ``dim`` side.  The dim keys are put in the object store ONCE
+    (``ray.put``), read once per actor, and each batch applies one
+    vectorized ``pc.is_in`` mask — no shuffle, no payload movement.
+    ``dim`` may be a pyarrow Table or a (small) ray Dataset.
+    For dim sides too large to broadcast use the bucketed semi-join of
+    :func:`xema_ray.stages.checks.referential_violations_semijoin` or
+    the native hash-partitioned ``Dataset.join``.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    right_on = right_on or on
+    if not isinstance(dim, pa.Table):
+        batches = list(dim.iter_batches(batch_format="pyarrow"))
+        dim = pa.concat_tables(batches) if batches else pa.table({})
+    keys = (dim[right_on].combine_chunks() if right_on in dim.column_names
+            else pa.array([]))
+    ref = ray.put(keys)
+
+    class Keep:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t[on], value_set=self.keys))
+
+    return ds.map_batches(Keep, batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
 def add_hash_bucket(ds, key: str, buckets: int, out_col: str = "bucket"):
     """Append a stable hash-bucket column — the reusable partitioning key
     for co-locating work (bucketed joins, bucket-local ANN, shard routing).

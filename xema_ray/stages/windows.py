@@ -195,3 +195,52 @@ def hopping_window_counts(ds, ts_col: str = "ts", value_col: str = "value",
         Sum("n", alias_name="n"),
         Sum("sum_value_m", alias_name="sum_value_m"),
     )
+
+
+def rolling_per_key(ds, key: str = "user_id", ts_col: str = "ts",
+                    value_col: str = "value", id_col: str = "event_id",
+                    window_rows: int = 4, scale: int = 1_000_000):
+    """ROLLING count-window aggregate over the ts-ordered per-key log
+    (the fourth window class next to tumbling/hopping/session): one
+    output row per event with
+
+    * ``delta_us`` — microseconds since the key's previous event
+      (−1 for the key's first event, the SQL ``lag`` semantics), and
+    * ``roll_sum_fp`` — fixed-point sum of ``value`` over the current
+      and previous ``window_rows − 1`` events of the same key
+      (``ROWS BETWEEN w−1 PRECEDING AND CURRENT ROW``).
+
+    Exactness: each value is quantised to ``floor(value · scale)``
+    BEFORE summation — one IEEE multiply + floor, bit-identical across
+    engines — so the rolling sum is an order-exact integer cumsum.
+
+    Shape: one ``groupby(key)`` shuffle; in-group work is a numpy
+    cumsum over the (ts, id)-sorted rows.  Partitioning assumption
+    (SURVEY §2 custom-operator rule): one key's events fit one group.
+    A rolling window only needs ``window_rows − 1`` boundary rows
+    carried between adjacent sub-buckets, so the time-bucket
+    sub-partitioning of :func:`sessions_per_key` extends to it for a
+    pathological hot key.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="stable")
+        us = _epoch_us(g[ts_col])
+        v = np.floor(g[value_col].to_numpy(dtype=np.float64) * scale
+                     ).astype(np.int64)
+        c = np.cumsum(v)
+        roll = c.copy()
+        if len(v) > window_rows:
+            roll[window_rows:] = c[window_rows:] - c[:-window_rows]
+        delta = np.empty(len(g), dtype=np.int64)
+        delta[0] = -1
+        if len(g) > 1:
+            delta[1:] = us[1:] - us[:-1]
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key: g[key].to_numpy(),
+            "delta_us": delta,
+            "roll_sum_fp": roll,
+        })
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
