@@ -148,3 +148,47 @@ def test_knn_filtered_matches_prefiltered_brute(ray_session):
     want = knn_brute_force(pre, queries, k=5).to_pandas()
     pd.testing.assert_frame_equal(got, want)
     assert set(got["vec_id"]).issubset(set(keep.tolist()))
+
+
+def test_zscore_outliers_brute_differential(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from xema_ray.stages.stats import grouped_zscore_outliers
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(400)],
+        "source": rng.choice(["a", "b", "c"], 400),
+        "n_tok": rng.integers(1, 2000, 400).astype(np.int64),
+    })
+    # plant extreme rows so outliers exist
+    df.loc[0, "n_tok"] = 100_000
+    df.loc[1, "n_tok"] = 90_000
+    got = grouped_zscore_outliers(rd.from_pandas(df), key="source",
+                                  col="n_tok", z=3).to_pandas()
+
+    want = set()
+    for s, g in df.groupby("source"):
+        x = [int(v) for v in g["n_tok"]]
+        n, sm, ssq = len(x), sum(x), sum(v * v for v in x)
+        var_num = n * ssq - sm * sm
+        for i, v in zip(g.index, x):
+            if (v * n - sm) ** 2 > 9 * var_num:
+                want.add(df.loc[i, "doc_id"])
+    assert set(got["doc_id"]) == want
+    assert len(want) >= 2
+
+
+def test_zscore_exact_boundary_is_not_outlier(ray_session):
+    """d^2 == z^2 * var_num exactly (values [0, 2], z=1): the strict >
+    must exclude the row; a float-sqrt threshold could wrongly flag it."""
+    import ray.data as rd
+
+    from xema_ray.stages.stats import grouped_zscore_outliers
+
+    df = pd.DataFrame({"doc_id": ["a", "b"], "source": ["s", "s"],
+                       "n_tok": np.array([0, 2], dtype=np.int64)})
+    out = grouped_zscore_outliers(rd.from_pandas(df), z=1).to_pandas()
+    assert len(out) == 0

@@ -2604,3 +2604,59 @@ def seq_variance_by_source(sf_dir: str):
                             pc.cast(t["sum_tok"], pa.int64()))),
         }),
         batch_format="pyarrow")
+
+
+@register(
+    "orders_no_lineitem",
+    """SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey)""",
+    doc="ANTI join: orders with no lineitem rows — per-batch DISTINCT "
+        "keys pre-shrink the probe side (keys only, never lineitem "
+        "payload), then the native hash-partitioned left_anti "
+        "Dataset.join; broadcastable dims would instead use the "
+        "shuffle-free referential-check family (broadcast / Bloom)",
+)
+def orders_no_lineitem(sf_dir: str):
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"], split=True) \
+        .map_batches(
+            lambda t: pa.table({"l_orderkey": pc.unique(t["l_orderkey"])}),
+            batch_format="pyarrow")
+    return orders.join(li, join_type="left_anti", num_partitions=8,
+                       on=("o_orderkey",), right_on=("l_orderkey",))
+
+
+@register(
+    "seq_zscore_outliers",
+    f"""{_SEQ_CTE},
+    s AS (SELECT source,
+                 CAST(count(n_tok) AS HUGEINT) AS n,
+                 CAST(sum(n_tok) AS HUGEINT) AS sm,
+                 CAST(sum(n_tok * n_tok) AS HUGEINT) AS ssq
+          FROM seq WHERE source IS NOT NULL AND n_tok IS NOT NULL
+          GROUP BY source)
+    SELECT coalesce(seq.doc_id, '') AS doc_id, seq.source AS source,
+           CAST(seq.n_tok AS BIGINT) AS n_tok
+    FROM seq JOIN s ON seq.source = s.source
+    WHERE seq.n_tok IS NOT NULL
+      AND (CAST(seq.n_tok AS HUGEINT) * s.n - s.sm)
+          * (CAST(seq.n_tok AS HUGEINT) * s.n - s.sm)
+          > 9 * (s.n * s.ssq - s.sm * s.sm)""",
+    doc="EXACT integer z-score outlier rows (|x-mu| > 3 sigma per "
+        "source) with no float anywhere: the engine compares "
+        "|x*n - sum| against isqrt(9*var_num) (math.isqrt — exact for "
+        "arbitrary ints), the SQL twin compares the squared form in "
+        "HUGEINT — bit-identical decisions; stats pass is a "
+        "|groups|-row exchange, flag pass is a broadcast streaming "
+        "filter (data rows never shuffle)",
+)
+def seq_zscore_outliers(sf_dir: str):
+    from xema_ray.stages.stats import grouped_zscore_outliers
+
+    return grouped_zscore_outliers(
+        _read_seq(sf_dir, columns=["doc_id", "source", "n_tok"],
+                  split=True),
+        key="source", col="n_tok", z=3, id_col="doc_id")

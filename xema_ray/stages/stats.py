@@ -767,3 +767,71 @@ def top_token_bigrams(ds, k: int = 20, list_col: str = "tokens",
         "t2": pa.array(t2, type=pa.int64()),
         "n": pa.array(ns[order], type=pa.int64()),
     })
+
+
+def grouped_zscore_outliers(ds, key: str = "source", col: str = "n_tok",
+                            z: int = 3, id_col: str = "doc_id"):
+    """EXACT z-score outlier rows per group with pure-integer
+    arithmetic: a row is an outlier when |x − μ_g| > z·σ_g, evaluated
+    as the equivalent integer test ``|x·n − Σx| > isqrt(z²·var_num)``
+    where ``var_num = n·Σx² − (Σx)² = n²·σ²`` — no float ever enters,
+    so the decision is bit-identical on any engine (the SQL twin
+    compares the squared form in HUGEINT).
+
+    Two passes: (1) per-batch integer partials (n, Σx, Σx²) merged per
+    group — a |groups|-row exchange; (2) the driver turns each group's
+    variance into an integer threshold with ``math.isqrt`` (exact for
+    arbitrary ints, unlike float sqrt) and broadcasts the tiny
+    (n, Σx, t) table into a streaming filter pass.  Skew-free: data
+    rows never shuffle.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key]), pc.is_valid(t[col])))
+        x = pc.cast(t[col], pa.int64())
+        return pa.table({
+            key: t[key], "x": x, "sq": pc.multiply(x, x),
+        }).group_by(key).aggregate(
+            [("x", "count"), ("x", "sum"), ("sq", "sum")])
+
+    stats = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(
+            Sum("x_count", alias_name="n"),
+            Sum("x_sum", alias_name="sm"),
+            Sum("sq_sum", alias_name="ssq"),
+        ).take_all()
+    # exact integer thresholds (Python ints — no overflow, no rounding)
+    bounds = {}
+    for r in stats:
+        n, sm, ssq = int(r["n"]), int(r["sm"]), int(r["ssq"])
+        var_num = n * ssq - sm * sm
+        bounds[r[key]] = (n, sm, math.isqrt(z * z * var_num))
+
+    keys = list(bounds)
+    key_set = pa.array(keys)
+    n_arr = np.array([bounds[s][0] for s in keys], dtype=np.int64)
+    sm_arr = np.array([bounds[s][1] for s in keys], dtype=np.int64)
+    t_arr = np.array([bounds[s][2] for s in keys], dtype=np.int64)
+
+    def flag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key]), pc.is_valid(t[col])))
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.string()),
+                             key: pa.array([], type=pa.string()),
+                             col: pa.array([], type=pa.int64())})
+        gi = pc.index_in(t[key], value_set=key_set) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        x = pc.cast(t[col], pa.int64()).to_numpy(zero_copy_only=False)
+        d = np.abs(x * n_arr[gi] - sm_arr[gi])
+        m = d > t_arr[gi]
+        out = t.filter(pa.array(m))
+        return pa.table({
+            id_col: pc.fill_null(pc.cast(out[id_col], pa.string()), ""),
+            key: out[key],
+            col: pc.cast(out[col], pa.int64()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
