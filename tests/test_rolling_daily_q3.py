@@ -192,3 +192,28 @@ def test_zscore_exact_boundary_is_not_outlier(ray_session):
                        "n_tok": np.array([0, 2], dtype=np.int64)})
     out = grouped_zscore_outliers(rd.from_pandas(df), z=1).to_pandas()
     assert len(out) == 0
+
+
+def test_grouped_rank_counts_matches_window_rank(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.quantiles import grouped_rank_counts
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(500)],
+        "source": rng.choice(["x", "y"], 500),
+        "n_tok": rng.integers(1, 40, 500).astype(np.int64),  # heavy ties
+    })
+    got = grouped_rank_counts(rd.from_pandas(df), key="source",
+                              col="n_tok").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    d = df.copy()
+    d["r_lt"] = d.groupby("source")["n_tok"].rank(method="min") \
+        .astype(np.int64) - 1
+    d["n_grp"] = d.groupby("source")["n_tok"].transform("size") \
+        .astype(np.int64)
+    want = d.sort_values("doc_id").reset_index(drop=True)
+    assert (got["r_lt"].to_numpy() == want["r_lt"].to_numpy()).all()
+    assert (got["n_grp"].to_numpy() == want["n_grp"].to_numpy()).all()

@@ -2660,3 +2660,27 @@ def seq_zscore_outliers(sf_dir: str):
         _read_seq(sf_dir, columns=["doc_id", "source", "n_tok"],
                   split=True),
         key="source", col="n_tok", z=3, id_col="doc_id")
+
+
+@register(
+    "seq_rank_normalize",
+    f"""{_SEQ_CTE}
+    SELECT coalesce(doc_id, '') AS doc_id, source, n_tok,
+           CAST(rank() OVER (PARTITION BY source ORDER BY n_tok) - 1
+                AS BIGINT) AS r_lt,
+           CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_grp
+    FROM seq WHERE source IS NOT NULL AND n_tok IS NOT NULL""",
+    doc="per-row PERCENTILE-RANK normalization WITHOUT a sort: the "
+        "window rank over each source comes from the sparse (source, "
+        "value, n) histogram — one pre-aggregated counts exchange, "
+        "driver cumsum (<= groups x distinct-values state), broadcast "
+        "lookup in a streaming pass; data rows never shuffle (the "
+        "bounded-domain complement of a sort-based rank)",
+)
+def seq_rank_normalize(sf_dir: str):
+    from xema_ray.stages.quantiles import grouped_rank_counts
+
+    return grouped_rank_counts(
+        _read_seq(sf_dir, columns=["doc_id", "source", "n_tok"],
+                  split=True),
+        key="source", col="n_tok", id_col="doc_id")

@@ -273,3 +273,63 @@ def _counts_in_range(ds, col: str, s: dict, sub: np.ndarray) -> np.ndarray:
 
 def _pyval(v):
     return v.item() if isinstance(v, np.generic) else v
+
+
+def grouped_rank_counts(ds, key: str, col: str, id_col: str = "doc_id"):
+    """Per-row PERCENTILE-RANK without a global sort: appends to every
+    row ``r_lt`` = count of rows in its group with a strictly smaller
+    value and ``n_grp`` = its group's row count — exactly SQL's
+    ``rank() OVER (PARTITION BY key ORDER BY col) − 1`` and
+    ``count(*) OVER (PARTITION BY key)``.
+
+    The window function that would normally force a per-group sort is
+    replaced by the sparse value histogram (works whenever the value
+    domain is bounded — token lengths, scores, codes): per-batch
+    ``(key, value, n)`` Arrow partials, ONE pre-aggregated groupby-sum
+    exchange, a driver cumsum per group (≤ groups × distinct values of
+    state), then a broadcast lookup in a streaming flag pass — data
+    rows never shuffle and nothing is ever sorted but the tiny
+    histogram.  Rows with a null key or value are dropped (mirror with
+    ``WHERE`` in SQL).
+    """
+    def partial(tbl: pa.Table) -> pa.Table:
+        t = pa.table({key: tbl[key], col: tbl[col]}).filter(
+            pc.and_(pc.is_valid(tbl[key]), pc.is_valid(tbl[col])))
+        g = t.group_by([key, col]).aggregate([([], "count_all")])
+        return g.rename_columns([key, col, "n"])
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([key, col]).sum("n").take_all()
+
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r[key], []).append((r[col], r["sum(n)"]))
+    lut = {}
+    for k, vc in by_key.items():
+        vc.sort()
+        vals = np.array([v for v, _ in vc], dtype=np.int64)
+        cnts = np.array([c for _, c in vc], dtype=np.int64)
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        lut[k] = (vals, below, int(cnts.sum()))
+
+    def flag(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.and_(pc.is_valid(tbl[key]),
+                               pc.is_valid(tbl[col])))
+        x = pc.cast(t[col], pa.int64()).to_numpy(zero_copy_only=False)
+        ks = t[key].to_numpy(zero_copy_only=False)
+        r_lt = np.empty(len(x), dtype=np.int64)
+        n_grp = np.empty(len(x), dtype=np.int64)
+        for k in np.unique(ks):                      # ≤ |groups| iterations
+            m = ks == k
+            vals, below, tot = lut[k]
+            r_lt[m] = below[np.searchsorted(vals, x[m])]
+            n_grp[m] = tot
+        return pa.table({
+            id_col: pc.fill_null(pc.cast(t[id_col], pa.string()), ""),
+            key: t[key],
+            col: pc.cast(t[col], pa.int64()),
+            "r_lt": pa.array(r_lt, type=pa.int64()),
+            "n_grp": pa.array(n_grp, type=pa.int64()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
