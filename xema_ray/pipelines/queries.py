@@ -2684,3 +2684,42 @@ def seq_rank_normalize(sf_dir: str):
         _read_seq(sf_dir, columns=["doc_id", "source", "n_tok"],
                   split=True),
         key="source", col="n_tok", id_col="doc_id")
+
+
+@register(
+    "doc_rollup_counts",
+    """SELECT coalesce(source, 'ALL') AS source,
+       coalesce(lang, 'ALL') AS lang, count(*) AS n
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), ())
+    ORDER BY source, lang""",
+    doc="GROUPING-SETS rollup (source x lang, source subtotals, grand "
+        "total): ONE per-batch pre-counted (source, lang, n) exchange; "
+        "the subtotal and grand-total levels derive from the merged "
+        "fine-grained cells (<= sources x langs rows) — never a second "
+        "scan, never a second shuffle",
+)
+def doc_rollup_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["source", "lang"], split=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["source", "lang"]).aggregate([([], "count_all")]) \
+            .rename_columns(["source", "lang", "n"])
+
+    cells = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "lang"]).sum("n").take_all()
+
+    src_tot: dict = {}
+    rows = []
+    for r in cells:
+        rows.append((r["source"], r["lang"], r["sum(n)"]))
+        src_tot[r["source"]] = src_tot.get(r["source"], 0) + r["sum(n)"]
+    for s, n in src_tot.items():
+        rows.append((s, "ALL", n))
+    rows.append(("ALL", "ALL", sum(src_tot.values())))
+    rows.sort()
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], type=pa.string()),
+        "lang": pa.array([r[1] for r in rows], type=pa.string()),
+        "n": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
