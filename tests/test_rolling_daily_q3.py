@@ -217,3 +217,34 @@ def test_grouped_rank_counts_matches_window_rank(ray_session):
     want = d.sort_values("doc_id").reset_index(drop=True)
     assert (got["r_lt"].to_numpy() == want["r_lt"].to_numpy()).all()
     assert (got["n_grp"].to_numpy() == want["n_grp"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("bucket_s", [3600, 86400, 7 * 86400])
+def test_rolling_bucketed_matches_plain(ray_session, bucket_s):
+    """Hot-key time-bucket sub-partitioning must be output-identical to
+    the plain per-key path for any bucket width."""
+    import ray.data as rd
+
+    from xema_ray.stages.windows import rolling_per_key
+
+    df = _events(n=400, users=3, seed=23)  # few keys -> heavy per-key load
+    plain = rolling_per_key(rd.from_pandas(df), window_rows=4) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    bucketed = rolling_per_key(rd.from_pandas(df), window_rows=4,
+                               time_bucket_seconds=bucket_s) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, bucketed)
+
+
+def test_rolling_bucketed_window_one(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.windows import rolling_per_key
+
+    df = _events(n=60, users=2, seed=3)
+    plain = rolling_per_key(rd.from_pandas(df), window_rows=1) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    bucketed = rolling_per_key(rd.from_pandas(df), window_rows=1,
+                               time_bucket_seconds=43200) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, bucketed)

@@ -199,7 +199,8 @@ def hopping_window_counts(ds, ts_col: str = "ts", value_col: str = "value",
 
 def rolling_per_key(ds, key: str = "user_id", ts_col: str = "ts",
                     value_col: str = "value", id_col: str = "event_id",
-                    window_rows: int = 4, scale: int = 1_000_000):
+                    window_rows: int = 4, scale: int = 1_000_000,
+                    time_bucket_seconds: int = None):
     """ROLLING count-window aggregate over the ts-ordered per-key log
     (the fourth window class next to tumbling/hopping/session): one
     output row per event with
@@ -217,11 +218,16 @@ def rolling_per_key(ds, key: str = "user_id", ts_col: str = "ts",
     Shape: one ``groupby(key)`` shuffle; in-group work is a numpy
     cumsum over the (ts, id)-sorted rows.  Partitioning assumption
     (SURVEY §2 custom-operator rule): one key's events fit one group.
-    A rolling window only needs ``window_rows − 1`` boundary rows
-    carried between adjacent sub-buckets, so the time-bucket
-    sub-partitioning of :func:`sessions_per_key` extends to it for a
-    pathological hot key.
+    ``time_bucket_seconds`` lifts it for a pathological hot key (bot
+    user with 10^8 events): rows sub-partition by ``(key,
+    floor(ts/bucket))``; each bucket finishes every row except its
+    first ``window_rows − 1`` (incomplete window) and its first row
+    (unknown lag), emitting those as PENDING rows plus one tiny TAIL
+    row (last ``window_rows − 1`` quantised values + last ts); a
+    per-key merge over ≤ 2·w small rows per bucket completes them.
+    Output identical to the plain path for any bucket width.
     """
+    w = window_rows
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, id_col], kind="stable")
@@ -230,8 +236,8 @@ def rolling_per_key(ds, key: str = "user_id", ts_col: str = "ts",
                      ).astype(np.int64)
         c = np.cumsum(v)
         roll = c.copy()
-        if len(v) > window_rows:
-            roll[window_rows:] = c[window_rows:] - c[:-window_rows]
+        if len(v) > w:
+            roll[w:] = c[w:] - c[:-w]
         delta = np.empty(len(g), dtype=np.int64)
         delta[0] = -1
         if len(g) > 1:
@@ -243,4 +249,90 @@ def rolling_per_key(ds, key: str = "user_id", ts_col: str = "ts",
             "roll_sum_fp": roll,
         })
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    if time_bucket_seconds is None:
+        return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+    bucket_us = time_bucket_seconds * 1_000_000
+
+    def add_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["_tb"] = _epoch_us(g[ts_col]) // bucket_us
+        return g
+
+    n_pend = max(w - 1, 1)  # first w-1 rows lack window; row 0 lacks lag
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="stable")
+        us = _epoch_us(g[ts_col])
+        v = np.floor(g[value_col].to_numpy(dtype=np.float64) * scale
+                     ).astype(np.int64)
+        n = len(g)
+        c = np.cumsum(v)
+        roll = c.copy()
+        if n > w:
+            roll[w:] = c[w:] - c[:-w]
+        delta = np.empty(n, dtype=np.int64)
+        delta[0] = -1
+        if n > 1:
+            delta[1:] = us[1:] - us[:-1]
+        kind = np.where(np.arange(n) < n_pend, "p", "f")
+        out = pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key: g[key].to_numpy(),
+            "delta_us": delta,
+            "roll_sum_fp": roll,
+            "kind": kind,
+            "_tb": g["_tb"].to_numpy(dtype=np.int64),
+            "pos": np.arange(n, dtype=np.int64),
+            "ts_us": us,
+            "vals": [None] * n,
+        })
+        tail = pd.DataFrame({
+            id_col: np.array([-1], dtype=g[id_col].dtype),
+            key: g[key].iloc[:1].to_numpy(),
+            "delta_us": np.array([-1], dtype=np.int64),
+            "roll_sum_fp": np.array([0], dtype=np.int64),
+            "kind": ["t"],
+            "_tb": g["_tb"].iloc[:1].to_numpy(dtype=np.int64),
+            "pos": np.array([0], dtype=np.int64),
+            "ts_us": us[-1:],
+            "vals": [v[-(w - 1):].tolist() if w > 1 else []],
+        })
+        return pd.concat([out, tail], ignore_index=True)
+
+    def fix(g: pd.DataFrame) -> pd.DataFrame:
+        tails = g[g["kind"] == "t"].sort_values("_tb")
+        t_tb = tails["_tb"].to_numpy(dtype=np.int64)
+        t_ts = tails["ts_us"].to_numpy(dtype=np.int64)
+        t_vals = list(tails["vals"])
+        pend = g[g["kind"] == "p"].sort_values(["_tb", "pos"])
+        out_delta, out_roll = [], []
+        for _tb, pos, delta, roll, ts in zip(
+                pend["_tb"].to_numpy(dtype=np.int64),
+                pend["pos"].to_numpy(dtype=np.int64),
+                pend["delta_us"].to_numpy(dtype=np.int64),
+                pend["roll_sum_fp"].to_numpy(dtype=np.int64),
+                pend["ts_us"].to_numpy(dtype=np.int64)):
+            j = np.searchsorted(t_tb, _tb)  # tails strictly before _tb
+            if pos == 0 and j > 0:
+                delta = ts - t_ts[j - 1]
+            need = w - 1 - int(pos)
+            if need > 0 and j > 0:
+                prev = [x for vs in t_vals[:j] for x in vs][-need:]
+                roll = roll + sum(prev)
+            out_delta.append(delta)
+            out_roll.append(roll)
+        return pd.DataFrame({
+            id_col: pend[id_col].to_numpy(),
+            key: pend[key].to_numpy(),
+            "delta_us": np.array(out_delta, dtype=np.int64),
+            "roll_sum_fp": np.array(out_roll, dtype=np.int64),
+        })
+
+    cols = [id_col, key, "delta_us", "roll_sum_fp"]
+    p1 = ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby([key, "_tb"]).map_groups(per_bucket, batch_format="pandas")
+    final = p1.filter(expr="kind == 'f'").select_columns(cols)
+    fixed = p1.filter(expr="kind != 'f'") \
+        .groupby(key).map_groups(fix, batch_format="pandas")
+    return final.union(fixed)
