@@ -1343,7 +1343,10 @@ def orders_join_native(sf_dir: str):
         batch_format="pyarrow",
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = orders.join(cust, join_type="inner", num_partitions=8,
+    from xema_ray.stages.shuffle import default_shuffle_buckets
+
+    joined = orders.join(cust, join_type="inner",
+                         num_partitions=default_shuffle_buckets(hi=64),
                          on=("o_custkey",), right_on=("c_custkey",))
     return joined.select_columns(["o_orderkey", "c_mktsegment"])
 
@@ -2508,7 +2511,8 @@ def emb_filtered_knn(sf_dir: str):
 def orders_shipping_priority(sf_dir: str):
     from ray.data.aggregate import Sum
 
-    from xema_ray.stages.shuffle import broadcast_semi_join
+    from xema_ray.stages.shuffle import (broadcast_semi_join,
+                                         default_shuffle_buckets)
 
     cutoff_us = 883_612_800_000_000  # 1998-01-01 epoch-us
 
@@ -2544,7 +2548,8 @@ def orders_shipping_priority(sf_dir: str):
                 "l_discount"], split=True) \
         .map_batches(li_partial, batch_format="pyarrow")
 
-    joined = li.join(orders, join_type="inner", num_partitions=8,
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=default_shuffle_buckets(hi=64),
                      on=("l_orderkey",), right_on=("o_orderkey",))
     agg = joined.groupby(
         ["l_orderkey", "o_orderdate", "o_orderpriority"]
@@ -2625,7 +2630,10 @@ def orders_no_lineitem(sf_dir: str):
         .map_batches(
             lambda t: pa.table({"l_orderkey": pc.unique(t["l_orderkey"])}),
             batch_format="pyarrow")
-    return orders.join(li, join_type="left_anti", num_partitions=8,
+    from xema_ray.stages.shuffle import default_shuffle_buckets
+
+    return orders.join(li, join_type="left_anti",
+                       num_partitions=default_shuffle_buckets(hi=64),
                        on=("o_orderkey",), right_on=("l_orderkey",))
 
 
