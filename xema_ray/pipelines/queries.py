@@ -1346,7 +1346,7 @@ def orders_join_native(sf_dir: str):
     from xema_ray.stages.shuffle import default_shuffle_buckets
 
     joined = orders.join(cust, join_type="inner",
-                         num_partitions=default_shuffle_buckets(hi=64),
+                         num_partitions=default_shuffle_buckets(per_cpu=1, lo=8),
                          on=("o_custkey",), right_on=("c_custkey",))
     return joined.select_columns(["o_orderkey", "c_mktsegment"])
 
@@ -2529,8 +2529,7 @@ def orders_shipping_priority(sf_dir: str):
         batch_format="pyarrow")
     # broadcast SEMI join keeps only BUILDING-segment orders
     orders = broadcast_semi_join(orders, cust, on="o_custkey",
-                                 right_on="c_custkey",
-                                 concurrency=(1, 4)) \
+                                 right_on="c_custkey") \
         .select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
 
     def li_partial(t: pa.Table) -> pa.Table:
@@ -2549,7 +2548,7 @@ def orders_shipping_priority(sf_dir: str):
         .map_batches(li_partial, batch_format="pyarrow")
 
     joined = li.join(orders, join_type="inner",
-                     num_partitions=default_shuffle_buckets(hi=64),
+                     num_partitions=default_shuffle_buckets(per_cpu=1, lo=8),
                      on=("l_orderkey",), right_on=("o_orderkey",))
     agg = joined.groupby(
         ["l_orderkey", "o_orderdate", "o_orderpriority"]
@@ -2633,7 +2632,7 @@ def orders_no_lineitem(sf_dir: str):
     from xema_ray.stages.shuffle import default_shuffle_buckets
 
     return orders.join(li, join_type="left_anti",
-                       num_partitions=default_shuffle_buckets(hi=64),
+                       num_partitions=default_shuffle_buckets(per_cpu=1, lo=8),
                        on=("o_orderkey",), right_on=("l_orderkey",))
 
 
