@@ -248,3 +248,46 @@ def test_rolling_bucketed_window_one(ray_session):
                                time_bucket_seconds=43200) \
         .to_pandas().sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(plain, bucketed)
+
+
+def test_weekly_active_brute_differential(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.funnel import weekly_active
+
+    df = _events(n=600, users=15, seed=31)
+    got = weekly_active(rd.from_pandas(df), window_days=7).to_pandas()
+
+    d = df.copy()
+    d["day"] = (d["ts"] - pd.Timestamp("1970-01-01")).dt.days
+    lo, hi = d["day"].min(), d["day"].max()
+    want = []
+    for w in range(lo, hi + 1):
+        n = d.loc[d["day"].between(w - 6, w), "user_id"].nunique()
+        if n:
+            want.append((w, n))
+    assert list(zip(got["day"], got["wau"])) == want
+
+
+def test_weekly_active_gap_and_window_one(ray_session):
+    """A >7-day activity gap yields missing (zero) windows; window=1
+    degenerates to daily distinct users."""
+    import ray.data as rd
+
+    from xema_ray.stages.funnel import daily_active, weekly_active
+
+    t0 = dt.datetime(2026, 1, 1)
+    df = pd.DataFrame({
+        "user_id": np.array([1, 2, 1], dtype=np.int64),
+        "ts": [t0, t0, t0 + dt.timedelta(days=20)],
+    })
+    out = weekly_active(rd.from_pandas(df), window_days=7).to_pandas()
+    day0 = (pd.Timestamp(t0) - pd.Timestamp("1970-01-01")).days
+    got = dict(zip(out["day"], out["wau"]))
+    assert got[day0] == 2 and got[day0 + 6] == 2
+    assert day0 + 7 not in got and got[day0 + 20] == 1
+
+    w1 = weekly_active(rd.from_pandas(df), window_days=1).to_pandas()
+    da = daily_active(rd.from_pandas(df)).to_pandas().sort_values("day")
+    assert w1["day"].tolist() == da["day"].tolist()
+    assert w1["wau"].tolist() == da["n_users"].tolist()

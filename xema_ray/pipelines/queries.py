@@ -2730,3 +2730,28 @@ def doc_rollup_counts(sf_dir: str):
         "lang": pa.array([r[1] for r in rows], type=pa.string()),
         "n": pa.array([r[2] for r in rows], type=pa.int64()),
     })
+
+
+@register(
+    "events_wau",
+    """WITH e AS (SELECT DISTINCT user_id,
+            CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+    w AS (SELECT unnest(generate_series((SELECT min(day) FROM e),
+                                        (SELECT max(day) FROM e))) AS day)
+    SELECT w.day AS day,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+    FROM w JOIN e ON e.day BETWEEN w.day - 6 AND w.day
+    GROUP BY w.day ORDER BY w.day""",
+    doc="rolling WEEKLY-ACTIVE users (trailing-7-day DISTINCT count per "
+        "day) — the distinct-count analogue of a hopping window, where "
+        "summed partials are WRONG (a user active twice in a window "
+        "counts once): per-user day coverage expands and dedupes inside "
+        "user-bucketed folds, only pre-counted (window, n) partials "
+        "merge; skew-immune like the retention matrix",
+)
+def events_wau(sf_dir: str):
+    from xema_ray.stages.funnel import weekly_active
+
+    return weekly_active(
+        _read(sf_dir, "events", ["user_id", "ts"], split=True),
+        window_days=7)

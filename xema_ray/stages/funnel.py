@@ -216,3 +216,64 @@ def daily_active(ds, user_col: str = "user_id", ts_col: str = "ts"):
             Sum("n_events", alias_name="n_events"),
             Sum("n_users", alias_name="n_users"),
         )
+
+
+def weekly_active(ds, user_col: str = "user_id", ts_col: str = "ts",
+                  window_days: int = 7):
+    """Rolling DISTINCT-user window (WAU): for every epoch-day in the
+    log's span, the exact count of users active in the trailing
+    ``window_days`` days — the distinct-count analogue of a hopping
+    window (a user active twice in a window still counts once, so
+    per-window partial SUMS are wrong; per-user coverage is right).
+
+    Exchange discipline: per-batch DISTINCT (user, day) pairs bucketed
+    by user (same as :func:`retention_counts`); each bucket fold
+    expands every user's active days into the ≤ days × window_days
+    window-days it covers, dedupes PER USER (coverage, not activity
+    count), and emits pre-counted (window, n) partials; one
+    ``groupby(window)`` merges B tiny partials.  Windows beyond the
+    log's last day are trimmed on the driver (the last active day
+    emits coverage ``window_days − 1`` days past it).
+    """
+    from xema_ray.stages.shuffle import default_shuffle_buckets
+
+    day_us = np.int64(86_400_000_000)
+    n_buckets = default_shuffle_buckets()
+    w = int(window_days)
+
+    def partial(t: pa.Table) -> pa.Table:
+        users = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        days = _ts_us(t[ts_col]) // day_us
+        pairs = np.unique(np.stack([users, days], axis=1), axis=0)
+        return pa.table({
+            "user": pa.array(pairs[:, 0], type=pa.int64()),
+            "day": pa.array(pairs[:, 1], type=pa.int64()),
+            "bucket": pa.array((pairs[:, 0] % n_buckets).astype(np.int32),
+                               type=pa.int32()),
+        })
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = np.unique(np.stack([g["user"].to_numpy(dtype=np.int64),
+                                    g["day"].to_numpy(dtype=np.int64)],
+                                   axis=1), axis=0)  # cross-batch distinct
+        users, days = pairs[:, 0], pairs[:, 1]
+        # windows covered by one active day d: [d, d+w-1]
+        cov_u = np.repeat(users, w)
+        cov_w = (days[:, None] + np.arange(w, dtype=np.int64)).ravel()
+        uw = np.unique(np.stack([cov_u, cov_w], axis=1), axis=0)  # per-user dedup
+        wd, cnt = np.unique(uw[:, 1], return_counts=True)
+        return pd.DataFrame({"day": wd, "n": cnt.astype(np.int64)})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_fold, batch_format="pandas") \
+        .groupby("day").sum("n").take_all()  # <= span+w-1 rows
+    if not rows:
+        return pa.table({"day": pa.array([], type=pa.int64()),
+                         "wau": pa.array([], type=pa.int64())})
+    last_day = max(r["day"] for r in rows) - (w - 1)
+    kept = sorted((r["day"], r["sum(n)"]) for r in rows
+                  if r["day"] <= last_day)
+    return pa.table({
+        "day": pa.array([d for d, _ in kept], type=pa.int64()),
+        "wau": pa.array([n for _, n in kept], type=pa.int64()),
+    })
