@@ -291,3 +291,33 @@ def test_weekly_active_gap_and_window_one(ray_session):
     da = daily_active(rd.from_pandas(df)).to_pandas().sort_values("day")
     assert w1["day"].tolist() == da["day"].tolist()
     assert w1["wau"].tolist() == da["n_users"].tolist()
+
+
+def test_knn_per_label_matches_per_partition_brute(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.similarity import knn_brute_force, knn_per_label
+
+    rng = np.random.default_rng(17)
+    n, d = 150, 12
+    vecs = rng.normal(size=(n, d))
+    labels = rng.integers(0, 3, n).astype(np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in vecs]),
+        "label": pa.array(labels),
+    })
+    q = ([0, 1, 2], vecs[:3], labels[:3])
+    got = knn_per_label(rd.from_arrow(tbl), q, k=5).to_pandas()
+
+    frames = []
+    for qi in range(3):
+        mask = labels == labels[qi]
+        sub = rd.from_arrow(tbl.filter(pa.array(mask)))
+        w = knn_brute_force(sub, ([qi], vecs[qi:qi + 1]), k=5).to_pandas()
+        frames.append(w)
+    want = pd.concat(frames, ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+    lbl = dict(zip(range(n), labels))
+    assert all(lbl[v] == lbl[qid]
+               for qid, v in zip(got["query_id"], got["vec_id"]))

@@ -2755,3 +2755,38 @@ def events_wau(sf_dir: str):
     return weekly_active(
         _read(sf_dir, "events", ["user_id", "ts"], split=True),
         window_days=7)
+
+
+@register(
+    "emb_knn_per_label",
+    """SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])) DESC,
+                    e.vec_id) AS BIGINT) AS rank
+    FROM embeddings e,
+         (SELECT * FROM embeddings WHERE vec_id < 5) q
+    WHERE e.label = q.label
+    QUALIFY rank <= 10""",
+    doc="label-PARTITIONED vector search: each query retrieves only "
+        "within its own label partition — the per-batch matmul masks "
+        "non-matching labels to -inf BEFORE the top-k cut (one fused "
+        "pass, no per-label scan, labels ride the broadcast query "
+        "tuple); the metadata-sharded layout a multi-tenant vector "
+        "store needs",
+)
+def emb_knn_per_label(sf_dir: str):
+    from xema_ray.stages.similarity import knn_per_label
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    rows = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
+    ).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    qids = [r["vec_id"] for r in rows]
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in rows])
+    qlabels = [r["label"] for r in rows]
+    out = knn_per_label(ds, (qids, qmat, qlabels), k=10)
+    return out.select(["query_id", "vec_id", "rank"])

@@ -161,6 +161,76 @@ def knn_filtered(ds, keep_ids, queries, k: int = 10,
     return _merge_topk(cand, k)
 
 
+class _TopKPerLabel:
+    """Actor: per batch, cosine top-k per query restricted to rows whose
+    label equals the query's label — the mask is applied to the sim
+    matrix BEFORE the top-k cut, so partition-restricted search costs
+    one fused pass (no per-label scan, no second gate stage)."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str,
+                 label_col: str):
+        import ray
+
+        self.qids, qmat, qlabels = ray.get(queries_ref)
+        self.qmat = _normalize(np.asarray(qmat, dtype=np.float64))
+        self.qlabels = np.asarray(qlabels, dtype=np.int64)
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.label_col = label_col
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        m = _normalize(_matrix_from_list_col(tbl[self.vec_col]))
+        ids = tbl[self.id_col].to_pylist()
+        labels = tbl[self.label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sims = self.qmat @ m.T  # (n_queries, n_batch)
+        sims[self.qlabels[:, None] != labels[None, :]] = -np.inf
+        k = min(self.k, sims.shape[1])
+        out_q, out_id, out_s = [], [], []
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        for qi in range(sims.shape[0]):
+            for j in idx[qi]:
+                if sims[qi, j] == -np.inf:  # fewer than k label matches
+                    continue
+                out_q.append(self.qids[qi])
+                out_id.append(ids[j])
+                out_s.append(float(sims[qi, j]))
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_id, type=pa.int64()),
+            "cos_sim": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def knn_per_label(ds, queries, k: int = 10, vec_col: str = "embedding",
+                  id_col: str = "vec_id", label_col: str = "label",
+                  concurrency=(1, 8)):
+    """Label-PARTITIONED exact kNN: each query searches only vectors
+    sharing its label.  ``queries`` = (ids, matrix, labels).
+
+    Same shape as :func:`knn_brute_force` — broadcast query tuple, one
+    matmul per batch, local top-k, driver candidate merge — with the
+    label restriction fused into the sim matrix as a −inf mask, so the
+    partition filter is free (no extra pass, no data movement).  With a
+    label-partitioned PARQUET layout the read itself would prune
+    non-matching partitions and this stage is unchanged.
+    """
+    import ray
+
+    qids, qmat, qlabels = queries
+    ref = ray.put((list(qids), np.asarray(qmat, dtype=np.float64),
+                   list(qlabels)))
+    cand = ds.map_batches(
+        _TopKPerLabel,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k,
+                               "vec_col": vec_col, "id_col": id_col,
+                               "label_col": label_col},
+        batch_format="pyarrow", concurrency=concurrency,
+    ).take_all()
+    return _merge_topk(cand, k)
+
+
 class _ExactPairsStage:
     """Actor: batch × broadcast-matrix cosine, emitting (vec_a, vec_b)
     pairs (a < b) with similarity ≥ threshold."""
