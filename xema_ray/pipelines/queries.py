@@ -82,10 +82,16 @@ def _read_seq(sf_dir: str, columns=None, split: bool = False):
     return rd.read_parquet(paths, **kw)
 
 
-def _read(sf_dir: str, table: str, columns=None, split: bool = False):
+def _read(sf_dir: str, table: str, columns=None, split: bool = False,
+          filter=None):
+    """Column-pruned (and optionally row-group-pruned via a pyarrow
+    ``filter`` expression pushed into the parquet scan) table read —
+    only the needed bytes leave storage."""
     import ray.data as rd
 
     kw = {"columns": columns}
+    if filter is not None:
+        kw["filter"] = filter
     if split:
         nb = _split_blocks(1)
         if nb:
@@ -2514,27 +2520,24 @@ def orders_shipping_priority(sf_dir: str):
     from xema_ray.stages.shuffle import (broadcast_semi_join,
                                          default_shuffle_buckets)
 
-    cutoff_us = 883_612_800_000_000  # 1998-01-01 epoch-us
+    import datetime as _dt
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
-        .map_batches(
-            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
-                       .select(["c_custkey"]),
-            batch_format="pyarrow")
+    cutoff = pa.scalar(_dt.datetime(1998, 1, 1), type=pa.timestamp("us"))
+
+    # date predicates push into the parquet scan (row-group pruning:
+    # only groups whose min/max straddle the cutoff are read at all)
+    cust = _read(sf_dir, "customer", ["c_custkey"],
+                 filter=pc.field("c_mktsegment") == "BUILDING")
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate",
-                    "o_orderpriority"]).map_batches(
-        lambda t: t.filter(pc.less(pc.cast(t["o_orderdate"], pa.int64()),
-                                   cutoff_us)),
-        batch_format="pyarrow")
+                    "o_orderpriority"],
+                   filter=pc.field("o_orderdate") < cutoff)
     # broadcast SEMI join keeps only BUILDING-segment orders
     orders = broadcast_semi_join(orders, cust, on="o_custkey",
                                  right_on="c_custkey") \
         .select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
 
     def li_partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(pc.cast(t["l_shipdate"], pa.int64()),
-                                cutoff_us))
         rev = pc.cast(pc.floor(pc.multiply(pc.multiply(
             t["l_extendedprice"],
             pc.subtract(pa.scalar(1.0), t["l_discount"])),
@@ -2543,8 +2546,8 @@ def orders_shipping_priority(sf_dir: str):
             .group_by("l_orderkey").aggregate([("rev", "sum")])
 
     li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_shipdate", "l_extendedprice",
-                "l_discount"], split=True) \
+               ["l_orderkey", "l_extendedprice", "l_discount"],
+               split=True, filter=pc.field("l_shipdate") > cutoff) \
         .map_batches(li_partial, batch_format="pyarrow")
 
     joined = li.join(orders, join_type="inner",
