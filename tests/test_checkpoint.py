@@ -355,3 +355,56 @@ def test_run_map_shards_empty_shard_keeps_schema(ray_session, tmp_path):
     assert t.num_rows == 0
     assert set(t.schema.names) == {"doc_id", "chunk_id", "chunk_text",
                                    "chunk_len"}
+
+
+def _write_small_shards(d, n_files=7, rows_each=100):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    paths = []
+    for i in range(n_files):
+        t = pa.table({
+            "doc_id": [f"d{i}-{j}" for j in range(rows_each)],
+            "n": pa.array(np.arange(rows_each, dtype=np.int64) + i * 1000),
+        })
+        p = os.path.join(d, f"in-{i:03d}.parquet")
+        _pq.write_table(t, p)
+        paths.append(p)
+    return paths
+
+
+def test_run_compact_shards_roundtrip_and_resume(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from xema_ray.state.checkpoint import run_compact_shards
+
+    src = tmp_path / "src"
+    src.mkdir()
+    paths = _write_small_shards(str(src), n_files=7, rows_each=100)
+    out = str(tmp_path / "compacted")
+
+    s1 = run_compact_shards(paths, out, target_rows=250)
+    assert s1.files_in == 7 and s1.rows == 700
+    assert s1.groups_done == 3 and s1.groups_skipped == 0  # 300/300/100
+
+    outs = sorted(os.listdir(os.path.join(out, "shards")))
+    assert outs == ["compact-00000.parquet", "compact-00001.parquet",
+                    "compact-00002.parquet"]
+    got = pa.concat_tables([_pq.read_table(os.path.join(out, "shards", f))
+                            for f in outs])
+    want = pa.concat_tables([_pq.read_table(p) for p in paths])
+    assert sorted(got["doc_id"].to_pylist()) == \
+        sorted(want["doc_id"].to_pylist())
+    assert got.num_rows == 700
+
+    # resume: nothing changed -> all groups skip
+    s2 = run_compact_shards(paths, out, target_rows=250)
+    assert s2.groups_done == 0 and s2.groups_skipped == 3
+
+    # touching ONE input re-compacts only the group containing it
+    os.utime(paths[6], ns=(1, 1))
+    s3 = run_compact_shards(paths, out, target_rows=250)
+    assert s3.groups_done == 1 and s3.groups_skipped == 2
+    assert s3.rows == 700

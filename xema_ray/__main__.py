@@ -124,6 +124,19 @@ def cmd_dedup(args):
     print(_json.dumps(dataclasses.asdict(summary), indent=2))
 
 
+def cmd_compact(args):
+    _init_ray(args.num_cpus)
+    import dataclasses
+    import json as _json
+
+    from xema_ray.state.checkpoint import run_compact_shards
+
+    summary = run_compact_shards(
+        _paths(args.input), args.out, target_rows=args.target_rows,
+        row_group_rows=args.row_group_rows)
+    print(_json.dumps(dataclasses.asdict(summary), indent=2))
+
+
 def cmd_gen(args):
     from xema_ray.sources.corpus import write_corpus
 
@@ -292,6 +305,15 @@ def main(argv=None):
                     help="prior run out_dir (repeatable): incremental dedup "
                          "against its digest partials")
     dd.set_defaults(fn=cmd_dedup)
+
+    cp = sub.add_parser(
+        "compact", help="pack small parquet shards into ~target-rows "
+                        "shards (checkpointed, resumable)")
+    cp.add_argument("input", help="directory or glob of parquet shards")
+    cp.add_argument("out", help="output dir (shards/ + manifest.jsonl)")
+    cp.add_argument("--target-rows", type=int, default=1_000_000)
+    cp.add_argument("--row-group-rows", type=int, default=65536)
+    cp.set_defaults(fn=cmd_compact)
 
     c = sub.add_parser("chunk", help="split documents into fixed-size "
                                      "overlapping windows")

@@ -789,3 +789,123 @@ def run_map_shards(paths: list, out_dir: str, batch_fn, columns=None,
                       partitions_done=len(new_entries),
                       partitions_skipped=skipped,
                       manifest_path=manifest_path, out_dir=out_dir)
+
+
+# ----------------------------------------------------------------------
+# small-file compaction (r3): N input shards -> M right-sized shards
+# ----------------------------------------------------------------------
+
+
+@dataclass
+class CompactSummary:
+    files_in: int
+    rows: int
+    groups_done: int
+    groups_skipped: int
+    manifest_path: str
+    out_dir: str
+
+
+def _compact_group(paths: list, out_file: str, group_name: str,
+                   lineage: str, row_group_rows: int) -> dict:
+    """Stream every input shard's row groups into ONE output shard,
+    written atomically.  One Ray task per output group; inputs are
+    memory-mapped and never fully materialized."""
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
+    writer = None
+    rows = 0
+    os.makedirs(os.path.dirname(out_file), exist_ok=True)
+    tmp = out_file + ".tmp"
+    try:
+        for path in paths:
+            try:
+                source = pa.memory_map(path)
+            except OSError:
+                source = path
+            pf = pq.ParquetFile(source)
+            for batch in pf.iter_batches(batch_size=row_group_rows,
+                                         use_threads=False):
+                tbl = pa.Table.from_batches([batch])
+                rows += tbl.num_rows
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, tbl.schema)
+                writer.write_table(tbl)
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        return {"partition": group_name, "lineage": lineage,
+                "out_file": "", "rows": 0, "files": len(paths)}
+    os.replace(tmp, out_file)
+    return {"partition": group_name, "lineage": lineage,
+            "out_file": out_file, "rows": rows, "files": len(paths)}
+
+
+def run_compact_shards(paths: list, out_dir: str,
+                       target_rows: int = 1_000_000,
+                       row_group_rows: int = 65536) -> CompactSummary:
+    """Checkpointed SMALL-FILE COMPACTION: pack N undersized shards
+    (the natural debris of per-partition atomic writes, retries and
+    incremental runs) into ~``target_rows``-row output shards.
+
+    File management is a first-order cost at 100 TB — a million
+    64 k-row shards make every downstream scan pay a footer read and a
+    task per file.  The driver plans groups greedily from parquet
+    FOOTER row counts only (no data reads), each group becomes one Ray
+    task streaming its inputs' row groups into one atomic output, and
+    the manifest skips groups whose input lineage (every member's
+    size + mtime_ns) is unchanged on resume — an input edit re-compacts
+    only the groups it touches (group boundaries are lineage-keyed, so
+    a changed plan invalidates exactly the shifted groups).
+    """
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    done = load_manifest(out_dir)
+
+    groups, cur, cur_rows = [], [], 0
+    for p in sorted(paths):
+        n = pq.ParquetFile(p).metadata.num_rows
+        cur.append(p)
+        cur_rows += n
+        if cur_rows >= target_rows:
+            groups.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        groups.append(cur)
+
+    task = ray.remote(_compact_group)
+    refs, skipped, planned = [], 0, []
+    for i, grp in enumerate(groups):
+        name = f"compact-{i:05d}.parquet"
+        lineage = ";".join(_lineage(p) for p in grp)
+        e = done.get(name)
+        if e and e["lineage"] == lineage \
+                and os.path.exists(e.get("out_file", "")):
+            skipped += 1
+            continue
+        planned.append(name)
+        refs.append(task.remote(
+            grp, os.path.join(out_dir, "shards", name), name, lineage,
+            row_group_rows))
+
+    new_entries = []
+    with open(manifest_path, "a") as mf:
+        remaining = list(refs)
+        while remaining:
+            ready, remaining = ray.wait(
+                remaining, num_returns=min(8, len(remaining)))
+            for entry in ray.get(ready):
+                mf.write(json.dumps(entry) + "\n")
+                new_entries.append(entry)
+                done[entry["partition"]] = entry
+            mf.flush()
+
+    names = [f"compact-{i:05d}.parquet" for i in range(len(groups))]
+    rows = sum(done[n]["rows"] for n in names if n in done)
+    return CompactSummary(files_in=len(paths), rows=rows,
+                          groups_done=len(new_entries),
+                          groups_skipped=skipped,
+                          manifest_path=manifest_path, out_dir=out_dir)
