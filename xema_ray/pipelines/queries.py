@@ -2793,3 +2793,87 @@ def emb_knn_per_label(sf_dir: str):
     qlabels = [r["label"] for r in rows]
     out = knn_per_label(ds, (qids, qmat, qlabels), k=10)
     return out.select(["query_id", "vec_id", "rank"])
+
+
+@register(
+    "doc_lang_pivot",
+    """SELECT source,
+       CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS n_de,
+       CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+       CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS n_es,
+       CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr,
+       CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh
+    FROM documents GROUP BY source ORDER BY source""",
+    doc="PIVOT (long -> wide reshaping): per-source language-count "
+        "columns from the same pre-counted (source, lang, n) cell "
+        "exchange as the rollup — the wide projection is a driver "
+        "reshape of <= sources x langs cells, so reshaping costs no "
+        "extra pass or shuffle at any scale",
+)
+def doc_lang_pivot(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["source", "lang"], split=True)
+    langs = ["de", "en", "es", "fr", "zh"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["source", "lang"]).aggregate([([], "count_all")]) \
+            .rename_columns(["source", "lang", "n"])
+
+    cells = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "lang"]).sum("n").take_all()
+    wide: dict = {}
+    for r in cells:
+        wide.setdefault(r["source"], dict.fromkeys(langs, 0))
+        wide[r["source"]][r["lang"]] = r["sum(n)"]
+    keys = sorted(wide)
+    cols = {"source": pa.array(keys, type=pa.string())}
+    for lg in langs:
+        cols[f"n_{lg}"] = pa.array([wide[k][lg] for k in keys],
+                                   type=pa.int64())
+    return pa.table(cols)
+
+
+@register(
+    "seq_id_parse",
+    f"""{_SEQ_CTE}
+    SELECT regexp_extract(doc_id, '^([a-z][a-z-]*)-([0-9]{{12}})$', 1)
+               AS prefix,
+           count(*) AS n,
+           CAST(min(CAST(regexp_extract(doc_id,
+               '^([a-z][a-z-]*)-([0-9]{{12}})$', 2) AS BIGINT))
+               AS BIGINT) AS min_serial,
+           CAST(max(CAST(regexp_extract(doc_id,
+               '^([a-z][a-z-]*)-([0-9]{{12}})$', 2) AS BIGINT))
+               AS BIGINT) AS max_serial
+    FROM seq
+    WHERE doc_id IS NOT NULL
+      AND regexp_matches(doc_id, '^[a-z][a-z-]*-[0-9]{{12}}$')
+    GROUP BY 1 ORDER BY 1""",
+    doc="STRUCTURED EXTRACTION from string ids: RE2 capture groups "
+        "(pc.extract_regex — one vectorized kernel, both engines run "
+        "RE2) split doc_id into (prefix, serial); per-prefix counts and "
+        "serial ranges merge from per-batch partials",
+)
+def seq_id_parse(sf_dir: str):
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read_seq(sf_dir, columns=["doc_id"], split=True)
+    pat = r"^(?P<prefix>[a-z][a-z-]*)-(?P<serial>[0-9]{12})$"
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = pc.cast(t["doc_id"], pa.string())
+        m = pc.extract_regex(col, pattern=pat)
+        ok = pc.is_valid(m)
+        m = m.filter(ok) if hasattr(m, "filter") else m
+        st = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+        prefix = pc.struct_field(st, "prefix")
+        serial = pc.cast(pc.struct_field(st, "serial"), pa.int64())
+        return pa.table({"prefix": prefix, "serial": serial}) \
+            .group_by("prefix").aggregate(
+                [("serial", "count"), ("serial", "min"), ("serial", "max")])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("prefix").aggregate(
+            Sum("serial_count", alias_name="n"),
+            Min("serial_min", alias_name="min_serial"),
+            Max("serial_max", alias_name="max_serial"),
+        )
