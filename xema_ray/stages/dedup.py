@@ -31,6 +31,55 @@ import pyarrow as pa
 # exact dedup
 # ----------------------------------------------------------------------
 
+_HEX_LUT = np.zeros(256, dtype=np.uint8)
+for _c in b"0123456789":
+    _HEX_LUT[_c] = _c - ord("0")
+for _c in b"abcdef":
+    _HEX_LUT[_c] = _c - ord("a") + 10
+for _c in b"ABCDEF":
+    _HEX_LUT[_c] = _c - ord("A") + 10
+
+
+def _fixed_width_view(col, width: int = None):
+    """Zero-copy ``S<width>`` numpy view of an Arrow string/binary column
+    whose values are all the same byte width (content digests are) —
+    the buffer reshape replaces a per-row object conversion, which was
+    the driver-merge hot spot at 580 k partial rows.  Returns ``None``
+    when the column has nulls, ragged widths, or a non-contiguous
+    layout (callers fall back to the object path)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count or len(col) == 0:
+        return None
+    bufs = col.buffers()
+    if len(bufs) < 3 or bufs[2] is None:
+        return None
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) \
+        or pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dtype,
+                         count=len(col) + 1,
+                         offset=col.offset * np.dtype(off_dtype).itemsize)
+    widths = np.diff(offs)
+    if width is None:
+        width = int(widths[0]) if len(widths) else 0
+    if width == 0 or not (widths == width).all():
+        return None
+    data = np.frombuffer(bufs[2], dtype=np.uint8,
+                         count=int(offs[-1] - offs[0]), offset=int(offs[0]))
+    return data.reshape(len(col), width).view(f"S{width}").ravel()
+
+
+def _hex_prefix_u64(hbytes: np.ndarray) -> np.ndarray:
+    """Exact uint64 from the first 16 hex chars of ``S32`` digest keys —
+    the digest IS already a hash, so bucket assignment needs a parse,
+    not a re-hash (replaces a to_pylist + xxhash round trip per batch)."""
+    u = hbytes.view(np.uint8).reshape(len(hbytes), -1)[:, :16]
+    nib = _HEX_LUT[u].astype(np.uint64)
+    out = np.zeros(len(hbytes), dtype=np.uint64)
+    for i in range(16):
+        out = (out << np.uint64(4)) | nib[:, i]
+    return out
+
 
 def _hash_text_column(tbl: pa.Table, col: str, hash_fn: str):
     """Per-row content keys for ``tbl[col]``: vectorized 128-bit hex
@@ -556,8 +605,15 @@ def _bucketed_hash_partial(t: pa.Table, h_col: str, id_col: str,
         n_buckets = default_shuffle_buckets()
     g = _content_hash_partial_from(t, h_col, id_col)
     if g.num_rows:
-        bucket = (hash_strings(g["h"].to_pylist()) % n_buckets) \
-            .astype(np.int32)
+        hb = _fixed_width_view(g["h"])
+        if hb is not None and hb.dtype.itemsize >= 16:
+            # the digest IS a hash — parse, don't re-hash (drops a
+            # to_pylist + xxhash round trip from every batch)
+            bucket = (_hex_prefix_u64(hb) % np.uint64(n_buckets)) \
+                .astype(np.int32)
+        else:
+            bucket = (hash_strings(g["h"].to_pylist()) % n_buckets) \
+                .astype(np.int32)
     else:
         bucket = np.empty(0, dtype=np.int32)
     return g.append_column("bucket", pa.array(bucket, type=pa.int32()))
@@ -622,12 +678,29 @@ def _collect_dup_groups(partials, strategy: str = "auto",
             else "groupby"
 
     if strategy == "driver":
-        frames = [b.to_pandas() for b in
-                  partials.iter_batches(batch_format="pyarrow")]
-        dup = _dup_from_frame(pd.concat(frames, ignore_index=True)) \
-            if frames else pd.DataFrame({"h": [], "keep_id": []})
-        dup_h = pa.array(dup["h"], type=pa.string())
-        keep_id = pa.Array.from_pandas(dup["keep_id"])
+        import pyarrow.compute as pc
+
+        tables = [b for b in partials.iter_batches(batch_format="pyarrow")
+                  if b.num_rows]
+        if not tables:
+            return pa.array([], type=pa.string()), pa.array([])
+        tbl = pa.concat_tables(tables).combine_chunks()
+        h = tbl["h"].combine_chunks() if isinstance(tbl["h"],
+                                                    pa.ChunkedArray) \
+            else tbl["h"]
+        hb = _fixed_width_view(h)
+        if hb is None:                          # object fallback
+            dup = _dup_from_frame(tbl.to_pandas())
+            return (pa.array(dup["h"], type=pa.string()),
+                    pa.Array.from_pandas(dup["keep_id"]))
+        ids = tbl["min_id"].combine_chunks() \
+            if isinstance(tbl["min_id"], pa.ChunkedArray) else tbl["min_id"]
+        keep_idx, sums = _merge_hash_rows(
+            hb, _ids_key_fn(ids),
+            tbl["cnt"].to_numpy(zero_copy_only=False).astype(np.int64))
+        dup_sel = pa.array(keep_idx[sums > 1])
+        dup_h = pc.take(h, dup_sel)
+        keep_id = pc.take(ids, dup_sel)
     else:
         # each digest lands in exactly one bucket, so per-bucket merges
         # are globally complete; only dup groups leave the workers
@@ -697,28 +770,92 @@ def exact_dedup_project(ds, col: str = "text", id_col: str = "doc_id",
     return thin.map_batches(keep, batch_format="pyarrow")
 
 
+def _merge_hash_rows(hb: np.ndarray, ids_key, cnts: np.ndarray):
+    """Group-merge kernel over fixed-width digest bytes: returns
+    ``(keep_idx, sums)`` — for each distinct digest (np.unique order)
+    the row index of its MIN id and its total count.
+
+    Fast path: digests that appear once (the overwhelming case in a
+    mostly-unique corpus) never touch the id column at all — the
+    lexsort + id-byte conversion runs only over rows of duplicated
+    digests (``ids_key(rows)`` is called lazily with just those rows)."""
+    uniq, inv, ucnt = np.unique(hb, return_inverse=True,
+                                return_counts=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, cnts)
+    keep_idx = np.empty(len(uniq), np.int64)
+    single_rows = (ucnt == 1)[inv]
+    keep_idx[inv[single_rows]] = np.flatnonzero(single_rows)
+    if not single_rows.all():
+        rows = np.flatnonzero(~single_rows)
+        sub_inv = inv[rows]
+        order = np.lexsort((ids_key(rows), sub_inv))
+        si = sub_inv[order]
+        firsts = np.ones(len(si), dtype=bool)
+        firsts[1:] = si[1:] != si[:-1]
+        keep_idx[si[firsts]] = rows[order[firsts]]
+    return keep_idx, sums
+
+
+def _ids_key_fn(ids):
+    """Lazy min-comparable key for an Arrow id column: ASCII bytes when
+    encodable (byte order == str order), object fallback otherwise."""
+    import pyarrow.compute as pc
+
+    def key(rows: np.ndarray) -> np.ndarray:
+        sub = pc.take(ids, pa.array(rows)).to_numpy(zero_copy_only=False)
+        if np.issubdtype(sub.dtype, np.number):
+            return sub
+        try:
+            return sub.astype("S")
+        except UnicodeEncodeError:
+            return sub
+
+    return key
+
+
 def _content_hash_partial_from(tbl: pa.Table, h_col: str,
                                id_col: str) -> pa.Table:
-    """(hash, min_id, cnt) partial from an already-hashed column."""
-    df = pd.DataFrame({
-        "h": tbl[h_col].to_pandas(),
-        "id": tbl[id_col].to_pandas(),
-    }).dropna(subset=["h", "id"])
-    if not len(df):
+    """(hash, min_id, cnt) partial from an already-hashed column —
+    Arrow-native: the digest column is viewed as fixed-width bytes
+    straight off the value buffer (zero per-row objects; the pandas
+    round trip this replaces was the per-batch hot spot)."""
+    import pyarrow.compute as pc
+
+    h, ids = tbl[h_col], tbl[id_col]
+    mask = pc.and_(pc.is_valid(h), pc.is_valid(ids))
+    if not pc.all(pc.fill_null(mask, False)).as_py():
+        t = tbl.filter(pc.fill_null(mask, False))
+        h, ids = t[h_col], t[id_col]
+    if isinstance(h, pa.ChunkedArray):
+        h = h.combine_chunks()
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    if len(h) == 0:
         return pa.table({
             "h": pa.array([], type=pa.string()),
             "min_id": pa.array([], type=tbl[id_col].type),
             "cnt": pa.array([], type=pa.int64()),
         })
-    # same vectorized group sort as the global merge — the pandas object
-    # groupby string-min this replaces ran once per BATCH in the hot path
-    df = df.rename(columns={"id": "min_id"})
-    df["cnt"] = 1
-    g = _groups_from_frame(df)
+    hb = _fixed_width_view(h)
+    if hb is None:                       # ragged/exotic layout fallback
+        df = pd.DataFrame({"h": h.to_pandas(), "min_id": ids.to_pandas()})
+        df["cnt"] = 1
+        g = _groups_from_frame(df)
+        return pa.table({
+            "h": pa.array(g["h"], type=pa.string()),
+            "min_id": pa.Array.from_pandas(g["keep_id"],
+                                           type=tbl[id_col].type),
+            "cnt": pa.array(g["n"].to_numpy(dtype=np.int64),
+                            type=pa.int64()),
+        })
+    keep_idx, sums = _merge_hash_rows(
+        hb, _ids_key_fn(ids), np.ones(len(hb), dtype=np.int64))
+    ki = pa.array(keep_idx)
     return pa.table({
-        "h": pa.array(g["h"], type=pa.string()),
-        "min_id": pa.Array.from_pandas(g["keep_id"], type=tbl[id_col].type),
-        "cnt": pa.array(g["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+        "h": pc.take(h, ki),
+        "min_id": pc.take(ids, ki),
+        "cnt": pa.array(sums, type=pa.int64()),
     })
 
 
