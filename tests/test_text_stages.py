@@ -43,6 +43,22 @@ def test_token_count_and_quality_kernels():
     assert q["alpha_ratio"].to_pylist()[1] == 0.0
 
 
+def test_normalize_text_batch():
+    from xema_ray.stages.text import normalize_text_batch
+
+    e_acute = chr(0xE9)                  # precomposed
+    e_dec = "e" + chr(0x301)             # decomposed pair
+    tbl = pa.table({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": ["  Hello   WORLD \t", "a\n\nb", "", "Caf" + e_acute,
+                 "Caf" + e_dec, None],
+    })
+    out = normalize_text_batch(tbl)
+    assert out["norm_text"].to_pylist() == [
+        "hello world", "a b", "", "caf" + e_acute, "caf" + e_acute, None]
+    assert out["norm_chars"].to_pylist() == [11, 3, 0, 4, 4, None]
+
+
 def test_fingerprint_stability_and_sensitivity():
     from xema_ray.stages.text import Fingerprint
 

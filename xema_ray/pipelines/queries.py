@@ -476,6 +476,25 @@ def doc_token_counts(sf_dir: str):
 
 
 @register(
+    "doc_normalize",
+    "SELECT doc_id, "
+    "trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS norm_text, "
+    "CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))) "
+    "AS BIGINT) AS norm_chars FROM documents",
+    doc="canonical text normalization (NFC → lower → collapse \\s+ → trim); "
+        "pure-Arrow kernel chain, byte-exact vs the DuckDB replica",
+)
+def doc_normalize(sf_dir: str):
+    from xema_ray.stages.text import normalize_text
+
+    ds = normalize_text(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.map_batches(
+        lambda t: t.select(["doc_id", "norm_text", "norm_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+@register(
     "doc_quality",
     """SELECT doc_id,
        CAST(floor(1e6 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))

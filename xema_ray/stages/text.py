@@ -27,6 +27,55 @@ def token_count_batch(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def normalize_text_batch(tbl: pa.Table, text_col: str = "text",
+                         out_col: str = "norm_text") -> pa.Table:
+    """Canonical text normalization: Unicode NFC → lowercase → collapse
+    runs of whitespace to one space → trim.  The standard first stage of
+    a training-data cleaning pipeline (dedup and n-gram stages downstream
+    see one canonical form per document).
+
+    Arrow kernel chain (utf8_lower / replace_substring_regex / trim) —
+    zero Python per row on ASCII text; the regex ``\\s+`` matches the
+    same character class in RE2 and DuckDB so the SQL oracle reproduces
+    the transform byte-for-byte.
+
+    NFC caveat: pyarrow's ``utf8_normalize(form="NFC")`` does NOT
+    compose in this build (16.1.0 returns decomposed output for every
+    form — verified: NFC("e"+U+0301) stays two code points, while
+    CPython's ``unicodedata`` and DuckDB's ``nfc_normalize`` both
+    compose to U+00E9).  So composition uses ``unicodedata.normalize``
+    — but only on rows that are non-ASCII (``pc.string_is_ascii``
+    fast-path skips the Python loop entirely for the common case;
+    ASCII is NFC-invariant so the skip is exact)."""
+    t = tbl[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    non_ascii = pc.fill_null(pc.invert(pc.string_is_ascii(t)), False)
+    if pc.any(non_ascii).as_py():
+        import unicodedata
+
+        idx = np.flatnonzero(non_ascii.to_numpy(zero_copy_only=False))
+        fixed = pa.array(
+            [unicodedata.normalize("NFC", v)
+             for v in t.take(pa.array(idx)).to_pylist()],
+            type=pa.string(),
+        )
+        t = pc.replace_with_mask(t, non_ascii, fixed)
+    t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+    t = pc.utf8_trim_whitespace(t)
+    return tbl.append_column(out_col, t).append_column(
+        "norm_chars", pc.cast(pc.utf8_length(t), pa.int64()))
+
+
+def normalize_text(ds, text_col: str = "text", out_col: str = "norm_text"):
+    """Streaming normalization pass — no shuffle, no state."""
+    return ds.map_batches(
+        lambda t: normalize_text_batch(t, text_col, out_col),
+        batch_format="pyarrow",
+    )
+
+
 #: small English stopword list shared with LangId (common-knowledge)
 _EN_STOP_ALT = ("the|and|of|to|in|is|that|it|for|was|with|as|his|on|be|at|"
                 "by|this|had|not")
