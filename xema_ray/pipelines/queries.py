@@ -2896,3 +2896,158 @@ def seq_id_parse(sf_dir: str):
             Min("serial_min", alias_name="min_serial"),
             Max("serial_max", alias_name="max_serial"),
         )
+
+
+@register(
+    "doc_search_bm25",
+    """WITH w AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(coalesce(text,'')),
+                       '[a-z0-9]+')) AS word FROM documents),
+    g AS (SELECT count(*) AS n FROM documents),
+    t AS (SELECT count(*) AS tot FROM w),
+    a AS (SELECT (10 * t.tot) // g.n AS a10 FROM g, t),
+    q(term) AS (VALUES ('hash'), ('join'), ('vector'), ('stream')),
+    dfc AS (SELECT q.term, count(DISTINCT w.doc_id) AS df
+            FROM q JOIN w ON w.word = q.term GROUP BY 1),
+    dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+    tf AS (SELECT w.doc_id, w.word AS term, count(*) AS tf
+           FROM w JOIN q ON w.word = q.term GROUP BY 1, 2),
+    sc AS (SELECT tf.doc_id,
+             sum((((2 * (g.n - dfc.df) + 1) * 1000000) // (2 * dfc.df + 1))
+                 * ((22000 * a.a10 * tf.tf)
+                    // (10 * a.a10 * tf.tf + 3 * a.a10 + 90 * dl.dl)))
+                 AS score
+           FROM tf JOIN dfc ON tf.term = dfc.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN g CROSS JOIN a
+           GROUP BY 1)
+    SELECT doc_id, CAST(score AS BIGINT) AS score FROM sc
+    WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""",
+    doc="full-text top-10 SEARCH by an exact-integer BM25 surrogate "
+        "(k1=1.2, b=0.75; rational idf + fixed-point saturation — float "
+        "ln() can't hash-match): one corpus-size-free stats pass "
+        "(per-batch (N, T, df) partials), broadcast params, per-batch "
+        "vectorized scoring with LOCAL top-k, driver merges k×batches "
+        "rows",
+)
+def doc_search_bm25(sf_dir: str):
+    from xema_ray.stages.search import bm25_topk
+
+    return bm25_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        terms=["hash", "join", "vector", "stream"], k=10)
+
+
+@register(
+    "orders_local_supplier_volume",
+    """SELECT n.n_name AS n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY revenue_c DESC, n_name""",
+    doc="TPC-H Q5 local-supplier volume (6-table join): tiny dims "
+        "(region/nation) resolved driver-side, supplier map "
+        "(suppkey->nationkey, ASIA only) broadcast once and fused into "
+        "the lineitem scan (semi-filter + nation tag + per-batch "
+        "(orderkey, s_nat, cents) pre-agg), ONE native hash-partitioned "
+        "join lineitem-partials x (orders semi-joined to ASIA "
+        "customers) on orderkey, local-supplier filter "
+        "(c_nat == s_nat) post-join, final 25-key groupby",
+)
+def orders_local_supplier_volume(sf_dir: str):
+    import datetime as _dt
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from xema_ray.stages.shuffle import default_shuffle_buckets
+
+    region = _pq.read_table(_os.path.join(sf_dir, "region.parquet"))
+    nation = _pq.read_table(_os.path.join(sf_dir, "nation.parquet"))
+    asia_rk = region.filter(
+        pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    asia_n = nation.filter(pc.is_in(nation["n_regionkey"],
+                                    value_set=asia_rk))
+    asia_keys = asia_n["n_nationkey"].combine_chunks()
+    name_of = dict(zip(asia_n["n_nationkey"].to_pylist(),
+                       asia_n["n_name"].to_pylist()))
+
+    # ASIA supplier map: suppkey -> nationkey, broadcast once
+    supp = _pq.read_table(_os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(supp["s_nationkey"], value_set=asia_keys))
+    sk = supp["s_suppkey"].to_numpy()
+    so = np.argsort(sk)
+    supp_ref = ray.put((sk[so],
+                        supp["s_nationkey"].to_numpy()[so]))
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), type=pa.timestamp("us"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"],
+                 filter=pc.field("c_nationkey").isin(asia_keys))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   filter=(pc.field("o_orderdate") >= lo)
+                   & (pc.field("o_orderdate") < hi))
+    nparts = default_shuffle_buckets(per_cpu=1, lo=8)
+    ordn = orders.join(cust, join_type="inner", num_partitions=nparts,
+                       on=("o_custkey",), right_on=("c_custkey",)) \
+        .select_columns(["o_orderkey", "c_nationkey"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        keys, nats = ray.get(supp_ref)
+        skv = t["l_suppkey"].to_numpy()
+        pos = np.searchsorted(keys, skv)
+        pos = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = (keys[pos] == skv) if len(keys) else \
+            np.zeros(len(skv), bool)
+        t = t.filter(pa.array(hit))
+        if t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "s_nat": pa.array([], pa.int32()),
+                             "rev": pa.array([], pa.int64())})
+        s_nat = nats[pos[hit]]
+        rev = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "s_nat": pa.array(s_nat),
+                         "rev": rev}) \
+            .group_by(["l_orderkey", "s_nat"]).aggregate([("rev", "sum")])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"], split=True) \
+        .map_batches(li_partial, batch_format="pyarrow")
+
+    joined = li.join(ordn, join_type="inner", num_partitions=nparts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.cast(t["s_nat"], pa.int64()),
+                              pc.cast(t["c_nationkey"], pa.int64())))
+        return pa.table({"s_nat": pc.cast(t["s_nat"], pa.int64()),
+                         "rev_sum": t["rev_sum"]})
+
+    agg = joined.map_batches(local_only, batch_format="pyarrow") \
+        .groupby("s_nat").aggregate(Sum("rev_sum", alias_name="revenue_c"))
+    rows = agg.take_all()  # <= 25 nation rows
+    import pandas as pd
+
+    out = pd.DataFrame({
+        "n_name": [name_of[int(r["s_nat"])] for r in rows],
+        "revenue_c": [int(r["revenue_c"]) for r in rows],
+    }).sort_values(["revenue_c", "n_name"],
+                   ascending=[False, True]).reset_index(drop=True)
+    return out
