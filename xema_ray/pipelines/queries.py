@@ -3051,3 +3051,57 @@ def orders_local_supplier_volume(sf_dir: str):
     }).sort_values(["revenue_c", "n_name"],
                    ascending=[False, True]).reset_index(drop=True)
     return out
+
+
+@register(
+    "doc_feature_hash",
+    """WITH w AS (SELECT doc_id,
+                unnest(regexp_extract_all(lower(coalesce(text,'')),
+                       '[a-z0-9]+')) AS word FROM documents)
+    SELECT doc_id,
+           CAST(strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1
+                AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM w GROUP BY 1, 2""",
+    doc="feature-hashing featurizer (hashing trick): vocabulary-free "
+        "16-dim bag-of-words embedding, bucket = md5(word) nibble — "
+        "md5 runs once per UNIQUE word per batch (vocab-bounded), "
+        "counts fold vectorized; sparse (doc_id, bucket, cnt) output, "
+        "zero shuffle",
+)
+def doc_feature_hash(sf_dir: str):
+    from xema_ray.stages.text import feature_hash_counts
+
+    return feature_hash_counts(
+        _read(sf_dir, "documents", ["doc_id", "text"]), buckets=16)
+
+
+@register(
+    "emb_covariance",
+    """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+                generate_subscripts(embedding, 1) AS idx FROM embeddings),
+    q AS (SELECT vec_id, idx - 1 AS i,
+                 CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS q
+          FROM e),
+    g AS (SELECT count(DISTINCT vec_id) AS n FROM q),
+    m AS (SELECT a.i AS i, b.i AS j, sum(a.q * b.q) AS m
+          FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY 1, 2),
+    s AS (SELECT i, sum(q) AS s FROM q GROUP BY 1)
+    SELECT m.i AS i, m.j AS j, CAST(g.n AS BIGINT) AS n,
+           CAST(g.n * m.m - sa.s * sb.s AS BIGINT) AS cov_num
+    FROM m JOIN s sa ON sa.i = m.i JOIN s sb ON sb.i = m.j CROSS JOIN g
+    ORDER BY i, j""",
+    doc="EXACT distributed covariance over the 64-dim embedding column "
+        "(whitening / drift / PCA input): values quantized once as "
+        "floor(x*1e6), per-batch integer moment partials (n, S[d], "
+        "M[dxd] via one int64 matmul) — the dxd matrix IS the whole "
+        "exchange (corpus-size-free); driver folds in Python ints (no "
+        "overflow at any scale); cov_num = n*M_ij - S_i*S_j = "
+        "n^2 * cov * 1e12, order-exact",
+)
+def emb_covariance(sf_dir: str):
+    from xema_ray.stages.linalg import covariance_table
+
+    return covariance_table(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]))

@@ -1,0 +1,185 @@
+"""Distributed linear algebra over embedding columns: EXACT fixed-point
+covariance and a PCA projection stage built on it.
+
+Reference scope: the reference engine (egze/xema) has no vector-column
+math; this is one of the training-data-pipeline extensions (embedding
+drift / whitening / dimensionality reduction before clustering or ANN).
+
+Why exact integers: a float covariance is order-of-accumulation
+sensitive, so two engines (or two runs over different block splits)
+produce different last bits.  Every embedding value is quantized ONCE
+as ``q = floor(float64(x) · 10^6)`` and all moments are integer sums:
+
+- ``S_i   = Σ_rows q_i``                      (d int64 values)
+- ``M_ij  = Σ_rows q_i · q_j``                (d×d int64 values)
+- ``cov_num_ij = n·M_ij − S_i·S_j  = n² · covariance_ij · 10^12``
+
+``cov_num`` is an exact integer — the same associative partials merge
+identically on any cluster — and is what the SQL oracle recomputes.
+Overflow headroom: |q| ≤ 10^6·|x|; with |x| ≤ 1 and d = 64,
+``M_ij`` stays in int64 up to ~9·10^6 rows per PARTIAL and the driver
+merge uses Python ints (arbitrary precision), so the global result is
+exact at any corpus size; ``n·M`` at 100 TB scales past int64 — the
+driver-side Python-int merge is the documented carrier.
+
+Execution shape: one streaming ``map_batches`` pass emitting ONE
+(d + d²)-integer partial row per batch (corpus-size-free exchange —
+the d×d moment matrix is the whole shuffle payload), driver fold.
+PCA then: driver ``eigh`` on the tiny d×d covariance, eigenvectors
+broadcast via ``ray.put``, projection is a second stateless
+vectorized pass (per-batch matmul) — no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SCALE = 1_000_000
+
+
+def _quantized_matrix(batch, col: str) -> np.ndarray:
+    """list<float> column -> (rows, d) int64 of floor(x·10^6).
+
+    Zero-copy flatten; rows with null embeddings are dropped (the SQL
+    twin's ``unnest`` skips them the same way)."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = arr.drop_null()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    d = len(flat) // max(len(arr), 1) if len(arr) else 0
+    q = np.floor(flat * SCALE).astype(np.int64)
+    return q.reshape(len(arr), d) if len(arr) else \
+        np.empty((0, 0), np.int64)
+
+
+def covariance_partials(ds, col: str = "embedding"):
+    """One pass -> exact global moments ``(n, S[d], M[d,d])`` with the
+    driver fold in Python ints (no int64 overflow at any scale)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quantized_matrix(batch, col)
+        n, d = q.shape
+        s = q.sum(axis=0, dtype=np.int64)
+        m = q.T @ q  # int64 matmul — exact
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "s": pa.array([s.tolist()], pa.list_(pa.int64())),
+            "m": pa.array([m.reshape(-1).tolist()], pa.list_(pa.int64())),
+        })
+
+    n_tot, s_tot, m_tot, d = 0, None, None, None
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for row in range(b.num_rows):
+            bn = b["n"][row].as_py()
+            if not bn:
+                continue
+            bs = [int(v) for v in b["s"][row].as_py()]
+            bm = [int(v) for v in b["m"][row].as_py()]
+            if s_tot is None:
+                d = len(bs)
+                s_tot = [0] * d
+                m_tot = [0] * (d * d)
+            n_tot += bn
+            for i in range(d):
+                s_tot[i] += bs[i]
+            for i in range(d * d):
+                m_tot[i] += bm[i]
+    if s_tot is None:
+        return 0, [], []
+    return n_tot, s_tot, m_tot
+
+
+def covariance_table(ds, col: str = "embedding") -> pa.Table:
+    """Upper-triangle exact covariance numerators:
+    ``(i, j, n, cov_num)`` with ``cov_num = n·M_ij − S_i·S_j``
+    (int64 at test scales; exact Python ints internally)."""
+    n, s, m = covariance_partials(ds, col)
+    d = int(len(s))
+    ii, jj, cov = [], [], []
+    for i in range(d):
+        for j in range(i, d):
+            ii.append(i)
+            jj.append(j)
+            cov.append(n * m[i * d + j] - s[i] * s[j])
+    return pa.table({
+        "i": pa.array(ii, pa.int64()),
+        "j": pa.array(jj, pa.int64()),
+        "n": pa.array([n] * len(ii), pa.int64()),
+        "cov_num": pa.array(cov, pa.int64()),
+    })
+
+
+def pca_components(ds, col: str = "embedding", k: int = 8):
+    """Top-``k`` principal axes from the exact covariance.
+
+    Returns ``(mean[d] float64, components[k,d] float64,
+    eigvals[k] float64)``.  The eigendecomposition itself is a
+    driver-side float op on a d×d matrix (float is fine HERE: the
+    inputs to ``eigh`` are already exact, and the result never crosses
+    an engine boundary)."""
+    n, s, m = covariance_partials(ds, col)
+    if n == 0:
+        return np.empty(0), np.empty((0, 0)), np.empty(0)
+    d = len(s)
+    sv = np.array([float(v) for v in s])
+    mv = np.array([float(v) for v in m]).reshape(d, d)
+    cov = (mv / n - np.outer(sv / n, sv / n)) / (SCALE * SCALE)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    # deterministic sign: largest-|component| entry positive
+    comps = v[:, order].T
+    for r in range(comps.shape[0]):
+        pivot = np.argmax(np.abs(comps[r]))
+        if comps[r, pivot] < 0:
+            comps[r] = -comps[r]
+    mean = sv / n / SCALE
+    return mean, comps, w[order]
+
+
+class _Project:
+    """Stateless projection stage: components read from the object
+    store once per actor, one matmul per batch."""
+
+    def __init__(self, params_ref, col: str = "embedding",
+                 out_col: str = "pca"):
+        import ray
+
+        self.mean, self.comps = ray.get(params_ref)
+        self.col = col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch[self.col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        d = self.comps.shape[1]
+        x = flat.reshape(-1, d) - self.mean
+        proj = x @ self.comps.T
+        return batch.append_column(
+            self.out_col,
+            pa.array(list(proj), pa.list_(pa.float64())))
+
+
+def pca_project(ds, col: str = "embedding", k: int = 8,
+                out_col: str = "pca", params=None):
+    """Append a ``k``-dim PCA projection column.  ``params`` overrides
+    the fit with precomputed ``(mean, components)`` (fit once, project
+    many corpora)."""
+    import ray
+
+    if params is None:
+        mean, comps, _ = pca_components(ds, col, k)
+    else:
+        mean, comps = params
+    ref = ray.put((mean, comps))
+    return ds.map_batches(
+        _Project,
+        fn_constructor_kwargs={"params_ref": ref, "col": col,
+                               "out_col": out_col},
+        batch_format="pyarrow", concurrency=(1, 8))

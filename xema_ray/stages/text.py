@@ -9,6 +9,8 @@ compiled regexes, hash coefficients) should be built once per actor.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -734,3 +736,54 @@ def tokenize_ids(ds, text_col: str = "text", vocab=None,
                                "text_col": text_col},
         batch_format="pandas", concurrency=concurrency,
     )
+
+
+def feature_hash_counts_batch(batch, text_col: str = "text",
+                              buckets: int = 16):
+    """Feature-hashing featurizer ("hashing trick"): bag-of-words
+    counts folded into ``buckets`` dimensions by ``md5(word)``'s first
+    nibble-derived bucket — a deterministic, vocabulary-free text
+    embedding (Weinberger et al. 2009) usable anywhere the engine
+    expects a vector column, with NO model and NO global vocabulary
+    pass.
+
+    md5 is the cross-engine-verifiable choice (DuckDB recomputes the
+    exact bucket); the md5 loop runs once per UNIQUE word per batch
+    (vocab-bounded, Heaps' law), never per token.  Emits long-form
+    ``(doc_id, bucket, cnt)`` rows (sparse — zero buckets absent).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    texts = batch[text_col].reset_index(drop=True)
+    ex = texts.fillna("").str.lower().str.findall(_WORD_RE_FH) \
+        .explode().dropna()
+    if not len(ex):
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype=batch["doc_id"].dtype),
+            "bucket": pd.Series([], dtype=np.int64),
+            "cnt": pd.Series([], dtype=np.int64)})
+    rows = ex.index.to_numpy(dtype=np.int64)
+    codes, uniques = pd.factorize(ex.to_numpy())
+    bucket_of = np.array(
+        [int(hashlib.md5(w.encode()).hexdigest()[0], 16) % buckets
+         for w in uniques], dtype=np.int64)
+    key = rows * buckets + bucket_of[codes]
+    uk, cnt = np.unique(key, return_counts=True)
+    ids = batch["doc_id"].reset_index(drop=True)
+    return pd.DataFrame({
+        "doc_id": ids.iloc[uk // buckets].to_numpy(),
+        "bucket": (uk % buckets).astype(np.int64),
+        "cnt": cnt.astype(np.int64),
+    })
+
+
+_WORD_RE_FH = re.compile(r"[a-z0-9]+")
+
+
+def feature_hash_counts(ds, text_col: str = "text", buckets: int = 16):
+    """Streaming featurizer pass — no shuffle, no state."""
+    return ds.map_batches(
+        lambda b: feature_hash_counts_batch(b, text_col, buckets),
+        batch_format="pandas")
