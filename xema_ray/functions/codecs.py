@@ -27,11 +27,36 @@ class MediaDecodeError(ValueError):
     pass
 
 
+def _decode_guard(fn):
+    """Corrupt streams raise all sorts of parse errors (int() on header
+    garbage, zlib.error, struct.error, numpy reshape) — normalize every
+    one to :class:`MediaDecodeError` so stream-level ``on_error="null"``
+    policies catch a SINGLE type (r3: a malformed-header PPM leaked a
+    raw ValueError past the Thumbnailer's null policy)."""
+    import functools
+    import zlib
+
+    @functools.wraps(fn)
+    def wrapped(payload, *a, **kw):
+        try:
+            return fn(payload, *a, **kw)
+        except MediaDecodeError:
+            raise
+        except (ValueError, zlib.error, struct.error, IndexError,
+                TypeError, OverflowError) as e:
+            raise MediaDecodeError(
+                f"{fn.__name__}: corrupt stream ({type(e).__name__}: {e})"
+            ) from e
+
+    return wrapped
+
+
 # ----------------------------------------------------------------------
 # PPM (P6)
 # ----------------------------------------------------------------------
 
 
+@_decode_guard
 def decode_ppm(payload: bytes) -> np.ndarray:
     """P6 PPM → ``(h, w, 3)`` uint8 array."""
     if not payload.startswith(b"P6"):
@@ -85,6 +110,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+@_decode_guard
 def decode_png(payload: bytes, check_crc: bool = True) -> np.ndarray:
     """PNG → ``(h, w, channels)`` uint8 array.
 
@@ -221,6 +247,7 @@ def encode_png(arr: np.ndarray) -> bytes:
 # ----------------------------------------------------------------------
 
 
+@_decode_guard
 def decode_wav(payload: bytes):
     """PCM WAV → ``(sample_rate, (n_frames, channels) float32 in [-1, 1])``."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -295,6 +322,7 @@ def encode_ppmv(frames, fps: int = 10) -> bytes:
     return b"".join(parts)
 
 
+@_decode_guard
 def decode_ppmv_header(payload: bytes):
     """(n_frames, fps) without touching frame data."""
     if payload[:4] != _PPMV_MAGIC or len(payload) < 12:
@@ -320,6 +348,7 @@ def iter_ppmv_frames(payload: bytes):
         yield i, decode_ppm(blob)
 
 
+@_decode_guard
 def sample_ppmv_frames(payload: bytes, every_k: int = 2):
     """Every k-th frame decoded; others are SKIPPED by seeking (the
     frame-sample primitive — decode cost scales with sampled frames)."""
@@ -338,3 +367,37 @@ def sample_ppmv_frames(payload: bytes, every_k: int = 2):
             out.append((i, decode_ppm(blob)))
         pos += ln
     return out
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (H, W, C) -> (out_h, out_w, C).
+
+    Index map ``src = (dst * in + in // 2) // out`` (pixel-center
+    sampling in pure integer math — deterministic on every platform).
+    """
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(out_h, dtype=np.int64) * h + h // 2) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w + w // 2) // out_w
+    return arr[rows][:, cols]
+
+
+def resize_box(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Box (area-average) downscale (H, W, C) -> (out_h, out_w, C) in
+    EXACT integer arithmetic: output pixel (r, c) is the floor-mean of
+    the source block ``rows [r*h//out_h, (r+1)*h//out_h) × cols
+    [c*w//out_w, (c+1)*w//out_w)`` — computed with one 2-D cumulative
+    sum (no Python per-pixel loop), reproducible bit-for-bit anywhere.
+    """
+    h, w = arr.shape[0], arr.shape[1]
+    if out_h > h or out_w > w:
+        return resize_nearest(arr, out_h, out_w)
+    a = arr.astype(np.int64)
+    cs = a.cumsum(axis=0).cumsum(axis=1)
+    cs = np.pad(cs, [(1, 0), (1, 0)] + [(0, 0)] * (a.ndim - 2))
+    re = (np.arange(out_h + 1, dtype=np.int64) * h) // out_h
+    ce = (np.arange(out_w + 1, dtype=np.int64) * w) // out_w
+    blk = (cs[re[1:]][:, ce[1:]] - cs[re[:-1]][:, ce[1:]]
+           - cs[re[1:]][:, ce[:-1]] + cs[re[:-1]][:, ce[:-1]])
+    cnt = ((re[1:] - re[:-1])[:, None] * (ce[1:] - ce[:-1])[None, :])
+    cnt = cnt.reshape(cnt.shape + (1,) * (a.ndim - 2))
+    return (blk // cnt).astype(arr.dtype)

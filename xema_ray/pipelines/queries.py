@@ -3105,3 +3105,26 @@ def emb_covariance(sf_dir: str):
 
     return covariance_table(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
+@register("media_thumbnails", """SELECT media_id, mime, CAST(th_sum AS BIGINT) AS th_sum FROM (VALUES ('m-00000000','image/x-portable-pixmap',24196),('m-00000001','audio/wav',NULL),('m-00000002','image/jpeg',NULL),('m-00000003','image/png',24203),('m-00000004','video/x-ppmv',23361),('m-00000005','image/x-portable-pixmap',24084),('m-00000006','audio/wav',NULL),('m-00000007','image/jpeg',NULL),('m-00000008','image/png',23999),('m-00000009','video/x-ppmv',25361),('m-00000010','image/x-portable-pixmap',23926),('m-00000011','audio/wav',NULL),('m-00000012','image/jpeg',NULL),('m-00000013','image/png',23848),('m-00000014','video/x-ppmv',25564),('m-00000015','image/x-portable-pixmap',24257),('m-00000016','audio/wav',NULL),('m-00000017','image/jpeg',NULL),('m-00000018','image/png',24423),('m-00000019','video/x-ppmv',24259),('m-00000020','image/x-portable-pixmap',23758),('m-00000021','audio/wav',NULL),('m-00000022','image/jpeg',NULL),('m-00000023','image/png',24425),('m-00000024','video/x-ppmv',24517),('m-00000025','image/x-portable-pixmap',24456),('m-00000026','audio/wav',NULL),('m-00000027','image/jpeg',NULL),('m-00000028','image/png',25022),('m-00000029','video/x-ppmv',25088),('m-00000030','image/x-portable-pixmap',24464),('m-00000031','audio/wav',NULL),('m-00000032','image/jpeg',NULL),('m-00000033','image/png',24769),('m-00000034','video/x-ppmv',24641),('m-00000035','image/x-portable-pixmap',24439),('m-00000036','audio/wav',NULL),('m-00000037','image/jpeg',NULL),('m-00000038','image/png',24308),('m-00000039','video/x-ppmv',24242),('m-00000040','image/x-portable-pixmap',24459),('m-00000041','audio/wav',NULL),('m-00000042','image/jpeg',NULL),('m-00000043','image/png',24568),('m-00000044','video/x-ppmv',24533),('m-00000045','image/x-portable-pixmap',24468),('m-00000046','audio/wav',NULL),('m-00000047','image/jpeg',NULL),('m-00000048','image/png',24448),('m-00000049','video/x-ppmv',24178),('m-00000050','image/x-portable-pixmap',24440),('m-00000051','audio/wav',NULL),('m-00000052','image/jpeg',NULL),('m-00000053','image/png',24449),('m-00000054','video/x-ppmv',24990),('m-00000055','image/x-portable-pixmap',24986),('m-00000056','audio/wav',NULL),('m-00000057','image/jpeg',NULL),('m-00000058','image/png',23744),('m-00000059','video/x-ppmv',26266),('m-00000060','image/x-portable-pixmap',24444),('m-00000061','audio/wav',NULL),('m-00000062','image/jpeg',NULL),('m-00000063','image/png',24612),('m-00000064','video/x-ppmv',23979),('m-00000065','image/x-portable-pixmap',24211),('m-00000066','audio/wav',NULL),('m-00000067','image/jpeg',NULL),('m-00000068','image/png',24365),('m-00000069','video/x-ppmv',23786),('m-00000070','image/x-portable-pixmap',24170),('m-00000071','audio/wav',NULL),('m-00000072','image/jpeg',NULL),('m-00000073','image/png',24854),('m-00000074','video/x-ppmv',25066),('m-00000075','image/x-portable-pixmap',24352),('m-00000076','audio/wav',NULL),('m-00000077','image/jpeg',NULL),('m-00000078','image/png',24911),('m-00000079','video/x-ppmv',24051),('m-00000080','image/x-portable-pixmap',24306),('m-00000081','audio/wav',NULL),('m-00000082','image/jpeg',NULL),('m-00000083','image/png',23886),('m-00000084','video/x-ppmv',23963),('m-00000085','image/x-portable-pixmap',24579),('m-00000086','audio/wav',NULL),('m-00000087','image/jpeg',NULL),('m-00000088','image/png',24203),('m-00000089','video/x-ppmv',24287),('m-00000090','image/x-portable-pixmap',24232),('m-00000091','audio/wav',NULL),('m-00000092','image/jpeg',NULL),('m-00000093','image/png',24201),('m-00000094','video/x-ppmv',24956),('m-00000095','image/x-portable-pixmap',24531),('m-00000096','audio/wav',NULL),('m-00000097','image/jpeg',NULL),('m-00000098','image/png',23607),('m-00000099','video/x-ppmv',23711),('m-00000100','image/x-portable-pixmap',23522),('m-00000101','audio/wav',NULL),('m-00000102','image/jpeg',NULL),('m-00000103','image/png',24730),('m-00000104','video/x-ppmv',24511),('m-00000105','image/x-portable-pixmap',24054),('m-00000106','audio/wav',NULL),('m-00000107','image/jpeg',NULL),('m-00000108','image/png',24236),('m-00000109','video/x-ppmv',24346),('m-00000110','image/x-portable-pixmap',24461),('m-00000111','audio/wav',NULL),('m-00000112','image/jpeg',NULL),('m-00000113','image/png',24550),('m-00000114','video/x-ppmv',23469),('m-00000115','image/x-portable-pixmap',24454),('m-00000116','audio/wav',NULL),('m-00000117','image/jpeg',NULL),('m-00000118','image/png',24462),('m-00000119','video/x-ppmv',24329),('m-00000120','image/x-portable-pixmap',24198),('m-00000121','audio/wav',NULL),('m-00000122','image/jpeg',NULL),('m-00000123','image/png',24044),('m-00000124','video/x-ppmv',23965),('m-00000125','image/x-portable-pixmap',24717),('m-00000126','audio/wav',NULL),('m-00000127','image/jpeg',NULL),('m-00000128','image/png',23743),('m-00000129','video/x-ppmv',23074),('m-00000130','image/x-portable-pixmap',24418),('m-00000131','audio/wav',NULL),('m-00000132','image/jpeg',NULL),('m-00000133','image/png',24066),('m-00000134','video/x-ppmv',24454),('m-00000135','image/x-portable-pixmap',24750),('m-00000136','audio/wav',NULL),('m-00000137','image/jpeg',NULL),('m-00000138','image/png',23934),('m-00000139','video/x-ppmv',24274),('m-00000140','image/x-portable-pixmap',24070),('m-00000141','audio/wav',NULL),('m-00000142','image/jpeg',NULL),('m-00000143','image/png',24687),('m-00000144','video/x-ppmv',24159),('m-00000145','image/x-portable-pixmap',23754),('m-00000146','audio/wav',NULL),('m-00000147','image/jpeg',NULL),('m-00000148','image/png',24242),('m-00000149','video/x-ppmv',24397),('m-00000150','image/x-portable-pixmap',24693),('m-00000151','audio/wav',NULL),('m-00000152','image/jpeg',NULL),('m-00000153','image/png',23913),('m-00000154','video/x-ppmv',24605),('m-00000155','image/x-portable-pixmap',24117),('m-00000156','audio/wav',NULL),('m-00000157','image/jpeg',NULL),('m-00000158','image/png',24507),('m-00000159','video/x-ppmv',25023),('m-00000160','image/x-portable-pixmap',24903),('m-00000161','audio/wav',NULL),('m-00000162','image/jpeg',NULL),('m-00000163','image/png',25315),('m-00000164','video/x-ppmv',24461),('m-00000165','image/x-portable-pixmap',24009),('m-00000166','audio/wav',NULL),('m-00000167','image/jpeg',NULL),('m-00000168','image/png',24482),('m-00000169','video/x-ppmv',24238),('m-00000170','image/x-portable-pixmap',25909),('m-00000171','audio/wav',NULL),('m-00000172','image/jpeg',NULL),('m-00000173','image/png',24255),('m-00000174','video/x-ppmv',24445),('m-00000175','image/x-portable-pixmap',25647),('m-00000176','audio/wav',NULL),('m-00000177','image/jpeg',NULL),('m-00000178','image/png',24222),('m-00000179','video/x-ppmv',24654),('m-00000180','image/x-portable-pixmap',24570),('m-00000181','audio/wav',NULL),('m-00000182','image/jpeg',NULL),('m-00000183','image/png',24432),('m-00000184','video/x-ppmv',24605),('m-00000185','image/x-portable-pixmap',23682),('m-00000186','audio/wav',NULL),('m-00000187','image/jpeg',NULL),('m-00000188','image/png',24090),('m-00000189','video/x-ppmv',22986),('m-00000190','image/x-portable-pixmap',24949),('m-00000191','audio/wav',NULL),('m-00000192','image/jpeg',NULL),('m-00000193','image/png',24752),('m-00000194','video/x-ppmv',24550),('m-00000195','image/x-portable-pixmap',24564),('m-00000196','audio/wav',NULL),('m-00000197','image/jpeg',NULL),('m-00000198','image/png',24419),('m-00000199','video/x-ppmv',24277)) AS t(media_id, mime, th_sum)""",
+          doc="multimodal decode -> exact-integer box RESIZE -> re-encode "
+              "thumbnails (8x8 PPM): real PPM/PNG decode, PPMV video uses "
+              "the first SAMPLED frame; wav / codec-less jpeg rows pass "
+              "through with null thumbnails. th_sum = pixel sum of the "
+              "resized image — bit-reproducible on any node (integer box "
+              "average), pinned as a VALUES oracle from the seeded "
+              "deterministic pipeline at sf0.01 (binary decode is not "
+              "SQL-expressible); stability verified at 2 and 8 CPUs")
+def media_thumbnails(sf_dir: str):
+    import ray.data as rd
+
+    from xema_ray.stages.multimodal import synthetic_media_table, thumbnails
+
+    sf = sf_of_dir(sf_dir)
+    n = max(200, int(20_000 * sf))
+    ds = rd.from_arrow(synthetic_media_table(n, seed=42))
+    out = thumbnails(ds, out_w=8, out_h=8, batch_size=128, on_error="null")
+    return out.map_batches(
+        lambda t: t.select(["media_id", "mime", "th_sum"]),
+        batch_format="pyarrow")

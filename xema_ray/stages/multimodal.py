@@ -186,3 +186,83 @@ def extract_features(ds, batch_size: int = 256, concurrency=(1, 4),
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class Thumbnailer:
+    """Actor-pool stage: decode → RESIZE → re-encode thumbnails for the
+    image-bearing rows (PPM / PNG images; for PPMV video, the FIRST
+    sampled frame).  Non-visual or codec-less rows (wav, the jpeg stub)
+    pass through with a null thumbnail.
+
+    The resize is the exact-integer box average
+    (:func:`xema_ray.functions.codecs.resize_box`) — bit-reproducible on
+    any node, so the thumbnail checksum is a stable content fingerprint.
+    Output columns: ``thumb`` (PPM bytes | null), ``th_w``/``th_h``,
+    ``th_sum`` (int64 pixel sum | null).
+    """
+
+    def __init__(self, out_w: int = 8, out_h: int = 8,
+                 on_error: str = "raise"):
+        from xema_ray.functions import codecs
+
+        self.codecs = codecs
+        self.out_w = out_w
+        self.out_h = out_h
+        self.on_error = on_error
+
+    def _image(self, payload: bytes, mime: str):
+        if mime == "image/x-portable-pixmap":
+            return self.codecs.decode_ppm(payload)
+        if mime == "image/png":
+            return self.codecs.decode_png(payload)
+        if mime == "video/x-ppmv":
+            sampled = self.codecs.sample_ppmv_frames(payload, every_k=2)
+            if not sampled:
+                raise self.codecs.MediaDecodeError("PPMV with no frames")
+            return sampled[0][1]
+        return None
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        from xema_ray.functions.codecs import MediaDecodeError, encode_ppm, \
+            resize_box
+
+        thumbs, sums = [], []
+        for p, m in zip(tbl["payload"].to_pylist(),
+                        tbl["mime"].to_pylist()):
+            img = None
+            if p is not None:
+                try:
+                    img = self._image(p, m)
+                except MediaDecodeError:
+                    if self.on_error != "null":
+                        raise
+                    img = None
+            if img is None:
+                thumbs.append(None)
+                sums.append(None)
+                continue
+            th = resize_box(img, self.out_h, self.out_w)
+            thumbs.append(encode_ppm(th))
+            sums.append(int(th.astype(np.int64).sum()))
+        return tbl.select(["media_id", "mime"]) \
+            .append_column("thumb", pa.array(thumbs, pa.binary())) \
+            .append_column("th_w", pa.array(
+                [self.out_w if t is not None else None for t in thumbs],
+                pa.int32())) \
+            .append_column("th_h", pa.array(
+                [self.out_h if t is not None else None for t in thumbs],
+                pa.int32())) \
+            .append_column("th_sum", pa.array(sums, pa.int64()))
+
+
+def thumbnails(ds, out_w: int = 8, out_h: int = 8, batch_size: int = 256,
+               concurrency=(1, 4), on_error: str = "raise"):
+    """Thumbnail pipeline stage; small batches — payload rows are wide."""
+    return ds.map_batches(
+        Thumbnailer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h,
+                               "on_error": on_error},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
