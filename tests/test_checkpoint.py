@@ -408,3 +408,61 @@ def test_run_compact_shards_roundtrip_and_resume(ray_session, tmp_path):
     s3 = run_compact_shards(paths, out, target_rows=250)
     assert s3.groups_done == 1 and s3.groups_skipped == 2
     assert s3.rows == 700
+
+
+def test_quarantine_unreadable_shard(corpus, tmp_path, ray_session):
+    """r3: with quarantine=True a corrupt parquet is set aside in
+    quarantine.jsonl, good shards complete, resume does not retry the
+    same bad file, and a REPLACED (fixed) file is retried."""
+    import pyarrow.parquet as pq
+
+    from xema_ray.state.checkpoint import (load_quarantine,
+                                           run_validation)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    paths = corpus_paths(corpus)[:3]
+    local = []
+    for p in paths:
+        dst = str(src / os.path.basename(p))
+        shutil.copy(p, dst)
+        local.append(dst)
+    bad = str(src / "seq-bad.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"PAR1 this is not a real parquet file")
+    local.append(bad)
+
+    out = str(tmp_path / "out")
+    s = run_validation(local, out, quarantine=True)
+    assert s.partitions_quarantined == 1
+    assert s.partitions_done == 3
+    q = load_quarantine(out)
+    (entry,) = q.values()
+    assert entry["path"] == bad and "error" in entry
+    # summary counts only the readable shards
+    want_rows = sum(pq.read_metadata(p).num_rows for p in local[:3])
+    assert s.rows == want_rows
+
+    # resume: bad file NOT retried, nothing re-done
+    s2 = run_validation(local, out, quarantine=True)
+    assert s2.partitions_quarantined == 1
+    assert s2.partitions_done == 0 and s2.partitions_skipped == 3
+
+    # replace the bad file with a valid shard -> retried and validated
+    shutil.copy(paths[0], bad)
+    s3 = run_validation(local, out, quarantine=True)
+    assert s3.partitions_quarantined == 0
+    assert s3.partitions_done == 1
+    assert s3.rows == want_rows + pq.read_metadata(paths[0]).num_rows
+
+
+def test_quarantine_off_still_raises(corpus, tmp_path, ray_session):
+    import ray
+
+    from xema_ray.state.checkpoint import run_validation
+
+    bad = str(tmp_path / "bad.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"garbage")
+    with pytest.raises(Exception):
+        run_validation([bad], str(tmp_path / "out"))

@@ -54,8 +54,9 @@ def cmd_validate(args):
         _paths(args.input), args.out, compiled=compiled,
         fail=args.fail, batch_rows=args.batch_rows,
         with_checks=args.with_checks, clean_dir=args.clean_dir,
+        quarantine=args.quarantine,
     )
-    print(json.dumps({
+    out = {
         "rows": summary.rows,
         "valid_rows": summary.valid_rows,
         "violations": summary.violations,
@@ -64,7 +65,11 @@ def cmd_validate(args):
         "partitions_skipped": summary.partitions_skipped,
         "keyword_counts": summary.keyword_counts,
         "manifest": summary.manifest_path,
-    }, indent=2))
+    }
+    if args.quarantine:
+        out["partitions_quarantined"] = summary.partitions_quarantined
+        out["quarantine"] = summary.quarantine_path
+    print(json.dumps(out, indent=2))
 
 
 def cmd_stats(args):
@@ -275,6 +280,9 @@ def main(argv=None):
     v.add_argument("--with-checks", action="store_true",
                    help="fuse stats/HLL/drift/referential/uniqueness into the same pass")
     v.add_argument("--clean-dir", help="also write rows that passed, one shard per input shard")
+    v.add_argument("--quarantine", action="store_true",
+                   help="set unreadable shards aside in quarantine.jsonl "
+                        "instead of failing the run")
     v.set_defaults(fn=cmd_validate)
 
     s = sub.add_parser("stats", help="per-column statistics")

@@ -220,6 +220,8 @@ class RunSummary:
     manifest_path: str
     report: Optional[dict] = None  # fused corpus report (with_checks=True)
     duplicate_ids: Optional[dict] = None  # doc_id -> n_occurrences
+    partitions_quarantined: int = 0  # unreadable shards set aside
+    quarantine_path: Optional[str] = None
 
     @property
     def passed(self) -> bool:
@@ -240,6 +242,20 @@ def load_manifest(out_dir: str) -> dict:
     return done
 
 
+def load_quarantine(out_dir: str) -> dict:
+    """partition name → latest quarantine entry (unreadable shards)."""
+    qpath = os.path.join(out_dir, "quarantine.jsonl")
+    bad: dict = {}
+    if os.path.exists(qpath):
+        with open(qpath) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    e = json.loads(line)
+                    bad[e["partition"]] = e
+    return bad
+
+
 def run_validation(
     paths: list,
     out_dir: str,
@@ -251,6 +267,7 @@ def run_validation(
     with_checks: bool = False,
     valid_sources=None,
     clean_dir: Optional[str] = None,
+    quarantine: bool = False,
 ) -> RunSummary:
     """Checkpointed corpus validation: one task per shard, skip completed
     partitions on resume, append manifest entries as tasks finish.
@@ -260,6 +277,15 @@ def run_validation(
     referential counts / uniqueness partials into the same single read
     (sidecar pickles per partition; merged here) and resolves duplicate
     ids with one thin second pass.
+
+    ``quarantine=True``: a shard whose parquet is UNREADABLE
+    (``pa.ArrowInvalid`` / ``OSError`` — corrupt footer, truncated file,
+    bad magic) is set aside in ``quarantine.jsonl`` (path + error +
+    lineage) instead of failing the whole run — at 100 TB one bad blob
+    must not abort the job.  On resume a quarantined shard is retried
+    only if its lineage changed (the file was replaced); quarantine is
+    keyed on read failures only, so schema violations still flow into
+    the normal violation outputs.
     """
     import ray
 
@@ -277,11 +303,19 @@ def run_validation(
     manifest_path = os.path.join(out_dir, "manifest.jsonl")
     done = load_manifest(out_dir)
 
+    quarantine_path = os.path.join(out_dir, "quarantine.jsonl")
+    quarantined = load_quarantine(out_dir) if quarantine else {}
+
     part_names = _partition_names(paths)
     pending = []
     skipped = 0
+    quarantined_names: set = set()
     for p in paths:
         name = part_names[p]
+        q = quarantined.get(name)
+        if q is not None and q["lineage"] == _lineage(p):
+            quarantined_names.add(name)  # same bad file — don't retry
+            continue
         e = done.get(name)
         complete = (
             e is not None
@@ -297,7 +331,19 @@ def run_validation(
         else:
             pending.append(p)
 
-    task = ray.remote(_validate_shard)
+    def _guarded_shard(path, *args):
+        # quarantine mode: a read-shaped failure becomes a data item,
+        # not a job failure (validation itself still raises normally)
+        try:
+            return _validate_shard(path, *args)
+        except (pa.ArrowInvalid, OSError) as e:
+            return {"__quarantine__": True,
+                    "partition": args[-1],
+                    "path": path,
+                    "lineage": _lineage(path),
+                    "error": f"{type(e).__name__}: {e}"}
+
+    task = ray.remote(_guarded_shard if quarantine else _validate_shard)
     refs = []
     for p in pending:
         out_file = os.path.join(out_dir, "violations", part_names[p])
@@ -306,20 +352,32 @@ def run_validation(
                                 clean_dir, part_names[p]))
 
     new_entries = []
-    with open(manifest_path, "a") as mf:
+    with open(manifest_path, "a") as mf, open(quarantine_path, "a") as qf:
         remaining = list(refs)
         while remaining:
             ready, remaining = ray.wait(remaining, num_returns=min(8, len(remaining)))
             for entry in ray.get(ready):
+                if entry.get("__quarantine__"):
+                    entry.pop("__quarantine__")
+                    qf.write(json.dumps(entry) + "\n")
+                    qf.flush()
+                    quarantined_names.add(entry["partition"])
+                    continue
                 mf.write(json.dumps(entry) + "\n")
                 new_entries.append(entry)
             mf.flush()
+    if not quarantine and os.path.exists(quarantine_path) \
+            and os.path.getsize(quarantine_path) == 0:
+        os.unlink(quarantine_path)
 
     # aggregate ONLY the partitions of THIS run — a reused out_dir may hold
     # manifest entries for inputs that were removed/renamed since; counting
     # those would inflate the summary and could flip the global verdict
-    wanted = set(part_names.values())
+    wanted = set(part_names.values()) - quarantined_names
     done = {k: e for k, e in load_manifest(out_dir).items() if k in wanted}
+    ok_paths = [p for p in paths
+                if part_names[p] not in quarantined_names]
+    n_quarantined = len(quarantined_names)
     rows = sum(e["rows"] for e in done.values())
     valid_rows = sum(e["valid_rows"] for e in done.values())
     violations = sum(e["violations"] for e in done.values())
@@ -331,7 +389,7 @@ def run_validation(
     report = None
     duplicate_ids = None
     if with_checks:
-        report, duplicate_ids = _merge_check_partials(done, paths, id_col)
+        report, duplicate_ids = _merge_check_partials(done, ok_paths, id_col)
 
     return RunSummary(
         rows=rows,
@@ -343,6 +401,8 @@ def run_validation(
         manifest_path=manifest_path,
         report=report,
         duplicate_ids=duplicate_ids,
+        partitions_quarantined=n_quarantined,
+        quarantine_path=quarantine_path if quarantine else None,
     )
 
 
