@@ -3131,3 +3131,63 @@ def media_thumbnails(sf_dir: str):
     return out.map_batches(
         lambda t: t.select(["media_id", "mime", "th_sum"]),
         batch_format="pyarrow")
+
+
+@register(
+    "orders_year_spine",
+    """WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS total_c
+          FROM orders GROUP BY 1),
+    spine AS (SELECT CAST(unnest(generate_series(1993, 1998)) AS BIGINT)
+                  AS yr)
+    SELECT coalesce(y.yr, spine.yr) AS yr,
+           CAST(coalesce(y.n, 0) AS BIGINT) AS n,
+           CAST(coalesce(y.total_c, 0) AS BIGINT) AS total_c,
+           spine.yr IS NOT NULL AS in_spine
+    FROM y FULL OUTER JOIN spine ON y.yr = spine.yr
+    ORDER BY yr""",
+    doc="calendar-SPINE reconciliation via the native FULL OUTER join: "
+        "per-year order counts/cents (per-batch integer partials, one "
+        "tiny groupby) full-outer-joined to a 1993-1998 spine Dataset — "
+        "spine years with no orders surface as zero rows, order years "
+        "outside the spine keep flowing (gap detection / period fill, "
+        "the missing join type in the family: inner/left/semi/anti/"
+        "asof/range/broadcast all have queries already)",
+)
+def orders_year_spine(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        cents = pc.cast(pc.floor(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        return pa.table({"yr": yr, "n": pa.array(
+            np.ones(t.num_rows, np.int64)), "total_c": cents}) \
+            .group_by("yr").aggregate([("n", "sum"), ("total_c", "sum")])
+
+    years = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"],
+                  split=True) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("yr").aggregate(Sum("n_sum", alias_name="n"),
+                                 Sum("total_c_sum", alias_name="total_c"))
+    # Ray's full_outer COALESCES the key columns into one — spine
+    # membership must ride as a payload column, not be inferred from
+    # the (always non-null) key
+    spine = rd.from_arrow(pa.table({
+        "s_yr": pa.array(list(range(1993, 1999)), pa.int64()),
+        "spine_flag": pa.array([True] * 6, pa.bool_())}))
+    joined = years.join(spine, join_type="full_outer", num_partitions=4,
+                        on=("yr",), right_on=("s_yr",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "yr": t["yr"],
+            "n": pc.fill_null(t["n"], 0),
+            "total_c": pc.fill_null(t["total_c"], 0),
+            "in_spine": pc.fill_null(t["spine_flag"], False),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
