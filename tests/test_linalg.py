@@ -104,3 +104,20 @@ def test_feature_hash_matches_brute(ray_session):
     assert [(r["doc_id"], r["bucket"], r["cnt"])
             for _, r in got.iterrows()] == \
         sorted((d, b, c) for (d, b), c in want.items())
+
+
+def test_kmeans_clusters_partition_and_determinism(ray_session):
+    from xema_ray.stages.similarity import kmeans_clusters
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(90, 6)).astype(np.float32)
+    ds = _emb_ds(x)
+    a = kmeans_clusters(ds, k=4, iters=2, seed=5).take_all()
+    b = kmeans_clusters(_emb_ds(x).repartition(5), k=4, iters=2,
+                        seed=5).take_all()
+    key = lambda rows: sorted((r["cluster"], r["n"], r["id_sum"])
+                              for r in rows)
+    assert key(a) == key(b)
+    # every vector in exactly one cluster: sizes and id sums partition
+    assert sum(r["n"] for r in a) == 90
+    assert sum(r["id_sum"] for r in a) == sum(range(90))

@@ -3191,3 +3191,29 @@ def orders_year_spine(sf_dir: str):
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+@register(
+    "emb_kmeans_clusters",
+    """SELECT * FROM (VALUES (0,62,15065),(1,52,12353),(2,72,18681),
+    (3,66,16307),(4,65,15612),(5,68,18354),(6,53,13547),(7,62,14831))
+    AS t(cluster, n, id_sum)""",
+    doc="unsupervised K-MEANS clustering (k=8, 3 Lloyd iterations, "
+        "seed 17): shuffle-free fit (broadcast centroids, per-batch "
+        "partial folds) + one assignment pass with per-cluster integer "
+        "partials; id_sum pins the exact membership, not just sizes. "
+        "Oracle = pinned VALUES from the seeded deterministic run at "
+        "sf0.01 (iterative float fit is not SQL-expressible); "
+        "stability verified at 2 and 8 CPUs",
+)
+def emb_kmeans_clusters(sf_dir: str):
+    from xema_ray.stages.similarity import kmeans_clusters
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = kmeans_clusters(ds, k=8, iters=3, seed=17)
+    return out.map_batches(
+        lambda t: pa.table({
+            "cluster": pc.cast(t["cluster"], pa.int32()),
+            "n": pc.cast(t["n"], pa.int32()),
+            "id_sum": pc.cast(t["id_sum"], pa.int32()),
+        }), batch_format="pyarrow")

@@ -619,3 +619,34 @@ def knn_ivf(ds, queries, centroids: np.ndarray, k: int = 10, nprobe: int = 4,
     cand = ds.map_batches(Probe, batch_format="pyarrow",
                           concurrency=concurrency).take_all()
     return _merge_topk(cand, k)
+
+
+def kmeans_clusters(ds, k: int = 8, iters: int = 3, seed: int = 17,
+                    vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Unsupervised clustering rollup: Lloyd fit (:func:`kmeans_fit`,
+    shuffle-free broadcast iterations) + ONE assignment pass emitting
+    per-cluster INTEGER partials ``(cluster, n, id_sum)`` — exact
+    content fingerprints (the id sum pins which vectors landed where,
+    not just how many), so the result is reproducible bit-for-bit at
+    any parallelism.  The only exchange is the k-row partial groupby.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    cent = kmeans_fit(ds, k=k, iters=iters, seed=seed, vec_col=vec_col)
+    ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_matrix_from_list_col(t[vec_col]))
+        lab = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table({
+            "cluster": pa.array(lab),
+            "n": pa.array(np.ones(len(lab), np.int64)),
+            "id_sum": pa.array(t[id_col].to_numpy().astype(np.int64)),
+        }).group_by("cluster").aggregate([("n", "sum"), ("id_sum", "sum")])
+
+    return ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("cluster").aggregate(
+            Sum("n_sum", alias_name="n"),
+            Sum("id_sum_sum", alias_name="id_sum"))
