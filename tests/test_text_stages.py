@@ -105,3 +105,34 @@ def test_winnow_empty_and_short_docs():
         out = WinnowFingerprint(hash_fn=mode)(df.copy())
         assert sorted(out.doc_id.unique()) == [1, 2, 3, 4], mode
         assert (out.fp.str.len() == 16).all(), mode
+
+
+def test_bigram_novelty_reference_table_and_edges(ray_session):
+    """Train-on-reference / score-candidate shape + empty/short docs."""
+    import ray.data as rd
+
+    from xema_ray.stages.text import (bigram_novelty_scores,
+                                      global_bigram_counts,
+                                      top_bigram_table)
+
+    ref = rd.from_arrow(pa.table({
+        "doc_id": ["r1", "r2"],
+        "text": ["the cat sat", "the cat ran the cat sat"]}))
+    bigrams, counts = global_bigram_counts(ref)
+    # "the cat" x3, "cat sat" x2, "cat ran" x1, "ran the" x1
+    got = dict(zip([b.decode() for b in bigrams], counts))
+    assert got == {"the cat": 3, "cat sat": 2, "cat ran": 1,
+                   "ran the": 1}
+    table = top_bigram_table(bigrams, counts, k=2)
+    assert [b.decode() for b in table] == ["cat sat", "the cat"]
+
+    cand = rd.from_arrow(pa.table({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": ["the cat sat", "dog days here", "one", None]}))
+    out = {r["doc_id"]: r for r in
+           bigram_novelty_scores(cand, table=table).take_all()}
+    assert out["a"]["n_bigrams"] == 2 and out["a"]["n_oov"] == 0
+    assert out["b"]["n_bigrams"] == 2 and out["b"]["n_oov"] == 2
+    assert out["b"]["oov_m"] == 1_000_000
+    assert out["c"]["n_bigrams"] == 0 and out["c"]["oov_m"] == 0
+    assert out["d"]["n_bigrams"] == 0 and out["d"]["n_oov"] == 0

@@ -3217,3 +3217,41 @@ def emb_kmeans_clusters(sf_dir: str):
             "n": pc.cast(t["n"], pa.int32()),
             "id_sum": pc.cast(t["id_sum"], pa.int32()),
         }), batch_format="pyarrow")
+
+
+@register(
+    "doc_bigram_novelty",
+    """WITH d AS (SELECT doc_id,
+                regexp_extract_all(lower(coalesce(text,'')),
+                                   '[a-z0-9]+') AS ws FROM documents),
+    t AS (SELECT doc_id, unnest(ws) AS w,
+                 generate_subscripts(ws, 1) AS pos FROM d),
+    b AS (SELECT doc_id,
+                 w || ' ' || lead(w) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) AS bg FROM t),
+    bb AS (SELECT doc_id, bg FROM b WHERE bg IS NOT NULL),
+    topk AS (SELECT bg FROM (SELECT bg, count(*) AS n FROM bb GROUP BY 1)
+             QUALIFY row_number() OVER (ORDER BY n DESC, bg) <= 500),
+    s AS (SELECT bb.doc_id, count(*) AS n_bigrams,
+                 sum(CASE WHEN topk.bg IS NULL THEN 1 ELSE 0 END) AS n_oov
+          FROM bb LEFT JOIN topk USING (bg) GROUP BY 1)
+    SELECT d.doc_id AS doc_id,
+           CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(1000000 * coalesce(s.n_oov, 0)
+                // greatest(coalesce(s.n_bigrams, 0), 1) AS BIGINT)
+               AS oov_m
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
+    doc="bigram-LM NOVELTY scoring (the integer-exact stand-in for "
+        "KenLM perplexity filtering, CCNet-style: float log-probs "
+        "can't hash-match, OOV-pair rates can): train pass folds "
+        "vocab-bounded bigram counts, top-500 table cut under the "
+        "deterministic (count desc, bigram asc) order, broadcast once, "
+        "per-doc OOV rates scored vectorized (shifted same-row mask + "
+        "searchsorted membership)",
+)
+def doc_bigram_novelty(sf_dir: str):
+    from xema_ray.stages.text import bigram_novelty_scores
+
+    return bigram_novelty_scores(
+        _read(sf_dir, "documents", ["doc_id", "text"]), top_k=500)

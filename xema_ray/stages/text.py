@@ -787,3 +787,130 @@ def feature_hash_counts(ds, text_col: str = "text", buckets: int = 16):
     return ds.map_batches(
         lambda b: feature_hash_counts_batch(b, text_col, buckets),
         batch_format="pandas")
+
+
+def _doc_bigrams(texts):
+    """pandas Series[str] -> (rows int64, bigram object-array) of
+    within-doc adjacent word pairs ``"w1 w2"`` (vectorized: one explode
+    + one shifted same-row mask + one C-loop string concat)."""
+    import pandas as pd
+
+    ex = texts.fillna("").str.lower().str.findall(_WORD_RE_FH) \
+        .explode().dropna()
+    if len(ex) < 2:
+        return np.empty(0, np.int64), np.empty(0, object)
+    rows = ex.index.to_numpy(dtype=np.int64)
+    w = ex.to_numpy()
+    mask = rows[1:] == rows[:-1]
+    if not mask.any():
+        return np.empty(0, np.int64), np.empty(0, object)
+    bg = (pd.Series(w[:-1][mask]) + " " + pd.Series(w[1:][mask])) \
+        .to_numpy()
+    return rows[:-1][mask], bg
+
+
+def global_bigram_counts(ds, text_col: str = "text"):
+    """Corpus-wide adjacent-word-bigram frequencies as
+    ``(bigrams_sorted 'S'-bytes, counts int64)`` — the training pass of
+    a count-based bigram LM.  Same fold shape as
+    :func:`global_word_counts`; right while the bigram VOCABULARY is
+    driver-sized (true for word bigrams well past 10^8 distinct pairs —
+    one small array); for unbounded pair spaces use the Misra-Gries /
+    bucket-groupby paths (:func:`xema_ray.stages.stats.top_token_bigrams`).
+    """
+
+    def partial(batch):
+        import pandas as pd
+
+        _, bg = _doc_bigrams(batch[text_col].reset_index(drop=True))
+        if not len(bg):
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        codes, uniques = pd.factorize(bg)
+        return pd.DataFrame({"word": uniques,
+                             "cnt": np.bincount(
+                                 codes, minlength=len(uniques)
+                             ).astype(np.int64)})
+
+    frames = [b.to_pandas() for b in
+              ds.map_batches(partial, batch_format="pandas")
+              .iter_batches(batch_format="pyarrow")]
+    if not frames:
+        return np.empty(0, dtype="S1"), np.empty(0, dtype=np.int64)
+    import pandas as pd
+
+    df = pd.concat(frames, ignore_index=True)
+    wb = df["word"].to_numpy().astype("S")
+    uniq, inv = np.unique(wb, return_inverse=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, df["cnt"].to_numpy(dtype=np.int64))
+    return uniq, sums
+
+
+def top_bigram_table(bigrams_sorted: np.ndarray, counts: np.ndarray,
+                     k: int) -> np.ndarray:
+    """Top-``k`` bigrams under the deterministic total order
+    ``(count desc, bigram asc)`` — the LM table both engines can cut
+    identically.  Returns a SORTED 'S'-bytes array (membership via
+    searchsorted)."""
+    if not len(bigrams_sorted):
+        return bigrams_sorted
+    order = np.lexsort((bigrams_sorted, -counts))[:k]
+    return np.sort(bigrams_sorted[order])
+
+
+class BigramNovelty:
+    """Actor-pool stage: score each document against a broadcast
+    bigram-LM table — ``n_oov`` adjacent pairs unseen in the table
+    (the integer-exact stand-in for KenLM perplexity filtering, CCNet
+    style: float log-probs can't hash-match across engines, OOV-pair
+    rates can).  Emits ``(doc_id, n_bigrams, n_oov, oov_m)`` with
+    ``oov_m = floor(1e6 * n_oov / max(n_bigrams, 1))``."""
+
+    def __init__(self, table_ref, text_col: str = "text"):
+        import ray
+
+        self.table = ray.get(table_ref)  # sorted 'S'-bytes
+        self.text_col = text_col
+
+    def __call__(self, batch):
+        import pandas as pd
+
+        texts = batch[self.text_col].reset_index(drop=True)
+        n = len(texts)
+        rows, bg = _doc_bigrams(texts)
+        n_big = np.bincount(rows, minlength=n).astype(np.int64)
+        if len(bg) and len(self.table):
+            bgb = bg.astype("S")
+            pos = np.searchsorted(self.table, bgb)
+            pos = np.minimum(pos, len(self.table) - 1)
+            oov = self.table[pos] != bgb
+        else:
+            oov = np.ones(len(bg), bool)
+        n_oov = np.bincount(rows[oov] if len(bg) else
+                            np.empty(0, np.int64),
+                            minlength=n).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].reset_index(drop=True).to_numpy(),
+            "n_bigrams": n_big,
+            "n_oov": n_oov,
+            "oov_m": 1_000_000 * n_oov // np.maximum(n_big, 1),
+        })
+
+
+def bigram_novelty_scores(ds, text_col: str = "text", top_k: int = 500,
+                          table=None, concurrency=(1, 8)):
+    """Two-pass bigram-LM novelty scoring: count fold -> top-k table
+    broadcast -> vectorized per-doc OOV rates.  ``table`` overrides the
+    training pass with a precomputed sorted 'S'-bytes table (train on a
+    REFERENCE corpus, score a candidate corpus — the CCNet shape)."""
+    import ray
+
+    if table is None:
+        bigrams, counts = global_bigram_counts(ds, text_col)
+        table = top_bigram_table(bigrams, counts, top_k)
+    ref = ray.put(table)
+    return ds.map_batches(
+        BigramNovelty,
+        fn_constructor_kwargs={"table_ref": ref, "text_col": text_col},
+        batch_format="pandas", concurrency=concurrency)
