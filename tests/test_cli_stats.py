@@ -40,3 +40,28 @@ def test_cmd_stats_without_quantiles(ray_session, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert "quantiles" not in out["v"]
     assert out["v"]["min"] == 1 and out["v"]["max"] == 100
+
+
+def test_cmd_explain_runs_query_and_prints_stats(ray_session, capsys):
+    from xema_ray.__main__ import cmd_explain
+
+    args = argparse.Namespace(query="doc_token_counts", num_cpus=4,
+                              sf_dir="/root/testdata/sf0.001")
+    cmd_explain(args)
+    out = capsys.readouterr().out
+    assert "Dataset throughput" in out or "Operator" in out
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["query"] == "doc_token_counts"
+    assert summary["rows"] > 0 and summary["sec"] > 0
+
+
+def test_cmd_explain_unknown_query_suggests(ray_session):
+    import pytest
+
+    from xema_ray.__main__ import cmd_explain
+
+    args = argparse.Namespace(query="doc_token_countz", num_cpus=4,
+                              sf_dir="/root/testdata/sf0.001")
+    with pytest.raises(SystemExit) as e:
+        cmd_explain(args)
+    assert "doc_token_counts" in str(e.value)

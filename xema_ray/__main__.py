@@ -266,6 +266,43 @@ def cmd_linededup(args):
     print(json.dumps(out))
 
 
+
+def cmd_explain(args):
+    """Run one registered query and print its Ray Data execution stats —
+    the measure-don't-guess loop surfaced as a CLI (per-operator wall
+    time, blocks, rows, memory; `ds.stats()` verbatim)."""
+    import time
+
+    _init_ray(args.num_cpus)
+    from xema_ray.pipelines.queries import QUERIES
+
+    if args.query not in QUERIES:
+        import difflib
+
+        near = difflib.get_close_matches(args.query, QUERIES, n=5)
+        raise SystemExit(
+            f"unknown query {args.query!r}; close matches: {near}; "
+            f"{len(QUERIES)} registered (see COVERAGE.md)")
+    t0 = time.time()
+    res = QUERIES[args.query].fn(args.sf_dir)
+    rows = 0
+    stats = None
+    if hasattr(res, "iter_batches"):  # ray Dataset: drain + stats
+        for b in res.iter_batches(batch_format="pyarrow"):
+            rows += b.num_rows
+        stats = res.stats()
+    else:  # pandas / pyarrow driver-sized result
+        rows = len(res)
+    dt = time.time() - t0
+    doc = QUERIES[args.query].doc
+    if doc:
+        print(f"# {args.query}: {doc}\n")
+    if stats:
+        print(stats)
+    print(json.dumps({"query": args.query, "sf_dir": args.sf_dir,
+                      "rows": rows, "sec": round(dt, 3)}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="xema_ray")
     p.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
@@ -376,6 +413,13 @@ def main(argv=None):
     ld.add_argument("--max-docs", type=int, default=1)
     ld.add_argument("--batch-rows", type=int, default=16384)
     ld.set_defaults(fn=cmd_linededup)
+
+
+    ex = sub.add_parser("explain",
+                        help="run a registered query and print ds.stats()")
+    ex.add_argument("query", help="query name from the registry")
+    ex.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ex.set_defaults(fn=cmd_explain)
 
     g = sub.add_parser("gen", help="generate the synthetic sequences corpus")
     g.add_argument("out")
