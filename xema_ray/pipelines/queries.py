@@ -3255,3 +3255,82 @@ def doc_bigram_novelty(sf_dir: str):
 
     return bigram_novelty_scores(
         _read(sf_dir, "documents", ["doc_id", "text"]), top_k=500)
+
+
+@register(
+    "doc_split_assign",
+    """SELECT doc_id, source,
+        CASE WHEN md5(CAST(doc_id AS VARCHAR))
+                  < '0ccccccccccccd000000000000000000' THEN 'test'
+             WHEN md5(CAST(doc_id AS VARCHAR))
+                  < '1999999999999a000000000000000000' THEN 'val'
+             ELSE 'train' END AS split
+    FROM documents""",
+    doc="deterministic TRAIN/VAL/TEST split assignment (5%/5%/90% "
+        "md5-band rule): a stateless per-batch projection — no shuffle, "
+        "no RNG state, stable under any partitioning, and incremental "
+        "(a doc's split never changes as the corpus grows, the property "
+        "random splits lack); fast-hash lane is the engine default, "
+        "md5 mode keeps the rule SQL-replayable",
+)
+def doc_split_assign(sf_dir: str):
+    from xema_ray.stages.sample import split_assign
+
+    ds = split_assign(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        rates={"test": 0.05, "val": 0.05}, hash_fn="md5")
+    return ds.map_batches(
+        lambda t: t.select(["doc_id", "source", "split"]),
+        batch_format="pyarrow")
+
+
+@register(
+    "doc_snapshot_diff",
+    """WITH base AS (SELECT doc_id, text,
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+           FROM documents),
+    cur AS (SELECT doc_id, md5(text) AS d FROM base WHERE nib <> '2'),
+    prev AS (SELECT doc_id,
+                    md5(CASE WHEN nib = '1' THEN text || ' v1'
+                             ELSE text END) AS d
+             FROM base WHERE nib <> '0')
+    SELECT coalesce(cur.doc_id, prev.doc_id) AS doc_id,
+           CASE WHEN prev.doc_id IS NULL THEN 'added'
+                WHEN cur.doc_id IS NULL THEN 'removed'
+                WHEN cur.d = prev.d THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id""",
+    doc="incremental-ingestion snapshot DIFF: classify every doc across "
+        "two corpus versions as added/removed/changed/unchanged so "
+        "downstream stages re-process only the delta.  Content never "
+        "moves — each side reduces to (id, digest) rows in map_batches "
+        "and ONE native full-outer hash join classifies; the two "
+        "snapshots here are deterministic md5-nibble variants of the "
+        "documents table so the oracle can derive the same pair in SQL",
+)
+def doc_snapshot_diff(sf_dir: str):
+    import hashlib
+
+    from xema_ray.stages.diff import snapshot_diff
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def variant(exclude_nib: str, suffix_nib: str = None):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_pylist()
+            nibs = np.array([hashlib.md5(str(v).encode()).hexdigest()[0]
+                             for v in ids])
+            t = t.filter(pa.array(nibs != exclude_nib))
+            if suffix_nib is not None:
+                nibs = nibs[nibs != exclude_nib]
+                txt = t["text"].to_pandas()
+                mod = nibs == suffix_nib
+                txt[mod] = txt[mod] + " v1"
+                t = t.set_column(t.schema.get_field_index("text"), "text",
+                                 pa.array(txt, pa.string()))
+            return t
+
+        return docs.map_batches(fn, batch_format="pyarrow")
+
+    return snapshot_diff(variant("2"), variant("0", suffix_nib="1"),
+                         hash_fn="md5")

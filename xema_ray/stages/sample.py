@@ -252,3 +252,60 @@ def stratified_topk_sample(ds, k: int, strat_col: str = "source",
     merged = _topk(pd.concat(frames, ignore_index=True))
     return pa.Table.from_pandas(merged.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def split_assign(ds, rates=None, id_col: str = "doc_id",
+                 hash_fn: str = "fast", seed: int = 0):
+    """Label every row with a deterministic TRAIN/VAL/TEST split.
+
+    Disjoint md5-band rule (``hash_fn="md5"``, SQL-replayable): with
+    cumulative thresholds t_i = hex(Σ rates up to i), a row goes to the
+    first split whose threshold exceeds ``md5(str(id))``; the remainder
+    is ``train``.  The engine default (``hash_fn="fast"``) applies the
+    same band rule to the vectorized 64-bit hash.  Assignment is a
+    stateless per-batch projection — no shuffle, no state, stable under
+    any partitioning, and re-runnable incrementally (a doc's split never
+    changes as the corpus grows — the property random splits lack).
+
+    ``rates`` maps split name → rate for the NON-train splits, e.g.
+    ``{"test": 0.05, "val": 0.05}`` (insertion order = band order).
+    Returns ``ds`` with a ``split`` string column appended.
+    """
+    rates = dict(rates or {"test": 0.05, "val": 0.05})
+    names = list(rates)
+    cum, edges = 0.0, []
+    for nm in names:
+        cum += rates[nm]
+        edges.append(cum)
+
+    thr_hex = [rate_threshold_hex(e) for e in edges]
+
+    def assign_md5(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        hexes = [hashlib.md5(str(v).encode()).hexdigest()
+                 if v is not None else "g" * 32 for v in ids]
+        out = []
+        for h in hexes:
+            lab = "train"
+            for nm, th in zip(names, thr_hex):
+                if h < th:
+                    lab = nm
+                    break
+            out.append(lab)
+        return t.append_column("split", pa.array(out, pa.string()))
+
+    def assign_fast(t: pa.Table) -> pa.Table:
+        from xema_ray.functions.sketches import hash_strings
+
+        ids = t[id_col].to_pylist()
+        h = hash_strings([str(v) if v is not None else "" for v in ids],
+                         seed=seed).astype(np.float64) / float(1 << 64)
+        lab = np.full(len(ids), "train", dtype=object)
+        prev = 0.0
+        for nm, e in zip(names, edges):
+            lab[(h >= prev) & (h < e)] = nm
+            prev = e
+        return t.append_column("split", pa.array(lab, pa.string()))
+
+    return ds.map_batches(assign_md5 if hash_fn == "md5" else assign_fast,
+                          batch_format="pyarrow")
