@@ -3334,3 +3334,56 @@ def doc_snapshot_diff(sf_dir: str):
 
     return snapshot_diff(variant("2"), variant("0", suffix_nib="1"),
                          hash_fn="md5")
+
+
+_BPE_MERGES_SQL = """SELECT * FROM (VALUES (0,'e','r',4568),(1,'e','</w>',4473),(2,'n','</w>',2834),(3,'er','</w>',2779),(4,'o','w',2747),(5,'ow','</w>',2747),(6,'o','r',2696),(7,'s','t',2676),(8,'h','</w>',1884),(9,'a','t',1845),(10,'l','u',1831),(11,'i','n',1796),(12,'a','</w>',1788),(13,'g','</w>',1777),(14,'y','</w>',1767),(15,'a','r',1758),(16,'p','ar',1758),(17,'t','</w>',1750),(18,'i','n</w>',964),(19,'j','o',964),(20,'jo','in</w>',964),(21,'a','s',947),(22,'as','h</w>',947),(23,'h','ash</w>',947),(24,'r','ow</w>',943),(25,'at','c',937),(26,'atc','h</w>',937),(27,'b','atch</w>',937),(28,'a','n</w>',936),(29,'c','an</w>',936),(30,'s','can</w>',936),(31,'c','o',934),(32,'c','u',934),(33,'co','lu',934),(34,'colu','m',934),(35,'colum','n</w>',934),(36,'cu','st',934),(37,'cust','o',934),(38,'custo','m',934),(39,'custom','er</w>',934)) AS t("rank", "left", "right", n)"""
+
+_BPE_STATS_SQL = """SELECT * FROM (VALUES ('src0',25,1435,4553),('src1',25,1540,4889),('src10',25,1303,4037),('src11',25,1522,4823),('src12',25,1272,3947),('src13',25,1553,4894),('src14',25,1318,4232),('src15',25,1298,4019),('src16',25,1351,4252),('src17',25,1373,4262),('src18',25,1364,4368),('src19',25,1147,3635),('src2',25,1407,4419),('src3',25,1384,4355),('src4',25,1294,4066),('src5',25,1329,4149),('src6',25,1266,4010),('src7',25,1507,4644),('src8',25,1136,3606),('src9',25,1366,4339)) AS t(source, n_docs, n_words, n_subwords)"""
+
+
+def _bpe_merges(sf_dir: str, n_merges: int = 40):
+    from xema_ray.stages.bpe import learn_bpe
+
+    return learn_bpe(_read(sf_dir, "documents", ["text"]),
+                     n_merges=n_merges)
+
+
+@register(
+    "doc_bpe_merges",
+    _BPE_MERGES_SQL,
+    doc="BPE tokenizer TRAINING (Sennrich subword merges, 40 ranks): "
+        "the distributed part is exactly one vocab-bounded word-count "
+        "fold (per-batch factorize+bincount partials — corpus-size-"
+        "free by Heaps' law); the merge loop runs driver-side over the "
+        "compact frequency table with an incremental pair index, "
+        "deterministic (count DESC, pair ASC) selection.  Oracle = "
+        "pinned VALUES from the seeded run at sf0.01 (iterative argmax "
+        "training is not SQL-expressible); stability verified at 2 and "
+        "8 CPUs",
+)
+def doc_bpe_merges(sf_dir: str):
+    from xema_ray.stages.bpe import merges_table
+
+    return merges_table(_bpe_merges(sf_dir))
+
+
+@register(
+    "doc_bpe_stats",
+    _BPE_STATS_SQL,
+    doc="BPE APPLICATION: per-source word/subword totals under the "
+        "40-rank learned table — merge ranks broadcast once (ray.put), "
+        "per-actor encode cache keyed on UNIQUE words makes per-batch "
+        "work O(distinct words) not O(tokens); per-source rollup is a "
+        "20-row Arrow groupby.  Oracle = pinned VALUES (stability "
+        "verified at 2 and 8 CPUs)",
+)
+def doc_bpe_stats(sf_dir: str):
+    from xema_ray.stages.bpe import bpe_doc_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    stats = bpe_doc_stats(ds, _bpe_merges(sf_dir))
+    tabs = [b for b in stats.iter_batches(batch_format="pyarrow")]
+    agg = pa.concat_tables(tabs).group_by("source").aggregate(
+        [("doc_id", "count"), ("n_words", "sum"), ("n_subwords", "sum")])
+    return agg.rename_columns(
+        ["source", "n_docs", "n_words", "n_subwords"])
