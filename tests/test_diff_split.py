@@ -105,3 +105,48 @@ class TestSplitAssign:
                       small["split"].to_pylist()))
         bg = dict(zip(big["doc_id"].to_pylist(), big["split"].to_pylist()))
         assert all(bg[k] == v for k, v in sm.items())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactDedupBest:
+    def test_argmax_branches(self):
+        import ray.data as rd
+
+        from xema_ray.stages.dedup import exact_dedup_best
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "text": ["a", "a", "b", "b", "c", "c", "solo"],
+            "q": [5, 9, 7, 7, 3, 1, 8]}), override_num_blocks=3)
+        out = pa.concat_tables(list(
+            exact_dedup_best(ds, lambda t: t["q"].to_numpy())
+            .iter_batches(batch_format="pyarrow")))
+        got = {r["doc_id"]: (r["q"], r["n_copies"])
+               for r in out.to_pylist()}
+        # variant wins (2: q9), tie -> min id (3), original wins (5)
+        assert got == {2: (9, 2), 3: (7, 2), 5: (3, 2)}
+
+    def test_cross_batch_fold(self):
+        import ray.data as rd
+
+        from xema_ray.stages.dedup import exact_dedup_best
+
+        n = 300
+        ds = rd.from_arrow(pa.table({
+            "doc_id": list(range(n)),
+            "text": [f"t{i % 50}" for i in range(n)],
+            "q": [(i * 7) % 13 for i in range(n)]}),
+            override_num_blocks=11)
+        out = pa.concat_tables(list(
+            exact_dedup_best(ds, lambda t: t["q"].to_numpy())
+            .iter_batches(batch_format="pyarrow")))
+        assert out.num_rows == 50
+        want = {}
+        for i in range(n):
+            k = f"t{i % 50}"
+            q = (i * 7) % 13
+            if k not in want or (-q, i) < want[k]:
+                want[k] = (-q, i)
+        got = {r["doc_id"]: r["q"] for r in out.to_pylist()}
+        assert got == {i: -negq for (negq, i) in want.values()}
+        assert set(out["n_copies"].to_pylist()) == {6}

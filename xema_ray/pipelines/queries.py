@@ -3387,3 +3387,58 @@ def doc_bpe_stats(sf_dir: str):
         [("doc_id", "count"), ("n_words", "sum"), ("n_subwords", "sum")])
     return agg.rename_columns(
         ["source", "n_docs", "n_words", "n_subwords"])
+
+
+@register(
+    "doc_best_survivors",
+    """WITH snap AS (
+      SELECT doc_id, text, CAST(n_chars AS BIGINT) AS q FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text,
+             CAST(n_chars + (doc_id % 3) - 1 AS BIGINT) AS q
+      FROM documents),
+    b AS (SELECT doc_id, md5(text) AS h, q FROM snap
+          WHERE text IS NOT NULL),
+    r AS (SELECT h, doc_id, q,
+                 row_number() OVER (PARTITION BY h
+                                    ORDER BY q DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY h) AS n
+          FROM b)
+    SELECT h, doc_id, q, CAST(n AS BIGINT) AS n_copies
+    FROM r WHERE rn = 1 AND n >= 2""",
+    doc="quality-aware dedup SURVIVOR selection: per exact-content "
+        "duplicate group keep the copy that maximizes (metadata quality "
+        "score, then min id) — what crawl pipelines do when snapshots "
+        "of the same page differ in extraction quality.  The two "
+        "'crawls' here are the documents table and a deterministic "
+        "re-crawl (same text, new id, perturbed score) so groups of 2 "
+        "exist and all three argmax branches (variant wins / original "
+        "wins / score tie -> min id) occur.  Same digest-only exchange "
+        "as exact dedup: per-batch partials pre-reduce each digest to "
+        "one (id, score, count) rider row; integer score so merge "
+        "order can't flip the argmax",
+)
+def doc_best_survivors(sf_dir: str):
+    from xema_ray.stages.dedup import exact_dedup_best
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"],
+                         "q": pc.cast(t["n_chars"], pa.int64())})
+
+    def recrawl(t: pa.Table) -> pa.Table:
+        q = pc.add(pc.subtract(pc.cast(t["n_chars"], pa.int64()),
+                               pa.scalar(1, pa.int64())),
+                   pc.cast(pc.subtract(
+                       t["doc_id"],
+                       pc.multiply(pc.divide(t["doc_id"], pa.scalar(3)),
+                                   pa.scalar(3))), pa.int64()))
+        return pa.table({
+            "doc_id": pc.add(t["doc_id"], pa.scalar(1000000)),
+            "text": t["text"], "q": q})
+
+    snap = docs.map_batches(base, batch_format="pyarrow").union(
+        docs.map_batches(recrawl, batch_format="pyarrow"))
+    return exact_dedup_best(snap, lambda t: t["q"].to_numpy(),
+                            hash_fn="md5")

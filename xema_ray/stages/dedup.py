@@ -906,3 +906,98 @@ def shared_passage_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         .size().rename(columns={"size": "n_shared"})
     out["n_shared"] = out["n_shared"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ----------------------------------------------------------------------
+# quality-aware survivor selection
+# ----------------------------------------------------------------------
+
+
+def _best_partial_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Reduce (h, id, q, cnt) rows to one row per digest:
+    ``(h, id=argmax(q, then min id), q, n=Σcnt)`` — same numpy
+    fixed-width group-sort as :func:`_groups_from_frame` (primary key
+    digest, then −q, then id; first row per group wins)."""
+    if not len(df):
+        return pd.DataFrame({"h": [], "id": [], "q": [], "cnt": []})
+    hb = df["h"].to_numpy().astype("S")
+    uniq, inv = np.unique(hb, return_inverse=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, df["cnt"].to_numpy(dtype=np.int64))
+    ids = df["id"].to_numpy()
+    id_key = ids if np.issubdtype(ids.dtype, np.number) else ids.astype("S")
+    q = df["q"].to_numpy(dtype=np.int64)
+    order = np.lexsort((id_key, -q, inv))
+    inv_s = inv[order]
+    firsts = np.ones(len(inv_s), dtype=bool)
+    firsts[1:] = inv_s[1:] != inv_s[:-1]
+    best = order[firsts]
+    keep_idx = np.empty(len(uniq), np.int64)
+    keep_idx[inv[best]] = best
+    return pd.DataFrame({"h": df["h"].to_numpy()[keep_idx],
+                         "id": ids[keep_idx], "q": q[keep_idx],
+                         "cnt": sums})
+
+
+def exact_dedup_best(ds, score_batch, col: str = "text",
+                     id_col: str = "doc_id", hash_fn: str = "fast",
+                     min_copies: int = 2):
+    """Duplicate-group report keeping the BEST copy, not the first:
+    one row per content group with ≥ ``min_copies`` members —
+    ``(h, doc_id, q, n_copies)`` where the survivor maximizes
+    ``(score, then min id)``.
+
+    What real pipelines do when exact copies differ in surrounding
+    quality signals (crawl snapshots of the same page: keep the one
+    whose extraction scored best).  Same exchange as
+    :func:`exact_dedup_groups`: per-batch partials pre-reduce each
+    digest to ONE rider row (id, score, count) so only digests move;
+    coarse hash-bucket groupby; vectorized group-sort merge per bucket.
+    ``score_batch(tbl) -> int64 array`` computes the per-row score
+    (integer fixed-point, so merge order can't change the argmax).
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "h": _hash_text_column(t, col, hash_fn).to_pandas(),
+            "id": t[id_col].to_pandas(),
+            "q": np.asarray(score_batch(t), dtype=np.int64),
+            "cnt": np.ones(t.num_rows, dtype=np.int64)})
+        df = df[df["h"].notna() & df["id"].notna()]
+        red = _best_partial_frame(df)
+        id_type = t.schema.field(id_col).type
+        out = pa.table({"h": pa.array(red["h"], pa.string()),
+                        "id": pa.array(red["id"], id_type),
+                        "q": pa.array(red["q"].to_numpy(), pa.int64()),
+                        "cnt": pa.array(red["cnt"], pa.int64())})
+        return _attach_bucket(out)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        red = _best_partial_frame(g.drop(columns=["bucket"]))
+        red = red[red["cnt"] >= min_copies]
+        return pd.DataFrame({"h": red["h"], "doc_id": red["id"],
+                             "q": red["q"].astype(np.int64),
+                             "n_copies": red["cnt"].astype(np.int64)})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def _attach_bucket(g: pa.Table, n_buckets: int = None) -> pa.Table:
+    """Coarse digest-derived bucket column (pure function of h — no
+    coordination; cf. _bucketed_hash_partial)."""
+    from xema_ray.functions.sketches import hash_strings
+    from xema_ray.stages.shuffle import default_shuffle_buckets
+
+    if n_buckets is None:
+        n_buckets = default_shuffle_buckets()
+    if g.num_rows:
+        hb = _fixed_width_view(g["h"])
+        if hb is not None and hb.dtype.itemsize >= 16:
+            bucket = (_hex_prefix_u64(hb) % np.uint64(n_buckets)) \
+                .astype(np.int32)
+        else:
+            bucket = (hash_strings(g["h"].to_pylist()) % n_buckets) \
+                .astype(np.int32)
+    else:
+        bucket = np.empty(0, dtype=np.int32)
+    return g.append_column("bucket", pa.array(bucket, type=pa.int32()))
