@@ -1,0 +1,74 @@
+"""Scalar quantization (linalg.dim_minmax / ScalarQuantize) — exactness,
+partitioning invariance, and quantized-search recall."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from xema_ray.stages.linalg import SCALE, dim_minmax, quantize_stats, \
+    scalar_quantize
+
+
+def _emb_ds(mat, ids=None, blocks=4):
+    import ray.data as rd
+
+    ids = list(range(len(mat))) if ids is None else ids
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32()))}),
+        override_num_blocks=blocks)
+
+
+def _collect(ds):
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScalarQuantize:
+    def test_bounds_and_codes_exact(self):
+        mat = np.array([[0.0, -1.0], [1.0, 1.0], [0.5, 0.0]])
+        ds = _emb_ds(mat, blocks=3)
+        mn, mx = dim_minmax(ds)
+        assert mn.tolist() == [0, -SCALE]
+        assert mx.tolist() == [SCALE, SCALE]
+        qds, _ = scalar_quantize(ds)
+        out = _collect(qds).sort_by("vec_id")
+        codes = out["codes"].to_pylist()
+        # dim0: (x6-0)*255//1e6 ; dim1: (x6+1e6)*255//2e6
+        assert codes[0] == [0, 0]
+        assert codes[1] == [255, 255]
+        assert codes[2] == [127, 127]
+
+    def test_partitioning_invariance(self):
+        rng = np.random.default_rng(3)
+        mat = rng.standard_normal((200, 16)).astype(np.float32)
+        a = _collect(quantize_stats(_emb_ds(mat, blocks=2))) \
+            .sort_by("vec_id")
+        b = _collect(quantize_stats(_emb_ds(mat, blocks=13))) \
+            .sort_by("vec_id")
+        assert a.equals(b)
+
+    def test_quantized_search_recall(self):
+        """Top-10 by quantized-code dot vs exact float dot: recall ≥ 0.8
+        on gaussian data (the scan-compression contract)."""
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((400, 32)).astype(np.float32)
+        query = rng.standard_normal(32).astype(np.float32)
+        ds = _emb_ds(base, blocks=5)
+        qds, (mn, mx) = scalar_quantize(ds)
+        out = _collect(qds).sort_by("vec_id")
+        codes = np.array(out["codes"].to_pylist(), dtype=np.float64)
+        # dequantize approximately and rank
+        rngs = np.maximum(mx - mn, 1).astype(np.float64)
+        approx = (codes * rngs / 255.0 + mn) / SCALE
+        exact_top = set(np.argsort(-(base.astype(np.float64) @ query))[:10])
+        quant_top = set(np.argsort(-(approx @ query))[:10])
+        assert len(exact_top & quant_top) >= 8
+
+    def test_constant_dim_range_guard(self):
+        mat = np.array([[1.0, 2.0], [1.0, 5.0]])
+        qds, _ = scalar_quantize(_emb_ds(mat, blocks=1))
+        codes = _collect(qds).sort_by("vec_id")["codes"].to_pylist()
+        assert [c[0] for c in codes] == [0, 0]  # zero-range dim → 0
+        assert [c[1] for c in codes] == [0, 255]

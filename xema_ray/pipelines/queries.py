@@ -3442,3 +3442,32 @@ def doc_best_survivors(sf_dir: str):
         docs.map_batches(recrawl, batch_format="pyarrow"))
     return exact_dedup_best(snap, lambda t: t["q"].to_numpy(),
                             hash_fn="md5")
+
+
+@register(
+    "emb_quantize",
+    """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                     AS BIGINT) AS x6
+          FROM embeddings),
+    mm AS (SELECT d, min(x6) AS mn, max(x6) AS mx FROM e GROUP BY d),
+    q AS (SELECT vec_id,
+                 (x6 - mn) * 255 // greatest(mx - mn, 1) AS qv
+          FROM e JOIN mm USING (d))
+    SELECT vec_id, CAST(sum(qv) AS BIGINT) AS q_sum,
+           CAST(min(qv) AS BIGINT) AS q_min,
+           CAST(max(qv) AS BIGINT) AS q_max
+    FROM q GROUP BY 1""",
+    doc="embedding SCALAR QUANTIZATION to int8-range codes (the "
+        "memory-bound step of a large vector index: 4x smaller scans): "
+        "per-dim bounds from one corpus-size-free integer fold "
+        "(2xd partial per batch), broadcast once, codes "
+        "(x6-min6)*255 // range6 all-integer so they're bit-identical "
+        "on any partitioning; per-vector (sum,min,max) code summary "
+        "is the SQL-checkable fingerprint of the full code matrix",
+)
+def emb_quantize(sf_dir: str):
+    from xema_ray.stages.linalg import quantize_stats
+
+    return quantize_stats(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]))

@@ -183,3 +183,106 @@ def pca_project(ds, col: str = "embedding", k: int = 8,
         fn_constructor_kwargs={"params_ref": ref, "col": col,
                                "out_col": out_col},
         batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ----------------------------------------------------------------------
+# scalar quantization (int8 codes for vector search)
+# ----------------------------------------------------------------------
+
+
+def dim_minmax(ds, col: str = "embedding"):
+    """Per-dimension (min, max) of the fixed-point values — ONE
+    streaming pass emitting a 2×d integer partial row per batch
+    (corpus-size-free exchange), driver fold.  Returns (min6, max6)
+    int64 arrays of length d."""
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quantized_matrix(batch, col)
+        if q.size == 0:
+            return pa.table({"mn": pa.array([], pa.list_(pa.int64())),
+                             "mx": pa.array([], pa.list_(pa.int64()))})
+        return pa.table({"mn": pa.array([q.min(axis=0).tolist()]),
+                         "mx": pa.array([q.max(axis=0).tolist()])})
+
+    mn = mx = None
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+              .iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            bmn = np.asarray(row["mn"], dtype=np.int64)
+            bmx = np.asarray(row["mx"], dtype=np.int64)
+            mn = bmn if mn is None else np.minimum(mn, bmn)
+            mx = bmx if mx is None else np.maximum(mx, bmx)
+    if mn is None:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return mn, mx
+
+
+class ScalarQuantize:
+    """Actor stage: int8-range codes ``q = (x6 − min6)·255 // max(range6,
+    1)`` under broadcast per-dim bounds — all-integer, so codes are
+    bit-identical on any node/partitioning (a float scale would not
+    be).  Emits the code matrix as a ``list<uint8>`` column (4× smaller
+    than float32 — the point of quantization: the ANN scan reads codes,
+    not floats)."""
+
+    def __init__(self, bounds_ref, col: str = "embedding",
+                 out_col: str = "codes"):
+        import ray
+
+        self.mn, self.mx = ray.get(bounds_ref) \
+            if not isinstance(bounds_ref, tuple) else bounds_ref
+        self.rng = np.maximum(self.mx - self.mn, 1)
+        self.col, self.out_col = col, out_col
+
+    def codes_of(self, batch: pa.Table) -> np.ndarray:
+        q = _quantized_matrix(batch, self.col)
+        return ((q - self.mn) * 255 // self.rng).astype(np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codes = self.codes_of(batch)
+        keep = [c for c in batch.column_names if c != self.col]
+        cols = {c: batch[c] for c in keep}
+        cols[self.out_col] = pa.array(list(codes),
+                                      type=pa.list_(pa.uint8()))
+        return pa.table(cols)
+
+
+def scalar_quantize(ds, col: str = "embedding", bounds=None,
+                    concurrency=(1, 8)):
+    """Quantized dataset (``codes`` replaces the float column).  Bounds
+    are computed once (:func:`dim_minmax`) and broadcast via
+    ``ray.put`` unless supplied."""
+    import ray
+
+    if bounds is None:
+        bounds = dim_minmax(ds, col)
+    ref = ray.put(bounds)
+    return ds.map_batches(ScalarQuantize, fn_constructor_args=(ref, col),
+                          batch_format="pyarrow",
+                          concurrency=concurrency), bounds
+
+
+def quantize_stats(ds, col: str = "embedding", id_col: str = "vec_id",
+                   bounds=None):
+    """Per-vector integer code summary ``(id, q_sum, q_min, q_max)`` —
+    the SQL-checkable fingerprint of the full code matrix."""
+    import ray
+
+    if bounds is None:
+        bounds = dim_minmax(ds, col)
+    ref = ray.put(bounds)
+
+    class Stats(ScalarQuantize):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            codes = self.codes_of(batch).astype(np.int64)
+            if codes.size == 0:
+                return pa.table({id_col: batch[id_col],
+                                 "q_sum": pa.array([], pa.int64()),
+                                 "q_min": pa.array([], pa.int64()),
+                                 "q_max": pa.array([], pa.int64())})
+            return pa.table({id_col: batch[id_col],
+                             "q_sum": pa.array(codes.sum(axis=1)),
+                             "q_min": pa.array(codes.min(axis=1)),
+                             "q_max": pa.array(codes.max(axis=1))})
+
+    return ds.map_batches(Stats, fn_constructor_args=(ref, col),
+                          batch_format="pyarrow", concurrency=(1, 8))
