@@ -72,3 +72,68 @@ class TestScalarQuantize:
         codes = _collect(qds).sort_by("vec_id")["codes"].to_pylist()
         assert [c[0] for c in codes] == [0, 0]  # zero-range dim → 0
         assert [c[1] for c in codes] == [0, 255]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestProductQuantization:
+    def _clustered(self, n=240, d=8, m=2, seed=5):
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((4, d)) * 3
+        mat = centers[rng.integers(0, 4, n)] + \
+            rng.standard_normal((n, d)) * 0.05
+        return mat.astype(np.float32)
+
+    def test_fit_partitioning_invariant(self):
+        from xema_ray.stages.pq import pq_fit
+
+        mat = self._clustered()
+        a = pq_fit(_emb_ds(mat, blocks=2), m=2, k=4, iters=3, seed=1)
+        b = pq_fit(_emb_ds(mat, blocks=9), m=2, k=4, iters=3, seed=1)
+        assert np.array_equal(a, b)
+
+    def test_encode_reconstruction_beats_random(self):
+        from xema_ray.stages.pq import PqEncode, pq_encode, pq_fit
+
+        mat = self._clustered()
+        ds = _emb_ds(mat, blocks=3)
+        cb = pq_fit(ds, m=2, k=4, iters=3, seed=1)
+        out = _collect(pq_encode(ds, cb)).sort_by("vec_id")
+        codes = np.array(out["pq_code"].to_pylist())
+        assert codes.shape == (len(mat), 2)
+        # reconstruct from codebooks and compare distortion to the data
+        # scale: clustered data must reconstruct tightly
+        q6 = np.floor(mat.astype(np.float64) * 1e6).astype(np.int64)
+        rec = np.concatenate(
+            [cb[j][codes[:, j]] for j in range(2)], axis=1)
+        err = np.linalg.norm(q6 - rec)
+        # must beat the degenerate one-centroid codebook (global mean)
+        err_mean = np.linalg.norm(q6 - q6.mean(axis=0, keepdims=True))
+        assert err < 0.6 * err_mean
+
+    def test_assign_tie_goes_to_lowest_index(self):
+        from xema_ray.stages.pq import _assign
+
+        sub = np.array([[0, 0]], dtype=np.int64)
+        cb = np.array([[2, 0], [-2, 0], [0, 2]], dtype=np.int64)
+        assert _assign(sub, cb).tolist() == [0]
+
+    def test_dim_not_divisible_raises(self):
+        from xema_ray.stages.pq import _sub_views
+
+        with pytest.raises(ValueError):
+            _sub_views(np.zeros((1, 10), dtype=np.int64), 4)
+
+    def test_cell_stats_fingerprint(self):
+        from xema_ray.stages.pq import pq_cell_stats, pq_encode, pq_fit
+
+        mat = self._clustered(n=100)
+        ds = _emb_ds(mat, blocks=4)
+        cb = pq_fit(ds, m=2, k=4, iters=2, seed=2)
+        cells = pq_cell_stats(ds, cb)
+        codes = np.array(_collect(pq_encode(ds, cb)).sort_by("vec_id")
+                         ["pq_code"].to_pylist())
+        for r in cells.to_pylist():
+            members = np.nonzero(codes[:, r["subspace"]]
+                                 == r["centroid"])[0]
+            assert r["n"] == len(members)
+            assert r["id_sum"] == int(members.sum())

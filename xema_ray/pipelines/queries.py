@@ -3471,3 +3471,26 @@ def emb_quantize(sf_dir: str):
 
     return quantize_stats(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
+_PQ_CELLS_SQL = """SELECT * FROM (VALUES (0,0,54,13215),(0,1,27,7119),(0,2,13,3778),(0,3,35,9155),(0,4,22,5871),(0,5,17,4286),(0,6,44,9745),(0,7,41,9665),(0,8,56,15703),(0,9,26,7069),(0,10,17,4281),(0,11,31,7150),(0,12,15,3975),(0,13,29,6512),(0,14,37,8248),(0,15,36,8978),(1,0,36,8399),(1,1,17,3318),(1,2,37,8669),(1,3,42,10488),(1,4,22,5506),(1,5,36,10428),(1,6,40,9076),(1,7,32,8926),(1,8,25,6567),(1,9,40,9028),(1,10,6,1347),(1,11,20,4886),(1,12,22,4652),(1,13,24,6055),(1,14,44,11918),(1,15,57,15487),(2,0,8,2339),(2,1,48,12439),(2,2,35,7978),(2,3,14,4268),(2,4,32,7011),(2,5,33,8456),(2,6,18,4588),(2,7,36,7872),(2,8,38,10223),(2,9,20,5597),(2,10,26,5862),(2,11,31,8225),(2,12,30,7120),(2,13,52,13563),(2,14,36,8821),(2,15,43,10388),(3,0,36,10248),(3,1,36,9810),(3,2,25,5996),(3,3,22,5723),(3,4,45,10437),(3,5,43,10998),(3,6,38,10429),(3,7,26,5484),(3,8,3,647),(3,9,34,8803),(3,10,23,5797),(3,11,41,8589),(3,12,31,7948),(3,13,31,7919),(3,14,18,4950),(3,15,48,10972)) AS t(subspace, centroid, n, id_sum)"""
+
+
+@register(
+    "emb_pq_cells",
+    _PQ_CELLS_SQL,
+    doc="PRODUCT QUANTIZATION (m=4 subspaces x k=16 centroids, 2 "
+        "integer-Lloyd iterations, seed 17): the billion-vector ANN "
+        "compression — codebooks learned with the repo-wide fixed-point "
+        "rule so distances, argmins and centroid updates are exact "
+        "integer arithmetic (bit-identical on any partitioning, which "
+        "is what permits a pinned oracle); per (subspace, centroid) "
+        "(n, id_sum) pins the exact assignment of every vector.  "
+        "Oracle = pinned VALUES, stability verified at 2 and 8 CPUs",
+)
+def emb_pq_cells(sf_dir: str):
+    from xema_ray.stages.pq import pq_cell_stats, pq_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cb = pq_fit(ds, m=4, k=16, iters=2, seed=17)
+    return pq_cell_stats(ds, cb)

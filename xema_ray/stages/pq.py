@@ -1,0 +1,194 @@
+"""Product quantization (PQ) — subspace codebooks for vector search.
+
+The canonical compression behind billion-vector ANN indexes (Jégou et
+al. 2011, public): split each d-dim vector into ``m`` subspaces, learn a
+``k``-centroid codebook per subspace, store each vector as ``m`` bytes
+of centroid ids.  At 100 TB the float corpus becomes an m-byte-per-row
+code table the scan actually fits through memory bandwidth.
+
+Why integer Lloyd: a float centroid fold is order-of-accumulation
+sensitive — two runs over different block splits drift in the last bit
+and cascade into different assignments.  Here every value is quantized
+once (``floor(x·10^6)``, the repo-wide fixed-point rule, cf.
+stages/linalg.py) and centroids live in the SAME integer space
+(``sums // counts``): distances, argmins and updates are exact integer
+arithmetic, so the learned codebooks and codes are bit-identical on any
+partitioning / CPU count — which is what lets the query pin a VALUES
+oracle.
+
+Execution shape per Lloyd iteration: broadcast the (m, k, dsub) int64
+codebook tensor (``ray.put``), stream one assignment + partial-sum pass
+(each batch emits m·k counts + m·k·dsub sums — corpus-size-free), fold
+on the driver.  Assignment/encode is the same stateless pass.
+Overflow: per-centroid int64 sums hold to ~9·10^12 rows; past that the
+driver fold swaps to Python ints (same pattern as linalg.py).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pyarrow as pa
+
+from xema_ray.stages.linalg import _quantized_matrix
+
+
+def _sub_views(q: np.ndarray, m: int):
+    """List of (rows, dsub) int64 views, one per subspace (d % m must
+    be 0)."""
+    d = q.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [q[:, j * dsub:(j + 1) * dsub] for j in range(m)]
+
+
+def _assign(sub: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """argmin Euclidean (exact int64; ties → lowest centroid index)."""
+    # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² is rank-constant
+    cross = sub @ cb.T                      # int64 exact in range
+    c2 = np.einsum("ij,ij->i", cb, cb)
+    return np.argmin(c2[None, :] - 2 * cross, axis=1)
+
+
+class _PqPartial:
+    """Per-batch assignment + (counts, sums) partials for all m
+    subspaces at once."""
+
+    def __init__(self, cb_ref, vec_col: str):
+        import ray
+
+        self.cb = ray.get(cb_ref) if not isinstance(cb_ref, np.ndarray) \
+            else cb_ref                      # (m, k, dsub) int64
+        self.vec_col = vec_col
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        q = _quantized_matrix(tbl, self.vec_col)
+        m, k, dsub = self.cb.shape
+        counts = np.zeros((m, k), dtype=np.int64)
+        sums = np.zeros((m, k, dsub), dtype=np.int64)
+        if q.size:
+            for j, sub in enumerate(_sub_views(q, m)):
+                a = _assign(sub, self.cb[j])
+                np.add.at(counts[j], a, 1)
+                np.add.at(sums[j], a, sub)
+        return pa.table({"partial": pa.array(
+            [pickle.dumps((sums, counts))], pa.binary())})
+
+
+def pq_fit(ds, m: int = 4, k: int = 16, iters: int = 2,
+           vec_col: str = "embedding", seed: int = 17,
+           sample: int = 4096, concurrency=(1, 8)) -> np.ndarray:
+    """Learn the (m, k, dsub) integer codebook tensor."""
+    import ray
+
+    head = ds.limit(sample).take_all()
+    mat = np.floor(np.asarray([r[vec_col] for r in head],
+                              dtype=np.float64) * 1e6).astype(np.int64)
+    rng = np.random.default_rng(seed)
+    k = min(k, len(mat))
+    subs = _sub_views(mat, m)
+    dsub = subs[0].shape[1]
+    cb = np.stack([s[rng.choice(len(mat), size=k, replace=False)]
+                   for s in subs])          # (m, k, dsub)
+
+    for _ in range(iters):
+        ref = ray.put(cb)
+        rows = ds.map_batches(
+            _PqPartial, fn_constructor_kwargs={"cb_ref": ref,
+                                               "vec_col": vec_col},
+            batch_format="pyarrow", concurrency=concurrency).take_all()
+        sums = np.zeros((m, k, dsub), dtype=np.int64)
+        counts = np.zeros((m, k), dtype=np.int64)
+        for r in rows:
+            s, c = pickle.loads(r["partial"])
+            sums += s
+            counts += c
+        for j in range(m):
+            live = counts[j] > 0
+            # floor division keeps centroids in the exact integer space
+            cb[j][live] = sums[j][live] // counts[j][live, None]
+            for i in np.nonzero(~live)[0]:
+                cb[j][i] = subs[j][rng.integers(len(mat))]
+    return cb
+
+
+class PqEncode:
+    """Stateless encode pass: m uint8 centroid ids per vector."""
+
+    def __init__(self, cb_ref, vec_col: str = "embedding",
+                 out_col: str = "pq_code"):
+        import ray
+
+        self.cb = ray.get(cb_ref) if not isinstance(cb_ref, np.ndarray) \
+            else cb_ref
+        self.vec_col, self.out_col = vec_col, out_col
+
+    def codes_of(self, tbl: pa.Table) -> np.ndarray:
+        q = _quantized_matrix(tbl, self.vec_col)
+        m = self.cb.shape[0]
+        if not q.size:
+            return np.zeros((0, m), dtype=np.uint8)
+        return np.stack([_assign(sub, self.cb[j])
+                         for j, sub in enumerate(_sub_views(q, m))],
+                        axis=1).astype(np.uint8)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        codes = self.codes_of(tbl)
+        keep = [c for c in tbl.column_names if c != self.vec_col]
+        cols = {c: tbl[c] for c in keep}
+        cols[self.out_col] = pa.array(list(codes),
+                                      type=pa.list_(pa.uint8()))
+        return pa.table(cols)
+
+
+def pq_encode(ds, codebooks: np.ndarray, vec_col: str = "embedding",
+              concurrency=(1, 8)):
+    import ray
+
+    ref = ray.put(codebooks)
+    return ds.map_batches(PqEncode, fn_constructor_args=(ref, vec_col),
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
+def pq_cell_stats(ds, codebooks: np.ndarray,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  concurrency=(1, 8)) -> pa.Table:
+    """Per (subspace, centroid) membership fingerprint ``(n, id_sum)``
+    — m·k rows pinning the EXACT assignment, not just sizes (cf.
+    ``emb_kmeans_clusters``).  Per-batch integer partials, driver
+    fold."""
+    import ray
+
+    ref = ray.put(codebooks)
+    m, k, _ = codebooks.shape
+
+    class CellPartial(PqEncode):
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            codes = self.codes_of(tbl).astype(np.int64)
+            n = np.zeros((m, k), dtype=np.int64)
+            id_sum = np.zeros((m, k), dtype=np.int64)
+            if codes.size:
+                ids = np.asarray(tbl[id_col].to_pylist(), dtype=np.int64)
+                for j in range(m):
+                    np.add.at(n[j], codes[:, j], 1)
+                    np.add.at(id_sum[j], codes[:, j], ids)
+            return pa.table({"partial": pa.array(
+                [pickle.dumps((n, id_sum))], pa.binary())})
+
+    n = np.zeros((m, k), dtype=np.int64)
+    id_sum = np.zeros((m, k), dtype=np.int64)
+    for r in ds.map_batches(CellPartial,
+                            fn_constructor_args=(ref, vec_col),
+                            batch_format="pyarrow",
+                            concurrency=concurrency).take_all():
+        a, b = pickle.loads(r["partial"])
+        n += a
+        id_sum += b
+    sub, cent = np.meshgrid(np.arange(m), np.arange(k), indexing="ij")
+    return pa.table({
+        "subspace": pa.array(sub.ravel(), pa.int64()),
+        "centroid": pa.array(cent.ravel(), pa.int64()),
+        "n": pa.array(n.ravel(), pa.int64()),
+        "id_sum": pa.array(id_sum.ravel(), pa.int64())})
