@@ -137,3 +137,40 @@ class TestProductQuantization:
                                  == r["centroid"])[0]
             assert r["n"] == len(members)
             assert r["id_sum"] == int(members.sum())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAdcSearch:
+    def test_recall_vs_exact(self):
+        from xema_ray.stages.pq import knn_pq, pq_encode, pq_fit
+
+        rng = np.random.default_rng(9)
+        base = rng.standard_normal((300, 16)).astype(np.float32)
+        ds = _emb_ds(base, blocks=5)
+        cb = pq_fit(ds, m=4, k=16, iters=3, seed=3)
+        q = base[:3]
+        out = knn_pq(pq_encode(ds, cb), ([0, 1, 2], q), cb, k=10,
+                     code_col="pq_code")
+        # exact Euclidean top-10 in the same fixed-point space
+        q6 = np.floor(base.astype(np.float64) * 1e6).astype(np.int64)
+        hits = 0
+        for qi in range(3):
+            d = ((q6 - q6[qi]) ** 2).sum(axis=1)
+            exact = set(np.argsort(d, kind="stable")[:10].tolist())
+            got = {r["vec_id"] for r in out.to_pylist()
+                   if r["query_id"] == qi}
+            assert qi in got  # the query itself is its own nearest
+            hits += len(exact & got)
+        assert hits / 30 >= 0.5  # coarse codes, but far above random
+
+    def test_code_scan_equals_fly_encode(self):
+        from xema_ray.stages.pq import knn_pq, pq_encode, pq_fit
+
+        rng = np.random.default_rng(4)
+        base = rng.standard_normal((120, 8)).astype(np.float32)
+        ds = _emb_ds(base, blocks=3)
+        cb = pq_fit(ds, m=2, k=8, iters=2, seed=1)
+        q = ([0], base[:1])
+        a = knn_pq(pq_encode(ds, cb), q, cb, k=5, code_col="pq_code")
+        b = knn_pq(ds, q, cb, k=5)          # encodes floats on the fly
+        assert a.equals(b)

@@ -3494,3 +3494,26 @@ def emb_pq_cells(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     cb = pq_fit(ds, m=4, k=16, iters=2, seed=17)
     return pq_cell_stats(ds, cb)
+
+
+_PQ_KNN_SQL = """SELECT * FROM (VALUES (0,0,534616483499,1),(0,84,765205731144,2),(0,391,772395512967,3),(0,401,803649333659,4),(0,483,857512107783,5),(0,446,861846691018,6),(0,334,933793406948,7),(0,300,941151365714,8),(0,364,941504970837,9),(0,229,952484753077,10),(1,1,747736007762,1),(1,27,869369035610,2),(1,42,890746313442,3),(1,498,895624050570,4),(1,242,920091339113,5),(1,402,939551126421,6),(1,129,971412673712,7),(1,449,977243148518,8),(1,261,977761617926,9),(1,73,992075249461,10),(2,2,862904226328,1),(2,68,951296772072,2),(2,371,956992752899,3),(2,248,973494157796,4),(2,185,974043164187,5),(2,418,1010634524866,6),(2,337,1012292849217,7),(2,325,1012656549226,8),(2,112,1016571832463,9),(2,375,1021261609467,10),(3,3,627748315316,1),(3,205,747605346049,2),(3,448,793299872924,3),(3,61,797924945814,4),(3,463,847626022271,5),(3,376,889871381991,6),(3,163,906079372514,7),(3,464,906079372514,8),(3,112,915971977635,9),(3,85,936814179094,10),(4,4,758713300026,1),(4,190,836786966626,2),(4,183,910951531679,3),(4,350,962681278326,4),(4,92,968947497579,5),(4,81,972815392091,6),(4,316,977005773290,7),(4,461,986573803940,8),(4,408,990742877563,9),(4,422,991770520226,10)) AS t(query_id, vec_id, adc_dist, "rank")"""
+
+
+@register(
+    "emb_knn_pq",
+    _PQ_KNN_SQL,
+    doc="PQ asymmetric-distance SEARCH (Jegou ADC): per-query LUTs "
+        "(m x k squared sub-distances) built once and broadcast with "
+        "the codebooks; the scan touches only the m-byte codes column "
+        "(pq_encode pass), per-batch local top-k, driver merges "
+        "k x batches candidates.  All-integer distances + (dist, id) "
+        "tie-break => deterministic on any partitioning.  Oracle = "
+        "pinned VALUES (5 queries x top-10), verified at 2 and 8 CPUs",
+)
+def emb_knn_pq(sf_dir: str):
+    from xema_ray.stages.pq import knn_pq, pq_encode, pq_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cb = pq_fit(ds, m=4, k=16, iters=2, seed=17)
+    return knn_pq(pq_encode(ds, cb), _query_vectors(sf_dir), cb,
+                  k=10, code_col="pq_code")

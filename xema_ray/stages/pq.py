@@ -144,10 +144,19 @@ class PqEncode:
 
 
 def pq_encode(ds, codebooks: np.ndarray, vec_col: str = "embedding",
-              concurrency=(1, 8)):
+              concurrency=None):
+    """Default is a stateless TASK pool (``ray.get`` of the broadcast
+    codebooks inside a task is a zero-copy shared-memory read, cf.
+    ``broadcast_semi_join``); chaining two actor pools would deadlock a
+    2-CPU cluster (each pool reserves a CPU, starving the read)."""
     import ray
 
     ref = ray.put(codebooks)
+    if concurrency is None:
+        def enc(t: pa.Table) -> pa.Table:
+            return PqEncode(ref, vec_col)(t)
+
+        return ds.map_batches(enc, batch_format="pyarrow")
     return ds.map_batches(PqEncode, fn_constructor_args=(ref, vec_col),
                           batch_format="pyarrow", concurrency=concurrency)
 
@@ -192,3 +201,110 @@ def pq_cell_stats(ds, codebooks: np.ndarray,
         "centroid": pa.array(cent.ravel(), pa.int64()),
         "n": pa.array(n.ravel(), pa.int64()),
         "id_sum": pa.array(id_sum.ravel(), pa.int64())})
+
+
+def _query_luts(qmat: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(nq, m, k) int64 ADC lookup tables: squared distance from each
+    query sub-vector to every centroid — computed ONCE per query set,
+    then scanning a vector costs m table gathers + m adds."""
+    q6 = np.floor(np.asarray(qmat, dtype=np.float64) * 1e6) \
+        .astype(np.int64)
+    m, k, dsub = cb.shape
+    nq = len(q6)
+    luts = np.empty((nq, m, k), dtype=np.int64)
+    for j in range(m):
+        qs = q6[:, j * dsub:(j + 1) * dsub]       # (nq, dsub)
+        diff = qs[:, None, :] - cb[j][None, :, :]  # (nq, k, dsub)
+        luts[:, j, :] = np.einsum("qkd,qkd->qk", diff, diff)
+    return luts
+
+
+class _AdcPartial(PqEncode):
+    """Per-batch ADC scan: encode (or read precomputed codes), gather
+    LUT distances, keep the local top-k per query."""
+
+    def __init__(self, state_ref, vec_col: str, id_col: str, k: int,
+                 code_col: str = None):
+        import ray
+
+        cb, qids, luts = ray.get(state_ref)
+        super().__init__(cb, vec_col)
+        self.qids, self.luts, self.k = qids, luts, k
+        self.id_col, self.code_col = id_col, code_col
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        if self.code_col is not None and self.code_col in tbl.column_names:
+            codes = np.asarray(tbl[self.code_col].to_pylist(),
+                               dtype=np.int64)
+        else:
+            codes = self.codes_of(tbl).astype(np.int64)
+        n = len(codes)
+        out_q, out_id, out_d = [], [], []
+        if n:
+            ids = np.asarray(tbl[self.id_col].to_pylist(), dtype=np.int64)
+            m = self.cb.shape[0]
+            for qi, qid in enumerate(self.qids):
+                dist = np.zeros(n, dtype=np.int64)
+                for j in range(m):
+                    dist += self.luts[qi, j][codes[:, j]]
+                kk = min(self.k, n)
+                # exact local top-k under the global (dist, id) order
+                part = np.argpartition(dist, kk - 1)[:kk]
+                sel = part[np.lexsort((ids[part], dist[part]))]
+                out_q += [qid] * kk
+                out_id += ids[sel].tolist()
+                out_d += dist[sel].tolist()
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "adc_dist": pa.array(out_d, pa.int64())})
+
+
+def knn_pq(ds, queries, codebooks: np.ndarray, k: int = 10,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           code_col: str = None, concurrency=None) -> pa.Table:
+    """Top-k by asymmetric PQ distance (Jégou ADC): LUTs built once per
+    query set and broadcast with the codebooks; the scan touches only
+    m-byte codes (pass ``code_col`` over a pre-encoded dataset — the
+    100-TB path — or let it encode floats on the fly); per-batch local
+    top-k, driver merges ≤ k×batches rows.  All-integer distances with
+    the (dist, vec_id) tie-break ⇒ deterministic on any partitioning."""
+    import heapq
+
+    import ray
+
+    qids, qmat = queries
+    luts = _query_luts(qmat, codebooks)
+    ref = ray.put((codebooks, list(qids), luts))
+    if concurrency is None:
+        def scan(t: pa.Table) -> pa.Table:
+            return _AdcPartial(ref, vec_col, id_col, k,
+                               code_col=code_col)(t)
+
+        cand = ds.map_batches(scan, batch_format="pyarrow").take_all()
+    else:
+        cand = ds.map_batches(
+            _AdcPartial,
+            fn_constructor_kwargs={"state_ref": ref, "vec_col": vec_col,
+                                   "id_col": id_col, "k": k,
+                                   "code_col": code_col},
+            batch_format="pyarrow", concurrency=concurrency).take_all()
+    best: dict = {}
+    for row in cand:
+        heap = best.setdefault(row["query_id"], [])
+        item = (-row["adc_dist"], -row["vec_id"])   # max-heap on (d, id)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        else:
+            heapq.heappushpop(heap, item)
+    out_q, out_id, out_d, out_r = [], [], [], []
+    for qid in sorted(best):
+        ranked = sorted((-d, -i) for d, i in best[qid])
+        for r, (d, vid) in enumerate(ranked, 1):
+            out_q.append(qid)
+            out_id.append(vid)
+            out_d.append(d)
+            out_r.append(r)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "vec_id": pa.array(out_id, pa.int64()),
+                     "adc_dist": pa.array(out_d, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64())})
