@@ -174,3 +174,43 @@ class TestAdcSearch:
         a = knn_pq(pq_encode(ds, cb), q, cb, k=5, code_col="pq_code")
         b = knn_pq(ds, q, cb, k=5)          # encodes floats on the fly
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIvfPq:
+    def test_pruned_subset_of_full_adc_lists(self):
+        from xema_ray.stages.pq import (_assign, ivf_coarse_fit, knn_ivfpq,
+                                        pq_fit)
+
+        rng = np.random.default_rng(21)
+        base = rng.standard_normal((400, 16)).astype(np.float32)
+        ds = _emb_ds(base, blocks=6)
+        coarse = ivf_coarse_fit(ds, nlist=8, iters=2, seed=1)
+        cb = pq_fit(ds, m=4, k=8, iters=2, seed=2)
+        out = knn_ivfpq(ds, ([0, 1], base[:2]), coarse, cb,
+                        k=10, nprobe=3)
+        # every returned vector must belong to a probed list
+        q6 = np.floor(base.astype(np.float64) * 1e6).astype(np.int64)
+        lists = _assign(q6, coarse)
+        d2 = ((q6[:2, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+        for qi in (0, 1):
+            probed = set(np.argsort(d2[qi], kind="stable")[:3].tolist())
+            got = [r["vec_id"] for r in out.to_pylist()
+                   if r["query_id"] == qi]
+            assert len(got) == 10
+            assert all(lists[v] in probed for v in got)
+            assert qi in got  # query's own list is always probed first
+
+    def test_full_probe_equals_plain_adc(self):
+        from xema_ray.stages.pq import (ivf_coarse_fit, knn_ivfpq, knn_pq,
+                                        pq_fit)
+
+        rng = np.random.default_rng(22)
+        base = rng.standard_normal((150, 8)).astype(np.float32)
+        ds = _emb_ds(base, blocks=4)
+        coarse = ivf_coarse_fit(ds, nlist=4, iters=2, seed=5)
+        cb = pq_fit(ds, m=2, k=8, iters=2, seed=6)
+        q = ([0], base[:1])
+        a = knn_ivfpq(ds, q, coarse, cb, k=8, nprobe=4)  # probe ALL lists
+        b = knn_pq(ds, q, cb, k=8)
+        assert a.equals(b)

@@ -3517,3 +3517,29 @@ def emb_knn_pq(sf_dir: str):
     cb = pq_fit(ds, m=4, k=16, iters=2, seed=17)
     return knn_pq(pq_encode(ds, cb), _query_vectors(sf_dir), cb,
                   k=10, code_col="pq_code")
+
+
+_IVFPQ_KNN_SQL = """SELECT * FROM (VALUES (0,0,534616483499,1),(0,84,765205731144,2),(0,401,803649333659,3),(0,483,857512107783,4),(0,229,952484753077,5),(0,412,957095018205,6),(0,320,977308760460,7),(0,247,988030281807,8),(0,190,989552159698,9),(0,88,1002257886056,10),(1,1,747736007762,1),(1,498,895624050570,2),(1,449,977243148518,3),(1,261,977761617926,4),(1,153,1005205771945,5),(1,428,1008494850746,6),(1,233,1009483989492,7),(1,467,1009989092581,8),(1,386,1021196845666,9),(1,61,1022149572339,10),(2,2,862904226328,1),(2,68,951296772072,2),(2,418,1010634524866,3),(2,112,1016571832463,4),(2,375,1021261609467,5),(2,358,1041109790234,6),(2,265,1048092341248,7),(2,127,1052665383483,8),(2,241,1063050847707,9),(2,459,1073963385971,10),(3,3,627748315316,1),(3,205,747605346049,2),(3,61,797924945814,3),(3,85,936814179094,4),(3,192,944175385615,5),(3,437,953938011140,6),(3,73,988996741696,7),(3,349,991269240595,8),(3,121,995155699469,9),(3,490,996505666003,10),(4,4,758713300026,1),(4,190,836786966626,2),(4,350,962681278326,3),(4,92,968947497579,4),(4,408,990742877563,5),(4,422,991770520226,6),(4,269,1006189502752,7),(4,330,1023886098054,8),(4,256,1032064226715,9),(4,297,1035083834104,10)) AS t(query_id, vec_id, adc_dist, "rank")"""
+
+
+@register(
+    "emb_knn_ivfpq",
+    _IVFPQ_KNN_SQL,
+    doc="IVF-PQ search (the billion-vector index composition): integer "
+        "coarse quantizer (1-subspace PQ Lloyd, nlist=16) prunes the "
+        "scan to nprobe=4 lists per query, ADC ranks survivors from "
+        "m-byte codes — all-integer end to end (coarse fit, probe "
+        "selection, distances) so the result is deterministic on any "
+        "partitioning.  The query fuses assign+encode+scan; the 100-TB "
+        "deployment writes codes+list_id to list-partitioned parquet "
+        "once and scans only probed partitions.  Oracle = pinned "
+        "VALUES (verified at 2 and 8 CPUs)",
+)
+def emb_knn_ivfpq(sf_dir: str):
+    from xema_ray.stages.pq import ivf_coarse_fit, knn_ivfpq, pq_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    coarse = ivf_coarse_fit(ds, nlist=16, iters=2, seed=29)
+    cb = pq_fit(ds, m=4, k=16, iters=2, seed=17)
+    return knn_ivfpq(ds, _query_vectors(sf_dir), coarse, cb,
+                     k=10, nprobe=4)

@@ -308,3 +308,126 @@ def knn_pq(ds, queries, codebooks: np.ndarray, k: int = 10,
                      "vec_id": pa.array(out_id, pa.int64()),
                      "adc_dist": pa.array(out_d, pa.int64()),
                      "rank": pa.array(out_r, pa.int64())})
+
+
+# ----------------------------------------------------------------------
+# IVF-PQ: coarse pruning + ADC fine ranking (the 100-TB index shape)
+# ----------------------------------------------------------------------
+
+
+def ivf_coarse_fit(ds, nlist: int = 16, iters: int = 2,
+                   vec_col: str = "embedding", seed: int = 29,
+                   **kw) -> np.ndarray:
+    """Coarse quantizer = a 1-subspace PQ fit: the SAME integer Lloyd
+    (exact distances/argmins, floor-div updates) over the full vector —
+    (nlist, d) int64, bit-stable on any partitioning."""
+    return pq_fit(ds, m=1, k=nlist, iters=iters, vec_col=vec_col,
+                  seed=seed, **kw)[0]
+
+
+class _IvfAdcPartial(PqEncode):
+    """Per-batch IVF-pruned ADC scan: assign each row its inverted
+    list, then for every query rank ONLY the rows in its nprobe probed
+    lists."""
+
+    def __init__(self, state_ref, vec_col: str, id_col: str, k: int):
+        import ray
+
+        cb, coarse, qids, luts, probes = ray.get(state_ref)
+        super().__init__(cb, vec_col)
+        self.coarse, self.qids, self.luts = coarse, qids, luts
+        self.probes = probes               # (nq, nprobe) int64
+        self.k, self.id_col = k, id_col
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        q6 = _quantized_matrix(tbl, self.vec_col)
+        out_q, out_id, out_d = [], [], []
+        if q6.size:
+            lists = _assign(q6, self.coarse)
+            codes = self.codes_of(tbl).astype(np.int64)
+            ids = np.asarray(tbl[self.id_col].to_pylist(), dtype=np.int64)
+            m = self.cb.shape[0]
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(lists, self.probes[qi])
+                if not mask.any():
+                    continue
+                sub_codes, sub_ids = codes[mask], ids[mask]
+                dist = np.zeros(len(sub_ids), dtype=np.int64)
+                for j in range(m):
+                    dist += self.luts[qi, j][sub_codes[:, j]]
+                kk = min(self.k, len(sub_ids))
+                part = np.argpartition(dist, kk - 1)[:kk]
+                sel = part[np.lexsort((sub_ids[part], dist[part]))]
+                out_q += [qid] * kk
+                out_id += sub_ids[sel].tolist()
+                out_d += dist[sel].tolist()
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "adc_dist": pa.array(out_d, pa.int64())})
+
+
+def knn_ivfpq(ds, queries, coarse: np.ndarray, codebooks: np.ndarray,
+              k: int = 10, nprobe: int = 4, vec_col: str = "embedding",
+              id_col: str = "vec_id", concurrency=None) -> pa.Table:
+    """IVF-pruned asymmetric-PQ top-k — the composition every
+    billion-vector index runs: integer coarse lists cut the scan to
+    ~nprobe/nlist of the corpus, ADC ranks the survivors from m-byte
+    codes.  All-integer (coarse fit, probe selection, distances) ⇒
+    deterministic on any partitioning.
+
+    This query-side pass fuses list assignment + encode + scan over the
+    raw vectors; the 100-TB deployment runs the assignment/encode ONCE
+    (``pq_encode`` + list-id column written to list-partitioned
+    parquet) and the search scans only the probed partitions' code
+    columns — same kernels, one read path instead of three.  Non-
+    residual variant (codes quantize raw vectors, not residuals):
+    residual PQ needs a float subtraction per row that would break the
+    integer-exactness contract the pinned oracle relies on.
+    """
+    import heapq
+
+    import ray
+
+    qids, qmat = queries
+    q6 = np.floor(np.asarray(qmat, dtype=np.float64) * 1e6) \
+        .astype(np.int64)
+    # probe selection: exact integer L2 to the coarse centroids,
+    # (dist, list-id) tie-break
+    d2 = ((q6[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    order = np.lexsort((np.broadcast_to(
+        np.arange(coarse.shape[0]), d2.shape), d2), axis=1)
+    probes = order[:, :nprobe].astype(np.int64)
+    luts = _query_luts(qmat, codebooks)
+    ref = ray.put((codebooks, coarse, list(qids), luts, probes))
+
+    if concurrency is None:
+        def scan(t: pa.Table) -> pa.Table:
+            return _IvfAdcPartial(ref, vec_col, id_col, k)(t)
+
+        cand = ds.map_batches(scan, batch_format="pyarrow").take_all()
+    else:
+        cand = ds.map_batches(
+            _IvfAdcPartial,
+            fn_constructor_kwargs={"state_ref": ref, "vec_col": vec_col,
+                                   "id_col": id_col, "k": k},
+            batch_format="pyarrow", concurrency=concurrency).take_all()
+    best: dict = {}
+    for row in cand:
+        heap = best.setdefault(row["query_id"], [])
+        item = (-row["adc_dist"], -row["vec_id"])
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        else:
+            heapq.heappushpop(heap, item)
+    out_q, out_id, out_d, out_r = [], [], [], []
+    for qid in sorted(best):
+        ranked = sorted((-d, -i) for d, i in best[qid])
+        for r, (d, vid) in enumerate(ranked, 1):
+            out_q.append(qid)
+            out_id.append(vid)
+            out_d.append(d)
+            out_r.append(r)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "vec_id": pa.array(out_id, pa.int64()),
+                     "adc_dist": pa.array(out_d, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64())})
