@@ -124,3 +124,35 @@ def test_cmd_linededup(ray_session, tmp_path, capsys):
     rep2 = json.loads(capsys.readouterr().out)
     assert rep2["partitions_skipped"] == 1 and rep2["partitions_done"] == 0
     assert rep2["lines"] == 5 and rep2["kept"] == 3
+
+
+def test_cmd_diff(ray_session, tmp_path, capsys):
+    from xema_ray.__main__ import cmd_diff
+
+    cur = tmp_path / "cur"
+    prev = tmp_path / "prev"
+    cur.mkdir(); prev.mkdir()
+    pq.write_table(pa.table({"doc_id": [1, 2, 3],
+                             "text": ["a", "b", "c"]}),
+                   str(cur / "p.parquet"))
+    pq.write_table(pa.table({"doc_id": [2, 3, 4],
+                             "text": ["b", "C", "d"]}),
+                   str(prev / "p.parquet"))
+    out = str(tmp_path / "status")
+    ns = argparse.Namespace(current=str(cur), previous=str(prev),
+                            out=out, id_col="doc_id",
+                            content_col="text", hash_fn="fast",
+                            num_cpus=4)
+    cmd_diff(ns)
+    # raylet worker-count warnings may interleave on stdout — the
+    # report is the last line
+    rep = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"added": 1, "removed": 1, "changed": 1,
+                   "unchanged": 1}
+    import ray.data as rd
+
+    rows = {r["doc_id"]: r["status"]
+            for r in rd.read_parquet(out).take_all()}
+    assert rows == {1: "added", 2: "unchanged", 3: "changed",
+                    4: "removed"}

@@ -267,6 +267,32 @@ def cmd_linededup(args):
 
 
 
+def cmd_diff(args):
+    """Classify every doc across two snapshot directories (added /
+    removed / changed / unchanged) — the daily-ingest delta report.
+    Content never moves: each side reduces to (id, digest) rows before
+    one full-outer hash join.  `--out` additionally writes the per-id
+    status table as parquet."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from xema_ray.stages.diff import diff_counts, snapshot_diff
+
+    cur = rd.read_parquet(_paths(args.current),
+                          columns=[args.id_col, args.content_col])
+    prev = rd.read_parquet(_paths(args.previous),
+                           columns=[args.id_col, args.content_col])
+    d = snapshot_diff(cur, prev, id_col=args.id_col,
+                      content_col=args.content_col,
+                      hash_fn=args.hash_fn)
+    if args.out:
+        # write the status table, then count from the files — one
+        # execution, no driver-side materialization of the id table
+        d.write_parquet(args.out)
+        d = rd.read_parquet(args.out)
+    print(json.dumps(diff_counts(d)))
+
+
 def cmd_explain(args):
     """Run one registered query and print its Ray Data execution stats —
     the measure-don't-guess loop surfaced as a CLI (per-operator wall
@@ -414,6 +440,18 @@ def main(argv=None):
     ld.add_argument("--batch-rows", type=int, default=16384)
     ld.set_defaults(fn=cmd_linededup)
 
+
+    df = sub.add_parser(
+        "diff", help="snapshot delta report: classify docs across two "
+                     "corpus versions (digest-only full-outer join)")
+    df.add_argument("current")
+    df.add_argument("previous")
+    df.add_argument("--out", default=None,
+                    help="also write the per-id status table here")
+    df.add_argument("--id-col", default="doc_id")
+    df.add_argument("--content-col", default="text")
+    df.add_argument("--hash-fn", default="fast", choices=["fast", "md5"])
+    df.set_defaults(fn=cmd_diff)
 
     ex = sub.add_parser("explain",
                         help="run a registered query and print ds.stats()")
