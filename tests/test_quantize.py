@@ -214,3 +214,29 @@ class TestIvfPq:
         a = knn_ivfpq(ds, q, coarse, cb, k=8, nprobe=4)  # probe ALL lists
         b = knn_pq(ds, q, cb, k=8)
         assert a.equals(b)
+
+
+class TestLocalTopk:
+    def test_tie_at_k_boundary(self):
+        from xema_ray.stages.pq import _local_topk
+
+        # the review repro: a distance tie spanning the k boundary must
+        # resolve by id, not by argpartition's arbitrary pick
+        dist = np.array([5, 5, 5, 9], dtype=np.int64)
+        ids = np.array([30, 10, 20, 1], dtype=np.int64)
+        sel = _local_topk(dist, ids, 2)
+        assert ids[sel].tolist() == [10, 20]
+
+    def test_all_tied(self):
+        from xema_ray.stages.pq import _local_topk
+
+        dist = np.zeros(6, dtype=np.int64)
+        ids = np.array([5, 3, 9, 1, 7, 2], dtype=np.int64)
+        assert ids[_local_topk(dist, ids, 3)].tolist() == [1, 2, 3]
+
+    def test_k_larger_than_n(self):
+        from xema_ray.stages.pq import _local_topk
+
+        dist = np.array([2, 1], dtype=np.int64)
+        ids = np.array([8, 9], dtype=np.int64)
+        assert ids[_local_topk(dist, ids, 10)].tolist() == [9, 8]

@@ -286,6 +286,11 @@ def cmd_diff(args):
                       content_col=args.content_col,
                       hash_fn=args.hash_fn)
     if args.out:
+        if os.path.isdir(args.out) and os.listdir(args.out):
+            raise SystemExit(
+                f"--out {args.out} exists and is not empty; Ray appends "
+                "uniquely-named files, so stale results would pollute "
+                "the status table — pass a fresh directory")
         # write the status table, then count from the files — one
         # execution, no driver-side materialization of the id table
         d.write_parquet(args.out)

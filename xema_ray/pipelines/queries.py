@@ -3297,7 +3297,9 @@ def doc_split_assign(sf_dir: str):
     SELECT coalesce(cur.doc_id, prev.doc_id) AS doc_id,
            CASE WHEN prev.doc_id IS NULL THEN 'added'
                 WHEN cur.doc_id IS NULL THEN 'removed'
-                WHEN cur.d = prev.d THEN 'unchanged'
+                WHEN cur.d = prev.d
+                     OR (cur.d IS NULL AND prev.d IS NULL)
+                    THEN 'unchanged'
                 ELSE 'changed' END AS status
     FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id""",
     doc="incremental-ingestion snapshot DIFF: classify every doc across "
@@ -3324,7 +3326,8 @@ def doc_snapshot_diff(sf_dir: str):
             if suffix_nib is not None:
                 nibs = nibs[nibs != exclude_nib]
                 txt = t["text"].to_pandas()
-                mod = nibs == suffix_nib
+                # null text stays null (SQL twin: NULL || ' v1' is NULL)
+                mod = (nibs == suffix_nib) & txt.notna().to_numpy()
                 txt[mod] = txt[mod] + " v1"
                 t = t.set_column(t.schema.get_field_index("text"), "text",
                                  pa.array(txt, pa.string()))
@@ -3382,9 +3385,21 @@ def doc_bpe_stats(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
     stats = bpe_doc_stats(ds, _bpe_merges(sf_dir))
-    tabs = [b for b in stats.iter_batches(batch_format="pyarrow")]
-    agg = pa.concat_tables(tabs).group_by("source").aggregate(
-        [("doc_id", "count"), ("n_words", "sum"), ("n_subwords", "sum")])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # pre-aggregate per batch so the driver folds O(sources) rows
+        # per batch, never the per-doc table (code-review r3s5)
+        t = t.append_column("n_docs",
+                            pa.array(np.ones(t.num_rows, np.int64)))
+        return t.select(["source", "n_docs", "n_words", "n_subwords"])             .group_by("source").aggregate([
+                ("n_docs", "sum"), ("n_words", "sum"),
+                ("n_subwords", "sum")])
+
+    parts = [b for b in stats.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    agg = pa.concat_tables(parts).group_by("source").aggregate(
+        [("n_docs_sum", "sum"), ("n_words_sum", "sum"),
+         ("n_subwords_sum", "sum")])
     return agg.rename_columns(
         ["source", "n_docs", "n_words", "n_subwords"])
 

@@ -178,6 +178,9 @@ class BpeEncode:
     def __call__(self, batch):
         import pandas as pd
 
+        # positional index contract: flat.index must offset into n_sub
+        # (upstream pandas blocks can carry a filtered index)
+        batch = batch.reset_index(drop=True)
         texts = batch[self.text_col].fillna("").str.lower()
         words = texts.str.findall(self.word_re)
         n_words = words.str.len().to_numpy(dtype=np.int64)

@@ -596,27 +596,11 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
 def _bucketed_hash_partial(t: pa.Table, h_col: str, id_col: str,
                            n_buckets: int = None) -> pa.Table:
     """Per-batch (h, min_id, cnt) partial + coarse hash bucket for the
-    groupby merge path (the bucket is a pure function of h, so it needs
-    no coordination and every digest lands in exactly one bucket)."""
-    from xema_ray.functions.sketches import hash_strings
-    from xema_ray.stages.shuffle import default_shuffle_buckets
-
-    if n_buckets is None:
-        n_buckets = default_shuffle_buckets()
+    groupby merge path (the bucket is a pure function of h via
+    :func:`_attach_bucket`, so it needs no coordination and every
+    digest lands in exactly one bucket)."""
     g = _content_hash_partial_from(t, h_col, id_col)
-    if g.num_rows:
-        hb = _fixed_width_view(g["h"])
-        if hb is not None and hb.dtype.itemsize >= 16:
-            # the digest IS a hash — parse, don't re-hash (drops a
-            # to_pylist + xxhash round trip from every batch)
-            bucket = (_hex_prefix_u64(hb) % np.uint64(n_buckets)) \
-                .astype(np.int32)
-        else:
-            bucket = (hash_strings(g["h"].to_pylist()) % n_buckets) \
-                .astype(np.int32)
-    else:
-        bucket = np.empty(0, dtype=np.int32)
-    return g.append_column("bucket", pa.array(bucket, type=pa.int32()))
+    return _attach_bucket(g, n_buckets)
 
 
 def _groups_from_frame(df: pd.DataFrame) -> pd.DataFrame:

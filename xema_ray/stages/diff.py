@@ -55,7 +55,8 @@ def snapshot_diff(cur, prev, id_col: str = "doc_id",
     ``hash_fn="fast"`` (default) uses the vectorized 128-bit content
     hash; ``"md5"`` keeps the digest DuckDB-recomputable for oracle
     parity.  ``num_partitions`` defaults to the cluster-derived join
-    width.
+    width.  A doc whose content is null in BOTH snapshots is
+    ``unchanged`` (else the daily delta would re-process it forever).
     """
     if num_partitions is None:
         from xema_ray.stages.shuffle import default_shuffle_buckets
@@ -73,8 +74,11 @@ def snapshot_diff(cur, prev, id_col: str = "doc_id",
     def classify(t: pa.Table) -> pa.Table:
         in_cur = pc.fill_null(t["in_cur"], False)
         in_prev = pc.fill_null(t["in_prev"], False)
-        same = pc.fill_null(pc.equal(t["cur_digest"], t["prev_digest"]),
-                            False)
+        both_null = pc.and_(pc.is_null(t["cur_digest"]),
+                            pc.and_(in_cur, pc.and_(
+                                in_prev, pc.is_null(t["prev_digest"]))))
+        same = pc.or_(pc.fill_null(
+            pc.equal(t["cur_digest"], t["prev_digest"]), False), both_null)
         status = pc.if_else(
             pc.and_(in_cur, pc.invert(in_prev)), pa.scalar("added"),
             pc.if_else(

@@ -55,6 +55,21 @@ def _quantized_matrix(batch, col: str) -> np.ndarray:
         np.empty((0, 0), np.int64)
 
 
+def valid_vec_rows(batch: pa.Table, col: str) -> pa.Table:
+    """Drop rows whose vector cell is null BEFORE pairing
+    :func:`_quantized_matrix` output with id/passthrough columns —
+    the matrix silently drops null rows, so an unfiltered batch would
+    misalign codes with ids (code-review r3s5, confirmed)."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_valid(batch[col]))
+    return batch
+
+
 def covariance_partials(ds, col: str = "embedding"):
     """One pass -> exact global moments ``(n, S[d], M[d,d])`` with the
     driver fold in Python ints (no int64 overflow at any scale)."""
@@ -238,6 +253,7 @@ class ScalarQuantize:
         return ((q - self.mn) * 255 // self.rng).astype(np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = valid_vec_rows(batch, self.col)
         codes = self.codes_of(batch)
         keep = [c for c in batch.column_names if c != self.col]
         cols = {c: batch[c] for c in keep}
@@ -273,6 +289,7 @@ def quantize_stats(ds, col: str = "embedding", id_col: str = "vec_id",
 
     class Stats(ScalarQuantize):
         def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = valid_vec_rows(batch, col)
             codes = self.codes_of(batch).astype(np.int64)
             if codes.size == 0:
                 return pa.table({id_col: batch[id_col],

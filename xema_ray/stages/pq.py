@@ -31,7 +31,7 @@ import pickle
 import numpy as np
 import pyarrow as pa
 
-from xema_ray.stages.linalg import _quantized_matrix
+from xema_ray.stages.linalg import _quantized_matrix, valid_vec_rows
 
 
 def _sub_views(q: np.ndarray, m: int):
@@ -50,6 +50,55 @@ def _assign(sub: np.ndarray, cb: np.ndarray) -> np.ndarray:
     cross = sub @ cb.T                      # int64 exact in range
     c2 = np.einsum("ij,ij->i", cb, cb)
     return np.argmin(c2[None, :] - 2 * cross, axis=1)
+
+
+def _local_topk(dist: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k best rows under the EXACT global (dist, id)
+    total order.  A bare ``argpartition(dist)`` breaks ties at the k
+    boundary arbitrarily (code-review r3s5: dist=[5,5,5,9], ids=
+    [30,10,20], k=2 selected {10,30} where the order requires {10,20}),
+    making per-batch results partitioning-dependent — so partition on
+    dist first, then resolve the boundary tie class exactly."""
+    n = len(dist)
+    kk = min(k, n)
+    if kk == n:
+        order = np.lexsort((ids, dist))
+        return order[:kk]
+    part = np.argpartition(dist, kk - 1)
+    thresh = dist[part[kk - 1]]
+    # every row strictly better than the boundary distance is in; the
+    # tie class at `thresh` is resolved by id
+    cand = np.nonzero(dist <= thresh)[0]
+    order = cand[np.lexsort((ids[cand], dist[cand]))]
+    return order[:kk]
+
+
+def _merge_adc_topk(cand_rows, k: int) -> pa.Table:
+    """Driver merge of per-batch ADC candidates into global top-k per
+    query under (dist, id) — shared by knn_pq / knn_ivfpq (single
+    source of truth for the tie-break)."""
+    import heapq
+
+    best: dict = {}
+    for row in cand_rows:
+        heap = best.setdefault(row["query_id"], [])
+        item = (-row["adc_dist"], -row["vec_id"])   # max-heap on (d, id)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        else:
+            heapq.heappushpop(heap, item)
+    out_q, out_id, out_d, out_r = [], [], [], []
+    for qid in sorted(best):
+        ranked = sorted((-d, -i) for d, i in best[qid])
+        for r, (d, vid) in enumerate(ranked, 1):
+            out_q.append(qid)
+            out_id.append(vid)
+            out_d.append(d)
+            out_r.append(r)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "vec_id": pa.array(out_id, pa.int64()),
+                     "adc_dist": pa.array(out_d, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64())})
 
 
 class _PqPartial:
@@ -135,6 +184,7 @@ class PqEncode:
                         axis=1).astype(np.uint8)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        tbl = valid_vec_rows(tbl, self.vec_col)
         codes = self.codes_of(tbl)
         keep = [c for c in tbl.column_names if c != self.vec_col]
         cols = {c: tbl[c] for c in keep}
@@ -175,6 +225,7 @@ def pq_cell_stats(ds, codebooks: np.ndarray,
 
     class CellPartial(PqEncode):
         def __call__(self, tbl: pa.Table) -> pa.Table:
+            tbl = valid_vec_rows(tbl, self.vec_col)
             codes = self.codes_of(tbl).astype(np.int64)
             n = np.zeros((m, k), dtype=np.int64)
             id_sum = np.zeros((m, k), dtype=np.int64)
@@ -234,9 +285,14 @@ class _AdcPartial(PqEncode):
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         if self.code_col is not None and self.code_col in tbl.column_names:
+            if tbl[self.code_col].null_count:
+                import pyarrow.compute as pc
+
+                tbl = tbl.filter(pc.is_valid(tbl[self.code_col]))
             codes = np.asarray(tbl[self.code_col].to_pylist(),
                                dtype=np.int64)
         else:
+            tbl = valid_vec_rows(tbl, self.vec_col)
             codes = self.codes_of(tbl).astype(np.int64)
         n = len(codes)
         out_q, out_id, out_d = [], [], []
@@ -247,11 +303,8 @@ class _AdcPartial(PqEncode):
                 dist = np.zeros(n, dtype=np.int64)
                 for j in range(m):
                     dist += self.luts[qi, j][codes[:, j]]
-                kk = min(self.k, n)
-                # exact local top-k under the global (dist, id) order
-                part = np.argpartition(dist, kk - 1)[:kk]
-                sel = part[np.lexsort((ids[part], dist[part]))]
-                out_q += [qid] * kk
+                sel = _local_topk(dist, ids, self.k)
+                out_q += [qid] * len(sel)
                 out_id += ids[sel].tolist()
                 out_d += dist[sel].tolist()
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
@@ -288,26 +341,7 @@ def knn_pq(ds, queries, codebooks: np.ndarray, k: int = 10,
                                    "id_col": id_col, "k": k,
                                    "code_col": code_col},
             batch_format="pyarrow", concurrency=concurrency).take_all()
-    best: dict = {}
-    for row in cand:
-        heap = best.setdefault(row["query_id"], [])
-        item = (-row["adc_dist"], -row["vec_id"])   # max-heap on (d, id)
-        if len(heap) < k:
-            heapq.heappush(heap, item)
-        else:
-            heapq.heappushpop(heap, item)
-    out_q, out_id, out_d, out_r = [], [], [], []
-    for qid in sorted(best):
-        ranked = sorted((-d, -i) for d, i in best[qid])
-        for r, (d, vid) in enumerate(ranked, 1):
-            out_q.append(qid)
-            out_id.append(vid)
-            out_d.append(d)
-            out_r.append(r)
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "vec_id": pa.array(out_id, pa.int64()),
-                     "adc_dist": pa.array(out_d, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64())})
+    return _merge_adc_topk(cand, k)
 
 
 # ----------------------------------------------------------------------
@@ -340,6 +374,7 @@ class _IvfAdcPartial(PqEncode):
         self.k, self.id_col = k, id_col
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        tbl = valid_vec_rows(tbl, self.vec_col)
         q6 = _quantized_matrix(tbl, self.vec_col)
         out_q, out_id, out_d = [], [], []
         if q6.size:
@@ -355,10 +390,8 @@ class _IvfAdcPartial(PqEncode):
                 dist = np.zeros(len(sub_ids), dtype=np.int64)
                 for j in range(m):
                     dist += self.luts[qi, j][sub_codes[:, j]]
-                kk = min(self.k, len(sub_ids))
-                part = np.argpartition(dist, kk - 1)[:kk]
-                sel = part[np.lexsort((sub_ids[part], dist[part]))]
-                out_q += [qid] * kk
+                sel = _local_topk(dist, sub_ids, self.k)
+                out_q += [qid] * len(sel)
                 out_id += sub_ids[sel].tolist()
                 out_d += dist[sel].tolist()
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
@@ -384,8 +417,6 @@ def knn_ivfpq(ds, queries, coarse: np.ndarray, codebooks: np.ndarray,
     residual PQ needs a float subtraction per row that would break the
     integer-exactness contract the pinned oracle relies on.
     """
-    import heapq
-
     import ray
 
     qids, qmat = queries
@@ -411,23 +442,4 @@ def knn_ivfpq(ds, queries, coarse: np.ndarray, codebooks: np.ndarray,
             fn_constructor_kwargs={"state_ref": ref, "vec_col": vec_col,
                                    "id_col": id_col, "k": k},
             batch_format="pyarrow", concurrency=concurrency).take_all()
-    best: dict = {}
-    for row in cand:
-        heap = best.setdefault(row["query_id"], [])
-        item = (-row["adc_dist"], -row["vec_id"])
-        if len(heap) < k:
-            heapq.heappush(heap, item)
-        else:
-            heapq.heappushpop(heap, item)
-    out_q, out_id, out_d, out_r = [], [], [], []
-    for qid in sorted(best):
-        ranked = sorted((-d, -i) for d, i in best[qid])
-        for r, (d, vid) in enumerate(ranked, 1):
-            out_q.append(qid)
-            out_id.append(vid)
-            out_d.append(d)
-            out_r.append(r)
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "vec_id": pa.array(out_id, pa.int64()),
-                     "adc_dist": pa.array(out_d, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64())})
+    return _merge_adc_topk(cand, k)
