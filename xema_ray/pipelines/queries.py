@@ -3558,3 +3558,59 @@ def emb_knn_ivfpq(sf_dir: str):
     cb = pq_fit(ds, m=4, k=16, iters=2, seed=17)
     return knn_ivfpq(ds, _query_vectors(sf_dir), coarse, cb,
                      k=10, nprobe=4)
+
+
+@register(
+    "events_attribution",
+    """WITH r AS (SELECT user_id, event_type,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn_a,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events),
+    f AS (SELECT user_id,
+            max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+            max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type
+          FROM r GROUP BY 1)
+    SELECT first_type, last_type, CAST(count(*) AS BIGINT) AS n_users
+    FROM f GROUP BY 1, 2""",
+    doc="FIRST-touch x LAST-touch attribution matrix: per user the "
+        "earliest/latest event type under the total (ts, event_id) "
+        "order.  Each batch reduces every user to one rider row "
+        "(argmin/argmax partials — |users| not |events| move), "
+        "user-bucketed fold resolves the cross-batch extremes exactly "
+        "once, B tiny matrices merge in one groupby",
+)
+def events_attribution(sf_dir: str):
+    from xema_ray.stages.funnel import attribution_matrix
+
+    return attribution_matrix(
+        _read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type"], split=True))
+
+
+@register(
+    "events_decayed_score",
+    """WITH mx AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) // 86400
+                      AS anchor_day FROM events),
+    a AS (SELECT user_id,
+            least(mx.anchor_day
+                  - CAST(floor(epoch(ts)) AS BIGINT) // 86400,
+                  40) AS age
+          FROM events, mx)
+    SELECT user_id,
+           CAST(sum(CAST(power(2, 40 - age) AS BIGINT)) AS BIGINT)
+               AS score
+    FROM a GROUP BY 1""",
+    doc="EXACT exponential-recency activity score (1-day halflife, "
+        "age capped at 40): weights are powers of two <= 2^40 — exact "
+        "in int64 AND in SQL power() doubles, so a decayed aggregate "
+        "(normally a float-accumulation hazard) hash-matches.  One "
+        "max-ts fold + per-batch per-user integer partials into a "
+        "user groupby",
+)
+def events_decayed_score(sf_dir: str):
+    from xema_ray.stages.funnel import decayed_user_scores
+
+    return decayed_user_scores(
+        _read(sf_dir, "events", ["ts", "user_id"], split=True))

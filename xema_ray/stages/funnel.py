@@ -277,3 +277,126 @@ def weekly_active(ds, user_col: str = "user_id", ts_col: str = "ts",
         "day": pa.array([d for d, _ in kept], type=pa.int64()),
         "wau": pa.array([n for _, n in kept], type=pa.int64()),
     })
+
+
+def attribution_matrix(ds, user_col: str = "user_id",
+                       type_col: str = "event_type", ts_col: str = "ts",
+                       id_col: str = "event_id"):
+    """FIRST-touch × LAST-touch attribution: per user, the type of the
+    earliest and latest event under the total (ts, event_id) order,
+    rolled up to a ``(first_type, last_type, n_users)`` matrix.
+
+    Exchange discipline: each batch reduces every user to ONE rider row
+    (min/max key + the two types) — bounded by |users| per batch, never
+    events — bucketed by ``user % B`` so the cross-batch argmin/argmax
+    folds exactly once per user; B tiny (first, last, n) partials merge
+    in one final groupby.  The (ts, id) composite key makes the fold
+    deterministic under timestamp ties."""
+    from ray.data.aggregate import Sum
+
+    from xema_ray.stages.shuffle import default_shuffle_buckets
+
+    n_buckets = default_shuffle_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        users = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(users):
+            return pa.table({"user": pa.array([], pa.int64()),
+                             "min_k": pa.array([], pa.int64()),
+                             "first": pa.array([], pa.string()),
+                             "max_k": pa.array([], pa.int64()),
+                             "last": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int32())})
+        ts = _ts_us(t[ts_col])
+        eid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # composite (ts, id) packed per-element is unsafe (overflow);
+        # lexsort instead with id as the minor key
+        order = np.lexsort((eid, ts, users))
+        us = users[order]
+        firsts = np.ones(len(us), dtype=bool)
+        firsts[1:] = us[1:] != us[:-1]
+        starts = np.nonzero(firsts)[0]
+        ends = np.append(starts[1:], len(us)) - 1
+        types = np.asarray(t[type_col].to_pylist(), dtype=object)[order]
+        ts_s, eid_s = ts[order], eid[order]
+        return pa.table({
+            "user": pa.array(us[starts], pa.int64()),
+            "min_ts": pa.array(ts_s[starts], pa.int64()),
+            "min_id": pa.array(eid_s[starts], pa.int64()),
+            "first": pa.array(types[starts], pa.string()),
+            "max_ts": pa.array(ts_s[ends], pa.int64()),
+            "max_id": pa.array(eid_s[ends], pa.int64()),
+            "last": pa.array(types[ends], pa.string()),
+            "bucket": pa.array((us[starts] % n_buckets).astype(np.int32),
+                               pa.int32())})
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        users = g["user"].to_numpy(dtype=np.int64)
+        o = np.lexsort((g["min_id"].to_numpy(dtype=np.int64),
+                        g["min_ts"].to_numpy(dtype=np.int64), users))
+        us = users[o]
+        firsts = np.ones(len(us), dtype=bool)
+        firsts[1:] = us[1:] != us[:-1]
+        first_type = g["first"].to_numpy()[o][firsts]
+        o2 = np.lexsort((-g["max_id"].to_numpy(dtype=np.int64),
+                         -g["max_ts"].to_numpy(dtype=np.int64), users))
+        us2 = users[o2]
+        firsts2 = np.ones(len(us2), dtype=bool)
+        firsts2[1:] = us2[1:] != us2[:-1]
+        last_type = g["last"].to_numpy()[o2][firsts2]
+        out = pd.DataFrame({"first_type": first_type,
+                            "last_type": last_type})
+        out = out.groupby(["first_type", "last_type"], sort=True,
+                          as_index=False).size() \
+            .rename(columns={"size": "n_users"})
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_fold, batch_format="pandas") \
+        .groupby(["first_type", "last_type"]) \
+        .aggregate(Sum("n_users", alias_name="n_users"))
+
+
+def decayed_user_scores(ds, user_col: str = "user_id", ts_col: str = "ts",
+                        halflife_days: int = 1, cap: int = 40):
+    """EXACT exponential-recency activity score per user:
+    ``score = Σ_events 2^(cap − min(age//halflife, cap))`` where age is
+    whole days before the corpus' max timestamp.
+
+    Powers of two up to 2^cap are exact in int64 AND in a SQL engine's
+    ``power()`` double (integers ≤ 2^52) — so a decayed score, normally
+    a float-accumulation hazard, hash-matches an oracle exactly.  Two
+    corpus-size-free passes: a max-timestamp fold (one int per batch),
+    then per-batch per-user integer partials into a user groupby."""
+    from ray.data.aggregate import Sum
+
+    day_us = np.int64(86_400_000_000)
+
+    anchor = None
+    for b in ds.map_batches(
+            lambda t: pa.table({"m": pa.array(
+                [int(_ts_us(t[ts_col]).max())] if t.num_rows else [],
+                pa.int64())}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for v in b["m"].to_pylist():
+            anchor = v if anchor is None else max(anchor, v)
+    if anchor is None:
+        return ds.map_batches(lambda t: pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.int64())}), batch_format="pyarrow")
+    anchor_day = anchor // int(day_us)
+
+    def partial(t: pa.Table) -> pa.Table:
+        users = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        days = _ts_us(t[ts_col]) // day_us
+        age = np.minimum((anchor_day - days) // halflife_days, cap)
+        w = np.int64(1) << (cap - age).astype(np.int64)
+        uniq, inv = np.unique(users, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, w)
+        return pa.table({"user_id": pa.array(uniq, pa.int64()),
+                         "score": pa.array(sums, pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("score", alias_name="score"))
