@@ -3614,3 +3614,51 @@ def events_decayed_score(sf_dir: str):
 
     return decayed_user_scores(
         _read(sf_dir, "events", ["ts", "user_id"], split=True))
+
+
+@register(
+    "orders_monthly_growth",
+    """WITH m AS (SELECT CAST(year(o_orderdate) * 100
+                       + month(o_orderdate) AS BIGINT) AS ym,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents
+          FROM orders GROUP BY 1)
+    SELECT ym, n, cents,
+           CAST(coalesce(cents - lag(cents) OVER (ORDER BY ym), 0)
+                AS BIGINT) AS delta_c
+    FROM m ORDER BY ym""",
+    doc="month-over-month GROWTH report (lag window): per-month integer "
+        "partials fold to O(months) driver state — the window function "
+        "then runs over a table bounded by the calendar, not the "
+        "corpus; first month's delta pinned to 0 (NULL would "
+        "hash-compare engine-dependently)",
+)
+def orders_monthly_growth(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"],
+               split=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ym = pc.cast(pc.add(pc.multiply(pc.year(t["o_orderdate"]),
+                                        pa.scalar(100)),
+                            pc.month(t["o_orderdate"])), pa.int64())
+        cents = pc.cast(pc.floor(pc.multiply(
+            t["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        return pa.table({"ym": ym,
+                         "n": pa.array(np.ones(t.num_rows, np.int64)),
+                         "cents": cents}) \
+            .group_by("ym").aggregate([("n", "sum"), ("cents", "sum")])
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            n, c = acc.get(r["ym"], (0, 0))
+            acc[r["ym"]] = (n + r["n_sum"], c + r["cents_sum"])
+    yms = sorted(acc)
+    cents = [acc[y][1] for y in yms]
+    delta = [0] + [cents[i] - cents[i - 1] for i in range(1, len(yms))]
+    return pa.table({"ym": pa.array(yms, pa.int64()),
+                     "n": pa.array([acc[y][0] for y in yms], pa.int64()),
+                     "cents": pa.array(cents, pa.int64()),
+                     "delta_c": pa.array(delta, pa.int64())})
