@@ -96,7 +96,8 @@ def run_bench() -> dict:
     for extra in ("doc_exact_dedup", "doc_minhash_pairs", "doc_fingerprints",
                   "emb_knn", "seq_top_tokens", "events_hopping",
                   "seq_packing", "seq_export_pipeline", "seq_token_chunks",
-                  "doc_filter_pipeline", "doc_shuffle_export"):
+                  "doc_filter_pipeline", "doc_shuffle_export",
+                  "doc_bpe_stats", "emb_knn_ivfpq", "doc_snapshot_diff"):
         t0 = time.perf_counter()
         try:
             _consume(QUERIES[extra].fn(sf_dir))

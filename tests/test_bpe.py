@@ -132,3 +132,25 @@ class TestDistributed:
         t = merges_table([(0, "a", "b", 3)])
         assert t.column_names == ["rank", "left", "right", "n"]
         assert t["n"].to_pylist() == [3]
+
+
+class TestBpeProperties:
+    def test_random_tables_roundtrip_and_differential(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.dictionaries(
+            st.text(alphabet="abcdef", min_size=1, max_size=7),
+            st.integers(min_value=1, max_value=50),
+            min_size=1, max_size=20),
+            st.integers(min_value=1, max_value=30))
+        def check(table, n_merges):
+            inc = bpe_merges_from_counts(list(table), list(table.values()),
+                                         n_merges=n_merges)
+            ref = _naive_merges(dict(table), n_merges)
+            assert inc == ref
+            ranks = {(l, r): k for k, l, r, _ in inc}
+            for w in table:
+                assert "".join(encode_word(w, ranks)) == w + END
+
+        check()
