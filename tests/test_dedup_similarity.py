@@ -383,3 +383,19 @@ def test_exact_dedup_project_strategies_agree(ray_session):
     out = exact_dedup_project(rd.from_pandas(pdf3), col="text",
                               id_col="doc_id", strategy="driver").take_all()
     assert {r["doc_id"] for r in out} == {"aa"}
+
+
+def test_minhash_driver_path_matches_groupby(docs_ds):
+    """The measured-auto driver scan must yield the same PAIR SET as the
+    coarse-bucket groupby exchange (the bucket is a pure function of the
+    band key, so both walk identical fine groups)."""
+    from xema_ray.stages.dedup import minhash_lsh_pairs
+
+    ds, _pdf = docs_ds
+    a = {(r["doc_a"], r["doc_b"])
+         for r in minhash_lsh_pairs(ds, threshold=0.5,
+                                    strategy="driver").take_all()}
+    b = {(r["doc_a"], r["doc_b"])
+         for r in minhash_lsh_pairs(ds, threshold=0.5,
+                                    strategy="groupby").take_all()}
+    assert a == b and len(a) > 0

@@ -356,6 +356,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     max_bucket: int = 64,
     sig_sample: Optional[int] = None,
+    strategy: str = "auto",
+    auto_driver_limit: int = 4_000_000,
 ):
     """Candidate near-duplicate pairs via banded MinHash-LSH, verified with
     estimated Jaccard (signature agreement) ≥ ``threshold``.
@@ -363,6 +365,15 @@ def minhash_lsh_pairs(
     Returns a Dataset of ``(doc_a, doc_b, est_jaccard)`` with doc_a < doc_b,
     deduplicated across bands.  ``max_bucket`` caps pairwise explosion in
     degenerate buckets (boilerplate text) — the documented skew guard.
+
+    ``strategy``: the banded exchange is two coarse-bucket groupbys
+    (bucket-pairs, then cross-band pair dedupe) — the multi-node path.
+    On this box each Ray sort exchange has a ~7 s FIXED cost regardless
+    of data size, so ``'auto'`` (mirroring :func:`_collect_dup_groups`)
+    counts the materialized band rows and, below ``auto_driver_limit``,
+    runs the identical bucket scan once on the driver (same pair set:
+    the coarse bucket is a pure function of the band key, and the scan
+    already walks every fine group) — measured 8.4 s → ~2.5 s at sf0.1.
     """
     band_rows = ds.map_batches(
         MinHashStage,
@@ -404,6 +415,27 @@ def minhash_lsh_pairs(
                     out_j.append(float(agree[j]))
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
                              "est_jaccard": out_j})
+
+    if strategy == "auto":
+        band_rows = band_rows.materialize()
+        strategy = "driver" if band_rows.count() <= auto_driver_limit \
+            else "groupby"
+
+    if strategy == "driver":
+        import ray.data as rd
+
+        frames = [b.to_pandas() for b in
+                  band_rows.iter_batches(batch_format="pyarrow")
+                  if b.num_rows]
+        if not frames:
+            return rd.from_arrow(pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "est_jaccard": pa.array([], pa.float64())}))
+        pairs_df = block_pairs(pd.concat(frames, ignore_index=True))
+        pairs_df = pairs_df.drop_duplicates(["doc_a", "doc_b"])
+        return rd.from_arrow(pa.Table.from_pandas(
+            pairs_df.reset_index(drop=True), preserve_index=False))
 
     pairs = _coarse_groupby(band_rows, ["band", "band_hash"], block_pairs)
     return _dedupe_pairs(pairs, keep=["est_jaccard"])
