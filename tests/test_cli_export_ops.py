@@ -156,3 +156,29 @@ def test_cmd_diff(ray_session, tmp_path, capsys):
             for r in rd.read_parquet(out).take_all()}
     assert rows == {1: "added", 2: "unchanged", 3: "changed",
                     4: "removed"}
+
+
+def test_cmd_bpe_train_and_apply(ray_session, tmp_path, capsys):
+    from xema_ray.__main__ import cmd_bpe
+
+    inp = _docs(tmp_path, ["the low road", "the lower road",
+                           "newest of the new"],
+                sources=["a", "a", "b"])
+    art = str(tmp_path / "merges.parquet")
+    cmd_bpe(argparse.Namespace(input=inp, out=art, apply=None, merges=15,
+                               text_col="text", id_col="doc_id",
+                               num_cpus=4))
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["merges"] == 15 and rep["out"] == art
+    from xema_ray.stages.bpe import load_merges
+
+    merges = load_merges(art)
+    assert len(merges) == 15 and merges[0][0] == 0
+
+    cmd_bpe(argparse.Namespace(input=inp, out=None, apply=art, merges=0,
+                               text_col="text", id_col="doc_id",
+                               num_cpus=4))
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["merges"] == 15
+    assert rep2["by_source"]["a"]["n_docs"] == 2
+    assert rep2["by_source"]["b"]["n_words"] == 4

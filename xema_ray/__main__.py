@@ -267,6 +267,53 @@ def cmd_linededup(args):
 
 
 
+def cmd_bpe(args):
+    """Train a BPE merge table (one word-count fold + driver merges) and
+    save it as a parquet artifact, or apply a saved table to report
+    per-source word/subword totals."""
+    _init_ray(args.num_cpus)
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.bpe import (bpe_doc_stats, learn_bpe,
+                                     load_merges, save_merges)
+
+    if args.apply:
+        merges = load_merges(args.apply)
+        ds = rd.read_parquet(_paths(args.input),
+                             columns=[args.id_col, "source",
+                                      args.text_col])
+        stats = bpe_doc_stats(ds, merges, text_col=args.text_col)
+
+        def partial(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            t = t.append_column(
+                "n_docs", pa.array(np.ones(t.num_rows, np.int64)))
+            return t.select(["source", "n_docs", "n_words",
+                             "n_subwords"]).group_by("source").aggregate(
+                [("n_docs", "sum"), ("n_words", "sum"),
+                 ("n_subwords", "sum")])
+
+        parts = [b for b in stats.map_batches(
+            partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")]
+        agg = pa.concat_tables(parts).group_by("source").aggregate(
+            [("n_docs_sum", "sum"), ("n_words_sum", "sum"),
+             ("n_subwords_sum", "sum")])
+        rows = {r["source"]: {"n_docs": r["n_docs_sum_sum"],
+                              "n_words": r["n_words_sum_sum"],
+                              "n_subwords": r["n_subwords_sum_sum"]}
+                for r in agg.to_pylist()}
+        print(json.dumps({"merges": len(merges), "by_source": rows},
+                         sort_keys=True))
+        return
+    ds = rd.read_parquet(_paths(args.input), columns=[args.text_col])
+    merges = learn_bpe(ds, n_merges=args.merges, text_col=args.text_col)
+    out = save_merges(merges, args.out)
+    print(json.dumps({"merges": len(merges), "out": out}))
+
+
 def cmd_diff(args):
     """Classify every doc across two snapshot directories (added /
     removed / changed / unchanged) — the daily-ingest delta report.
@@ -445,6 +492,19 @@ def main(argv=None):
     ld.add_argument("--batch-rows", type=int, default=16384)
     ld.set_defaults(fn=cmd_linededup)
 
+
+    bp = sub.add_parser(
+        "bpe", help="train a BPE merge table (word-count fold + driver "
+                    "merges) or apply a saved one (--apply)")
+    bp.add_argument("input")
+    bp.add_argument("out", nargs="?", default="bpe_merges.parquet")
+    bp.add_argument("--apply", default=None,
+                    help="path of a saved merge table to apply instead "
+                         "of training")
+    bp.add_argument("--merges", type=int, default=200)
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--id-col", default="doc_id")
+    bp.set_defaults(fn=cmd_bpe)
 
     df = sub.add_parser(
         "diff", help="snapshot delta report: classify docs across two "

@@ -212,3 +212,31 @@ def bpe_doc_stats(ds, merges, text_col: str = "text",
     ref = ray.put(merges)
     return ds.map_batches(BpeEncode, fn_constructor_args=(ref, text_col),
                           batch_format="pandas", concurrency=concurrency)
+
+
+# ----------------------------------------------------------------------
+# tokenizer artifact persistence
+# ----------------------------------------------------------------------
+
+
+def save_merges(merges, path: str) -> str:
+    """Write the merge table as a single parquet artifact (atomic
+    rename) — the tokenizer is trained once and shipped to every later
+    job; parquet keeps it engine-neutral and diffable."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(merges_table(merges), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def load_merges(path: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    return list(zip(t["rank"].to_pylist(), t["left"].to_pylist(),
+                    t["right"].to_pylist(), t["n"].to_pylist()))
