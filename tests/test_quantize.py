@@ -240,3 +240,36 @@ class TestLocalTopk:
         dist = np.array([2, 1], dtype=np.int64)
         ids = np.array([8, 9], dtype=np.int64)
         assert ids[_local_topk(dist, ids, 10)].tolist() == [9, 8]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMmr:
+    def test_diversifies_clustered_pool(self):
+        from xema_ray.stages.similarity import mmr_topk
+
+        rng = np.random.default_rng(31)
+        # two tight clusters near the query; plain kNN fills top-4 from
+        # the closer cluster, MMR must alternate
+        q = np.array([1.0] + [0.0] * 7)
+        a = q + rng.standard_normal((20, 8)) * 0.01          # cluster A
+        b = np.roll(q, 1) + rng.standard_normal((20, 8)) * 0.01
+        base = np.vstack([a, b]).astype(np.float32)
+        ds = _emb_ds(base, blocks=4)
+        out = mmr_topk(ds, ([0], q[None, :]), k=4, pool=12, lam=0.5)
+        got = out["vec_id"].to_pylist()
+        assert len(got) == 4
+        # at least one pick from the far cluster (ids >= 20)
+        assert any(v >= 20 for v in got)
+
+    def test_rank1_is_nearest_and_deterministic(self):
+        from xema_ray.stages.similarity import mmr_topk
+
+        rng = np.random.default_rng(32)
+        base = rng.standard_normal((60, 8)).astype(np.float32)
+        ds1 = _emb_ds(base, blocks=2)
+        ds2 = _emb_ds(base, blocks=9)
+        q = ([7], base[7:8])
+        a = mmr_topk(ds1, q, k=3, pool=10)
+        b = mmr_topk(ds2, q, k=3, pool=10)
+        assert a.equals(b)
+        assert a["vec_id"].to_pylist()[0] == 7  # rank 1 = plain argmax

@@ -3662,3 +3662,26 @@ def orders_monthly_growth(sf_dir: str):
                      "n": pa.array([acc[y][0] for y in yms], pa.int64()),
                      "cents": pa.array(cents, pa.int64()),
                      "delta_c": pa.array(delta, pa.int64())})
+
+
+_MMR_SQL = """SELECT * FROM (VALUES (0,0,1,699999),(0,365,2,147997),(0,334,3,145088),(0,387,4,132455),(0,423,5,118773),(1,1,1,699999),(1,386,2,148593),(1,27,3,139283),(1,407,4,130803),(1,195,5,129097),(2,2,1,700000),(2,117,2,127257),(2,450,3,106537),(2,145,4,105397),(2,188,5,105308),(3,3,1,699999),(3,130,2,159948),(3,149,3,131973),(3,343,4,123388),(3,174,5,121419),(4,4,1,700000),(4,114,2,159405),(4,496,3,136484),(4,408,4,129101),(4,482,5,125558)) AS t(query_id, vec_id, "rank", mmr_m)"""
+
+
+@register(
+    "emb_mmr_topk",
+    _MMR_SQL,
+    doc="MMR diversified retrieval (Carbonell-Goldstein maximal "
+        "marginal relevance, lambda=0.7): rerank the pooled kNN "
+        "candidates so near-duplicate hits don't crowd the top-k — the "
+        "dedup-aware sampler shape.  Distributed work = the pooled "
+        "brute-force scan; candidate vectors gather via one "
+        "broadcast-id filter (O(queries x pool) rows), greedy runs "
+        "driver-side; scores 1e-6 fixed-point + id tie-break => "
+        "deterministic.  Oracle = pinned VALUES (verified 2/8 CPUs; "
+        "greedy selection is not SQL-expressible)",
+)
+def emb_mmr_topk(sf_dir: str):
+    from xema_ray.stages.similarity import mmr_topk
+
+    return mmr_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                    _query_vectors(sf_dir), k=5, pool=25, lam=0.7)

@@ -650,3 +650,73 @@ def kmeans_clusters(ds, k: int = 8, iters: int = 3, seed: int = 17,
         .groupby("cluster").aggregate(
             Sum("n_sum", alias_name="n"),
             Sum("id_sum_sum", alias_name="id_sum"))
+
+
+def mmr_topk(ds, queries, k: int = 5, pool: int = 25, lam: float = 0.7,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             concurrency=(1, 8)) -> pa.Table:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): rerank each query's brute-force candidate POOL so
+    near-duplicate hits don't crowd the result —
+    ``argmax λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)``.
+
+    Scale shape: the distributed work is the existing pooled kNN scan
+    (per-batch local top-k, driver merges ≤ pool×batches rows); the
+    candidate VECTORS are then gathered with one broadcast-id filter
+    pass (O(queries×pool) rows — driver-sized by construction) and the
+    k-step greedy runs on the driver over that tiny pool.  Scores are
+    quantized to 10^-6 fixed point with an id tie-break, so selection
+    is deterministic on any partitioning.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    qids, qmat = queries
+    base = knn_brute_force(ds, queries, k=pool, vec_col=vec_col,
+                           id_col=id_col, concurrency=concurrency)
+    cand_ids = pc.unique(base["vec_id"])
+    ids_ref = ray.put(cand_ids)
+
+    def gather(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t[id_col], value_set=ray.get(ids_ref))
+        return t.filter(keep).select([id_col, vec_col])
+
+    rows = ds.map_batches(gather, batch_format="pyarrow").take_all()
+    vecs = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64)
+            for r in rows}
+
+    def fp(x: float) -> int:
+        return int(np.floor(x * 1e6))
+
+    out_q, out_id, out_r, out_m = [], [], [], []
+    qarr = _normalize(np.asarray(qmat, dtype=np.float64))
+    pool_by_q: dict = {}
+    for r in base.to_pylist():
+        pool_by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qi, qid in enumerate(qids):
+        ids = pool_by_q.get(qid, [])
+        mat = _normalize(np.stack([vecs[i] for i in ids])) if ids \
+            else np.zeros((0, 1))
+        rel = mat @ qarr[qi] if ids else np.zeros(0)
+        selected: list = []
+        remaining = list(range(len(ids)))
+        while remaining and len(selected) < k:
+            best, best_key = None, None
+            for j in remaining:
+                div = max((float(mat[j] @ mat[s]) for s in selected),
+                          default=0.0)
+                score = fp(lam * float(rel[j]) - (1 - lam) * div)
+                key = (-score, ids[j])
+                if best_key is None or key < best_key:
+                    best, best_key = j, key
+            selected.append(best)
+            remaining.remove(best)
+            out_q.append(qid)
+            out_id.append(ids[best])
+            out_r.append(len(selected))
+            out_m.append(-best_key[0])
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "vec_id": pa.array(out_id, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "mmr_m": pa.array(out_m, pa.int64())})
