@@ -252,13 +252,16 @@ class TestMmr:
         # the closer cluster, MMR must alternate
         q = np.array([1.0] + [0.0] * 7)
         a = q + rng.standard_normal((20, 8)) * 0.01          # cluster A
-        b = np.roll(q, 1) + rng.standard_normal((20, 8)) * 0.01
+        # cluster B: cos ~0.78 to q, so the pool (25 > |A|) holds both
+        b = q + 0.8 * np.roll(q, 1) \
+            + rng.standard_normal((20, 8)) * 0.01
         base = np.vstack([a, b]).astype(np.float32)
         ds = _emb_ds(base, blocks=4)
-        out = mmr_topk(ds, ([0], q[None, :]), k=4, pool=12, lam=0.5)
+        out = mmr_topk(ds, ([0], q[None, :]), k=4, pool=25, lam=0.3)
         got = out["vec_id"].to_pylist()
         assert len(got) == 4
-        # at least one pick from the far cluster (ids >= 20)
+        # diversity-heavy lambda must pull from the far cluster
+        # (ids >= 20), which plain kNN top-4 would exclude
         assert any(v >= 20 for v in got)
 
     def test_rank1_is_nearest_and_deterministic(self):
