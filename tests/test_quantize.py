@@ -276,3 +276,45 @@ class TestMmr:
         b = mmr_topk(ds2, q, k=3, pool=10)
         assert a.equals(b)
         assert a["vec_id"].to_pylist()[0] == 7  # rank 1 = plain argmax
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPersistedIvfPq:
+    def test_written_index_search_equals_fused(self, tmp_path):
+        from xema_ray.stages.pq import (ivf_coarse_fit, ivfpq_search_index,
+                                        ivfpq_write_index, knn_ivfpq,
+                                        pq_fit)
+
+        rng = np.random.default_rng(41)
+        base = rng.standard_normal((300, 16)).astype(np.float32)
+        ds = _emb_ds(base, blocks=5)
+        coarse = ivf_coarse_fit(ds, nlist=8, iters=2, seed=1)
+        cb = pq_fit(ds, m=4, k=8, iters=2, seed=2)
+        idx = ivfpq_write_index(ds, coarse, cb, str(tmp_path / "idx"))
+        q = ([0, 1], base[:2])
+        a = ivfpq_search_index(idx, q, coarse, cb, k=7, nprobe=3)
+        b = knn_ivfpq(ds, q, coarse, cb, k=7, nprobe=3)
+        assert a.equals(b)
+
+    def test_scan_prunes_to_probed_partitions(self, tmp_path):
+        import glob
+        import os
+
+        from xema_ray.stages.pq import (ivf_coarse_fit, ivfpq_write_index,
+                                        pq_fit)
+
+        rng = np.random.default_rng(42)
+        base = rng.standard_normal((200, 8)).astype(np.float32)
+        ds = _emb_ds(base, blocks=3)
+        coarse = ivf_coarse_fit(ds, nlist=8, iters=2, seed=3)
+        cb = pq_fit(ds, m=2, k=8, iters=2, seed=4)
+        idx = ivfpq_write_index(ds, coarse, cb, str(tmp_path / "idx"))
+        parts = glob.glob(os.path.join(idx, "list_part=*"))
+        assert len(parts) >= 4  # lists materialized as directories
+        # every row of a partition carries the matching plain column
+        import pyarrow.parquet as pq_
+
+        for p in parts[:3]:
+            lid = int(p.rsplit("=", 1)[1])
+            f = glob.glob(os.path.join(p, "*.parquet"))[0]
+            assert set(pq_.read_table(f)["list"].to_pylist()) == {lid}

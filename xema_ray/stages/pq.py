@@ -443,3 +443,112 @@ def knn_ivfpq(ds, queries, coarse: np.ndarray, codebooks: np.ndarray,
                                    "id_col": id_col, "k": k},
             batch_format="pyarrow", concurrency=concurrency).take_all()
     return _merge_adc_topk(cand, k)
+
+
+# ----------------------------------------------------------------------
+# persisted IVF-PQ index (the deployment read path)
+# ----------------------------------------------------------------------
+
+
+def ivfpq_write_index(ds, coarse: np.ndarray, codebooks: np.ndarray,
+                      out_dir: str, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> str:
+    """Materialize the index the fused query path only simulates: one
+    assignment+encode pass writes ``(id, pq_code, list)`` rows into
+    ``out_dir/list_part=<list_id>/`` — Hive-partitioned parquet, one
+    directory per inverted list.  A search then opens ONLY the probed
+    lists' files: IO is nprobe/nlist of the corpus, the property that
+    makes IVF work at 100 TB (the float vectors never need to be read
+    again)."""
+    import ray
+
+    ref = ray.put((coarse, codebooks))
+
+    def assign_encode(t: pa.Table) -> pa.Table:
+        co, cb = ray.get(ref)
+        t = valid_vec_rows(t, vec_col)
+        q6 = _quantized_matrix(t, vec_col)
+        if not q6.size:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pq_code": pa.array([], pa.list_(pa.uint8())),
+                             "list": pa.array([], pa.int64())})
+        lists = _assign(q6, co)
+        enc = PqEncode(cb, vec_col)
+        # `list` rides BOTH as a partition directory (the pruning key)
+        # and as a plain column (reading explicit file paths does not
+        # re-infer hive partition values)
+        return pa.table({
+            id_col: t[id_col],
+            "pq_code": pa.array(list(enc.codes_of(t)),
+                                pa.list_(pa.uint8())),
+            "list": pa.array(lists.astype(np.int64), pa.int64()),
+            "list_part": pa.array(lists.astype(np.int64), pa.int64())})
+
+    ds.map_batches(assign_encode, batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["list_part"])
+    return out_dir
+
+
+def ivfpq_search_index(index_dir: str, queries, coarse: np.ndarray,
+                       codebooks: np.ndarray, k: int = 10,
+                       nprobe: int = 4, id_col: str = "vec_id"
+                       ) -> pa.Table:
+    """Search the persisted index: probe lists are chosen exactly as in
+    :func:`knn_ivfpq` (integer L2, (dist, list) tie-break), then ONLY
+    those partition directories are read — the scan never touches the
+    other nlist−nprobe fractions of the corpus."""
+    import glob
+    import os
+
+    import ray
+    import ray.data as rd
+
+    qids, qmat = queries
+    q6 = np.floor(np.asarray(qmat, dtype=np.float64) * 1e6) \
+        .astype(np.int64)
+    d2 = ((q6[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    order = np.lexsort((np.broadcast_to(
+        np.arange(coarse.shape[0]), d2.shape), d2), axis=1)
+    probes = order[:, :nprobe].astype(np.int64)
+    luts = _query_luts(qmat, codebooks)
+
+    # per-query candidate scan over the union of probed lists; each
+    # row's list id is implicit in its partition directory
+    union = sorted({int(v) for row in probes for v in row})
+    paths = [p for lid in union
+             for p in glob.glob(os.path.join(index_dir,
+                                             f"list_part={lid}",
+                                             "*.parquet"))]
+    if not paths:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "adc_dist": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    ref = ray.put((codebooks, list(qids), luts, probes))
+
+    def scan(t: pa.Table) -> pa.Table:
+        cb, qids_, luts_, probes_ = ray.get(ref)
+        codes = np.asarray(t["pq_code"].to_pylist(), dtype=np.int64)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        lists = t["list"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_id, out_d = [], [], []
+        m = cb.shape[0]
+        for qi, qid in enumerate(qids_):
+            mask = np.isin(lists, probes_[qi])
+            if not mask.any():
+                continue
+            sub_codes, sub_ids = codes[mask], ids[mask]
+            dist = np.zeros(len(sub_ids), dtype=np.int64)
+            for j in range(m):
+                dist += luts_[qi, j][sub_codes[:, j]]
+            sel = _local_topk(dist, sub_ids, k)
+            out_q += [qid] * len(sel)
+            out_id += sub_ids[sel].tolist()
+            out_d += dist[sel].tolist()
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "adc_dist": pa.array(out_d, pa.int64())})
+
+    cand = rd.read_parquet(paths).map_batches(
+        scan, batch_format="pyarrow").take_all()
+    return _merge_adc_topk(cand, k)
