@@ -3335,8 +3335,12 @@ def doc_snapshot_diff(sf_dir: str):
 
         return docs.map_batches(fn, batch_format="pyarrow")
 
+    # 8 join partitions: each hash-aggregator is a spawned actor
+    # (~0.3 s each on this box) and the digest table at bench sf is
+    # tiny — the operator default stays cluster-proportional for real
+    # corpus sizes, the call site tunes for its data volume
     return snapshot_diff(variant("2"), variant("0", suffix_nib="1"),
-                         hash_fn="md5")
+                         hash_fn="md5", num_partitions=8)
 
 
 _BPE_MERGES_SQL = """SELECT * FROM (VALUES (0,'e','r',4568),(1,'e','</w>',4473),(2,'n','</w>',2834),(3,'er','</w>',2779),(4,'o','w',2747),(5,'ow','</w>',2747),(6,'o','r',2696),(7,'s','t',2676),(8,'h','</w>',1884),(9,'a','t',1845),(10,'l','u',1831),(11,'i','n',1796),(12,'a','</w>',1788),(13,'g','</w>',1777),(14,'y','</w>',1767),(15,'a','r',1758),(16,'p','ar',1758),(17,'t','</w>',1750),(18,'i','n</w>',964),(19,'j','o',964),(20,'jo','in</w>',964),(21,'a','s',947),(22,'as','h</w>',947),(23,'h','ash</w>',947),(24,'r','ow</w>',943),(25,'at','c',937),(26,'atc','h</w>',937),(27,'b','atch</w>',937),(28,'a','n</w>',936),(29,'c','an</w>',936),(30,'s','can</w>',936),(31,'c','o',934),(32,'c','u',934),(33,'co','lu',934),(34,'colu','m',934),(35,'colum','n</w>',934),(36,'cu','st',934),(37,'cust','o',934),(38,'custo','m',934),(39,'custom','er</w>',934)) AS t("rank", "left", "right", n)"""
