@@ -128,8 +128,12 @@ class _PqPartial:
 
 def pq_fit(ds, m: int = 4, k: int = 16, iters: int = 2,
            vec_col: str = "embedding", seed: int = 17,
-           sample: int = 4096, concurrency=(1, 8)) -> np.ndarray:
-    """Learn the (m, k, dsub) integer codebook tensor."""
+           sample: int = 4096, concurrency=None) -> np.ndarray:
+    """Learn the (m, k, dsub) integer codebook tensor.
+
+    Task-pool default: each Lloyd iteration broadcasts a NEW codebook
+    ref, so an actor pool would respawn per iteration (~1-2 s each on
+    this box) — stateless tasks read the ref zero-copy instead."""
     import ray
 
     head = ds.limit(sample).take_all()
@@ -144,10 +148,16 @@ def pq_fit(ds, m: int = 4, k: int = 16, iters: int = 2,
 
     for _ in range(iters):
         ref = ray.put(cb)
-        rows = ds.map_batches(
-            _PqPartial, fn_constructor_kwargs={"cb_ref": ref,
-                                               "vec_col": vec_col},
-            batch_format="pyarrow", concurrency=concurrency).take_all()
+        if concurrency is None:
+            rows = ds.map_batches(
+                lambda t, r=ref: _PqPartial(r, vec_col)(t),
+                batch_format="pyarrow").take_all()
+        else:
+            rows = ds.map_batches(
+                _PqPartial, fn_constructor_kwargs={"cb_ref": ref,
+                                                   "vec_col": vec_col},
+                batch_format="pyarrow",
+                concurrency=concurrency).take_all()
         sums = np.zeros((m, k, dsub), dtype=np.int64)
         counts = np.zeros((m, k), dtype=np.int64)
         for r in rows:
@@ -213,7 +223,7 @@ def pq_encode(ds, codebooks: np.ndarray, vec_col: str = "embedding",
 
 def pq_cell_stats(ds, codebooks: np.ndarray,
                   vec_col: str = "embedding", id_col: str = "vec_id",
-                  concurrency=(1, 8)) -> pa.Table:
+                  concurrency=None) -> pa.Table:
     """Per (subspace, centroid) membership fingerprint ``(n, id_sum)``
     — m·k rows pinning the EXACT assignment, not just sizes (cf.
     ``emb_kmeans_clusters``).  Per-batch integer partials, driver
@@ -239,10 +249,15 @@ def pq_cell_stats(ds, codebooks: np.ndarray,
 
     n = np.zeros((m, k), dtype=np.int64)
     id_sum = np.zeros((m, k), dtype=np.int64)
-    for r in ds.map_batches(CellPartial,
-                            fn_constructor_args=(ref, vec_col),
-                            batch_format="pyarrow",
-                            concurrency=concurrency).take_all():
+    if concurrency is None:
+        cells = ds.map_batches(lambda t: CellPartial(ref, vec_col)(t),
+                               batch_format="pyarrow").take_all()
+    else:
+        cells = ds.map_batches(CellPartial,
+                               fn_constructor_args=(ref, vec_col),
+                               batch_format="pyarrow",
+                               concurrency=concurrency).take_all()
+    for r in cells:
         a, b = pickle.loads(r["partial"])
         n += a
         id_sum += b
