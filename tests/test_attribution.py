@@ -20,6 +20,8 @@ def _events(ts_us, users, types, ids=None, blocks=4):
 
 
 def _collect(ds):
+    if isinstance(ds, pa.Table):       # driver-folded results
+        return ds
     tabs = list(ds.iter_batches(batch_format="pyarrow"))
     return pa.concat_tables(tabs) if tabs else pa.table({})
 
@@ -34,8 +36,7 @@ class TestAttribution:
         users = rng.integers(0, 40, n).tolist()
         ts = rng.integers(0, 10**9, n).tolist()
         types = rng.choice(["view", "click", "purchase"], n).tolist()
-        out = _collect(attribution_matrix(
-            _events(ts, users, types, blocks=7)))
+        out = attribution_matrix(_events(ts, users, types, blocks=7))
         got = {(r["first_type"], r["last_type"]): r["n_users"]
                for r in out.to_pylist()}
         df = pd.DataFrame({"u": users, "ts": ts,
@@ -49,9 +50,9 @@ class TestAttribution:
     def test_timestamp_tie_resolved_by_event_id(self):
         from xema_ray.stages.funnel import attribution_matrix
 
-        out = _collect(attribution_matrix(_events(
+        out = attribution_matrix(_events(
             [100, 100, 100], [7, 7, 7], ["b", "a", "c"],
-            ids=[2, 1, 3], blocks=3)))
+            ids=[2, 1, 3], blocks=3))
         rows = out.to_pylist()
         assert rows == [{"first_type": "a", "last_type": "c",
                          "n_users": 1}]
@@ -91,3 +92,17 @@ class TestDecayedScores:
 
         ds = _events([], [], [], blocks=1)
         assert _collect(decayed_user_scores(ds)).num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAttributionEdges:
+    def test_empty_blocks_dont_break_schema(self):
+        from xema_ray.stages.funnel import attribution_matrix
+
+        # 8 blocks over 3 rows -> most blocks are empty; the empty
+        # partial must emit the SAME schema as non-empty ones
+        out = attribution_matrix(_events(
+            [10, 20, 30], [1, 1, 2], ["a", "b", "c"], blocks=8))
+        got = {(r["first_type"], r["last_type"]): r["n_users"]
+               for r in out.to_pylist()}
+        assert got == {("a", "b"): 1, ("c", "c"): 1}

@@ -399,3 +399,49 @@ def test_minhash_driver_path_matches_groupby(docs_ds):
          for r in minhash_lsh_pairs(ds, threshold=0.5,
                                     strategy="groupby").take_all()}
     assert a == b and len(a) > 0
+
+
+def test_minhash_driver_empty_pairs_keeps_id_types(ray_session):
+    """No qualifying pairs: the driver path must still return the
+    id column types, not pandas' float64 inference."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": ["a1", "b2", "c3"],
+        "text": ["alpha beta gamma", "delta epsilon zeta",
+                 "eta theta iota"]}))
+    out = minhash_lsh_pairs(ds, threshold=0.9, strategy="driver")
+    sch = out.schema().base_schema
+    assert sch.field("doc_a").type == pa.string()
+    assert sch.field("doc_b").type == pa.string()
+    assert out.count() == 0
+
+
+def test_minhash_max_bucket_retention_is_order_independent(ray_session):
+    """A degenerate bucket larger than max_bucket keeps the doc_id-
+    sorted prefix on both strategies, whatever the row order."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.dedup import minhash_lsh_pairs
+
+    text = "same boilerplate text repeated in every document here"
+    n = 12
+    ids = [f"d{i:02d}" for i in range(n)]
+    rev = pa.table({"doc_id": ids[::-1], "text": [text] * n})
+    fwd = pa.table({"doc_id": ids, "text": [text] * n})
+    kw = dict(threshold=0.5, max_bucket=5)
+    outs = []
+    for tbl in (fwd, rev):
+        for strat in ("driver", "groupby"):
+            ds = rd.from_arrow(tbl, override_num_blocks=3)
+            outs.append({(r["doc_a"], r["doc_b"]) for r in
+                         minhash_lsh_pairs(ds, strategy=strat,
+                                           **kw).take_all()})
+    assert outs[0] == outs[1] == outs[2] == outs[3]
+    # the retained subset is the doc_id-sorted prefix
+    assert outs[0] == {(f"d{i:02d}", f"d{j:02d}")
+                      for i in range(5) for j in range(i + 1, 5)}

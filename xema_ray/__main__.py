@@ -297,14 +297,17 @@ def cmd_bpe(args):
 
         parts = [b for b in stats.map_batches(
             partial, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")]
-        agg = pa.concat_tables(parts).group_by("source").aggregate(
-            [("n_docs_sum", "sum"), ("n_words_sum", "sum"),
-             ("n_subwords_sum", "sum")])
-        rows = {r["source"]: {"n_docs": r["n_docs_sum_sum"],
-                              "n_words": r["n_words_sum_sum"],
-                              "n_subwords": r["n_subwords_sum_sum"]}
-                for r in agg.to_pylist()}
+            .iter_batches(batch_format="pyarrow") if b.num_rows]
+        if parts:
+            agg = pa.concat_tables(parts).group_by("source").aggregate(
+                [("n_docs_sum", "sum"), ("n_words_sum", "sum"),
+                 ("n_subwords_sum", "sum")])
+            rows = {r["source"]: {"n_docs": r["n_docs_sum_sum"],
+                                  "n_words": r["n_words_sum_sum"],
+                                  "n_subwords": r["n_subwords_sum_sum"]}
+                    for r in agg.to_pylist()}
+        else:
+            rows = {}
         print(json.dumps({"merges": len(merges), "by_source": rows},
                          sort_keys=True))
         return

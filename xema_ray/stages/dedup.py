@@ -396,7 +396,13 @@ def minhash_lsh_pairs(
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s < 2:
                 continue
-            g = g_all.iloc[s:e].drop_duplicates("doc_id").head(max_bucket)
+            # doc_id-sorted retention: which max_bucket docs survive a
+            # degenerate bucket must not depend on row ARRIVAL order,
+            # or the driver and groupby strategies (and two runs of the
+            # same strategy) could keep different subsets (code-review
+            # r3s5)
+            g = g_all.iloc[s:e].sort_values("doc_id", kind="stable") \
+                .drop_duplicates("doc_id").head(max_bucket)
             n = len(g)
             if n < 2:
                 continue
@@ -424,18 +430,25 @@ def minhash_lsh_pairs(
     if strategy == "driver":
         import ray.data as rd
 
+        # band_rows is already materialized in auto mode — its schema
+        # is free, unlike ds.schema() on an arbitrary lazy input
+        id_type = band_rows.schema().base_schema.field(id_col).type
+        schema = pa.schema([("doc_a", id_type), ("doc_b", id_type),
+                            ("est_jaccard", pa.float64())])
         frames = [b.to_pandas() for b in
                   band_rows.iter_batches(batch_format="pyarrow")
                   if b.num_rows]
         if not frames:
             return rd.from_arrow(pa.table(
-                {"doc_a": pa.array([], pa.int64()),
-                 "doc_b": pa.array([], pa.int64()),
-                 "est_jaccard": pa.array([], pa.float64())}))
+                {f.name: pa.array([], f.type) for f in schema}))
         pairs_df = block_pairs(pd.concat(frames, ignore_index=True))
         pairs_df = pairs_df.drop_duplicates(["doc_a", "doc_b"])
+        # explicit schema: an empty (or all-int) pandas frame would
+        # otherwise infer float64 ids and diverge from the groupby
+        # path's column types (code-review r3s5)
         return rd.from_arrow(pa.Table.from_pandas(
-            pairs_df.reset_index(drop=True), preserve_index=False))
+            pairs_df.reset_index(drop=True), schema=schema,
+            preserve_index=False))
 
     pairs = _coarse_groupby(band_rows, ["band", "band_hash"], block_pairs)
     return _dedupe_pairs(pairs, keep=["est_jaccard"])

@@ -302,9 +302,11 @@ def attribution_matrix(ds, user_col: str = "user_id",
         users = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if not len(users):
             return pa.table({"user": pa.array([], pa.int64()),
-                             "min_k": pa.array([], pa.int64()),
+                             "min_ts": pa.array([], pa.int64()),
+                             "min_id": pa.array([], pa.int64()),
                              "first": pa.array([], pa.string()),
-                             "max_k": pa.array([], pa.int64()),
+                             "max_ts": pa.array([], pa.int64()),
+                             "max_id": pa.array([], pa.int64()),
                              "last": pa.array([], pa.string()),
                              "bucket": pa.array([], pa.int32())})
         ts = _ts_us(t[ts_col])
@@ -352,10 +354,21 @@ def attribution_matrix(ds, user_col: str = "user_id",
         out["n_users"] = out["n_users"].astype(np.int64)
         return out
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(bucket_fold, batch_format="pandas") \
-        .groupby(["first_type", "last_type"]) \
-        .aggregate(Sum("n_users", alias_name="n_users"))
+    # final merge: B tiny pre-counted matrices — driver fold (the
+    # funnel_depths precedent); a second Ray sort exchange would add
+    # ~7 s fixed cost to sum a few hundred rows
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas").take_all()
+    acc: dict = {}
+    for r in rows:
+        key = (r["first_type"], r["last_type"])
+        acc[key] = acc.get(key, 0) + int(r["n_users"])
+    keys = sorted(acc)
+    return pa.table({
+        "first_type": pa.array([k[0] for k in keys], pa.string()),
+        "last_type": pa.array([k[1] for k in keys], pa.string()),
+        "n_users": pa.array([acc[k] for k in keys], pa.int64())})
 
 
 def decayed_user_scores(ds, user_col: str = "user_id", ts_col: str = "ts",

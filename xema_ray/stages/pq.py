@@ -374,6 +374,42 @@ def ivf_coarse_fit(ds, nlist: int = 16, iters: int = 2,
                   seed=seed, **kw)[0]
 
 
+def _probe_lists(qmat: np.ndarray, coarse: np.ndarray,
+                 nprobe: int) -> np.ndarray:
+    """(nq, nprobe) probed list ids by exact integer L2 with the
+    (dist, list-id) tie-break — the single source of truth shared by
+    the fused and persisted search paths."""
+    q6 = np.floor(np.asarray(qmat, dtype=np.float64) * 1e6) \
+        .astype(np.int64)
+    d2 = ((q6[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    order = np.lexsort((np.broadcast_to(
+        np.arange(coarse.shape[0]), d2.shape), d2), axis=1)
+    return order[:, :nprobe].astype(np.int64)
+
+
+def _adc_scan_masked(codes, ids, lists, probes, luts, qids, k):
+    """Per-query (probed-lists mask → LUT distance → exact local
+    top-k) over one batch — shared by _IvfAdcPartial and the persisted
+    index scan."""
+    out_q, out_id, out_d = [], [], []
+    m = luts.shape[1]
+    for qi, qid in enumerate(qids):
+        mask = np.isin(lists, probes[qi])
+        if not mask.any():
+            continue
+        sub_codes, sub_ids = codes[mask], ids[mask]
+        dist = np.zeros(len(sub_ids), dtype=np.int64)
+        for j in range(m):
+            dist += luts[qi, j][sub_codes[:, j]]
+        sel = _local_topk(dist, sub_ids, k)
+        out_q += [qid] * len(sel)
+        out_id += sub_ids[sel].tolist()
+        out_d += dist[sel].tolist()
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "vec_id": pa.array(out_id, pa.int64()),
+                     "adc_dist": pa.array(out_d, pa.int64())})
+
+
 class _IvfAdcPartial(PqEncode):
     """Per-batch IVF-pruned ADC scan: assign each row its inverted
     list, then for every query rank ONLY the rows in its nprobe probed
@@ -391,27 +427,15 @@ class _IvfAdcPartial(PqEncode):
     def __call__(self, tbl: pa.Table) -> pa.Table:
         tbl = valid_vec_rows(tbl, self.vec_col)
         q6 = _quantized_matrix(tbl, self.vec_col)
-        out_q, out_id, out_d = [], [], []
-        if q6.size:
-            lists = _assign(q6, self.coarse)
-            codes = self.codes_of(tbl).astype(np.int64)
-            ids = np.asarray(tbl[self.id_col].to_pylist(), dtype=np.int64)
-            m = self.cb.shape[0]
-            for qi, qid in enumerate(self.qids):
-                mask = np.isin(lists, self.probes[qi])
-                if not mask.any():
-                    continue
-                sub_codes, sub_ids = codes[mask], ids[mask]
-                dist = np.zeros(len(sub_ids), dtype=np.int64)
-                for j in range(m):
-                    dist += self.luts[qi, j][sub_codes[:, j]]
-                sel = _local_topk(dist, sub_ids, self.k)
-                out_q += [qid] * len(sel)
-                out_id += sub_ids[sel].tolist()
-                out_d += dist[sel].tolist()
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "vec_id": pa.array(out_id, pa.int64()),
-                         "adc_dist": pa.array(out_d, pa.int64())})
+        if not q6.size:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "adc_dist": pa.array([], pa.int64())})
+        lists = _assign(q6, self.coarse)
+        codes = self.codes_of(tbl).astype(np.int64)
+        ids = np.asarray(tbl[self.id_col].to_pylist(), dtype=np.int64)
+        return _adc_scan_masked(codes, ids, lists, self.probes,
+                                self.luts, self.qids, self.k)
 
 
 def knn_ivfpq(ds, queries, coarse: np.ndarray, codebooks: np.ndarray,
@@ -435,14 +459,7 @@ def knn_ivfpq(ds, queries, coarse: np.ndarray, codebooks: np.ndarray,
     import ray
 
     qids, qmat = queries
-    q6 = np.floor(np.asarray(qmat, dtype=np.float64) * 1e6) \
-        .astype(np.int64)
-    # probe selection: exact integer L2 to the coarse centroids,
-    # (dist, list-id) tie-break
-    d2 = ((q6[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
-    order = np.lexsort((np.broadcast_to(
-        np.arange(coarse.shape[0]), d2.shape), d2), axis=1)
-    probes = order[:, :nprobe].astype(np.int64)
+    probes = _probe_lists(qmat, coarse, nprobe)
     luts = _query_luts(qmat, codebooks)
     ref = ray.put((codebooks, coarse, list(qids), luts, probes))
 
@@ -475,8 +492,15 @@ def ivfpq_write_index(ds, coarse: np.ndarray, codebooks: np.ndarray,
     lists' files: IO is nprobe/nlist of the corpus, the property that
     makes IVF work at 100 TB (the float vectors never need to be read
     again)."""
+    import os
+
     import ray
 
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise ValueError(
+            f"index dir {out_dir!r} exists and is not empty; parquet "
+            "writes append uniquely-named files, so a rewrite over an "
+            "old index would mix generations — pass a fresh directory")
     ref = ray.put((coarse, codebooks))
 
     def assign_encode(t: pa.Table) -> pa.Table:
@@ -486,7 +510,8 @@ def ivfpq_write_index(ds, coarse: np.ndarray, codebooks: np.ndarray,
         if not q6.size:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "pq_code": pa.array([], pa.list_(pa.uint8())),
-                             "list": pa.array([], pa.int64())})
+                             "list": pa.array([], pa.int64()),
+                             "list_part": pa.array([], pa.int64())})
         lists = _assign(q6, co)
         enc = PqEncode(cb, vec_col)
         # `list` rides BOTH as a partition directory (the pruning key)
@@ -519,12 +544,7 @@ def ivfpq_search_index(index_dir: str, queries, coarse: np.ndarray,
     import ray.data as rd
 
     qids, qmat = queries
-    q6 = np.floor(np.asarray(qmat, dtype=np.float64) * 1e6) \
-        .astype(np.int64)
-    d2 = ((q6[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
-    order = np.lexsort((np.broadcast_to(
-        np.arange(coarse.shape[0]), d2.shape), d2), axis=1)
-    probes = order[:, :nprobe].astype(np.int64)
+    probes = _probe_lists(qmat, coarse, nprobe)
     luts = _query_luts(qmat, codebooks)
 
     # per-query candidate scan over the union of probed lists; each
@@ -542,27 +562,12 @@ def ivfpq_search_index(index_dir: str, queries, coarse: np.ndarray,
     ref = ray.put((codebooks, list(qids), luts, probes))
 
     def scan(t: pa.Table) -> pa.Table:
-        cb, qids_, luts_, probes_ = ray.get(ref)
+        _cb, qids_, luts_, probes_ = ray.get(ref)
         codes = np.asarray(t["pq_code"].to_pylist(), dtype=np.int64)
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         lists = t["list"].to_numpy(zero_copy_only=False).astype(np.int64)
-        out_q, out_id, out_d = [], [], []
-        m = cb.shape[0]
-        for qi, qid in enumerate(qids_):
-            mask = np.isin(lists, probes_[qi])
-            if not mask.any():
-                continue
-            sub_codes, sub_ids = codes[mask], ids[mask]
-            dist = np.zeros(len(sub_ids), dtype=np.int64)
-            for j in range(m):
-                dist += luts_[qi, j][sub_codes[:, j]]
-            sel = _local_topk(dist, sub_ids, k)
-            out_q += [qid] * len(sel)
-            out_id += sub_ids[sel].tolist()
-            out_d += dist[sel].tolist()
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "vec_id": pa.array(out_id, pa.int64()),
-                         "adc_dist": pa.array(out_d, pa.int64())})
+        return _adc_scan_masked(codes, ids, lists, probes_, luts_,
+                                qids_, k)
 
     cand = rd.read_parquet(paths).map_batches(
         scan, batch_format="pyarrow").take_all()
