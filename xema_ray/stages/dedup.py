@@ -502,9 +502,14 @@ class SimHashStage:
 
 
 def simhash_pairs(ds, col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, max_bucket: int = 64):
+                  max_hamming: int = 3, max_bucket: int = 64,
+                  strategy: str = "auto",
+                  auto_driver_limit: int = 4_000_000):
     """Near-duplicate pairs with SimHash Hamming distance ≤ ``max_hamming``
-    (any such pair shares at least one of the 4 16-bit bands)."""
+    (any such pair shares at least one of the 4 16-bit bands).
+    ``strategy``: same measured-auto driver/groupby choice as
+    :func:`minhash_lsh_pairs` (two Ray sort exchanges cost ~14 s fixed
+    on this box; the driver scan yields the identical pair set)."""
     from xema_ray.functions.sketches import hamming64
 
     rows = ds.map_batches(
@@ -521,7 +526,8 @@ def simhash_pairs(ds, col: str = "text", id_col: str = "doc_id",
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s < 2:
                 continue
-            g = g_all.iloc[s:e].drop_duplicates("doc_id").head(max_bucket)
+            g = g_all.iloc[s:e].sort_values("doc_id", kind="stable") \
+                .drop_duplicates("doc_id").head(max_bucket)
             n = len(g)
             if n < 2:
                 continue
@@ -538,6 +544,29 @@ def simhash_pairs(ds, col: str = "text", id_col: str = "doc_id",
                         a, b = b, a
                     out_a.append(a); out_b.append(b); out_h.append(int(d[j]))
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+
+    if strategy == "auto":
+        rows = rows.materialize()
+        strategy = "driver" if rows.count() <= auto_driver_limit \
+            else "groupby"
+
+    if strategy == "driver":
+        import ray.data as rd
+
+        id_type = rows.schema().base_schema.field(id_col).type
+        schema = pa.schema([("doc_a", id_type), ("doc_b", id_type),
+                            ("hamming", pa.int64())])
+        frames = [b.to_pandas() for b in
+                  rows.iter_batches(batch_format="pyarrow")
+                  if b.num_rows]
+        if not frames:
+            return rd.from_arrow(pa.table(
+                {f.name: pa.array([], f.type) for f in schema}))
+        pairs_df = block_pairs(pd.concat(frames, ignore_index=True))
+        pairs_df = pairs_df.drop_duplicates(["doc_a", "doc_b"])
+        return rd.from_arrow(pa.Table.from_pandas(
+            pairs_df.reset_index(drop=True), schema=schema,
+            preserve_index=False))
 
     pairs = _coarse_groupby(rows, ["band", "band_key"], block_pairs)
     return _dedupe_pairs(pairs, keep=["hamming"])
