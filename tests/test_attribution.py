@@ -106,3 +106,31 @@ class TestAttributionEdges:
         got = {(r["first_type"], r["last_type"]): r["n_users"]
                for r in out.to_pylist()}
         assert got == {("a", "b"): 1, ("c", "c"): 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHardNegatives:
+    def test_nearest_other_label(self):
+        import ray.data as rd
+
+        from xema_ray.stages.similarity import hard_negatives
+
+        rng = np.random.default_rng(13)
+        mat = rng.standard_normal((100, 8))
+        labels = (np.arange(100) % 2).astype(np.int64)
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(100), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat]),
+            "label": pa.array(labels, pa.int64())}),
+            override_num_blocks=4)
+        out = hard_negatives(ds, ([0], mat[:1], [0]), k=5)
+        got = out.to_pandas()
+        assert len(got) == 5
+        # every returned id has the OPPOSITE label
+        assert all(labels[v] == 1 for v in got["vec_id"])
+        # top-1 matches the numpy cross-label argmax
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mn @ mn[0]
+        sims[labels == 0] = -np.inf
+        assert got.sort_values("rank")["vec_id"].iloc[0] == \
+            int(np.argmax(sims))

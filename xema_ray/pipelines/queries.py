@@ -3689,3 +3689,100 @@ def emb_mmr_topk(sf_dir: str):
 
     return mmr_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
                     _query_vectors(sf_dir), k=5, pool=25, lam=0.7)
+
+
+@register(
+    "emb_hard_negatives",
+    """SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[]))
+                    DESC, e.vec_id) AS BIGINT) AS rank
+    FROM embeddings e,
+         (SELECT * FROM embeddings WHERE vec_id < 5) q
+    WHERE e.label <> q.label
+    QUALIFY rank <= 10""",
+    doc="HARD-NEGATIVE mining for contrastive training: per query the "
+        "nearest vectors of a DIFFERENT label (the highest-similarity "
+        "wrong-class examples a triplet/InfoNCE loss needs) — the "
+        "cross-label restriction fuses into the per-batch matmul as a "
+        "-inf mask, so mining costs one scan",
+)
+def emb_hard_negatives(sf_dir: str):
+    from xema_ray.stages.similarity import hard_negatives
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    rows = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 5)),
+        batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    qids = [r["vec_id"] for r in rows]
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in rows])
+    qlabels = [r["label"] for r in rows]
+    out = hard_negatives(ds, (qids, qmat, qlabels), k=10)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+@register(
+    "doc_novelty_mixture",
+    """WITH d AS (SELECT doc_id, source,
+                regexp_extract_all(lower(coalesce(text,'')),
+                                   '[a-z0-9]+') AS ws FROM documents),
+    t AS (SELECT doc_id, unnest(ws) AS w,
+                 generate_subscripts(ws, 1) AS pos FROM d),
+    b AS (SELECT doc_id,
+                 w || ' ' || lead(w) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) AS bg FROM t),
+    bb AS (SELECT doc_id, bg FROM b WHERE bg IS NOT NULL),
+    topk AS (SELECT bg FROM (SELECT bg, count(*) AS n FROM bb GROUP BY 1)
+             QUALIFY row_number() OVER (ORDER BY n DESC, bg) <= 500),
+    s AS (SELECT bb.doc_id, count(*) AS n_bigrams,
+                 sum(CASE WHEN topk.bg IS NULL THEN 1 ELSE 0 END) AS n_oov
+          FROM bb LEFT JOIN topk USING (bg) GROUP BY 1),
+    g AS (SELECT d.doc_id, d.source,
+                 CAST(1000000 * coalesce(s.n_oov, 0)
+                      // greatest(coalesce(s.n_bigrams, 0), 1) AS BIGINT)
+                     AS oov_m
+          FROM d LEFT JOIN s ON d.doc_id = s.doc_id),
+    gated AS (SELECT doc_id, source FROM g
+              WHERE oov_m BETWEEN 100000 AND 900000),
+    c AS (SELECT source, count(*) AS n FROM gated GROUP BY 1),
+    r AS (SELECT source, n,
+            least(1.0, (150.0 * CASE source WHEN 'src0' THEN 0.5
+                                 WHEN 'src1' THEN 0.25
+                                 ELSE 0.25/18 END) / n) AS rate
+          FROM c),
+    thr AS (SELECT source, CASE WHEN rate >= 1.0 THEN 'gggggggg'
+                 ELSE lower(lpad(hex(CAST(least(floor(rate*4294967296.0),
+                      4294967295) AS BIGINT)), 8, '0')) END AS h
+            FROM r)
+    SELECT gated.doc_id AS doc_id, gated.source AS source
+    FROM gated JOIN thr ON gated.source = thr.source
+    WHERE substr(md5(CAST(gated.doc_id AS VARCHAR)), 1, 8) < thr.h""",
+    doc="perplexity-gated MIXTURE (the CCNet+DoReMi composition): "
+        "bigram-LM novelty band keeps docs that are novel-but-not-"
+        "garbage (0.1 <= OOV rate <= 0.9), then domain-mixture "
+        "sampling reweights the survivors to target weights within a "
+        "150-row budget.  The novelty stage carries source through so "
+        "no corpus-sized join-back is needed; the gated thin (id, "
+        "source) projection materializes ONCE so the sampler's count "
+        "pass doesn't re-run scoring (the export-pipeline lesson)",
+)
+def doc_novelty_mixture(sf_dir: str):
+    from xema_ray.stages.sample import mixture_sample
+    from xema_ray.stages.text import bigram_novelty_scores
+
+    scored = bigram_novelty_scores(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]),
+        top_k=500)
+
+    def gate(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["oov_m"], pa.scalar(100000)),
+                       pc.less_equal(t["oov_m"], pa.scalar(900000)))
+        return t.filter(keep).select(["doc_id", "source"])
+
+    gated = scored.map_batches(gate, batch_format="pyarrow").materialize()
+    return mixture_sample(gated, {"src0": 0.5, "src1": 0.25}, 150.0,
+                          default_weight=0.25 / 18, hash_fn="md5")

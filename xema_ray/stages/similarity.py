@@ -168,7 +168,7 @@ class _TopKPerLabel:
     one fused pass (no per-label scan, no second gate stage)."""
 
     def __init__(self, queries_ref, k: int, vec_col: str, id_col: str,
-                 label_col: str):
+                 label_col: str, match: str = "same"):
         import ray
 
         self.qids, qmat, qlabels = ray.get(queries_ref)
@@ -178,6 +178,7 @@ class _TopKPerLabel:
         self.vec_col = vec_col
         self.id_col = id_col
         self.label_col = label_col
+        self.match = match
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         m = _normalize(_matrix_from_list_col(tbl[self.vec_col]))
@@ -185,7 +186,10 @@ class _TopKPerLabel:
         labels = tbl[self.label_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         sims = self.qmat @ m.T  # (n_queries, n_batch)
-        sims[self.qlabels[:, None] != labels[None, :]] = -np.inf
+        if self.match == "same":
+            sims[self.qlabels[:, None] != labels[None, :]] = -np.inf
+        else:                     # "different": cross-label candidates only
+            sims[self.qlabels[:, None] == labels[None, :]] = -np.inf
         k = min(self.k, sims.shape[1])
         out_q, out_id, out_s = [], [], []
         idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
@@ -720,3 +724,28 @@ def mmr_topk(ds, queries, k: int = 5, pool: int = 25, lam: float = 0.7,
                      "vec_id": pa.array(out_id, pa.int64()),
                      "rank": pa.array(out_r, pa.int64()),
                      "mmr_m": pa.array(out_m, pa.int64())})
+
+
+def hard_negatives(ds, queries, k: int = 10, vec_col: str = "embedding",
+                   id_col: str = "vec_id", label_col: str = "label",
+                   concurrency=(1, 8)):
+    """HARD-NEGATIVE mining for contrastive/embedding training: per
+    query, the nearest vectors whose label DIFFERS — the highest-
+    similarity wrong-class examples a triplet/InfoNCE loss trains
+    against.  Identical shape to :func:`knn_per_label` with the mask
+    inverted (cross-label candidates only), so the mining pass costs
+    one fused matmul scan."""
+    import ray
+
+    qids, qmat, qlabels = queries
+    ref = ray.put((list(qids), np.asarray(qmat, dtype=np.float64),
+                   list(qlabels)))
+    cand = ds.map_batches(
+        _TopKPerLabel,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k,
+                               "vec_col": vec_col, "id_col": id_col,
+                               "label_col": label_col,
+                               "match": "different"},
+        batch_format="pyarrow", concurrency=concurrency,
+    ).take_all()
+    return _merge_topk(cand, k)

@@ -890,12 +890,15 @@ class BigramNovelty:
         n_oov = np.bincount(rows[oov] if len(bg) else
                             np.empty(0, np.int64),
                             minlength=n).astype(np.int64)
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"].reset_index(drop=True).to_numpy(),
-            "n_bigrams": n_big,
-            "n_oov": n_oov,
-            "oov_m": 1_000_000 * n_oov // np.maximum(n_big, 1),
-        })
+        # carry every non-text input column (source, split, ...) so a
+        # downstream gate/sampler needs no corpus-sized join-back
+        out = pd.DataFrame({c: batch[c].reset_index(drop=True).to_numpy()
+                            for c in batch.columns
+                            if c != self.text_col})
+        out["n_bigrams"] = n_big
+        out["n_oov"] = n_oov
+        out["oov_m"] = 1_000_000 * n_oov // np.maximum(n_big, 1)
+        return out
 
 
 def bigram_novelty_scores(ds, text_col: str = "text", top_k: int = 500,
