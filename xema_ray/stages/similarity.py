@@ -36,6 +36,25 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _topk_rows(sims_row: np.ndarray, ids, k: int) -> list:
+    """Local top-k row indices under the EXACT global (-cos, id) order —
+    a bare argpartition breaks ties at the k boundary arbitrarily
+    (identical vectors, i.e. near-duplicates, tie exactly), which makes
+    per-batch candidates partitioning-dependent (cf. the PQ
+    _local_topk fix).  -inf entries (masked candidates) are excluded."""
+    n = len(sims_row)
+    kk = min(k, n)
+    finite = np.nonzero(sims_row > -np.inf)[0]
+    if not len(finite):
+        return []
+    id_key = np.asarray(
+        [ids[j] for j in finite],
+        dtype=np.int64 if isinstance(ids[finite[0]], (int, np.integer))
+        else "U")
+    order = finite[np.lexsort((id_key, -sims_row[finite]))]
+    return order[:kk].tolist()
+
+
 class _TopKPartial:
     """Actor: holds the normalized broadcast query matrix; per batch emits
     the local top-k (query_id, vec_id, cos_sim) candidates."""
@@ -67,11 +86,9 @@ class _TopKPartial:
         m = _normalize(_matrix_from_list_col(tbl[self.vec_col]))
         ids = tbl[self.id_col].to_pylist()
         sims = self.qmat @ m.T  # (n_queries, n_batch)
-        k = min(self.k, sims.shape[1])
         out_q, out_id, out_s = [], [], []
-        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
         for qi in range(sims.shape[0]):
-            for j in idx[qi]:
+            for j in _topk_rows(sims[qi], ids, self.k):
                 out_q.append(self.qids[qi])
                 out_id.append(ids[j])
                 out_s.append(float(sims[qi, j]))
@@ -162,10 +179,11 @@ def knn_filtered(ds, keep_ids, queries, k: int = 10,
 
 
 class _TopKPerLabel:
-    """Actor: per batch, cosine top-k per query restricted to rows whose
-    label equals the query's label — the mask is applied to the sim
-    matrix BEFORE the top-k cut, so partition-restricted search costs
-    one fused pass (no per-label scan, no second gate stage)."""
+    """Actor: per batch, cosine top-k per query restricted by label —
+    ``match="same"`` keeps the query's own partition (partitioned
+    search), ``match="different"`` keeps only CROSS-label rows
+    (hard-negative mining).  The mask is applied to the sim matrix
+    BEFORE the top-k cut, so the restriction costs one fused pass."""
 
     def __init__(self, queries_ref, k: int, vec_col: str, id_col: str,
                  label_col: str, match: str = "same"):
@@ -190,13 +208,9 @@ class _TopKPerLabel:
             sims[self.qlabels[:, None] != labels[None, :]] = -np.inf
         else:                     # "different": cross-label candidates only
             sims[self.qlabels[:, None] == labels[None, :]] = -np.inf
-        k = min(self.k, sims.shape[1])
         out_q, out_id, out_s = [], [], []
-        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
         for qi in range(sims.shape[0]):
-            for j in idx[qi]:
-                if sims[qi, j] == -np.inf:  # fewer than k label matches
-                    continue
+            for j in _topk_rows(sims[qi], ids, self.k):
                 out_q.append(self.qids[qi])
                 out_id.append(ids[j])
                 out_s.append(float(sims[qi, j]))
