@@ -42,16 +42,24 @@ def _topk_rows(sims_row: np.ndarray, ids, k: int) -> list:
     (identical vectors, i.e. near-duplicates, tie exactly), which makes
     per-batch candidates partitioning-dependent (cf. the PQ
     _local_topk fix).  -inf entries (masked candidates) are excluded."""
-    n = len(sims_row)
-    kk = min(k, n)
     finite = np.nonzero(sims_row > -np.inf)[0]
     if not len(finite):
         return []
+    kk = min(k, len(finite))
+    s = sims_row[finite]
+    if kk < len(finite):
+        # O(n) partition, then resolve only the boundary tie class
+        # exactly (cf. pq._local_topk)
+        part = np.argpartition(-s, kk - 1)
+        thresh = s[part[kk - 1]]
+        cand = np.nonzero(s >= thresh)[0]
+    else:
+        cand = np.arange(len(finite))
     id_key = np.asarray(
-        [ids[j] for j in finite],
+        [ids[finite[j]] for j in cand],
         dtype=np.int64 if isinstance(ids[finite[0]], (int, np.integer))
         else "U")
-    order = finite[np.lexsort((id_key, -sims_row[finite]))]
+    order = finite[cand[np.lexsort((id_key, -s[cand]))]]
     return order[:kk].tolist()
 
 
