@@ -3786,3 +3786,64 @@ def doc_novelty_mixture(sf_dir: str):
     gated = scored.map_batches(gate, batch_format="pyarrow").materialize()
     return mixture_sample(gated, {"src0": 0.5, "src1": 0.25}, 150.0,
                           default_weight=0.25 / 18, hash_fn="md5")
+
+
+@register(
+    "lineitem_promo_share",
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+       CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_c,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS total_c
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1 ORDER BY 1""",
+    doc="TPC-H Q14-shaped PROMO revenue share per ship year: the part "
+        "dimension broadcasts ONCE as a partkey->is_promo flag table "
+        "(ray.put + vectorized index_in per batch — a fact-dim join "
+        "with zero shuffle), revenue in exact cents, per-year integer "
+        "partials fold to O(years) driver state",
+)
+def lineitem_promo_share(sf_dir: str):
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    keys, promo = [], []
+    for b in part.iter_batches(batch_format="pyarrow"):
+        keys.append(b["p_partkey"].combine_chunks())
+        promo.append(pc.equal(b["p_type"], pa.scalar("PROMO"))
+                     .combine_chunks())
+    dim_keys = pa.chunked_array(keys).combine_chunks()
+    dim_promo = pa.chunked_array(promo).combine_chunks()
+    ref = ray.put((dim_keys, dim_promo))
+
+    def partial(t: pa.Table) -> pa.Table:
+        dk, dp = ray.get(ref)
+        cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0))), pa.int64())
+        idx = pc.index_in(t["l_partkey"], value_set=dk)
+        is_promo = pc.fill_null(pc.take(dp, idx), False)
+        yr = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
+        promo_c = pc.if_else(is_promo, cents, pa.scalar(0, pa.int64()))
+        return pa.table({"yr": yr, "promo_c": promo_c,
+                         "total_c": cents}) \
+            .group_by("yr").aggregate([("promo_c", "sum"),
+                                       ("total_c", "sum")])
+
+    acc: dict = {}
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount",
+                "l_shipdate"], split=True)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            p, t0 = acc.get(r["yr"], (0, 0))
+            acc[r["yr"]] = (p + r["promo_c_sum"], t0 + r["total_c_sum"])
+    yrs = sorted(acc)
+    return pa.table({"yr": pa.array(yrs, pa.int64()),
+                     "promo_c": pa.array([acc[y][0] for y in yrs],
+                                         pa.int64()),
+                     "total_c": pa.array([acc[y][1] for y in yrs],
+                                         pa.int64())})
