@@ -150,3 +150,80 @@ class TestExactDedupBest:
         got = {r["doc_id"]: r["q"] for r in out.to_pylist()}
         assert got == {i: -negq for (negq, i) in want.values()}
         assert set(out["n_copies"].to_pylist()) == {6}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDiffProperties:
+    def test_random_snapshots_match_dict_reference(self):
+        """Differential vs a pure-python dict diff over random snapshot
+        pairs (ids overlap partially, texts flip randomly)."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(17)
+        for trial in range(4):
+            n = int(rng.integers(5, 60))
+            cur_ids = sorted(rng.choice(100, size=n, replace=False)
+                             .tolist())
+            m = int(rng.integers(5, 60))
+            prev_ids = sorted(rng.choice(100, size=m, replace=False)
+                              .tolist())
+            cur = {i: f"t{i}" if rng.random() < 0.7 else f"t{i} v2"
+                   for i in cur_ids}
+            prev = {i: f"t{i}" for i in prev_ids}
+            want = {}
+            for i in set(cur) | set(prev):
+                if i not in prev:
+                    want[i] = "added"
+                elif i not in cur:
+                    want[i] = "removed"
+                else:
+                    want[i] = "unchanged" if cur[i] == prev[i] \
+                        else "changed"
+            out = _collect(snapshot_diff(
+                _ds({"doc_id": list(cur), "text": list(cur.values())},
+                    override_num_blocks=3),
+                _ds({"doc_id": list(prev), "text": list(prev.values())},
+                    override_num_blocks=2), num_partitions=4))
+            got = dict(zip(out["doc_id"].to_pylist(),
+                           out["status"].to_pylist()))
+            assert got == want, trial
+
+    def test_null_text_both_sides_is_unchanged(self):
+        cur = _ds({"doc_id": [1, 2], "text": [None, "a"]})
+        prev = _ds({"doc_id": [1, 2], "text": [None, None]})
+        out = _collect(snapshot_diff(cur, prev))
+        got = dict(zip(out["doc_id"].to_pylist(),
+                       out["status"].to_pylist()))
+        assert got == {1: "unchanged", 2: "changed"}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupBestDifferential:
+    def test_random_tables_match_pandas(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from xema_ray.stages.dedup import exact_dedup_best
+
+        rng = np.random.default_rng(23)
+        for trial in range(3):
+            n = int(rng.integers(20, 200))
+            df = pd.DataFrame({
+                "doc_id": np.arange(n),
+                "text": [f"c{v}" for v in rng.integers(0, n // 3, n)],
+                "q": rng.integers(0, 10, n).astype(np.int64)})
+            out = pa.concat_tables(list(exact_dedup_best(
+                rd.from_pandas(df).repartition(5),
+                lambda t: t["q"].to_numpy())
+                .iter_batches(batch_format="pyarrow")))
+            got = {r["doc_id"]: (r["q"], r["n_copies"])
+                   for r in out.to_pylist()}
+            grp = df.sort_values(["q", "doc_id"],
+                                 ascending=[False, True]) \
+                .groupby("text")
+            want = {}
+            for _, g in grp:
+                if len(g) >= 2:
+                    r0 = g.iloc[0]
+                    want[int(r0["doc_id"])] = (int(r0["q"]), len(g))
+            assert got == want, trial
