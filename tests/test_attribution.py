@@ -134,3 +134,24 @@ class TestHardNegatives:
         sims[labels == 0] = -np.inf
         assert got.sort_values("rank")["vec_id"].iloc[0] == \
             int(np.argmax(sims))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMergeTopkTies:
+    def test_identical_vectors_keep_smallest_ids(self):
+        """The driver heap must evict the LARGEST id within a boundary
+        tie class (reproduced in code-review r3s5 with identical
+        vectors split across blocks)."""
+        import ray.data as rd
+
+        from xema_ray.stages.similarity import knn_brute_force
+
+        vec = [1.0, 0.0, 0.0, 0.0]
+        n = 12
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(list(range(10, 10 + n)), pa.int64()),
+            "embedding": pa.array([vec] * n)}),
+            override_num_blocks=4)
+        out = knn_brute_force(ds, ([0], np.array([vec])), k=3)
+        assert out["vec_id"].to_pylist() == [10, 11, 12]
+        assert out["rank"].to_pylist() == [1, 2, 3]

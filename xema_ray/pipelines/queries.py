@@ -721,14 +721,17 @@ def doc_simhash_pairs(sf_dir: str):
 # ----------------------------------------------------------------------
 
 
-def _query_vectors(sf_dir: str, n: int = 5):
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+def _query_vectors(sf_dir: str, n: int = 5, with_labels: bool = False):
+    cols = ["vec_id", "embedding"] + (["label"] if with_labels else [])
+    ds = _read(sf_dir, "embeddings", cols)
     rows = ds.map_batches(
         lambda t: t.filter(pc.less(t["vec_id"], n)), batch_format="pyarrow"
     ).take_all()
     rows.sort(key=lambda r: r["vec_id"])
     qids = [r["vec_id"] for r in rows]
     qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    if with_labels:
+        return qids, qmat, [r["label"] for r in rows]
     return qids, qmat
 
 
@@ -2805,15 +2808,8 @@ def emb_knn_per_label(sf_dir: str):
     from xema_ray.stages.similarity import knn_per_label
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    rows = ds.map_batches(
-        lambda t: t.filter(pc.less(t["vec_id"], 5)), batch_format="pyarrow"
-    ).take_all()
-    rows.sort(key=lambda r: r["vec_id"])
-    qids = [r["vec_id"] for r in rows]
-    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                     for r in rows])
-    qlabels = [r["label"] for r in rows]
-    out = knn_per_label(ds, (qids, qmat, qlabels), k=10)
+    out = knn_per_label(ds, _query_vectors(sf_dir, with_labels=True),
+                        k=10)
     return out.select(["query_id", "vec_id", "rank"])
 
 
@@ -3713,15 +3709,8 @@ def emb_hard_negatives(sf_dir: str):
     from xema_ray.stages.similarity import hard_negatives
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    rows = ds.map_batches(
-        lambda t: t.filter(pc.less(t["vec_id"], 5)),
-        batch_format="pyarrow").take_all()
-    rows.sort(key=lambda r: r["vec_id"])
-    qids = [r["vec_id"] for r in rows]
-    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                     for r in rows])
-    qlabels = [r["label"] for r in rows]
-    out = hard_negatives(ds, (qids, qmat, qlabels), k=10)
+    out = hard_negatives(ds, _query_vectors(sf_dir, with_labels=True),
+                         k=10)
     return out.select(["query_id", "vec_id", "rank"])
 
 
@@ -3805,26 +3794,24 @@ def doc_novelty_mixture(sf_dir: str):
         "partials fold to O(years) driver state",
 )
 def lineitem_promo_share(sf_dir: str):
-    import ray
+    from xema_ray.stages.shuffle import broadcast_join
 
     part = _read(sf_dir, "part", ["p_partkey", "p_type"])
-    keys, promo = [], []
-    for b in part.iter_batches(batch_format="pyarrow"):
-        keys.append(b["p_partkey"].combine_chunks())
-        promo.append(pc.equal(b["p_type"], pa.scalar("PROMO"))
-                     .combine_chunks())
-    dim_keys = pa.chunked_array(keys).combine_chunks()
-    dim_promo = pa.chunked_array(promo).combine_chunks()
-    ref = ray.put((dim_keys, dim_promo))
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount",
+                "l_shipdate"], split=True)
+    # LEFT broadcast lookup + valid filter = the oracle's INNER join
+    # (documented dim assumption: p_partkey unique)
+    joined = broadcast_join(li, part, on="l_partkey",
+                            right_on="p_partkey", columns=["p_type"])
 
     def partial(t: pa.Table) -> pa.Table:
-        dk, dp = ray.get(ref)
+        t = t.filter(pc.is_valid(t["p_type"]))
         cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
             t["l_extendedprice"],
             pc.subtract(pa.scalar(1.0), t["l_discount"])),
             pa.scalar(100.0))), pa.int64())
-        idx = pc.index_in(t["l_partkey"], value_set=dk)
-        is_promo = pc.fill_null(pc.take(dp, idx), False)
+        is_promo = pc.equal(t["p_type"], pa.scalar("PROMO"))
         yr = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
         promo_c = pc.if_else(is_promo, cents, pa.scalar(0, pa.int64()))
         return pa.table({"yr": yr, "promo_c": promo_c,
@@ -3833,11 +3820,8 @@ def lineitem_promo_share(sf_dir: str):
                                        ("total_c", "sum")])
 
     acc: dict = {}
-    ds = _read(sf_dir, "lineitem",
-               ["l_partkey", "l_extendedprice", "l_discount",
-                "l_shipdate"], split=True)
-    for b in ds.map_batches(partial, batch_format="pyarrow") \
-               .iter_batches(batch_format="pyarrow"):
+    for b in joined.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
         for r in b.to_pylist():
             p, t0 = acc.get(r["yr"], (0, 0))
             acc[r["yr"]] = (p + r["promo_c_sum"], t0 + r["total_c_sum"])

@@ -431,8 +431,9 @@ def minhash_lsh_pairs(
         import ray.data as rd
 
         # band_rows is already materialized in auto mode — its schema
-        # is free, unlike ds.schema() on an arbitrary lazy input
-        id_type = band_rows.schema().base_schema.field(id_col).type
+        # is free, unlike ds.schema() on an arbitrary lazy input; the
+        # stage always names the id column "doc_id"
+        id_type = band_rows.schema().base_schema.field("doc_id").type
         schema = pa.schema([("doc_a", id_type), ("doc_b", id_type),
                             ("est_jaccard", pa.float64())])
         frames = [b.to_pandas() for b in
@@ -553,7 +554,9 @@ def simhash_pairs(ds, col: str = "text", id_col: str = "doc_id",
     if strategy == "driver":
         import ray.data as rd
 
-        id_type = rows.schema().base_schema.field(id_col).type
+        # band rows always name the id column "doc_id" (the stage
+        # renames) — field(id_col) raised for non-default id_col
+        id_type = rows.schema().base_schema.field("doc_id").type
         schema = pa.schema([("doc_a", id_type), ("doc_b", id_type),
                             ("hamming", pa.int64())])
         frames = [b.to_pandas() for b in

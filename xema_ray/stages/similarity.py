@@ -107,6 +107,25 @@ class _TopKPartial:
         })
 
 
+class _RevOrd:
+    """Total-order inversion wrapper so the min-heap's eviction root is
+    (lowest cos, LARGEST id) — a plain (cos, id) key evicted the
+    SMALLEST id inside a boundary tie class, the opposite of the
+    (-cos, id asc) ranking contract (code-review r3s5, reproduced with
+    identical vectors); works for int and string ids alike."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
 def _merge_topk(cand_rows, k: int) -> pa.Table:
     """Driver-side merge of per-batch candidate rows into global top-k per
     query (count-bounded heaps), shared by the brute-force and IVF paths —
@@ -114,16 +133,16 @@ def _merge_topk(cand_rows, k: int) -> pa.Table:
     best: dict = {}
     for row in cand_rows:
         heap = best.setdefault(row["query_id"], [])
-        item = (row["cos_sim"], row["vec_id"])
+        item = (row["cos_sim"], _RevOrd(row["vec_id"]))
         if len(heap) < k:
             heapq.heappush(heap, item)
         else:
             heapq.heappushpop(heap, item)
     out_q, out_id, out_s, out_r = [], [], [], []
     for qid in sorted(best):
-        ranked = sorted(best[qid], key=lambda t: (-t[0], t[1]))
+        ranked = sorted(best[qid], key=lambda t: (-t[0], t[1].v))
         for r, (sc, vid) in enumerate(ranked, 1):
-            out_q.append(qid); out_id.append(vid); out_s.append(sc); out_r.append(r)
+            out_q.append(qid); out_id.append(vid.v); out_s.append(sc); out_r.append(r)
     return pa.table({
         "query_id": pa.array(out_q),
         "vec_id": pa.array(out_id),
@@ -242,6 +261,12 @@ def knn_per_label(ds, queries, k: int = 10, vec_col: str = "embedding",
     label-partitioned PARQUET layout the read itself would prune
     non-matching partitions and this stage is unchanged.
     """
+    return _knn_label_restricted(ds, queries, k, vec_col, id_col,
+                                 label_col, "same", concurrency)
+
+
+def _knn_label_restricted(ds, queries, k, vec_col, id_col, label_col,
+                          match, concurrency):
     import ray
 
     qids, qmat, qlabels = queries
@@ -251,7 +276,7 @@ def knn_per_label(ds, queries, k: int = 10, vec_col: str = "embedding",
         _TopKPerLabel,
         fn_constructor_kwargs={"queries_ref": ref, "k": k,
                                "vec_col": vec_col, "id_col": id_col,
-                               "label_col": label_col},
+                               "label_col": label_col, "match": match},
         batch_format="pyarrow", concurrency=concurrency,
     ).take_all()
     return _merge_topk(cand, k)
@@ -757,17 +782,5 @@ def hard_negatives(ds, queries, k: int = 10, vec_col: str = "embedding",
     against.  Identical shape to :func:`knn_per_label` with the mask
     inverted (cross-label candidates only), so the mining pass costs
     one fused matmul scan."""
-    import ray
-
-    qids, qmat, qlabels = queries
-    ref = ray.put((list(qids), np.asarray(qmat, dtype=np.float64),
-                   list(qlabels)))
-    cand = ds.map_batches(
-        _TopKPerLabel,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k,
-                               "vec_col": vec_col, "id_col": id_col,
-                               "label_col": label_col,
-                               "match": "different"},
-        batch_format="pyarrow", concurrency=concurrency,
-    ).take_all()
-    return _merge_topk(cand, k)
+    return _knn_label_restricted(ds, queries, k, vec_col, id_col,
+                                 label_col, "different", concurrency)
