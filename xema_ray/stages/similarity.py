@@ -652,12 +652,10 @@ def knn_ivf(ds, queries, centroids: np.ndarray, k: int = 10, nprobe: int = 4,
                 sims = self.qn @ m.T  # (nq, n_sub)
                 for qi in range(len(self.qids)):
                     probed = np.isin(sub_lids, self.probes[qi])
-                    cand = np.nonzero(probed)[0]
-                    if len(cand) == 0:
-                        continue
-                    kk = min(self.k, len(cand))
-                    best = cand[np.argpartition(-sims[qi, cand], kth=kk - 1)[:kk]]
-                    for j in best:
+                    # mask to -inf so the shared exact-tie local top-k
+                    # applies (argpartition alone broke boundary ties)
+                    row = np.where(probed, sims[qi], -np.inf)
+                    for j in _topk_rows(row, ids, self.k):
                         out_q.append(self.qids[qi])
                         out_id.append(ids[int(j)])
                         out_s.append(float(sims[qi, j]))
