@@ -155,3 +155,34 @@ class TestMergeTopkTies:
         out = knn_brute_force(ds, ([0], np.array([vec])), k=3)
         assert out["vec_id"].to_pylist() == [10, 11, 12]
         assert out["rank"].to_pylist() == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTransitions:
+    def test_matches_pandas_lag(self):
+        from xema_ray.stages.funnel import transition_counts
+
+        rng = np.random.default_rng(44)
+        n = 400
+        users = rng.integers(0, 30, n).tolist()
+        ts = rng.integers(0, 10**9, n).tolist()
+        types = rng.choice(["a", "b", "c"], n).tolist()
+        out = transition_counts(_events(ts, users, types, blocks=6))
+        got = {(r["prev_type"], r["next_type"]): r["n"]
+               for r in out.to_pylist()}
+        df = pd.DataFrame({"u": users, "ts": ts, "id": range(n),
+                           "ty": types}).sort_values(["u", "ts", "id"])
+        prev = df.groupby("u")["ty"].shift()
+        want = pd.DataFrame({"p": prev, "t": df["ty"]}).dropna() \
+            .value_counts().to_dict()
+        assert got == want
+
+    def test_no_cross_user_transitions(self):
+        from xema_ray.stages.funnel import transition_counts
+
+        # users interleave in time: u1 a->b, u2 c->a; no (b,c) pair
+        out = transition_counts(_events(
+            [1, 2, 3, 4], [1, 2, 1, 2], ["a", "c", "b", "a"], blocks=2))
+        got = {(r["prev_type"], r["next_type"]): r["n"]
+               for r in out.to_pylist()}
+        assert got == {("a", "b"): 1, ("c", "a"): 1}

@@ -3831,3 +3831,28 @@ def lineitem_promo_share(sf_dir: str):
                                          pa.int64()),
                      "total_c": pa.array([acc[y][1] for y in yrs],
                                          pa.int64())})
+
+
+@register(
+    "events_transitions",
+    """WITH o AS (SELECT user_id, event_type,
+            lag(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+          FROM events)
+    SELECT prev AS prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""",
+    doc="Markov TRANSITION matrix over per-user event sequences "
+        "(prev -> next under the total (ts, event_id) order): a "
+        "transition spans adjacent ROWS, so users co-locate once via "
+        "the coarse user-bucket groupby (the sessions shape), each "
+        "bucket pairs adjacent types vectorized and emits a "
+        "pre-counted <=|types|^2 matrix, B tiny matrices fold on the "
+        "driver",
+)
+def events_transitions(sf_dir: str):
+    from xema_ray.stages.funnel import transition_counts
+
+    return transition_counts(
+        _read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type"], split=True))

@@ -413,3 +413,63 @@ def decayed_user_scores(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("user_id").aggregate(Sum("score", alias_name="score"))
+
+
+def transition_counts(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      id_col: str = "event_id"):
+    """Global Markov TRANSITION matrix over per-user event sequences:
+    ``(prev_type, next_type, n)`` where consecutive-ness is defined by
+    the total (ts, event_id) order within each user.
+
+    Unlike the argmin/argmax folds, a transition SPANS adjacent rows,
+    so a user's events must co-locate once: rows exchange through the
+    coarse ``user % B`` bucket groupby (same shape as sessions), each
+    bucket lexsorts its users' rows, pairs adjacent types vectorized,
+    and emits a pre-counted ≤|types|² matrix; B tiny matrices fold on
+    the driver.  Hot-key caveat: one group carries a user's full
+    history — for a pathological bot user apply the time-bucket
+    sub-partitioning of :func:`~xema_ray.stages.windows.rolling_per_key`
+    (boundary rows replicate one row per bucket edge).
+    """
+    import pandas as pd
+
+    from xema_ray.stages.shuffle import default_shuffle_buckets
+
+    n_buckets = default_shuffle_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        users = t[user_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return t.append_column("bucket", pa.array(
+            (users % n_buckets).astype(np.int32), pa.int32()))
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        users = g[user_col].to_numpy(dtype=np.int64)
+        ts = g[ts_col].to_numpy()
+        eid = g[id_col].to_numpy(dtype=np.int64)
+        order = np.lexsort((eid, ts, users))
+        us = users[order]
+        types = g[type_col].to_numpy()[order]
+        same_user = us[1:] == us[:-1]
+        prev_t = types[:-1][same_user]
+        next_t = types[1:][same_user]
+        out = pd.DataFrame({"prev_type": prev_t, "next_type": next_t})
+        out = out.groupby(["prev_type", "next_type"], sort=True,
+                          as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    rows = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas").take_all()
+    acc: dict = {}
+    for r in rows:
+        key = (r["prev_type"], r["next_type"])
+        acc[key] = acc.get(key, 0) + int(r["n"])
+    keys = sorted(acc)
+    return pa.table({
+        "prev_type": pa.array([k[0] for k in keys], pa.string()),
+        "next_type": pa.array([k[1] for k in keys], pa.string()),
+        "n": pa.array([acc[k] for k in keys], pa.int64())})
