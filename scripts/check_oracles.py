@@ -2,7 +2,12 @@
 entry at a given sf and compare with oracle_sql() via DuckDB
 (row count + schema + order-insensitive value hash).
 
-Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Usage: python scripts/check_oracles.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, also write a CORRECTNESS_r*.json-shaped record (one object per
+query: rows_match/schema_match/hash_match/spark_rows/oracle_rows/err) so the
+FULL 105-query sweep can be committed per round alongside the driver's
+50-query sample.
 """
 
 from __future__ import annotations
@@ -45,8 +50,14 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    record: dict = {}
 
     import ray
 
@@ -78,22 +89,36 @@ def main():
             got = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"FAIL {name}: engine error {type(e).__name__}: {e}")
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"{type(e).__name__}: {e}"}
             failures += 1
             continue
         dt = time.time() - t0
         if name not in sqls:
             print(f"ok   {name}: rows={len(got)} (rows-only, {dt:.1f}s)")
+            record[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(got),
+                            "oracle_rows": None, "err": None,
+                            "rows_only": True}
             continue
         try:
             want = con.execute(sqls[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(got),
+                            "oracle_rows": None, "err": f"oracle: {e}"}
             failures += 1
             continue
         ok_rows = len(got) == len(want)
         ok_schema = sorted(got.columns) == sorted(want.columns)
         ok_hash = ok_rows and ok_schema and value_hash(got) == value_hash(want)
         status = "ok  " if (ok_rows and ok_schema and ok_hash) else "FAIL"
+        record[name] = {"rows_match": ok_rows, "schema_match": ok_schema,
+                        "hash_match": ok_hash, "spark_rows": len(got),
+                        "oracle_rows": len(want), "err": None}
         if status == "FAIL":
             failures += 1
         print(f"{status} {name}: rows={len(got)}/{len(want)} schema={ok_schema} "
@@ -109,6 +134,12 @@ def main():
             print(pd.concat([gs[diff].head(3).add_prefix("got_"),
                              ws[diff].head(3).add_prefix("want_")], axis=1))
     ray.shutdown()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"wrote {json_out} ({len(record)} queries)")
     sys.exit(1 if failures else 0)
 
 
