@@ -9,15 +9,20 @@ values only; at corpus scale this is a counting shuffle:
    "lines" of ``words_per_line`` words (the corpus has no natural
    newlines; a real web corpus would split on ``\\n`` instead — the
    counting/filter machinery is identical either way).
-2. **count** — per-batch partials ``(line_hash, n_docs)`` where
-   ``n_docs`` counts DISTINCT docs in the batch containing that line
-   (a doc never spans batches, so partial counts sum exactly).  Only
-   8-byte digests shuffle, never line text — and the counting pass is
+2. **count** — per-batch partials ``(line_hash, doc_hash)`` pairs,
+   capped at the ``max_docs + 1`` SMALLEST distinct doc hashes per
+   line (a k-minimum-values set: the global k smallest distinct
+   values each survive their own batch's cap, so the merged union
+   decides ``distinct_docs > max_docs`` exactly even when one
+   ``doc_id``'s rows are split across batches).  Only 16-byte digest
+   pairs shuffle, never line text — and the counting pass is
    STRING-FREE: line hashes are positional-polynomial mixes of
    per-word hashes (factorize once per batch, hash the unique
    vocabulary once, one ``add.reduceat`` per batch), the
    :func:`~xema_ray.functions.sketches.word_ngram_hashes` trick
-   applied to variable-width segments.
+   applied to variable-width segments.  Doc identity is a 64-bit
+   xxhash of the id string (collisions would undercount distinct
+   docs; at 64 bits this is negligible for any real corpus).
 3. **broadcast** — lines with ``n_docs > max_docs`` form the "common
    line" set: O(boilerplate lines), small by assumption, shipped once
    via ``ray.put`` and read once per actor.
@@ -110,9 +115,11 @@ def common_lines(ds, text_col: str = "text", id_col: str = "doc_id",
                  auto_driver_limit: int = 8_000_000) -> np.ndarray:
     """Sorted uint64 hashes of lines occurring in more than ``max_docs``
     distinct documents — the broadcastable boilerplate set."""
+    from xema_ray.functions.sketches import hash_strings
     from xema_ray.stages.shuffle import default_shuffle_buckets
 
     n_buckets = default_shuffle_buckets()
+    kmv = max_docs + 1  # k-minimum-values cap per (batch, line)
 
     def partial(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pandas().fillna("").str.lower() \
@@ -120,24 +127,35 @@ def common_lines(ds, text_col: str = "text", id_col: str = "doc_id",
         ex, rows, pos = _word_stream(texts)
         lrows, _, h, _ = _line_hashes_from_stream(ex, rows, pos,
                                                   words_per_line)
-        # distinct (doc_id VALUE, line) first — count(DISTINCT doc_id)
-        # semantics: two batch rows sharing one doc_id count once
-        # (code-review r3: the batch-row index is NOT the identity).
-        # Cross-batch duplicate ids still count once per batch — exact
-        # global distinctness would exchange (line, doc) pairs instead
-        # of counts; documented co-batched/unique-id assumption.
-        id_codes = pd.factorize(
-            t[id_col].to_pandas().to_numpy())[0].astype(np.int64)
-        key = np.stack([id_codes[lrows].astype(np.uint64), h], axis=1) \
-            if len(h) else np.empty((0, 2), dtype=np.uint64)
-        key = np.unique(key, axis=0)
-        uh, cnt = (np.unique(key[:, 1], return_counts=True)
-                   if len(key) else (np.empty(0, np.uint64),
-                                     np.empty(0, np.int64)))
+        # distinct (doc HASH, line) pairs — count(DISTINCT doc_id)
+        # semantics: the doc's VALUE is the identity (not the batch-row
+        # index), and hashing it makes partials mergeable across
+        # batches even when one doc_id's rows are split between them.
+        # Cap at the kmv smallest doc hashes per line: the global kmv
+        # smallest distinct values survive every per-batch cap, so the
+        # merged union decides `distinct > max_docs` exactly.
+        codes, uniq_ids = pd.factorize(t[id_col].to_pandas().to_numpy())
+        uniq_ids = np.asarray(uniq_ids)
+        if uniq_ids.dtype != object or (
+                len(uniq_ids) and not isinstance(uniq_ids[0], str)):
+            uniq_ids = uniq_ids.astype(str)  # hash the id's string form
+        dh_vocab = hash_strings(uniq_ids.astype(object))
+        if len(h):
+            pair = np.stack([h, dh_vocab[codes[lrows]]], axis=1)
+            pair = np.unique(pair, axis=0)  # sorted by (h, dh)
+            starts = np.ones(len(pair), dtype=bool)
+            starts[1:] = pair[1:, 0] != pair[:-1, 0]
+            sidx = np.flatnonzero(starts)
+            rank = np.arange(len(pair), dtype=np.int64)
+            rank -= np.repeat(rank[sidx], np.diff(
+                np.append(sidx, len(pair))))
+            pair = pair[rank < kmv]
+        else:
+            pair = np.empty((0, 2), dtype=np.uint64)
         return pa.table({
-            "h": pa.array(uh.astype(np.uint64), type=pa.uint64()),
-            "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
-            "bucket": pa.array((uh % n_buckets).astype(np.int32),
+            "h": pa.array(pair[:, 0], type=pa.uint64()),
+            "dh": pa.array(pair[:, 1], type=pa.uint64()),
+            "bucket": pa.array((pair[:, 0] % n_buckets).astype(np.int32),
                                type=pa.int32()),
         })
 
@@ -146,11 +164,11 @@ def common_lines(ds, text_col: str = "text", id_col: str = "doc_id",
     def fold(df: pd.DataFrame) -> np.ndarray:
         if not len(df):
             return np.empty(0, dtype=np.uint64)
-        h = df["h"].to_numpy(dtype=np.uint64)
-        uniq, inv = np.unique(h, return_inverse=True)
-        sums = np.zeros(len(uniq), np.int64)
-        np.add.at(sums, inv, df["cnt"].to_numpy(dtype=np.int64))
-        return uniq[sums > max_docs]
+        pair = np.stack([df["h"].to_numpy(dtype=np.uint64),
+                         df["dh"].to_numpy(dtype=np.uint64)], axis=1)
+        pair = np.unique(pair, axis=0)
+        uniq, cnt = np.unique(pair[:, 0], return_counts=True)
+        return uniq[cnt > max_docs]
 
     if strategy == "auto":
         partials = partials.materialize()
