@@ -159,29 +159,58 @@ def duplicate_values(ds, col: str = "doc_id", strategy: str = "auto",
         }))
 
     dup_set = pa.array(np.sort(dup_h), type=pa.int64())
+    n_buckets = 1 << bucket_bits
 
     def resolve(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({col: pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64()),
+                          "bucket": pa.array([], type=pa.int32())})
         ids = tbl[col].combine_chunks().drop_null()
         if len(ids) == 0:
-            return pa.table({col: ids, "cnt": pa.array([], type=pa.int64())})
+            return empty
         h = pa.array(hash_strings(ids.to_pylist()).view(np.int64), type=pa.int64())
         hits = ids.filter(pc.is_in(h, value_set=dup_set))
         vc = hits.value_counts()
         if len(vc) == 0:
-            return pa.table({col: hits, "cnt": pa.array([], type=pa.int64())})
-        return pa.table({col: vc.field("values"),
-                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+            return empty
+        vals = pc.cast(vc.field("values"), pa.string())
+        bucket = (hash_strings(vals.to_pylist()) % n_buckets).astype(np.int32)
+        return pa.table({col: vals,
+                         "cnt": pc.cast(vc.field("counts"), pa.int64()),
+                         "bucket": pa.array(bucket, type=pa.int32())})
 
-    resolved = thin.map_batches(resolve, batch_format="pyarrow").take_all()
-    agg: dict = {}
-    for r in resolved:
-        agg[r[col]] = agg.get(r[col], 0) + r["cnt"]
-    dups = {k: v for k, v in agg.items() if v > 1}
-    keys = sorted(dups)
-    return rd.from_arrow(pa.table({
-        col: pa.array(keys, type=pa.string()),
-        "n_occurrences": pa.array([dups[k] for k in keys], type=pa.int64()),
-    }))
+    resolved = thin.map_batches(resolve, batch_format="pyarrow")
+
+    def final_merge(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        g = df.groupby(col, sort=True)["cnt"].sum()
+        g = g[g > 1]
+        return pd.DataFrame({col: g.index.to_numpy(dtype=object),
+                             "n_occurrences": g.to_numpy(dtype=np.int64)})
+
+    if strategy == "driver":
+        # bounded: the auto lane chose 'driver' only when Σdistinct-per-
+        # batch is small; dup occurrences are a subset of that
+        import pandas as pd
+
+        frames = [b.to_pandas() for b in
+                  resolved.iter_batches(batch_format="pyarrow")]
+        merged = final_merge(pd.concat(frames, ignore_index=True)
+                             .drop(columns=["bucket"])) if frames \
+            else None
+        if merged is None or not len(merged):
+            return rd.from_arrow(pa.table({
+                col: pa.array([], type=pa.string()),
+                "n_occurrences": pa.array([], type=pa.int64())}))
+        return rd.from_arrow(pa.Table.from_pandas(
+            merged, preserve_index=False).cast(pa.schema(
+                [(col, pa.string()), ("n_occurrences", pa.int64())])))
+    # multi-node lane: each value lands in exactly one bucket, so
+    # per-bucket folds are globally complete — no driver state at all
+    return resolved.groupby("bucket").map_groups(
+        lambda g: final_merge(g.drop(columns=["bucket"])),
+        batch_format="pandas")
 
 
 def uniqueness_violations(ds, col: str = "doc_id"):
