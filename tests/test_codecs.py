@@ -2,6 +2,7 @@
 real decode path through the multimodal feature stage."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from xema_ray.functions.codecs import (
@@ -323,3 +324,122 @@ def test_ppmv_media_extractor_video_path():
     chunks = pooled[: (len(pooled) // 64) * 64].reshape(64, -1).mean(axis=1)
     expect = chunks / (np.linalg.norm(chunks) or 1.0)
     assert np.allclose(feats, expect, atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# JPEG (baseline T.81)
+# ----------------------------------------------------------------------
+
+
+def _gradient(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(x * 255 // max(w - 1, 1)),
+                     (y * 255 // max(h - 1, 1)),
+                     ((x + y) * 255 // max(h + w - 2, 1))],
+                    axis=-1).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_smooth_image_all_subsamplings():
+    from xema_ray.functions.codecs import decode_jpeg, encode_jpeg
+
+    img = _gradient(33, 41)
+    for ss, tol in (("444", 6), ("422", 10), ("420", 14)):
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsampling=ss))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int)).max()
+        assert err <= tol, (ss, err)
+
+
+def test_jpeg_quality100_near_lossless_and_const_exact():
+    from xema_ray.functions.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, quality=100, subsampling="444"))
+    assert np.abs(out.astype(int) - noise.astype(int)).max() <= 4
+    const = np.full((19, 23, 3), 137, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(const, quality=85)), const)
+
+
+def test_jpeg_grayscale_and_odd_sizes():
+    from xema_ray.functions.codecs import decode_jpeg, encode_jpeg
+
+    g = np.tile(np.arange(64, dtype=np.uint8), (8, 1))
+    out = decode_jpeg(encode_jpeg(g, quality=100))
+    assert out.shape == g.shape and np.abs(
+        out.astype(int) - g.astype(int)).max() <= 1
+    rng = np.random.default_rng(3)
+    for h, w, ss in ((1, 1, "444"), (9, 9, "420"), (17, 31, "422")):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert decode_jpeg(encode_jpeg(img, subsampling=ss)).shape == img.shape
+
+
+def test_jpeg_restart_markers_decode_identically():
+    from xema_ray.functions.codecs import decode_jpeg, encode_jpeg
+
+    img = _gradient(40, 24)
+    plain = decode_jpeg(encode_jpeg(img, quality=90))
+    with_rst = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=2))
+    assert np.array_equal(plain, with_rst)
+
+
+def test_jpeg_deterministic():
+    from xema_ray.functions.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+    b1, b2 = encode_jpeg(img), encode_jpeg(img)
+    assert b1 == b2
+    assert np.array_equal(decode_jpeg(b1), decode_jpeg(b1))
+
+
+@pytest.mark.parametrize("bad", [
+    b"nope",
+    b"\xFF\xD8\xFF\xC2\x00\x05abc",      # progressive SOF2 -> unsupported
+    b"\xFF\xD8\xFF\xDB\x00\x99\x00",     # truncated DQT segment
+])
+def test_jpeg_malformed_raises(bad):
+    from xema_ray.functions.codecs import MediaDecodeError, decode_jpeg
+
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(bad)
+
+
+def test_jpeg_truncated_scan_raises():
+    from xema_ray.functions.codecs import MediaDecodeError, decode_jpeg, \
+        encode_jpeg
+
+    rng = np.random.default_rng(5)
+    full = encode_jpeg(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(full[: len(full) // 2])
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(full[:40])
+
+
+def test_jpeg_media_extractor_real_decode(ray_session):
+    """image/jpeg rows flow through the REAL decode path of the actor
+    stage (not the byte stub): a decoded gradient's feature differs from
+    the stub feature of the same payload bytes."""
+    import ray.data as rd
+
+    from xema_ray.functions.codecs import encode_jpeg
+    from xema_ray.stages.multimodal import MediaFeatureExtractor, \
+        extract_features
+
+    img = _gradient(32, 32)
+    payload = encode_jpeg(img, quality=90)
+    tbl = pa.table({
+        "media_id": ["j-0"], "payload": pa.array([payload], pa.binary()),
+        "mime": ["image/jpeg"], "width": pa.array([32], pa.int32()),
+        "height": pa.array([32], pa.int32()),
+        "duration_ms": pa.array([0], pa.int32()),
+    })
+    out = extract_features(rd.from_arrow(tbl), batch_size=8).take_all()
+    feats = np.array(out[0]["features"])
+    assert feats.shape == (64,) and np.isfinite(feats).all()
+    # stub feature of the same bytes (decode path forced off)
+    ext = MediaFeatureExtractor(decode_stub=True)
+    stub = ext._decode(payload, "application/octet-stream")
+    assert not np.allclose(
+        feats, stub[:64] / max(np.linalg.norm(stub[:64]), 1e-9))

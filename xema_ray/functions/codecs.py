@@ -1,13 +1,17 @@
 """Pure-numpy media codecs — the REAL decode path for the multimodal
 stage in an environment without image/audio libraries.
 
-Three self-contained formats:
+Four self-contained formats (plus the PPMV video container below):
 
 * **PPM (P6)** — binary Portable PixMap: ``P6 <w> <h> <maxval>`` header
   (ASCII, ``#`` comments allowed) followed by h·w·3 raw bytes.
 * **PNG** — full spec subset: 8-bit depth, color types 0/2/3/4/6
   (palette expanded via PLTE), all five scanline filters, CRC-checked
   chunks; inflate via stdlib ``zlib``.
+* **JPEG** — baseline sequential DCT (ITU-T T.81): huffman entropy
+  decode from in-stream tables, dequantization, batched 8x8 IDCT,
+  generic sampling factors (4:4:4/4:2:2/4:2:0), restart markers;
+  encoder with the spec's Annex K example tables.
 * **WAV (PCM)** — RIFF container with ``fmt `` (PCM, 8/16-bit) and
   ``data`` chunks.
 
@@ -401,3 +405,585 @@ def resize_box(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     cnt = ((re[1:] - re[:-1])[:, None] * (ce[1:] - ce[:-1])[None, :])
     cnt = cnt.reshape(cnt.shape + (1,) * (a.ndim - 2))
     return (blk // cnt).astype(arr.dtype)
+
+
+# ----------------------------------------------------------------------
+# JPEG — baseline sequential DCT (public JFIF / ITU-T T.81 spec),
+# stdlib+numpy only: huffman entropy coding, dequant, 8x8 DCT/IDCT.
+# The decoder reads quant/huffman tables FROM the stream (any baseline
+# encoder's output decodes, not just ours); the encoder writes the
+# spec's Annex K example tables.  DCT/IDCT run batched over all blocks
+# of an image via np.einsum (fixed summation order — no BLAS dispatch),
+# so decode is deterministic across nodes.  Supported: 8-bit baseline
+# (SOF0), 1 or 3 components, sampling factors 1-2 (4:4:4/4:2:2/4:2:0),
+# restart markers.  Rejected with MediaDecodeError: progressive (SOF2),
+# arithmetic coding, 12-bit, hierarchical — the corrupt/unsupported
+# stream hook for on_error="null" upstream.
+# ----------------------------------------------------------------------
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """Zigzag scan order: position k in the scan -> row-major index."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            diag.reverse()
+        order += [r * 8 + c for r, c in diag]
+    return np.array(order, dtype=np.int64)
+
+
+_JZZ = _jpeg_zigzag()
+_JUNZZ = np.argsort(_JZZ)  # row-major index -> zigzag position
+
+# Annex K example quantization tables (row-major)
+_JQ_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+_JQ_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K typical huffman tables: (bits[1..16], values)
+_JH_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+_JH_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_JH_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_JH_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    k = np.arange(8, dtype=np.float64)[:, None]
+    n = np.arange(8, dtype=np.float64)[None, :]
+    m = np.cos((2 * n + 1) * k * np.pi / 16) / 2.0
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_JDCT_M = _jpeg_dct_matrix()
+
+
+def _jpeg_quality_tables(quality: int):
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qy = np.clip((_JQ_LUMA * scale + 50) // 100, 1, 255)
+    qc = np.clip((_JQ_CHROMA * scale + 50) // 100, 1, 255)
+    return qy, qc
+
+
+def _huff_encode_table(bits, values):
+    """symbol -> (code, length) dict from a (bits, values) spec."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_lut(bits, values):
+    """Full 16-bit-prefix lookup: two arrays (symbol int16, length uint8).
+    length 0 marks an invalid prefix."""
+    sym = np.full(1 << 16, -1, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.uint8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            sym[lo:hi] = values[k]
+            ln[lo:hi] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return sym, ln
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.cnt = 0
+
+    def write(self, code: int, length: int):
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.cnt += length
+        while self.cnt >= 8:
+            self.cnt -= 8
+            b = (self.buf >> self.cnt) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.buf &= (1 << self.cnt) - 1
+
+    def flush(self):
+        if self.cnt:
+            pad = 8 - self.cnt
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _jpeg_magnitude(v: int):
+    """(category size, extra-bits value) for a DC diff / AC coefficient."""
+    a = -v if v < 0 else v
+    size = int(a).bit_length()
+    if v < 0:
+        v += (1 << size) - 1
+    return size, v
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    a = arr.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255)
+
+
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) multiple-of-8 plane -> (n_blocks, 8, 8) row-major blocks."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    return plane.reshape(bh, 8, bw, 8).swapaxes(1, 2).reshape(-1, 8, 8)
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate pad up to (mh, mw)."""
+    return np.pad(plane, ((0, mh - plane.shape[0]), (0, mw - plane.shape[1])),
+                  mode="edge")
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                subsampling: str = "444", restart_interval: int = 0) -> bytes:
+    """``(h, w, 3)`` RGB or ``(h, w)`` grayscale uint8 -> baseline JFIF
+    bytes.  ``subsampling``: '444', '422' or '420' (3-component only)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encode_jpeg expects (h, w, 3) or (h, w) uint8")
+    h, w = arr.shape[0], arr.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("encode_jpeg: empty image")
+    samp = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}.get(subsampling)
+    if samp is None:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hs, vs = (1, 1) if gray else samp
+    qy, qc = _jpeg_quality_tables(quality)
+
+    # --- planes -------------------------------------------------------
+    if gray:
+        comps = [(1, 1, 1, 0, arr.astype(np.float64))]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        # chroma box-downsample by the sampling factors (exact mean)
+        cpl = []
+        for ci in (1, 2):
+            p = ycc[..., ci]
+            if hs > 1 or vs > 1:
+                ph = _pad_to(p, -(-h // vs) * vs, -(-w // hs) * hs)
+                p = ph.reshape(ph.shape[0] // vs, vs,
+                               ph.shape[1] // hs, hs).mean(axis=(1, 3))
+                p = np.round(p)
+            cpl.append(p)
+        comps = [(1, hs, vs, 0, ycc[..., 0]),
+                 (2, 1, 1, 1, cpl[0]), (3, 1, 1, 1, cpl[1])]
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * max_h, 8 * max_v
+    mcols, mrows = -(-w // mcu_w), -(-h // mcu_h)
+
+    # --- per-component quantized zigzag blocks in MCU order ------------
+    comp_blocks = []
+    for (_cid, ch, cv, qid, plane) in comps:
+        bw_, bh_ = mcols * ch, mrows * cv
+        plane = _pad_to(plane, bh_ * 8, bw_ * 8)
+        blocks = _plane_blocks(plane) - 128.0  # (bh_*bw_, 8, 8) row-major
+        f = np.einsum("ij,bjk,lk->bil", _JDCT_M, blocks, _JDCT_M)
+        q = (qy if qid == 0 else qc).reshape(8, 8).astype(np.float64)
+        coef = np.round(f / q).astype(np.int64)
+        zz = coef.reshape(-1, 64)[:, _JZZ]
+        comp_blocks.append((ch, cv, bw_, zz))
+
+    # --- entropy coding -------------------------------------------------
+    enc_dc = [_huff_encode_table(*_JH_DC_LUMA),
+              _huff_encode_table(*_JH_DC_CHROMA)]
+    enc_ac = [_huff_encode_table(*_JH_AC_LUMA),
+              _huff_encode_table(*_JH_AC_CHROMA)]
+    bwio = _JpegBitWriter()
+    prev_dc = [0] * len(comps)
+    segments = []
+    mcu_in_seg = 0
+    for mr in range(mrows):
+        for mc in range(mcols):
+            if restart_interval and mcu_in_seg == restart_interval:
+                bwio.flush()
+                segments.append(bytes(bwio.out))
+                bwio = _JpegBitWriter()
+                prev_dc = [0] * len(comps)
+                mcu_in_seg = 0
+            for ci, (ch, cv, bw_, zz) in enumerate(comp_blocks):
+                tid = 0 if ci == 0 else 1
+                dct, act = enc_dc[tid], enc_ac[tid]
+                for v in range(cv):
+                    for hh in range(ch):
+                        bi = (mr * cv + v) * bw_ + (mc * ch + hh)
+                        blk = zz[bi]
+                        diff = int(blk[0]) - prev_dc[ci]
+                        prev_dc[ci] = int(blk[0])
+                        size, bitsv = _jpeg_magnitude(diff)
+                        code, ln = dct[size]
+                        bwio.write(code, ln)
+                        if size:
+                            bwio.write(bitsv, size)
+                        nz = np.flatnonzero(blk[1:])
+                        run = 0
+                        last = 0
+                        for p in nz:
+                            run = int(p) - last
+                            last = int(p) + 1
+                            while run > 15:
+                                code, ln = act[0xF0]
+                                bwio.write(code, ln)
+                                run -= 16
+                            size, bitsv = _jpeg_magnitude(int(blk[1 + p]))
+                            code, ln = act[(run << 4) | size]
+                            bwio.write(code, ln)
+                            bwio.write(bitsv, size)
+                        if last < 63:
+                            code, ln = act[0x00]  # EOB
+                            bwio.write(code, ln)
+            mcu_in_seg += 1
+    bwio.flush()
+    segments.append(bytes(bwio.out))
+    scan = bytearray()
+    for i, seg in enumerate(segments):
+        scan += seg
+        if i < len(segments) - 1:
+            scan += bytes([0xFF, 0xD0 + (i % 8)])
+
+    # --- headers --------------------------------------------------------
+    def marker(code: int, body: bytes) -> bytes:
+        return struct.pack(">HH", code, len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += marker(0xFFDB, b"\x00" + bytes(qy[_JZZ].astype(np.uint8)))
+    if not gray:
+        out += marker(0xFFDB, b"\x01" + bytes(qc[_JZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for (cid, ch, cv, qid, _p) in comps:
+        sof += bytes([cid, (ch << 4) | cv, qid])
+    out += marker(0xFFC0, sof)
+    for tc, th, (bits, vals) in ((0, 0, _JH_DC_LUMA), (1, 0, _JH_AC_LUMA),
+                                 (0, 1, _JH_DC_CHROMA),
+                                 (1, 1, _JH_AC_CHROMA)):
+        if gray and th == 1:
+            continue
+        out += marker(0xFFC4, bytes([(tc << 4) | th]) + bytes(bits)
+                      + bytes(vals))
+    if restart_interval:
+        out += marker(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for ci, (cid, *_rest) in enumerate(comps):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([cid, (tid << 4) | tid])
+    sos += b"\x00\x3F\x00"
+    out += marker(0xFFDA, sos)
+    out += scan
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """Bit reader over one unstuffed entropy segment; reads past the end
+    return 0-bits (spec padding) but more than 8 bytes of overrun means
+    the scan was truncated."""
+
+    __slots__ = ("data", "pos", "buf", "cnt")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.cnt = 0
+
+    def _fill(self, n: int):
+        while self.cnt < n:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            if self.pos >= len(self.data) + 8:
+                raise MediaDecodeError("JPEG scan truncated")
+            self.pos += 1
+            self.buf = (self.buf << 8) | b
+            self.cnt += 8
+
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self.buf >> (self.cnt - 16)) & 0xFFFF
+
+    def take(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill(n)
+        self.cnt -= n
+        v = (self.buf >> self.cnt) & ((1 << n) - 1)
+        self.buf &= (1 << self.cnt) - 1
+        return v
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    if size and v < (1 << (size - 1)):
+        v -= (1 << size) - 1
+    return v
+
+
+@_decode_guard
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF -> ``(h, w, 3)`` uint8 (or ``(h, w)`` grayscale)."""
+    if payload[:2] != b"\xFF\xD8":
+        raise MediaDecodeError("not a JPEG payload (no SOI)")
+    pos = 2
+    qtabs: dict = {}
+    hufs: dict = {}
+    sof = None
+    restart = 0
+    scan_start = None
+    scomps = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise MediaDecodeError("JPEG marker desync")
+        m = payload[pos + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise MediaDecodeError("JPEG segment truncated")
+        if m == 0xDB:  # DQT (possibly several tables per segment)
+            b = body
+            while b:
+                pq, tq = b[0] >> 4, b[0] & 0xF
+                if pq != 0:
+                    raise MediaDecodeError("16-bit quant tables unsupported")
+                if len(b) < 65:
+                    raise MediaDecodeError("DQT truncated")
+                qtabs[tq] = np.frombuffer(b[1:65], np.uint8) \
+                    .astype(np.int64)  # zigzag order
+                b = b[65:]
+        elif m == 0xC4:  # DHT
+            b = body
+            while b:
+                tc, th = b[0] >> 4, b[0] & 0xF
+                if len(b) < 17:
+                    raise MediaDecodeError("DHT truncated")
+                bits = list(b[1:17])
+                n = sum(bits)
+                vals = list(b[17:17 + n])
+                if len(vals) != n:
+                    raise MediaDecodeError("DHT values truncated")
+                hufs[(tc, th)] = _huff_decode_lut(bits, vals)
+                b = b[17 + n:]
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 (baseline/extended seq)
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise MediaDecodeError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, sf, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, sf >> 4, sf & 0xF, tq))
+            sof = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise MediaDecodeError(
+                "only baseline sequential JPEG is supported "
+                f"(SOF marker 0xFF{m:02X})")
+        elif m == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif m == 0xDA:  # SOS
+            ns = body[0]
+            scomps = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
+                       body[2 + 2 * i] & 0xF) for i in range(ns)]
+            scan_start = pos + 2 + ln
+            break
+        elif m == 0xD9:  # EOI before SOS
+            break
+        pos += 2 + ln
+    if sof is None or scan_start is None or scomps is None:
+        raise MediaDecodeError("JPEG missing SOF/SOS")
+    h, w, comps = sof
+    if h == 0 or w == 0:
+        raise MediaDecodeError("JPEG zero dimensions")
+    for (_cid, ch, cv, _tq) in comps:
+        if ch not in (1, 2, 4) or cv not in (1, 2, 4):
+            raise MediaDecodeError(f"unsupported sampling {ch}x{cv}")
+
+    # split entropy data on restart markers, find scan end
+    segs = []
+    seg0 = scan_start
+    p = scan_start
+    data = payload
+    nd = len(data)
+    while True:
+        ff = data.find(b"\xFF", p)
+        if ff < 0 or ff + 1 >= nd:
+            segs.append(data[seg0:nd])
+            break
+        nxt = data[ff + 1]
+        if nxt == 0x00:
+            p = ff + 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:  # RSTn
+            segs.append(data[seg0:ff])
+            seg0 = ff + 2
+            p = ff + 2
+            continue
+        segs.append(data[seg0:ff])  # EOI or next marker ends the scan
+        break
+    segs = [s.replace(b"\xFF\x00", b"\xFF") for s in segs]
+
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcols, mrows = -(-w // (8 * max_h)), -(-h // (8 * max_v))
+    by_id = {cid: (ch, cv, tq) for (cid, ch, cv, tq) in comps}
+    order = []
+    for (cid, dtab, atab) in scomps:
+        if cid not in by_id:
+            raise MediaDecodeError(f"SOS references unknown component {cid}")
+        ch, cv, tq = by_id[cid]
+        if tq not in qtabs:
+            raise MediaDecodeError(f"missing quant table {tq}")
+        if (0, dtab) not in hufs or (1, atab) not in hufs:
+            raise MediaDecodeError("missing huffman table")
+        order.append((cid, ch, cv, qtabs[tq], hufs[(0, dtab)],
+                      hufs[(1, atab)]))
+
+    # decode all blocks' zigzag coefficient vectors
+    coef = []
+    bws = []
+    for (_cid, ch, cv, _q, _d, _a) in order:
+        bw_, bh_ = mcols * ch, mrows * cv
+        coef.append(np.zeros((bh_ * bw_, 64), dtype=np.int64))
+        bws.append(bw_)
+    n_mcu = mrows * mcols
+    mcu = 0
+    for seg in segs:
+        rd = _JpegBitReader(seg)
+        prev_dc = [0] * len(order)
+        limit = min(n_mcu, mcu + restart) if restart else n_mcu
+        while mcu < limit:
+            mr, mc = divmod(mcu, mcols)
+            for ci, (_cid, ch, cv, _q, (dsym, dln), (asym, aln)) \
+                    in enumerate(order):
+                for v in range(cv):
+                    for hh in range(ch):
+                        vec = coef[ci][(mr * cv + v) * bws[ci]
+                                       + (mc * ch + hh)]
+                        pk = rd.peek16()
+                        ln_ = int(dln[pk])
+                        if ln_ == 0:
+                            raise MediaDecodeError("bad huffman code (DC)")
+                        rd.take(ln_)
+                        size = int(dsym[pk])
+                        diff = _jpeg_extend(rd.take(size), size)
+                        prev_dc[ci] += diff
+                        vec[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            pk = rd.peek16()
+                            ln_ = int(aln[pk])
+                            if ln_ == 0:
+                                raise MediaDecodeError(
+                                    "bad huffman code (AC)")
+                            rd.take(ln_)
+                            rs = int(asym[pk])
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise MediaDecodeError(
+                                    "AC coefficient index overflow")
+                            vec[k] = _jpeg_extend(rd.take(size), size)
+                            k += 1
+            mcu += 1
+        if mcu >= n_mcu:
+            break
+    if mcu < n_mcu:
+        raise MediaDecodeError(
+            f"JPEG scan ended after {mcu}/{n_mcu} MCUs")
+
+    # dequant + IDCT per component (batched), assemble, upsample, crop
+    planes = []
+    for ci, (_cid, ch, cv, q, _d, _a) in enumerate(order):
+        dq = (coef[ci] * q[None, :])[:, _JUNZZ].reshape(-1, 8, 8) \
+            .astype(np.float64)
+        blocks = np.einsum("ji,bjk,kl->bil", _JDCT_M, dq, _JDCT_M) + 128.0
+        bw_, bh_ = mcols * ch, mrows * cv
+        plane = blocks.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(bh_ * 8, bw_ * 8)
+        if ch != max_h or cv != max_v:
+            if max_h % ch or max_v % cv:
+                raise MediaDecodeError("non-integral sampling ratio")
+            plane = np.repeat(np.repeat(plane, max_v // cv, axis=0),
+                              max_h // ch, axis=1)
+        planes.append(plane[:h, :w])
+    out = np.clip(np.round(np.stack(planes, axis=-1)), 0, 255)
+    if len(planes) == 1:
+        return out[:, :, 0].astype(np.uint8)
+    if len(planes) != 3:
+        raise MediaDecodeError(f"unsupported component count {len(planes)}")
+    y, cb, cr = out[..., 0], out[..., 1] - 128.0, out[..., 2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136286 * cb - 0.714136286 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -827,7 +827,7 @@ def emb_near_dup_lsh(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"])
 
 
-@register("media_features", """SELECT * FROM (VALUES ('m-00000000','image/x-portable-pixmap',64,79440),('m-00000001','audio/wav',64,72163),('m-00000002','image/jpeg',64,79753),('m-00000003','image/png',64,79631),('m-00000004','video/x-ppmv',64,79510),('m-00000005','image/x-portable-pixmap',64,79444),('m-00000006','audio/wav',64,71920),('m-00000007','image/jpeg',64,79783),('m-00000008','image/png',64,79765),('m-00000009','video/x-ppmv',64,79845),('m-00000010','image/x-portable-pixmap',64,79638),('m-00000011','audio/wav',64,71269),('m-00000012','image/jpeg',64,79706),('m-00000013','image/png',64,79378),('m-00000014','video/x-ppmv',64,79386),('m-00000015','image/x-portable-pixmap',64,79605),('m-00000016','audio/wav',64,72160),('m-00000017','image/jpeg',64,79768),('m-00000018','image/png',64,79690),('m-00000019','video/x-ppmv',64,79599),('m-00000020','image/x-portable-pixmap',64,78867),('m-00000021','audio/wav',64,71619),('m-00000022','image/jpeg',64,79791),('m-00000023','image/png',64,79782),('m-00000024','video/x-ppmv',64,79823),('m-00000025','image/x-portable-pixmap',64,79640),('m-00000026','audio/wav',64,71734),('m-00000027','image/jpeg',64,79792),('m-00000028','image/png',64,78922),('m-00000029','video/x-ppmv',64,79595),('m-00000030','image/x-portable-pixmap',64,79788),('m-00000031','audio/wav',64,71974),('m-00000032','image/jpeg',64,79736),('m-00000033','image/png',64,79383),('m-00000034','video/x-ppmv',64,79703),('m-00000035','image/x-portable-pixmap',64,79137),('m-00000036','audio/wav',64,72603),('m-00000037','image/jpeg',64,79778),('m-00000038','image/png',64,79615),('m-00000039','video/x-ppmv',64,79548),('m-00000040','image/x-portable-pixmap',64,77151),('m-00000041','audio/wav',64,71642),('m-00000042','image/jpeg',64,79768),('m-00000043','image/png',64,79834),('m-00000044','video/x-ppmv',64,79121),('m-00000045','image/x-portable-pixmap',64,79485),('m-00000046','audio/wav',64,71700),('m-00000047','image/jpeg',64,79819),('m-00000048','image/png',64,79436),('m-00000049','video/x-ppmv',64,79449),('m-00000050','image/x-portable-pixmap',64,79485),('m-00000051','audio/wav',64,72324),('m-00000052','image/jpeg',64,79809),('m-00000053','image/png',64,79277),('m-00000054','video/x-ppmv',64,78979),('m-00000055','image/x-portable-pixmap',64,79636),('m-00000056','audio/wav',64,68343),('m-00000057','image/jpeg',64,79751),('m-00000058','image/png',64,79574),('m-00000059','video/x-ppmv',64,79186),('m-00000060','image/x-portable-pixmap',64,79512),('m-00000061','audio/wav',64,78611),('m-00000062','image/jpeg',64,79825),('m-00000063','image/png',64,78858),('m-00000064','video/x-ppmv',64,79874),('m-00000065','image/x-portable-pixmap',64,79681),('m-00000066','audio/wav',64,72250),('m-00000067','image/jpeg',64,79801),('m-00000068','image/png',64,79813),('m-00000069','video/x-ppmv',64,79827),('m-00000070','image/x-portable-pixmap',64,79738),('m-00000071','audio/wav',64,71949),('m-00000072','image/jpeg',64,79764),('m-00000073','image/png',64,79449),('m-00000074','video/x-ppmv',64,79464),('m-00000075','image/x-portable-pixmap',64,79847),('m-00000076','audio/wav',64,72578),('m-00000077','image/jpeg',64,79726),('m-00000078','image/png',64,78615),('m-00000079','video/x-ppmv',64,79783),('m-00000080','image/x-portable-pixmap',64,79436),('m-00000081','audio/wav',64,70525),('m-00000082','image/jpeg',64,79805),('m-00000083','image/png',64,79589),('m-00000084','video/x-ppmv',64,79621),('m-00000085','image/x-portable-pixmap',64,79792),('m-00000086','audio/wav',64,71871),('m-00000087','image/jpeg',64,79798),('m-00000088','image/png',64,79616),('m-00000089','video/x-ppmv',64,79882),('m-00000090','image/x-portable-pixmap',64,79583),('m-00000091','audio/wav',64,71706),('m-00000092','image/jpeg',64,79851),('m-00000093','image/png',64,79602),('m-00000094','video/x-ppmv',64,79468),('m-00000095','image/x-portable-pixmap',64,79742),('m-00000096','audio/wav',64,72652),('m-00000097','image/jpeg',64,79817),('m-00000098','image/png',64,79390),('m-00000099','video/x-ppmv',64,79685),('m-00000100','image/x-portable-pixmap',64,79398),('m-00000101','audio/wav',64,72474),('m-00000102','image/jpeg',64,79782),('m-00000103','image/png',64,78290),('m-00000104','video/x-ppmv',64,79658),('m-00000105','image/x-portable-pixmap',64,78917),('m-00000106','audio/wav',64,72072),('m-00000107','image/jpeg',64,79786),('m-00000108','image/png',64,79712),('m-00000109','video/x-ppmv',64,79608),('m-00000110','image/x-portable-pixmap',64,79784),('m-00000111','audio/wav',64,71661),('m-00000112','image/jpeg',64,79761),('m-00000113','image/png',64,79796),('m-00000114','video/x-ppmv',64,79670),('m-00000115','image/x-portable-pixmap',64,79750),('m-00000116','audio/wav',64,72184),('m-00000117','image/jpeg',64,79814),('m-00000118','image/png',64,79745),('m-00000119','video/x-ppmv',64,79191),('m-00000120','image/x-portable-pixmap',64,79397),('m-00000121','audio/wav',64,71733),('m-00000122','image/jpeg',64,79736),('m-00000123','image/png',64,79638),('m-00000124','video/x-ppmv',64,79642),('m-00000125','image/x-portable-pixmap',64,79698),('m-00000126','audio/wav',64,72222),('m-00000127','image/jpeg',64,79834),('m-00000128','image/png',64,77346),('m-00000129','video/x-ppmv',64,79805),('m-00000130','image/x-portable-pixmap',64,79772),('m-00000131','audio/wav',64,72068),('m-00000132','image/jpeg',64,79766),('m-00000133','image/png',64,79750),('m-00000134','video/x-ppmv',64,79144),('m-00000135','image/x-portable-pixmap',64,79034),('m-00000136','audio/wav',64,70900),('m-00000137','image/jpeg',64,79767),('m-00000138','image/png',64,78886),('m-00000139','video/x-ppmv',64,79696),('m-00000140','image/x-portable-pixmap',64,79079),('m-00000141','audio/wav',64,75021),('m-00000142','image/jpeg',64,79811),('m-00000143','image/png',64,79208),('m-00000144','video/x-ppmv',64,79804),('m-00000145','image/x-portable-pixmap',64,79328),('m-00000146','audio/wav',64,71323),('m-00000147','image/jpeg',64,79788),('m-00000148','image/png',64,79620),('m-00000149','video/x-ppmv',64,79001),('m-00000150','image/x-portable-pixmap',64,79839),('m-00000151','audio/wav',64,71607),('m-00000152','image/jpeg',64,79749),('m-00000153','image/png',64,79708),('m-00000154','video/x-ppmv',64,79478),('m-00000155','image/x-portable-pixmap',64,79509),('m-00000156','audio/wav',64,72392),('m-00000157','image/jpeg',64,79804),('m-00000158','image/png',64,79066),('m-00000159','video/x-ppmv',64,79341),('m-00000160','image/x-portable-pixmap',64,79189),('m-00000161','audio/wav',64,71863),('m-00000162','image/jpeg',64,79768),('m-00000163','image/png',64,77942),('m-00000164','video/x-ppmv',64,79495),('m-00000165','image/x-portable-pixmap',64,79623),('m-00000166','audio/wav',64,72588),('m-00000167','image/jpeg',64,79771),('m-00000168','image/png',64,79228),('m-00000169','video/x-ppmv',64,78901),('m-00000170','image/x-portable-pixmap',64,78144),('m-00000171','audio/wav',64,71590),('m-00000172','image/jpeg',64,79798),('m-00000173','image/png',64,79500),('m-00000174','video/x-ppmv',64,79861),('m-00000175','image/x-portable-pixmap',64,78559),('m-00000176','audio/wav',64,72174),('m-00000177','image/jpeg',64,79742),('m-00000178','image/png',64,79328),('m-00000179','video/x-ppmv',64,79644),('m-00000180','image/x-portable-pixmap',64,78871),('m-00000181','audio/wav',64,71722),('m-00000182','image/jpeg',64,79793),('m-00000183','image/png',64,79678),('m-00000184','video/x-ppmv',64,79780),('m-00000185','image/x-portable-pixmap',64,79054),('m-00000186','audio/wav',64,72084),('m-00000187','image/jpeg',64,79778),('m-00000188','image/png',64,79348),('m-00000189','video/x-ppmv',64,79704),('m-00000190','image/x-portable-pixmap',64,78191),('m-00000191','audio/wav',64,71779),('m-00000192','image/jpeg',64,79785),('m-00000193','image/png',64,79712),('m-00000194','video/x-ppmv',64,79788),('m-00000195','image/x-portable-pixmap',64,79380),('m-00000196','audio/wav',64,71697),('m-00000197','image/jpeg',64,79871),('m-00000198','image/png',64,79695),('m-00000199','video/x-ppmv',64,79752)) AS t(media_id, mime, feat_dim, feat_fp)""",
+@register("media_features", """SELECT * FROM (VALUES ('m-00000000','image/x-portable-pixmap',64,79440),('m-00000001','audio/wav',64,72163),('m-00000002','image/jpeg',64,79810),('m-00000003','image/png',64,78875),('m-00000004','video/x-ppmv',64,78465),('m-00000005','image/x-portable-pixmap',64,79775),('m-00000006','audio/wav',64,71846),('m-00000007','image/jpeg',64,79443),('m-00000008','image/png',64,79077),('m-00000009','video/x-ppmv',64,79456),('m-00000010','image/x-portable-pixmap',64,79716),('m-00000011','audio/wav',64,74809),('m-00000012','image/jpeg',64,79850),('m-00000013','image/png',64,79754),('m-00000014','video/x-ppmv',64,78813),('m-00000015','image/x-portable-pixmap',64,79519),('m-00000016','audio/wav',64,72529),('m-00000017','image/jpeg',64,79582),('m-00000018','image/png',64,79404),('m-00000019','video/x-ppmv',64,79766),('m-00000020','image/x-portable-pixmap',64,79547),('m-00000021','audio/wav',64,71845),('m-00000022','image/jpeg',64,78095),('m-00000023','image/png',64,78152),('m-00000024','video/x-ppmv',64,79714),('m-00000025','image/x-portable-pixmap',64,78836),('m-00000026','audio/wav',64,72262),('m-00000027','image/jpeg',64,78707),('m-00000028','image/png',64,79566),('m-00000029','video/x-ppmv',64,79759),('m-00000030','image/x-portable-pixmap',64,79138),('m-00000031','audio/wav',64,71850),('m-00000032','image/jpeg',64,79261),('m-00000033','image/png',64,79691),('m-00000034','video/x-ppmv',64,79763),('m-00000035','image/x-portable-pixmap',64,79637),('m-00000036','audio/wav',64,71801),('m-00000037','image/jpeg',64,79829),('m-00000038','image/png',64,79546),('m-00000039','video/x-ppmv',64,79840),('m-00000040','image/x-portable-pixmap',64,79654),('m-00000041','audio/wav',64,72518),('m-00000042','image/jpeg',64,79771),('m-00000043','image/png',64,79836),('m-00000044','video/x-ppmv',64,79842),('m-00000045','image/x-portable-pixmap',64,79636),('m-00000046','audio/wav',64,71963),('m-00000047','image/jpeg',64,79517),('m-00000048','image/png',64,79701),('m-00000049','video/x-ppmv',64,79879),('m-00000050','image/x-portable-pixmap',64,79586),('m-00000051','audio/wav',64,72687),('m-00000052','image/jpeg',64,79493),('m-00000053','image/png',64,79414),('m-00000054','video/x-ppmv',64,79873),('m-00000055','image/x-portable-pixmap',64,79177),('m-00000056','audio/wav',64,72148),('m-00000057','image/jpeg',64,78699),('m-00000058','image/png',64,79649),('m-00000059','video/x-ppmv',64,79629),('m-00000060','image/x-portable-pixmap',64,79407),('m-00000061','audio/wav',64,72224),('m-00000062','image/jpeg',64,79298),('m-00000063','image/png',64,79847),('m-00000064','video/x-ppmv',64,79313),('m-00000065','image/x-portable-pixmap',64,79673),('m-00000066','audio/wav',64,72352),('m-00000067','image/jpeg',64,79773),('m-00000068','image/png',64,79799),('m-00000069','video/x-ppmv',64,79523),('m-00000070','image/x-portable-pixmap',64,79732),('m-00000071','audio/wav',64,71410),('m-00000072','image/jpeg',64,79241),('m-00000073','image/png',64,79594),('m-00000074','video/x-ppmv',64,79730),('m-00000075','image/x-portable-pixmap',64,79799),('m-00000076','audio/wav',64,72031),('m-00000077','image/jpeg',64,79545),('m-00000078','image/png',64,79632),('m-00000079','video/x-ppmv',64,79374),('m-00000080','image/x-portable-pixmap',64,79822),('m-00000081','audio/wav',64,71895),('m-00000082','image/jpeg',64,79674),('m-00000083','image/png',64,76426),('m-00000084','video/x-ppmv',64,79911),('m-00000085','image/x-portable-pixmap',64,79042),('m-00000086','audio/wav',64,72092),('m-00000087','image/jpeg',64,79396),('m-00000088','image/png',64,79383),('m-00000089','video/x-ppmv',64,79698),('m-00000090','image/x-portable-pixmap',64,79738),('m-00000091','audio/wav',64,71796),('m-00000092','image/jpeg',64,79349),('m-00000093','image/png',64,79455),('m-00000094','video/x-ppmv',64,79668),('m-00000095','image/x-portable-pixmap',64,78929),('m-00000096','audio/wav',64,71783),('m-00000097','image/jpeg',64,79017),('m-00000098','image/png',64,79811),('m-00000099','video/x-ppmv',64,79778),('m-00000100','image/x-portable-pixmap',64,79106),('m-00000101','audio/wav',64,72075),('m-00000102','image/jpeg',64,79270),('m-00000103','image/png',64,79681),('m-00000104','video/x-ppmv',64,79222),('m-00000105','image/x-portable-pixmap',64,79303),('m-00000106','audio/wav',64,77571),('m-00000107','image/jpeg',64,79586),('m-00000108','image/png',64,79550),('m-00000109','video/x-ppmv',64,79789),('m-00000110','image/x-portable-pixmap',64,79832),('m-00000111','audio/wav',64,71890),('m-00000112','image/jpeg',64,79630),('m-00000113','image/png',64,79074),('m-00000114','video/x-ppmv',64,79635),('m-00000115','image/x-portable-pixmap',64,79458),('m-00000116','audio/wav',64,71987),('m-00000117','image/jpeg',64,79694),('m-00000118','image/png',64,79844),('m-00000119','video/x-ppmv',64,79199),('m-00000120','image/x-portable-pixmap',64,79679),('m-00000121','audio/wav',64,71996),('m-00000122','image/jpeg',64,79741),('m-00000123','image/png',64,79651),('m-00000124','video/x-ppmv',64,79476),('m-00000125','image/x-portable-pixmap',64,79659),('m-00000126','audio/wav',64,71899),('m-00000127','image/jpeg',64,77336),('m-00000128','image/png',64,79767),('m-00000129','video/x-ppmv',64,79767),('m-00000130','image/x-portable-pixmap',64,79348),('m-00000131','audio/wav',64,70807),('m-00000132','image/jpeg',64,79652),('m-00000133','image/png',64,79435),('m-00000134','video/x-ppmv',64,79748),('m-00000135','image/x-portable-pixmap',64,79083),('m-00000136','audio/wav',64,72183),('m-00000137','image/jpeg',64,79436),('m-00000138','image/png',64,79784),('m-00000139','video/x-ppmv',64,79187),('m-00000140','image/x-portable-pixmap',64,79415),('m-00000141','audio/wav',64,72007),('m-00000142','image/jpeg',64,79100),('m-00000143','image/png',64,79854),('m-00000144','video/x-ppmv',64,78978),('m-00000145','image/x-portable-pixmap',64,79820),('m-00000146','audio/wav',64,72610),('m-00000147','image/jpeg',64,78393),('m-00000148','image/png',64,79623),('m-00000149','video/x-ppmv',64,79752),('m-00000150','image/x-portable-pixmap',64,79774),('m-00000151','audio/wav',64,71416),('m-00000152','image/jpeg',64,79443),('m-00000153','image/png',64,79698),('m-00000154','video/x-ppmv',64,79617),('m-00000155','image/x-portable-pixmap',64,78147),('m-00000156','audio/wav',64,71439),('m-00000157','image/jpeg',64,79673),('m-00000158','image/png',64,78202),('m-00000159','video/x-ppmv',64,79509),('m-00000160','image/x-portable-pixmap',64,79867),('m-00000161','audio/wav',64,71934),('m-00000162','image/jpeg',64,79438),('m-00000163','image/png',64,79663),('m-00000164','video/x-ppmv',64,79378),('m-00000165','image/x-portable-pixmap',64,79664),('m-00000166','audio/wav',64,71911),('m-00000167','image/jpeg',64,79701),('m-00000168','image/png',64,79396),('m-00000169','video/x-ppmv',64,79741),('m-00000170','image/x-portable-pixmap',64,79746),('m-00000171','audio/wav',64,72658),('m-00000172','image/jpeg',64,79761),('m-00000173','image/png',64,79809),('m-00000174','video/x-ppmv',64,79701),('m-00000175','image/x-portable-pixmap',64,79547),('m-00000176','audio/wav',64,71643),('m-00000177','image/jpeg',64,79615),('m-00000178','image/png',64,79314),('m-00000179','video/x-ppmv',64,79862),('m-00000180','image/x-portable-pixmap',64,79708),('m-00000181','audio/wav',64,72042),('m-00000182','image/jpeg',64,79589),('m-00000183','image/png',64,78592),('m-00000184','video/x-ppmv',64,79774),('m-00000185','image/x-portable-pixmap',64,79897),('m-00000186','audio/wav',64,72177),('m-00000187','image/jpeg',64,79743),('m-00000188','image/png',64,79292),('m-00000189','video/x-ppmv',64,79749),('m-00000190','image/x-portable-pixmap',64,79762),('m-00000191','audio/wav',64,71421),('m-00000192','image/jpeg',64,79052),('m-00000193','image/png',64,79713),('m-00000194','video/x-ppmv',64,79757),('m-00000195','image/x-portable-pixmap',64,74774),('m-00000196','audio/wav',64,71050),('m-00000197','image/jpeg',64,79776),('m-00000198','image/png',64,79608),('m-00000199','video/x-ppmv',64,79837)) AS t(media_id, mime, feat_dim, feat_fp)""",
           doc="multimodal decode -> actor-pool feature extraction. Real "
               "codecs for PPM/PNG/WAV/PPMV-video payloads (pure numpy+zlib; "
               "video frames skip-seek SAMPLED every 2nd), "
@@ -3106,7 +3106,8 @@ def emb_covariance(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
-@register("media_thumbnails", """SELECT media_id, mime, CAST(th_sum AS BIGINT) AS th_sum FROM (VALUES ('m-00000000','image/x-portable-pixmap',24196),('m-00000001','audio/wav',NULL),('m-00000002','image/jpeg',NULL),('m-00000003','image/png',24203),('m-00000004','video/x-ppmv',23361),('m-00000005','image/x-portable-pixmap',24084),('m-00000006','audio/wav',NULL),('m-00000007','image/jpeg',NULL),('m-00000008','image/png',23999),('m-00000009','video/x-ppmv',25361),('m-00000010','image/x-portable-pixmap',23926),('m-00000011','audio/wav',NULL),('m-00000012','image/jpeg',NULL),('m-00000013','image/png',23848),('m-00000014','video/x-ppmv',25564),('m-00000015','image/x-portable-pixmap',24257),('m-00000016','audio/wav',NULL),('m-00000017','image/jpeg',NULL),('m-00000018','image/png',24423),('m-00000019','video/x-ppmv',24259),('m-00000020','image/x-portable-pixmap',23758),('m-00000021','audio/wav',NULL),('m-00000022','image/jpeg',NULL),('m-00000023','image/png',24425),('m-00000024','video/x-ppmv',24517),('m-00000025','image/x-portable-pixmap',24456),('m-00000026','audio/wav',NULL),('m-00000027','image/jpeg',NULL),('m-00000028','image/png',25022),('m-00000029','video/x-ppmv',25088),('m-00000030','image/x-portable-pixmap',24464),('m-00000031','audio/wav',NULL),('m-00000032','image/jpeg',NULL),('m-00000033','image/png',24769),('m-00000034','video/x-ppmv',24641),('m-00000035','image/x-portable-pixmap',24439),('m-00000036','audio/wav',NULL),('m-00000037','image/jpeg',NULL),('m-00000038','image/png',24308),('m-00000039','video/x-ppmv',24242),('m-00000040','image/x-portable-pixmap',24459),('m-00000041','audio/wav',NULL),('m-00000042','image/jpeg',NULL),('m-00000043','image/png',24568),('m-00000044','video/x-ppmv',24533),('m-00000045','image/x-portable-pixmap',24468),('m-00000046','audio/wav',NULL),('m-00000047','image/jpeg',NULL),('m-00000048','image/png',24448),('m-00000049','video/x-ppmv',24178),('m-00000050','image/x-portable-pixmap',24440),('m-00000051','audio/wav',NULL),('m-00000052','image/jpeg',NULL),('m-00000053','image/png',24449),('m-00000054','video/x-ppmv',24990),('m-00000055','image/x-portable-pixmap',24986),('m-00000056','audio/wav',NULL),('m-00000057','image/jpeg',NULL),('m-00000058','image/png',23744),('m-00000059','video/x-ppmv',26266),('m-00000060','image/x-portable-pixmap',24444),('m-00000061','audio/wav',NULL),('m-00000062','image/jpeg',NULL),('m-00000063','image/png',24612),('m-00000064','video/x-ppmv',23979),('m-00000065','image/x-portable-pixmap',24211),('m-00000066','audio/wav',NULL),('m-00000067','image/jpeg',NULL),('m-00000068','image/png',24365),('m-00000069','video/x-ppmv',23786),('m-00000070','image/x-portable-pixmap',24170),('m-00000071','audio/wav',NULL),('m-00000072','image/jpeg',NULL),('m-00000073','image/png',24854),('m-00000074','video/x-ppmv',25066),('m-00000075','image/x-portable-pixmap',24352),('m-00000076','audio/wav',NULL),('m-00000077','image/jpeg',NULL),('m-00000078','image/png',24911),('m-00000079','video/x-ppmv',24051),('m-00000080','image/x-portable-pixmap',24306),('m-00000081','audio/wav',NULL),('m-00000082','image/jpeg',NULL),('m-00000083','image/png',23886),('m-00000084','video/x-ppmv',23963),('m-00000085','image/x-portable-pixmap',24579),('m-00000086','audio/wav',NULL),('m-00000087','image/jpeg',NULL),('m-00000088','image/png',24203),('m-00000089','video/x-ppmv',24287),('m-00000090','image/x-portable-pixmap',24232),('m-00000091','audio/wav',NULL),('m-00000092','image/jpeg',NULL),('m-00000093','image/png',24201),('m-00000094','video/x-ppmv',24956),('m-00000095','image/x-portable-pixmap',24531),('m-00000096','audio/wav',NULL),('m-00000097','image/jpeg',NULL),('m-00000098','image/png',23607),('m-00000099','video/x-ppmv',23711),('m-00000100','image/x-portable-pixmap',23522),('m-00000101','audio/wav',NULL),('m-00000102','image/jpeg',NULL),('m-00000103','image/png',24730),('m-00000104','video/x-ppmv',24511),('m-00000105','image/x-portable-pixmap',24054),('m-00000106','audio/wav',NULL),('m-00000107','image/jpeg',NULL),('m-00000108','image/png',24236),('m-00000109','video/x-ppmv',24346),('m-00000110','image/x-portable-pixmap',24461),('m-00000111','audio/wav',NULL),('m-00000112','image/jpeg',NULL),('m-00000113','image/png',24550),('m-00000114','video/x-ppmv',23469),('m-00000115','image/x-portable-pixmap',24454),('m-00000116','audio/wav',NULL),('m-00000117','image/jpeg',NULL),('m-00000118','image/png',24462),('m-00000119','video/x-ppmv',24329),('m-00000120','image/x-portable-pixmap',24198),('m-00000121','audio/wav',NULL),('m-00000122','image/jpeg',NULL),('m-00000123','image/png',24044),('m-00000124','video/x-ppmv',23965),('m-00000125','image/x-portable-pixmap',24717),('m-00000126','audio/wav',NULL),('m-00000127','image/jpeg',NULL),('m-00000128','image/png',23743),('m-00000129','video/x-ppmv',23074),('m-00000130','image/x-portable-pixmap',24418),('m-00000131','audio/wav',NULL),('m-00000132','image/jpeg',NULL),('m-00000133','image/png',24066),('m-00000134','video/x-ppmv',24454),('m-00000135','image/x-portable-pixmap',24750),('m-00000136','audio/wav',NULL),('m-00000137','image/jpeg',NULL),('m-00000138','image/png',23934),('m-00000139','video/x-ppmv',24274),('m-00000140','image/x-portable-pixmap',24070),('m-00000141','audio/wav',NULL),('m-00000142','image/jpeg',NULL),('m-00000143','image/png',24687),('m-00000144','video/x-ppmv',24159),('m-00000145','image/x-portable-pixmap',23754),('m-00000146','audio/wav',NULL),('m-00000147','image/jpeg',NULL),('m-00000148','image/png',24242),('m-00000149','video/x-ppmv',24397),('m-00000150','image/x-portable-pixmap',24693),('m-00000151','audio/wav',NULL),('m-00000152','image/jpeg',NULL),('m-00000153','image/png',23913),('m-00000154','video/x-ppmv',24605),('m-00000155','image/x-portable-pixmap',24117),('m-00000156','audio/wav',NULL),('m-00000157','image/jpeg',NULL),('m-00000158','image/png',24507),('m-00000159','video/x-ppmv',25023),('m-00000160','image/x-portable-pixmap',24903),('m-00000161','audio/wav',NULL),('m-00000162','image/jpeg',NULL),('m-00000163','image/png',25315),('m-00000164','video/x-ppmv',24461),('m-00000165','image/x-portable-pixmap',24009),('m-00000166','audio/wav',NULL),('m-00000167','image/jpeg',NULL),('m-00000168','image/png',24482),('m-00000169','video/x-ppmv',24238),('m-00000170','image/x-portable-pixmap',25909),('m-00000171','audio/wav',NULL),('m-00000172','image/jpeg',NULL),('m-00000173','image/png',24255),('m-00000174','video/x-ppmv',24445),('m-00000175','image/x-portable-pixmap',25647),('m-00000176','audio/wav',NULL),('m-00000177','image/jpeg',NULL),('m-00000178','image/png',24222),('m-00000179','video/x-ppmv',24654),('m-00000180','image/x-portable-pixmap',24570),('m-00000181','audio/wav',NULL),('m-00000182','image/jpeg',NULL),('m-00000183','image/png',24432),('m-00000184','video/x-ppmv',24605),('m-00000185','image/x-portable-pixmap',23682),('m-00000186','audio/wav',NULL),('m-00000187','image/jpeg',NULL),('m-00000188','image/png',24090),('m-00000189','video/x-ppmv',22986),('m-00000190','image/x-portable-pixmap',24949),('m-00000191','audio/wav',NULL),('m-00000192','image/jpeg',NULL),('m-00000193','image/png',24752),('m-00000194','video/x-ppmv',24550),('m-00000195','image/x-portable-pixmap',24564),('m-00000196','audio/wav',NULL),('m-00000197','image/jpeg',NULL),('m-00000198','image/png',24419),('m-00000199','video/x-ppmv',24277)) AS t(media_id, mime, th_sum)""",
+@register(
+    "media_thumbnails", """SELECT media_id, mime, CAST(th_sum AS BIGINT) AS th_sum FROM (VALUES ('m-00000000','image/x-portable-pixmap',24196),('m-00000001','audio/wav',NULL),('m-00000002','image/jpeg',24302),('m-00000003','image/png',24367),('m-00000004','video/x-ppmv',24493),('m-00000005','image/x-portable-pixmap',23786),('m-00000006','audio/wav',NULL),('m-00000007','image/jpeg',24160),('m-00000008','image/png',25053),('m-00000009','video/x-ppmv',22797),('m-00000010','image/x-portable-pixmap',24982),('m-00000011','audio/wav',NULL),('m-00000012','image/jpeg',23842),('m-00000013','image/png',24476),('m-00000014','video/x-ppmv',26180),('m-00000015','image/x-portable-pixmap',23991),('m-00000016','audio/wav',NULL),('m-00000017','image/jpeg',24321),('m-00000018','image/png',24256),('m-00000019','video/x-ppmv',24118),('m-00000020','image/x-portable-pixmap',24411),('m-00000021','audio/wav',NULL),('m-00000022','image/jpeg',23880),('m-00000023','image/png',25306),('m-00000024','video/x-ppmv',23702),('m-00000025','image/x-portable-pixmap',23651),('m-00000026','audio/wav',NULL),('m-00000027','image/jpeg',24651),('m-00000028','image/png',23708),('m-00000029','video/x-ppmv',24362),('m-00000030','image/x-portable-pixmap',24385),('m-00000031','audio/wav',NULL),('m-00000032','image/jpeg',24826),('m-00000033','image/png',24550),('m-00000034','video/x-ppmv',24610),('m-00000035','image/x-portable-pixmap',24208),('m-00000036','audio/wav',NULL),('m-00000037','image/jpeg',24303),('m-00000038','image/png',24267),('m-00000039','video/x-ppmv',24285),('m-00000040','image/x-portable-pixmap',24705),('m-00000041','audio/wav',NULL),('m-00000042','image/jpeg',24418),('m-00000043','image/png',24516),('m-00000044','video/x-ppmv',24458),('m-00000045','image/x-portable-pixmap',24350),('m-00000046','audio/wav',NULL),('m-00000047','image/jpeg',24626),('m-00000048','image/png',24306),('m-00000049','video/x-ppmv',24515),('m-00000050','image/x-portable-pixmap',23648),('m-00000051','audio/wav',NULL),('m-00000052','image/jpeg',24541),('m-00000053','image/png',24712),('m-00000054','video/x-ppmv',24009),('m-00000055','image/x-portable-pixmap',24050),('m-00000056','audio/wav',NULL),('m-00000057','image/jpeg',24450),('m-00000058','image/png',24707),('m-00000059','video/x-ppmv',25463),('m-00000060','image/x-portable-pixmap',24505),('m-00000061','audio/wav',NULL),('m-00000062','image/jpeg',24195),('m-00000063','image/png',24362),('m-00000064','video/x-ppmv',24360),('m-00000065','image/x-portable-pixmap',24532),('m-00000066','audio/wav',NULL),('m-00000067','image/jpeg',24058),('m-00000068','image/png',23936),('m-00000069','video/x-ppmv',24550),('m-00000070','image/x-portable-pixmap',24144),('m-00000071','audio/wav',NULL),('m-00000072','image/jpeg',23804),('m-00000073','image/png',24428),('m-00000074','video/x-ppmv',24074),('m-00000075','image/x-portable-pixmap',24263),('m-00000076','audio/wav',NULL),('m-00000077','image/jpeg',24706),('m-00000078','image/png',24458),('m-00000079','video/x-ppmv',24756),('m-00000080','image/x-portable-pixmap',24754),('m-00000081','audio/wav',NULL),('m-00000082','image/jpeg',24206),('m-00000083','image/png',24839),('m-00000084','video/x-ppmv',24060),('m-00000085','image/x-portable-pixmap',23942),('m-00000086','audio/wav',NULL),('m-00000087','image/jpeg',24520),('m-00000088','image/png',24102),('m-00000089','video/x-ppmv',24587),('m-00000090','image/x-portable-pixmap',24458),('m-00000091','audio/wav',NULL),('m-00000092','image/jpeg',24148),('m-00000093','image/png',24685),('m-00000094','video/x-ppmv',24787),('m-00000095','image/x-portable-pixmap',24457),('m-00000096','audio/wav',NULL),('m-00000097','image/jpeg',25141),('m-00000098','image/png',24414),('m-00000099','video/x-ppmv',24571),('m-00000100','image/x-portable-pixmap',24585),('m-00000101','audio/wav',NULL),('m-00000102','image/jpeg',24068),('m-00000103','image/png',24740),('m-00000104','video/x-ppmv',23821),('m-00000105','image/x-portable-pixmap',25504),('m-00000106','audio/wav',NULL),('m-00000107','image/jpeg',24040),('m-00000108','image/png',24745),('m-00000109','video/x-ppmv',24180),('m-00000110','image/x-portable-pixmap',24526),('m-00000111','audio/wav',NULL),('m-00000112','image/jpeg',24335),('m-00000113','image/png',24484),('m-00000114','video/x-ppmv',24289),('m-00000115','image/x-portable-pixmap',24821),('m-00000116','audio/wav',NULL),('m-00000117','image/jpeg',24578),('m-00000118','image/png',24344),('m-00000119','video/x-ppmv',25362),('m-00000120','image/x-portable-pixmap',25010),('m-00000121','audio/wav',NULL),('m-00000122','image/jpeg',24611),('m-00000123','image/png',23995),('m-00000124','video/x-ppmv',23211),('m-00000125','image/x-portable-pixmap',24532),('m-00000126','audio/wav',NULL),('m-00000127','image/jpeg',24061),('m-00000128','image/png',24808),('m-00000129','video/x-ppmv',24262),('m-00000130','image/x-portable-pixmap',24738),('m-00000131','audio/wav',NULL),('m-00000132','image/jpeg',23883),('m-00000133','image/png',24246),('m-00000134','video/x-ppmv',24066),('m-00000135','image/x-portable-pixmap',24456),('m-00000136','audio/wav',NULL),('m-00000137','image/jpeg',24142),('m-00000138','image/png',24195),('m-00000139','video/x-ppmv',24689),('m-00000140','image/x-portable-pixmap',24450),('m-00000141','audio/wav',NULL),('m-00000142','image/jpeg',23993),('m-00000143','image/png',24512),('m-00000144','video/x-ppmv',24428),('m-00000145','image/x-portable-pixmap',24320),('m-00000146','audio/wav',NULL),('m-00000147','image/jpeg',24128),('m-00000148','image/png',24525),('m-00000149','video/x-ppmv',23290),('m-00000150','image/x-portable-pixmap',24587),('m-00000151','audio/wav',NULL),('m-00000152','image/jpeg',24729),('m-00000153','image/png',24559),('m-00000154','video/x-ppmv',24048),('m-00000155','image/x-portable-pixmap',25328),('m-00000156','audio/wav',NULL),('m-00000157','image/jpeg',24229),('m-00000158','image/png',24768),('m-00000159','video/x-ppmv',24219),('m-00000160','image/x-portable-pixmap',24155),('m-00000161','audio/wav',NULL),('m-00000162','image/jpeg',25114),('m-00000163','image/png',24055),('m-00000164','video/x-ppmv',24856),('m-00000165','image/x-portable-pixmap',24589),('m-00000166','audio/wav',NULL),('m-00000167','image/jpeg',24751),('m-00000168','image/png',24584),('m-00000169','video/x-ppmv',24716),('m-00000170','image/x-portable-pixmap',24087),('m-00000171','audio/wav',NULL),('m-00000172','image/jpeg',24261),('m-00000173','image/png',24242),('m-00000174','video/x-ppmv',25179),('m-00000175','image/x-portable-pixmap',24879),('m-00000176','audio/wav',NULL),('m-00000177','image/jpeg',24787),('m-00000178','image/png',23707),('m-00000179','video/x-ppmv',24301),('m-00000180','image/x-portable-pixmap',24468),('m-00000181','audio/wav',NULL),('m-00000182','image/jpeg',24560),('m-00000183','image/png',25991),('m-00000184','video/x-ppmv',24712),('m-00000185','image/x-portable-pixmap',24673),('m-00000186','audio/wav',NULL),('m-00000187','image/jpeg',24539),('m-00000188','image/png',24199),('m-00000189','video/x-ppmv',24566),('m-00000190','image/x-portable-pixmap',24114),('m-00000191','audio/wav',NULL),('m-00000192','image/jpeg',24565),('m-00000193','image/png',24755),('m-00000194','video/x-ppmv',24094),('m-00000195','image/x-portable-pixmap',24099),('m-00000196','audio/wav',NULL),('m-00000197','image/jpeg',24237),('m-00000198','image/png',24235),('m-00000199','video/x-ppmv',24546)) AS t(media_id, mime, th_sum)""",
           doc="multimodal decode -> exact-integer box RESIZE -> re-encode "
               "thumbnails (8x8 PPM): real PPM/PNG decode, PPMV video uses "
               "the first SAMPLED frame; wav / codec-less jpeg rows pass "

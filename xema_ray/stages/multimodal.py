@@ -3,9 +3,10 @@ columns with typed metadata.
 
 Decode is REAL for the self-contained formats this environment can parse
 without external libraries: **PPM (P6) images**, **PNG images** (stdlib
-zlib + numpy defiltering) and **PCM WAV audio** (pure-numpy codecs in
-:mod:`xema_ray.functions.codecs`).  Other mimes
-(jpeg/mp4 — codecs not present in this sandbox) fall back to a
+zlib + numpy defiltering), **baseline JPEG** (huffman + dequant + IDCT
+per the public ITU-T T.81 spec) and **PCM WAV audio** (pure-numpy codecs
+in :mod:`xema_ray.functions.codecs`).  Other mimes (mp4/progressive
+jpeg — codecs not present in this sandbox) fall back to a
 deterministic byte-derived stub when ``decode_stub=True`` (default) or
 raise ``NotImplementedError`` when ``decode_stub=False``.  Everything
 Ray-side is real and tested: schema (binary + metadata), small
@@ -29,10 +30,10 @@ MEDIA_SCHEMA = pa.schema([
 
 
 def synthetic_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic media rows: real PPM images, PNG images, PCM WAV
-    clips and PPMV video clips (all decoded by real codecs; video frames
-    are SAMPLED) interleaved with opaque jpeg-tagged payloads (stub
-    path)."""
+    """Deterministic media rows: real PPM, PNG and baseline JPEG images,
+    PCM WAV clips and PPMV video clips — ALL decoded by real codecs
+    (video frames are SAMPLED; JPEG alternates 4:4:4 and 4:2:0
+    subsampling to exercise the generic MCU path)."""
     from xema_ray.functions.codecs import encode_ppm, encode_wav
 
     rng = np.random.default_rng(seed)
@@ -72,13 +73,15 @@ def synthetic_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> 
             mimes.append("audio/wav")
             widths.append(0); heights.append(0)
             durations.append(int(1000 * len(t) / rate))
-        else:  # opaque payload — no jpeg codec in this sandbox → stub
-            payloads.append(
-                rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes())
+        else:  # real baseline JPEG (our own T.81 codec)
+            from xema_ray.functions.codecs import encode_jpeg
+
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            ss = "420" if (i // 5) % 2 else "444"
+            payloads.append(encode_jpeg(img, quality=85, subsampling=ss))
             mimes.append("image/jpeg")
-            widths.append(int(rng.integers(16, 2048)))
-            heights.append(int(rng.integers(16, 2048)))
-            durations.append(0)
+            widths.append(w); heights.append(h); durations.append(0)
     return pa.table({
         "media_id": pa.array([f"m-{i:08d}" for i in range(n)], type=pa.string()),
         "payload": pa.array(payloads, type=pa.binary()),
@@ -119,6 +122,10 @@ class MediaFeatureExtractor:
         if mime == "image/png":
             # REAL image decode (stdlib zlib + numpy defiltering)
             return self.codecs.decode_png(payload).astype(np.float32).reshape(-1)
+        if mime == "image/jpeg":
+            # REAL image decode (baseline T.81: huffman+dequant+IDCT)
+            return self.codecs.decode_jpeg(payload).astype(
+                np.float32).reshape(-1)
         if mime == "video/x-ppmv":
             # REAL video decode with frame SAMPLING: every 2nd frame is
             # decoded (skip-seek over the others), mean-pooled per pixel
@@ -134,7 +141,7 @@ class MediaFeatureExtractor:
             return samples.mean(axis=1).astype(np.float32)
         if not self.decode_stub:
             raise NotImplementedError(
-                f"no codec for {mime!r} in this environment (jpeg/mp4 "
+                f"no codec for {mime!r} in this environment (mp4 "
                 "libraries absent); run with decode_stub=True"
             )
         arr = np.frombuffer(payload[: 64 * 64], dtype=np.uint8)
@@ -190,9 +197,9 @@ def extract_features(ds, batch_size: int = 256, concurrency=(1, 4),
 
 class Thumbnailer:
     """Actor-pool stage: decode → RESIZE → re-encode thumbnails for the
-    image-bearing rows (PPM / PNG images; for PPMV video, the FIRST
-    sampled frame).  Non-visual or codec-less rows (wav, the jpeg stub)
-    pass through with a null thumbnail.
+    image-bearing rows (PPM / PNG / baseline JPEG images; for PPMV
+    video, the FIRST sampled frame).  Non-visual or codec-less rows
+    (wav, mp4) pass through with a null thumbnail.
 
     The resize is the exact-integer box average
     (:func:`xema_ray.functions.codecs.resize_box`) — bit-reproducible on
@@ -215,6 +222,11 @@ class Thumbnailer:
             return self.codecs.decode_ppm(payload)
         if mime == "image/png":
             return self.codecs.decode_png(payload)
+        if mime == "image/jpeg":
+            img = self.codecs.decode_jpeg(payload)
+            if img.ndim == 2:  # grayscale -> 3-channel for PPM re-encode
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            return img
         if mime == "video/x-ppmv":
             sampled = self.codecs.sample_ppmv_frames(payload, every_k=2)
             if not sampled:
