@@ -199,7 +199,10 @@ def test_top_token_bigrams_mg_equals_groupby(ray_session):
                               strategy="auto", capacity=64)
         b = top_token_bigrams(rd.from_arrow(tbl), k=10, vocab=100,
                               strategy="groupby")
+        c = top_token_bigrams(rd.from_arrow(tbl), k=10, vocab=100,
+                              strategy="exchange")
         assert a.equals(b), dist
+        assert c.equals(b), dist
 
 
 # ----------------------------------------------------------------------
