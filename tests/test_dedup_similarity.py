@@ -179,16 +179,22 @@ def test_media_feature_plumbing(ray_session):
     out = extract_features(rd.from_arrow(tbl), batch_size=16).take_all()
     assert len(out) == 64
     assert all(len(r["features"]) == 64 for r in out)
-    # deterministic features (real ppm/wav decode + stub for jpeg)
+    # deterministic features (every synthetic mime has a REAL codec now)
     a = MediaFeatureExtractor()( tbl.slice(0, 4))
     b = MediaFeatureExtractor()( tbl.slice(0, 4))
     assert a.equals(b)
-    # rows 0/1 are REAL ppm/wav — non-stub mode decodes them fine...
-    real = MediaFeatureExtractor(decode_stub=False)(tbl.slice(0, 2))
-    assert real.num_rows == 2
-    # ...but raises for the codec-less jpeg row (index 2)
+    # rows 0-2 are REAL ppm/wav/jpeg — non-stub mode decodes them all
+    real = MediaFeatureExtractor(decode_stub=False)(tbl.slice(0, 3))
+    assert real.num_rows == 3
+    # ...but a genuinely codec-less mime (mp4: libraries absent) raises
+    import pyarrow as pa
+
+    mp4 = pa.table({
+        "media_id": ["x"], "payload": [b"\x00\x00\x00\x18ftypmp42"],
+        "mime": ["video/mp4"], "width": [0], "height": [0],
+        "duration_ms": [0]})
     with pytest.raises(NotImplementedError):
-        MediaFeatureExtractor(decode_stub=False)(tbl.slice(0, 3))
+        MediaFeatureExtractor(decode_stub=False)(mp4)
 
 
 def test_exact_dedup_broadcast_is_duplicate_bounded(ray_session):

@@ -735,6 +735,25 @@ def _query_vectors(sf_dir: str, n: int = 5, with_labels: bool = False):
     return qids, qmat
 
 
+# --- model-pinned recomputation oracles (r4): the fitted model
+# parameters (centroids / hyperplanes / integer PQ codebooks) are
+# pinned as literals; DuckDB recomputes ALL per-row work from them
+# (assignment, probe selection, candidates, exact/ADC distances,
+# top-k tie-breaks). Generated+verified by scripts/pin_models.py. ---
+
+_SQL_EMB_KMEANS_CLUSTERS = '\n    WITH cent(cid, cv) AS (VALUES (0,[-0.04386786371427541,0.12447612924529096,0.03867510145755651,0.1089502663026256,-0.019275038728977217,0.12385341407033325,-0.009535732972434863,0.10188927763062666,-0.07305575184209114,0.10354833864906046,-0.06920284591956298,0.1353681243990789,-0.26200933413393973,0.05202551759046455,-0.01811390329807087,-0.13218225697865893,-0.17067174825854983,-0.130243589963251,0.08290173661229927,-0.11097642498055985,-0.15664297991554046,0.0759263502539571,-0.05227061754894557,0.17172893122344146,0.18042710729605096,0.20787974160513034,0.2639590861812276,-0.07659976207727778,-0.03282022176715452,0.0037124475346786063,0.03723754309258243,0.07380483951911801,-0.04120097452443125,-0.14827212973060744,0.0069846321219174945,0.014050200097772721,-0.1589153481332387,0.17883847244073678,-0.05088236570183366,0.08047087992887253,-0.25022982097909185,-0.18685657563992789,-0.07600074685606725,0.13588893735791835,-0.1641493983566176,0.13001413976735995,0.10314623629004059,0.06681088693305388,0.009733599085334603,0.12398984201032705,0.2618523479216486,0.061859901091274545,-0.04359145665235796,-0.09042524406274656,-0.10541463318715615,-0.03988527766619978,0.2709468288952996,0.05876745465497053,-0.021186304661414097,0.12631390841039972,0.1504158172602364,-0.14172997904577914,-0.08302584759148703,0.05649674406128413]::DOUBLE[]),(1,[-0.14416938176047034,-0.14947387677100035,0.11184368992933198,0.0688148450531557,0.0997075944353959,-0.03718948171776434,0.026926535305196432,0.1133951159572431,-0.06362475437847107,0.12008983796268476,0.006064586097435295,-0.04009672915119818,-0.1664633649565521,-0.10186418758310507,-0.1399568150788911,-0.11418609755852929,0.1535329560101753,0.03398220415391643,0.07996120778794975,0.07154298138295666,-0.01638276055858265,-0.0959147258043406,0.30074877320443794,-0.45903708489974,-0.08707473493941749,-0.02732524928261205,-0.06397439172167563,-0.012376756757017182,0.023598417373594385,0.06316918269388706,-0.18463901409128142,0.19299984887062607,0.22683913864928495,0.04299133668299873,-0.015367787023346074,-0.06323249358931188,0.1962625276390121,-0.040118664769319703,-0.1604325107546793,0.05962470287442482,0.21085807089748637,0.07003618498337247,0.040997789777378855,0.18364332261863522,-0.000992448780715895,-0.08496635817677622,-0.010202238669840685,0.027164780665251544,-0.13112533393258677,0.044236750789721814,-0.08670010745180667,0.1659836325368695,0.018422588032866963,-0.0037851604179266,0.05447690515897483,-0.13629525507791837,-0.004158273019016084,0.14333937160235544,-0.10031310102734955,0.1433431039695911,-0.04273167813495611,0.15147089328648025,-0.10465896617034481,0.07583567138562712]::DOUBLE[]),(2,[0.04469338600649405,0.09759783104638906,0.04456936226249344,-0.10518025010950827,-0.10467983542440304,0.167757005168706,0.04686901673811291,0.0767894645788492,-0.02772375596320704,0.11580363791431833,0.10895732672504034,0.23380505315616845,0.21225216662408133,0.0013452252697228047,0.3183251072407557,0.05540494437682615,0.09435094758734998,0.011794363157901784,0.07422212822105032,0.024505932460048008,-0.02866241199907137,-0.24751296928890826,-0.15089498875416074,-0.09894221409497911,0.02261394163815601,0.07916628547374872,0.09056955820792051,0.23430640341369607,0.11181923165770777,-0.12772324465691912,-0.041802658614007046,-0.049727954480923035,0.13773885659644805,0.03940081320062519,-0.09100439032778625,0.04439150344188379,-0.0997482310806666,-0.18225796325786967,0.10486927816141414,-0.14273430269964643,-0.05393047100424301,-0.14444058018682188,-0.06215175338067173,-0.10750121530528939,0.11168488634164041,-0.10934899336974034,-0.030568455676084072,0.1805582764062074,0.06943498116432008,-0.031022485789564666,-0.06950521292363716,-0.12900295080505045,-0.054402352813743615,-0.11767253998020148,0.025275906300250325,0.14869112040258164,0.01667574606946965,-0.25269997732706667,-0.13398435133406647,-0.3183489180567161,0.1097702894178676,0.058843431547120136,-0.11566306748344785,-0.06121263576372539]::DOUBLE[]),(3,[-0.15268339759130808,-0.0839439298539858,-0.18353345870124016,0.018046100705889606,0.0786512706529707,0.02673265188160402,-0.12699871646573196,-0.04972147379701515,-0.04154281491643346,-0.08146302295508323,0.02855827326932585,-0.0517999982422521,-0.026086113337216946,0.269983776565429,0.07192341555595749,-0.0424900783600939,-0.043405896937326376,-0.2087273730117859,-0.1763047840206289,0.08035679467855643,0.040196508611246365,0.16350568316986194,-0.10347699712130781,0.20464586335372612,-0.06596627128712283,0.11766997142275144,-0.07108299657825334,-0.04629451006725817,0.047576441185240466,-0.0353772259057807,0.011739038843124716,1.2430644718802479e-05,0.05708145040250168,-0.1930403035017159,0.09034302173863355,-0.026013248324389466,0.16545887266442574,0.022256156798894748,-0.03494955630088502,0.07334591466965275,0.08043706839015105,0.20047257269911542,-0.16238200466755323,-0.1403870128310035,0.022492395927503964,-0.038259643960664745,0.09563576328989233,-0.03529060417336515,-0.04585822579538823,-0.18765492399858025,0.06067252546142362,-0.25548339831620176,0.2659907829993715,0.0008632657738418764,-0.3231608119430976,-0.0596270537731103,-0.11187956139024526,-0.08876527713588912,0.08840708335941022,-0.1492082869980219,0.010972402707363662,0.2619864380797544,-0.02552682369011702,-0.17583132570859866]::DOUBLE[]),(4,[0.044924027245255176,0.07598761865235261,0.011923479975685831,0.06359634917994367,0.1635304971975658,0.2056808635081259,-0.2778789708196876,0.099527445110977,0.033927104295052614,0.07550670990020121,-0.19870832069255248,0.0006561208544581976,0.1614714225822478,-0.07654184709785056,-0.03257378623602136,0.25908063469211734,0.018298090464498814,-0.07059330088062417,-0.019232214637327768,-0.16651648478444797,0.15440658792752565,-0.013608161645511275,0.021854337196683327,0.04608403780786905,-0.1579705402436776,0.2057255377665085,-0.09923009531642622,-0.03327506505167552,0.05133129609557422,0.010078610057080474,-0.0037868486875453082,0.025338883370571465,-0.0753068581172715,0.08507742632181194,0.05340228196984788,0.019964957099621827,-0.12113378774176317,0.13303009642616104,0.0029127616625707156,-0.15918805124922875,-0.03901977759212665,-0.18965080789833505,0.17575645361547765,-0.039393378382302065,-0.2835398636855557,-0.024109962565627027,-0.23197931894093224,-0.010221767171170987,-0.07025696615703143,-0.20454791491790472,0.06395236102589835,-0.06485703543246428,-0.2748545838908056,0.12055353912669814,0.0002498001270398398,-0.20376654093476784,0.07821251875411064,0.13264660529473024,-0.015756941454882926,0.012083062805956746,-0.15572113750132996,-0.15651845244888618,0.06846574077943733,0.028481595915017692]::DOUBLE[]),(5,[0.16124431514774362,-0.15149223737118736,0.0747264972210478,-0.07907312444756699,0.20384264640207536,0.11344807817283017,-0.18650098616233782,0.03696737415233312,0.021704350502349236,-0.003997903869615553,0.13237306880317848,0.15518030855923978,0.032426559619351904,0.06990086328545454,-0.2025173204116822,0.18935287654797323,-0.10108446869780786,0.37244221336200717,-0.17905968552064266,-0.08040900297810459,0.04238513358268494,0.1564402686835063,0.05555258037265911,-0.26050025203287874,-0.038843974276256875,-0.0878825778128669,0.049939741349067035,-0.06570750989020924,-0.0756119262236312,-0.023806919863628588,0.2133796137396442,-0.2414585923783762,0.13449082274618535,-0.020446757235245996,0.011775035175881203,0.15881757030796628,0.007610890519889602,-0.07647067489287745,0.04988672502709637,-0.003441931096302712,0.08561399945708166,-0.08180741960220987,0.03907208240413189,0.030319727590854505,0.014328728066265877,0.1145963105195231,0.10654701794821955,0.14370478029784878,0.1945922183574459,-0.09698610569569208,-0.016827268255591374,0.09801735752883176,0.18528006830081298,0.09447741967920655,0.07050687102691816,0.15559608335076236,-0.14339773787413815,-0.04596075095625426,0.12355191062665612,0.13083375578606413,-0.06717855331259455,0.0682187856925583,0.06688000659490802,-0.023029701314699686]::DOUBLE[]),(6,[-0.023694168935694787,-0.009111874352044367,-0.015576712893228959,-0.13133373271835563,-0.03476344421023466,-0.1672039740024483,0.24040771578356665,-0.03407999021189809,0.19886832622659278,-0.1562175770336327,0.04157849161292201,-0.17525866998629075,-0.06200187969921529,0.001098939736642325,-0.040893153390413675,-0.23559314043074842,0.0488117063973636,0.07906577247278655,0.1151759085095098,0.09409183828661274,0.10720175818977375,0.1532223010218843,0.11979985594798193,-0.1783526052488325,0.02160436451567891,0.012054828855794567,-0.2246045325095547,0.16652715491333636,-0.2649726594894258,0.09926668298671636,-0.16689135466704008,-0.16938379358280636,-0.08483905588258661,-0.12446816718447443,0.070100495882413,-0.06174624213765214,0.07511583223084141,0.1284387775659397,0.11978426607363356,0.19494738938050574,-0.03490574643423558,0.04894364648628843,-0.077312441904931,-0.15825207246207323,0.10268288019390998,-0.10374411201690038,0.09929582647152488,-0.13329790224909485,-0.16831976234496418,-0.009302895239084638,0.05164245135502477,0.10383666880019975,0.11897029463897008,-0.1319469801243379,0.2620680366183953,-0.14412584941634254,0.03178247267790886,-0.05974965394267685,-0.024696072218465325,-0.07642287787442194,0.049613178159238734,-0.10134170495434768,-0.06788776878195558,-0.16825243588149064]::DOUBLE[]),(7,[0.126260155316679,-0.05363639946751668,0.048192317875301434,-0.07273086917744867,-0.10420756491186915,-0.27052085397996817,-0.17893390933317085,-0.06458499855991204,-0.10476359201770086,-0.2006022281007489,0.12683493477845528,-0.22764081913700934,-0.05254220077684523,-0.18863394190408414,-0.0042756256192079505,0.09466463483325141,0.13203286276754622,0.06334904179022212,0.0684345880594488,0.15850745336654348,-0.26180343676932605,-0.11501285345950561,0.01646275949959236,0.2619920419425309,0.07687678008386653,-0.13079265498724738,-0.0359247400312124,0.15853002886573148,0.06023561595236012,0.06669036774876562,0.2213717157158962,0.042347723156039116,-0.10986302960757377,0.10513363702637729,0.03736037928540995,-0.09595201619676552,-0.1762432296607779,-0.16967934185791747,-0.08880311269309293,-0.07360802273167037,-0.03588372019559756,-0.03309589307656649,0.12454490660019119,0.10943037678633447,-0.1394875813953183,0.20414967262775655,-0.1359470420775612,-0.11101304187233504,-0.04608351096551703,0.10026903683965216,0.022073677416380635,0.03991911108923064,0.018547332938951194,-0.019330328278521346,0.2055845329043481,0.10080921954422375,0.03827246935142891,0.088119313878573,-0.08882755638828985,-0.08653426222687106,-0.05338218998225587,-0.005195467777794719,0.1952309169995236,-0.12227232359910524]::DOUBLE[])),\n    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v\n          FROM embeddings WHERE embedding IS NOT NULL),\n    a AS (SELECT e.vec_id, c.cid,\n            row_number() OVER (PARTITION BY e.vec_id\n                ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn\n          FROM e, cent c)\n    SELECT CAST(cid AS INT) AS cluster, CAST(count(*) AS INT) AS n,\n           CAST(sum(vec_id) AS INT) AS id_sum\n    FROM a WHERE rn = 1 GROUP BY cid'
+
+_SQL_EMB_KNN_IVF = '\n    WITH cent(cid, cv) AS (VALUES (0,[0.03973157097102652,-0.11338783650599353,0.12207388965243667,-0.22253984250655648,0.3049849725293285,0.005392156138147552,-0.16462697262999348,0.07058519648934145,0.09398275602300937,0.001122980085308212,-0.0013835890261026317,-0.0689975692434296,0.0067989874052938135,-0.016395433228758218,-0.0775965002885906,0.19606782138609646,-0.10006134155298607,0.24525510620086524,0.14262664877408893,0.10657226633863466,-0.22218686484509603,0.23728888168419537,0.036463085157551124,0.032402458625924856,-0.16910932490743252,0.17232561177893593,0.19486390115062538,-0.053454759618538086,0.049356247015357894,-0.13678625302479425,0.08816607093114139,0.0750241187138817,0.03852588097047626,0.027506289084277116,0.13263787884101036,-0.014217400545038724,-0.15188107806335607,-0.2712694151740978,-0.006727510824999909,0.021605141413938385,-0.01192640022495726,-0.2417653899178951,0.044862308644953476,-0.051431049307727,0.024520478340997732,-0.07966883977444605,-0.10323285073187394,0.00519926433000431,0.10873895512158453,0.07178749316315151,0.06977462965100144,-0.02112905250366482,0.2587269460215365,-0.06893098124597624,0.08351598570615591,0.040054904080572745,-0.23370920920961394,-0.04957640317283923,0.020829731934864783,-0.051981022042371115,-0.11320047299826003,0.09110939306885239,-0.0527408170622696,-0.09637414569534557]::DOUBLE[]),(1,[0.17790483906775123,0.06456336150648868,-0.18294020313181877,0.07776523129166789,0.04092734531217002,0.15820831380961245,0.05221098277371207,0.255514712239273,-0.009454596715142326,-0.003103469256317863,0.05078926948926669,0.056152963078741555,0.02323902577049378,-0.08220044364672688,0.20959516511551202,-0.3130568198129306,0.05197292076745797,0.04045294876688508,0.01721226747101894,-0.10013593350274688,-0.049822682198281086,0.09526015611478411,-0.1502576054075585,-0.029708851369624593,0.02221170297777004,-0.015909555178921855,0.010510768234549552,0.1370595263352567,-0.09388924620665179,-0.008158806905808717,0.20046112045038242,0.016118159042777403,0.16721839724805068,0.005192031887117174,-0.13158000615614307,0.01184052490790668,-0.021955087134350997,-0.14056312777053007,-0.004692994094098658,-0.3141383559967673,-0.09149203263900439,-0.13646828635734906,-0.1701425729197881,0.1421558726673144,0.11272032360702083,0.13863205701018633,-0.2446398962770306,0.2510135887092625,-0.23469860708115312,-0.1739901278402831,0.055262296957148634,0.03998669225502684,-0.04891843264906263,-0.00018513306047955662,-0.055116858681571866,-0.0021164339970194297,0.16204365472780896,0.02053763585076109,-0.0043700832070369304,0.10286974756167497,-0.04424397232622325,-0.12807748825158252,0.03854429765436196,-0.09135750637103385]::DOUBLE[]),(2,[-0.07390880959390166,0.32052234643191924,0.1394932459517579,-0.16025311192089914,-0.03506079940366554,0.328275567020724,0.07294781510972179,-0.093146423092007,0.04504429960222539,-0.13399973575739765,-0.09175552718530738,0.15423077240789662,-0.10395932692824311,0.06634268841020971,-0.03788321518563216,0.08131351415207447,0.04680961740552666,-0.052770753281588735,0.2287405673691541,0.00026901820936667096,0.16166478677612509,0.06104129944748687,0.17708882144608973,0.01834444311620695,-0.01201099112007534,0.056658560405079515,0.10590470760148059,-0.14919885407674585,-0.116117221310194,-0.011523294366375772,0.07273944274922858,0.11855793035139914,-0.06680964527969299,0.10616779606711785,-0.2313027850672238,0.12945157017351797,-0.03764039230676729,0.02702273996865929,-0.102802853352308,-0.11499162862591326,-0.2772276404592039,-0.1471832689014088,0.031026217265497036,0.043598316653583415,-0.21942746746532432,0.06270457308166504,0.031217569209583403,0.02512547745128825,0.12839265336886257,-0.023550735524478308,-0.14393345134790966,-0.14193849326324667,-0.2056030073572417,-0.0012991832103291783,0.02494041150594669,-0.147729232588673,0.06180377296434398,0.10946984147219921,-0.16613318986659972,-0.14880994601864875,-0.02160696085183413,-0.05128878470115977,0.025615173169733742,-0.025494888307882463]::DOUBLE[]),(3,[0.17909956653069162,-0.0563517463833846,-0.061747569786942506,0.16363080043810202,0.0691267322473899,0.08013443090261921,-0.14254023279771028,0.2628199224590447,-0.1796188269696803,-0.08605101811239438,-0.15802438160671994,-0.061779937231669094,-0.12241867142269226,0.13491120510467267,0.014774291677474306,0.2892282539078885,0.1947723062562191,-0.1702577410383451,-0.13719653833898907,-0.19308316057144195,-0.09923956769405841,-0.020278651678358545,0.15554296880059498,0.10558085951698887,-0.2217325568395953,0.03848536571709191,-0.16678223284018726,0.04268666581198359,-0.08540006504140474,-0.128652368561777,0.22651694870098854,-0.1263363633252092,-0.242332304866805,-0.06478570903114104,0.09660272829764117,0.08835303217330231,-0.10608453597433506,-0.09958289637757188,0.003878246344717492,0.037733153397763765,0.07200588008942978,-0.045744217319542105,0.08268825551377103,-0.16687164631896298,-0.030567905171995313,-0.062310545180860884,-0.08774219381035596,-0.03170166125857922,0.06989626471599235,-0.06220123567477566,-0.05926165499667786,-0.19146144513896368,-0.0980958367626889,0.08742761076061974,-0.10138582961324201,-0.15653278024645334,0.06085252074453546,-0.0791768577707802,-0.08949719449097063,-0.06475458384279179,-0.06507934357631268,-0.06759711811083187,0.039882997697943304,-0.12779105773607694]::DOUBLE[]),(4,[0.1342975197076147,-0.08295435376920063,0.016217535527165705,-0.1671832203560036,-0.1406318285383049,-0.11436603237674377,-0.030035714638878514,-0.1986909897773194,-0.1096960585888733,-0.2528696408184741,0.023816067925275644,-0.054973457890087445,-0.17784353134491465,0.11850841331684545,-0.08411218224948085,-0.17295107998499964,0.17056345926279695,0.05631837706234112,-0.07106982464593589,0.033525282739834454,-0.1888962932429498,0.07368637979241306,-0.07107206843882626,-0.09485893113554555,0.03284422102875068,-0.12952299741136153,-0.11132248541910852,0.07761765593869278,0.1014521886312062,0.03258276424963852,-0.22324402949646213,-0.06777114380625744,-0.12837273496341017,-0.23558106290168215,-0.13431564027743848,-0.09178452949137544,0.10150774289775091,-0.05561693030557795,-0.020293412161442988,0.043813777461822925,0.12318641595210773,0.07332493589273825,-0.023843322089230394,-0.19613227571511305,-0.000578117785699572,-0.08563374970482522,-0.09892260688919184,0.012155879584262508,0.0707058049594491,-0.022660003946718247,0.1102547043591196,-0.11260789584882365,0.1558961365779672,-0.05967511252698477,0.19374795147434215,0.16649358584533827,0.10358346286193702,0.2001248971939943,0.20082904199731666,-0.16608307589021623,0.09576035250443571,0.267119188007438,-0.02583495678239095,0.03696260112850219]::DOUBLE[]),(5,[0.16224308109543722,-0.1948595486158811,0.006714415649696844,0.05126975175439081,0.2615715457562464,-0.050017333913457016,-0.19544541246462457,-0.18614076655625492,0.1633602745707519,-0.05841550283908734,-0.047436099766178484,0.18344509341617227,-0.08408518178404291,-0.06615471010334151,0.09547173667587998,0.11164167008019471,-0.06432807608254719,0.13730717488138347,-0.255947417400376,0.1914189120052366,0.08496542665859669,0.1235354710765703,-0.23902891594466935,0.11416303214335374,-0.12959329256131416,-0.09007111643844389,-0.10021755726398633,-0.03300772145990633,-0.10499807389494367,-0.07974960094656337,-0.2074371058564079,0.1086301321995555,0.045923721011558005,0.0233713402275884,-0.07012683162448251,0.04261490221411933,-0.03691998238800604,0.2620071915500819,-0.08753599891815216,0.10977695613854287,-0.2520205399813262,-0.042164902760692756,0.008253845880369577,0.17081055501765968,0.0701783844784437,0.1990660818055172,0.12533848518138532,0.032973198112085454,0.08405444222766628,-0.2140068140368277,0.1214756693909211,0.06348295804031684,0.052202843275733685,0.0006733879397621519,0.012826173875973814,0.05854522309719425,0.043412004916159506,-0.09986087908324909,0.04225941111996565,0.0571925299069579,-0.03870608801773595,-0.08530692922277457,-0.0688441552391796,-0.028222368599870814]::DOUBLE[]),(6,[-0.0918698537271113,0.03490540504894103,-0.06785793491462194,0.08049752654367565,-0.0003477474711477453,0.08105418329442138,-0.028439868054303145,0.2617085569935203,-0.056368902762479876,-0.05415235482316536,0.17082679820947053,-0.30620031538972725,-0.047249786095864034,-0.14078870940638427,-0.17715388109314376,-0.03969381771151008,-0.06236000834303096,0.02655855985532987,0.2082624184010145,-0.04443264365187569,-0.1844791610100046,0.042648366983504805,0.038713392998787774,0.020755099908987797,0.06849871824450388,0.04535780125477845,0.1338395139858367,0.11859186112784187,-0.2072366532895297,0.18015714073057607,-0.07837063290450764,-0.0654536695277811,0.027383820626054687,-0.12100531775517012,0.04303148019579226,0.15367903240112427,0.19223823069638035,0.09661601144824787,0.10136902414548238,0.3009362468413551,-0.10175496955071633,0.1344892291741307,-0.06046505536418304,0.04180040356222476,-0.21350623920298234,-0.00278508480958763,0.018138411388015533,-0.06765887831842135,-0.14514384145392942,-0.051152987874146474,0.10936571141799269,-0.02539522893374226,0.034783226041720634,-0.057373057118811153,-0.08095762250339361,0.12100737901037871,0.03710595195908502,-0.014411315879822268,-0.3132083388731844,-0.02243699440491029,0.10756452248446215,-0.20561389174193573,-0.08311078500619248,0.10854170804622128]::DOUBLE[]),(7,[0.11309866876791905,-0.08248611646072682,0.06687128756844067,0.031558288355383525,0.11769992128986909,0.0700821617899617,0.13971582255932524,-0.028431901857229377,0.04686976546169345,0.06355676856869921,0.12427125703020712,0.16545564329138276,0.07883901711438142,0.10838044813868697,0.03454835050048578,-0.033008587074053686,-0.02558363894524569,-0.012115722093290366,-0.03928100146169701,-0.12111245457157718,-0.016638818364505537,0.15694754614490533,0.040383228357142975,-0.1464537486009455,0.087259774977083,0.22271506454113843,0.07091778995323597,0.09687709938687872,0.026266369022360972,-0.1448163416423734,-0.0042481000809067035,-0.22038287475509677,-0.023061026403006918,0.01496563417950986,-0.0024482551532163375,0.09460401270653633,-0.04256866261981052,0.0010805654242654588,0.2805420707726996,0.09530309006166306,0.30052600394325946,-0.026737857808362325,-0.03991160833937481,0.021248404322025568,-0.003998904388311825,0.025757268022721855,-0.040515528499515806,0.1676413266687666,-0.06634831552318775,0.128685757869693,-0.10367654275852349,-0.16444529761524085,0.0694952163720391,0.10680614302981656,0.26018347355943483,-0.09381154910775673,-0.19566314723818648,0.09067512219200455,0.18162337635624223,-0.1335992354204435,0.18536579698137626,0.222064587741771,-0.22522105309319795,-0.23157162623973068]::DOUBLE[]),(8,[0.08368676069538628,0.11239204209909678,0.11726637097060959,-0.15139127318379186,0.0021410159412354923,0.03686564259166919,0.06134016141715273,0.039727178309532,-0.022968434615892763,0.024096214481105983,-0.02521277883479889,-0.10248409972822269,0.031019565730631766,-0.22151262413409945,0.09797508014650201,0.12807639428625875,-0.10354222395334109,-0.03121588077697297,0.10718980221639327,0.02447748617266681,0.17704003063594423,-0.23903848929306215,-0.19332422988538525,0.10407731247263657,-0.09069599118137045,0.022016782114590575,-0.009025012652143517,0.2294443142260293,0.31588074974205116,0.14494868792355983,0.0003404450979227396,0.06298164842980307,0.09260919541833275,0.09976973657296637,0.042214952895426164,-0.07424332372254538,-0.05221481768230746,-0.15760331558003388,0.025332213317025766,0.048618331022154265,0.26208520875892066,-0.19630055507507327,0.15887278835858712,0.0032990332854282317,-0.22566534745426742,0.09335662816038218,0.0397347364382949,0.05705293187616176,0.11677540740842417,0.107111481470872,-0.006062332536073992,0.0770198151296762,-0.05396191166344768,-0.35517300138097957,-0.08831554788597118,0.02576974721897923,0.20280447480222608,-0.07431593653765103,-0.06094738471445821,0.005351979562727309,-0.04563956983296946,-0.032795529104250765,0.017697370934345095,0.16195609667111263]::DOUBLE[]),(9,[-0.2812101185898633,0.0554452614174625,-0.007143567247885477,-0.07851048691417585,0.2681084994038393,0.2830573063516144,-0.22910975052445598,-0.2027895433910402,-0.14130515278920788,0.12342107055615888,0.16667465443749502,0.14209580018171394,0.054898926621421075,0.1569454516504552,0.07103554990725161,0.12626514850216888,0.08882416872051166,-0.04868341828046298,-0.13106306173057497,-0.09915546731217964,0.07119189524623698,-0.26193257680110266,-0.0307796783527995,-0.09609355411218357,0.11735953724048555,0.16040209125814192,0.1369189666950526,0.22334072106164907,0.07834444733634682,0.043318891512182794,0.06675086866072795,-0.0767592208327635,-0.025538049203826775,-0.14288216865244174,-0.06365335419080753,-0.0987981395736783,-0.07354379551224464,0.11872681344632025,-0.006569919946421974,0.127817812324334,-0.08077048665971163,-0.06992436128475103,-0.0020879297901833745,-0.005579142324392999,-0.06542997781961402,-0.07760060139262524,0.11078315727406354,-0.0044292541814576715,0.03270724285317587,0.0020184182244006275,0.06286076851454038,-0.04202244712038787,-0.1397687541441975,0.17055423978745893,-0.05260527463422058,0.10880999076821071,0.15063054367654202,-0.008013882034271462,-0.1935599498331994,0.013948776670609252,0.10165266616508165,-0.08069287156614635,0.18573138021143787,0.0009698012868259961]::DOUBLE[]),(10,[-0.023317521589293802,-0.04456545369287008,0.08639887693375846,0.0012606647270745977,-0.03328484846174252,-0.034645003957694265,0.07442215370878359,-0.07118193812451046,0.17868018736218538,-0.18302898195530792,-0.016916238548162075,0.24179497870494204,0.20147290971062906,0.03506070085903203,0.09006719065366622,-0.03623006920096413,-0.2388086887357912,-0.24808961708660468,-0.1762405365747101,-0.04716982809246525,0.10852166486813855,-0.1790022878791683,-0.06583494637204036,-0.1601858857319872,0.016130141408583668,0.10297752337264791,-0.1564744167593237,-0.07578753590596086,0.15823599511442318,-0.017997391097151066,0.018515815274120422,-0.2825554394002544,0.043155356377986225,-0.01900904428122363,0.08723163654353484,-0.11118501839652246,0.05019607300484978,-0.002578774855689455,-0.11733721566027992,-0.2601707348192175,-0.045267592982824456,-0.15446533429063736,-0.05998507786495068,-0.25100977755665194,0.04853942681540367,0.011702164249229775,0.05350459673518816,0.04034306811105803,-0.04468263577744956,-0.08079433571336297,0.00629232621751417,-0.09685153381512657,0.0593388714472784,-0.12682596104195676,0.07628738967516896,-0.11166829456235966,-0.20986126687845377,-0.10123226101982481,-0.1760303353611084,-0.1503734755049732,-0.11451540671704631,0.09195019050560421,0.18680497477104996,0.059064056892275445]::DOUBLE[]),(11,[0.2847256013757774,-0.09326930207605423,-0.03795406940335003,0.08232105737185806,-0.050579570608169984,-0.21277528608222485,-0.1639417861436123,0.12070515363188734,0.06282933129509792,0.15069231060345792,0.0685514732289106,-0.20839600202367992,0.16988919799924074,-0.06643304174261405,0.11390734710000991,0.0670617114443706,-0.04542943989735207,-0.0012054343463354755,0.007555990364734984,0.059393191816486314,0.06543325454952978,-0.1582682263396784,0.23927222883658936,0.11695421731711225,0.04145122302890936,0.0915629146300664,-0.22776198887889312,0.15791358278721843,-0.1669805856620724,0.1069920916626589,-0.11588627602248844,-0.09374090802164299,0.024672195081691727,0.002107384339284506,0.17090879390829813,-0.259003111089368,-0.1709275207084732,0.14076458411042223,0.08185603777763258,0.03744512171907486,-0.2122723991322326,0.04922461718872235,-0.10252335022885174,-0.05596021002425749,0.03318061116532795,0.03843301205265177,-0.18928928441345108,-0.0848139700275773,0.0012313843697485947,0.055425110053808915,0.2318612114258872,0.09778586020625891,-0.15212176805006108,0.09037626627533943,0.027284801866341336,-0.04301955170967059,0.0794210727303082,0.1307683073234636,0.07569770783560746,-0.05071565336259871,0.12587939211927643,-0.04284900496848327,-0.009416989187544281,-0.14929230353626818]::DOUBLE[]),(12,[-0.1868362640362677,0.1586871337025492,-0.10327869053419711,-0.05512791470807987,-0.2922937323979604,-0.11184864891535481,-0.17945852563602888,0.016607384428115695,-0.12291612813905448,0.023655941334815855,-0.12513805761280328,0.13708613361196015,0.124863662952504,-0.1000285105676947,-0.04192872839668575,-0.009578586817859246,0.17879621429747447,0.25404018667112727,0.2004644451803584,-0.11155444437097972,-0.09671071068898651,0.10092506268438436,0.1224743295274294,-0.05420927063559721,0.09293306877501002,-0.2335245701718803,0.16717602161367878,-0.12215656464321747,0.0004228254177182682,-0.06544134613857433,-0.009780905660107942,0.1519647573836769,0.1367419444863401,-0.023541565406206368,0.029939375582895868,0.12559341190354395,-0.17308648511301855,0.06792362313923622,0.0450670108670238,-0.2270188483289882,-0.06873535910176365,0.027294959047132444,0.21406712389272098,-0.1496212499297516,0.11401335055698163,0.019947600972254297,0.016090594990797916,0.0738317178248415,-0.004533867600401018,-0.24662875753309235,-0.10508704547357396,-0.1236869114877192,0.04419828060708942,0.01118447775382182,-0.16078015765865303,0.10919033553511787,-0.0683213841953386,0.017967623612547706,-0.019614248448179127,0.0004985819210028537,-0.029419296358986432,0.19979705596849878,-0.06883283946305817,-0.05743097015976568]::DOUBLE[]),(13,[-0.13929170425773515,-0.1567480397886223,0.20468151245617838,0.06734220358968881,-0.09333313231416646,-0.022166354161645682,0.03221932801497742,0.25752782045141537,-0.1688109317680698,0.3661922081757532,0.16404030963983543,0.009177278666922709,-0.050399234060148,-0.14604573716968278,-0.1470784246435566,-0.06841729246036553,0.025039244139900836,-0.05202343968062116,-0.18740857476624373,0.22634908677866844,-0.037212739999542374,-0.0041586557529817506,0.12856185260494954,-0.011907366356296495,0.0994285414413685,-0.0057692272864693075,0.051727599767431375,-0.08798490351625794,0.05583187474974295,0.1490106039935857,0.10496119445842762,0.11578458370084245,0.09151902757480845,0.03910367992545753,0.01729245044868179,0.1395262474368531,-0.09528210397084377,-0.11178762964402547,-0.19942428492193834,0.07036858696626841,-0.011688412815660007,0.13449082757022335,-0.16984280287844175,0.10657929472588971,-0.1092681491666514,-0.1708162600221478,-0.010220273220175814,0.14154735867186477,-0.08328627014656775,-0.0859845595935758,0.10529953778580045,0.005450625598995105,0.20583924389951688,-0.1126983428630227,-0.007821272795254311,-0.07358973817692734,-0.0366930141611253,-0.11660910976057375,0.03312032566456467,0.06577925043577063,-0.21721554854000108,-0.040701975079016836,-0.13764047802479884,-0.16006930816769235]::DOUBLE[]),(14,[-0.17084600974397085,-0.030701826912685613,0.05016146972086823,0.09576671270420671,0.07403844677787634,-0.15998846417339055,0.010394675075609719,-0.030835150860453422,0.05482593417120961,-0.06322433263913366,-0.07443540280107079,-0.1396675224607536,-0.04996514261063961,0.1278848589258,-0.029405764322734472,-0.046412462148851565,-0.0018728581297071984,0.31586273722087116,0.1631079346934594,0.056680100219298535,0.0790573139122249,-0.09287380372346271,0.02821579301099023,-0.39711232196380114,-0.09133818097983896,0.039718326076593743,-0.07783351114624608,0.020340921167858895,-0.07923684733490703,0.006365447373064802,0.08999739994232057,-0.08966418379861588,0.12611590405165435,0.10914960688331415,0.20345994799588554,-0.12976250231082,0.11361827961572624,0.0259074633940234,-0.07012475550327282,0.06251534033411955,0.15699182835759234,-0.04649455215149278,0.17339590714712377,0.11893999506195076,0.0002827175497589775,0.03838217736550132,0.16289648081402994,-0.030373510730722246,-0.22053090984175636,-0.015400684715711321,-0.11198254601319621,0.4324129341616849,-0.0504656068178613,-0.03861283468707291,0.19097827500412395,-0.11050443590661005,0.060629502930396525,0.007650299456849127,-0.010238835955329656,0.048447922611621994,-0.08528649412268137,-0.01897032721261445,0.08337333249017319,-0.004248766246074196]::DOUBLE[]),(15,[-0.128970484368669,0.007300870447522565,-0.1585745274538528,-0.05720999001041896,-0.10448123879994982,0.08626861266678047,-0.1187637539566161,-0.026722122378957432,0.13639468949957395,-0.05040745259734019,0.03911751803654752,0.05030547417157522,-0.1565311757140655,0.11517448459041937,-0.1479304870480525,0.005793082374014265,-0.052381902388106916,-0.2652377367848561,-0.007539954019675608,0.05888713578790526,0.0526469962086949,0.15629993043939566,-0.04510284862123923,0.13038621636068246,0.05064823116020233,0.1242053579418661,-0.10353218726721458,-0.12872678855813013,0.0036388243588534462,-0.013555631403405847,0.005873891294441501,0.10185498996292408,0.13532781835338872,-0.09985014536401475,0.033139358939805276,0.11314919448472047,0.3271382317063416,0.08575661297334211,0.023189056000286774,-0.1616607398831546,0.08279952301159337,0.08952954530252796,-0.04117409886472408,0.20009339999595419,-0.17885632678734203,0.12750689366341342,0.2639278770255349,-0.3350479074749859,0.015068147369780642,0.08408087054435869,0.0641522857621484,0.10338792088201527,0.19681898977263054,0.07411418706465431,-0.16136763984398017,-0.09819456868450932,-2.4975008675976047e-06,-0.19328883075484965,0.11314040473671681,0.04005404541378503,0.14301305405424908,0.07744826136483403,0.05930965939226564,0.06587609494068715]::DOUBLE[])),\n    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n    asn AS (SELECT vec_id, cid FROM (\n        SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id\n            ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn\n        FROM e, cent c) WHERE rn = 1),\n    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),\n    pr AS (SELECT query_id, cid FROM (\n        SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id\n            ORDER BY list_dot_product(q.v, c.cv) DESC, c.cid) AS rn\n        FROM q, cent c) WHERE rn <= 4),\n    cand AS (SELECT q.query_id, e.vec_id, q.v AS qv, e.v AS ev\n             FROM q JOIN pr ON pr.query_id = q.query_id\n                    JOIN asn ON asn.cid = pr.cid\n                    JOIN e ON e.vec_id = asn.vec_id)\n    SELECT query_id, vec_id,\n           CAST(row_number() OVER (PARTITION BY query_id\n               ORDER BY list_cosine_similarity(ev, qv) DESC, vec_id)\n            AS BIGINT) AS rank\n    FROM cand QUALIFY rank <= 10'
+
+_SQL_EMB_KNN_LSH = "\n    WITH planes(b, pv) AS (VALUES (0,[0.03419276725318417,1.3597475403099617,1.2247210785859324,-0.5103070767876675,-0.2979695111064471,-0.5273841930334252,0.5697263575719601,-0.056064439045617594,0.7468856162565439,-1.8473247989741095,1.5665487746995206,-0.09643216015562055,0.6803784532741461,-0.13656633397682774,-0.3790985670748533,0.46311015859758675,0.824513527530113,-0.20252987069345152,-0.15278617857019708,0.685698610809258,-0.8703406419471712,-1.5143835037313955,0.39498186274953,-0.6705658236878794,-1.9203405901180286,-0.8140536639453595,-0.467597558892747,-1.1932024774322612,-1.4924638840630338,0.03663782694480509,0.8972492567277476,-0.23313207796045685,-0.7435960295088448,0.3849938087479083,0.7172358071943838,-0.3000105984884774,0.5446678079208929,1.0428754765829538,-0.20695643620832396,-0.8135155419815723,0.3476505985155095,0.24754574096284754,1.0988127684144084,-1.284580778805345,-0.6616129303555477,-0.8381669607156745,-1.7340148462328515,0.1264345551969962,0.527804212495524,-0.7387900314758065,1.3856470744961586,0.8219243366604353,0.6273764788355353,0.4017070914409699,0.955669564448635,-1.3319798395431022,0.6139296582498643,0.6027768335334479,-1.7677185771429749,0.34703010205437973,-0.2504213467099684,0.7815226960616993,-0.4390621876376686,-0.01824085764910033]::DOUBLE[]),(1,[0.3428515173176555,-0.8762616887442077,0.5985966481803844,-0.10496318852366823,0.49248262367924284,-0.5218375063367878,1.0862015432775176,0.6052019784294742,-0.17802502471933673,0.6319571570936101,1.259755161358625,1.7911755134979888,-1.5735763704402195,0.8831318116225195,0.4650685085133813,-0.09386078018634399,-1.0066649349770713,1.2571886134731436,-1.2617379934445705,0.5669454657347489,1.3018679962026896,-1.5996692880514796,-0.30251784048326236,-1.3092168175162993,0.24405410803590055,1.5143751306746547,2.0235560291721977,-1.7781144428835152,-0.5749490057210601,0.7035450933309114,1.5793726520932216,0.4212106442782976,-0.7461519975907094,0.2971315096374385,-0.01661920098083325,-0.2037407223881694,-0.7344710985474203,0.38725975594300555,0.3078796263658112,-0.09298412757635025,-0.2216879397006701,-1.284916570539673,-0.48617566714143334,1.2064496713466424,-0.19055825686602823,-1.4396973168381253,1.3344428069513163,0.5302654084829203,2.1080870286253033,0.06251216939171997,-0.46138457905169217,-1.4476446987755465,1.3238383700638794,2.5695115129905117,-0.820934937223875,-0.6470876402241984,0.5961887986723416,-0.8303454354133867,-0.27055836699218927,-0.34983769944206944,0.19195888729205715,1.09481844340068,0.022067589713919693,0.9189100957801388]::DOUBLE[]),(2,[-0.41988889600049356,0.3277985357234032,-2.138225589513189,-1.4499480667813884,0.7959134126817742,-0.590149399040946,0.5799149234726574,0.5423442548146441,1.3222788582368146,0.8118590596762011,1.0169913501666112,-0.11167133066420938,-0.6982851765628781,-0.731558777725664,-0.4880439402887327,-1.1298291140131056,-0.5474435821203582,-0.09256905150847415,0.2516119571058145,-0.33889079006978534,-1.923682866353282,-0.07228295450292373,0.22534578702721786,1.084475594643844,0.5778638956158266,-0.6435606861455095,-0.7237765601247179,2.0105975223757233,0.756637954017235,1.831439822737841,2.129444531219653,-0.818083666605393,0.38526930227745887,0.4581670048370468,0.5596122240618859,0.5419022252820672,0.20205463691158088,0.17412924424976314,-1.5024999410944402,-0.1654011831842485,-0.7476197010175331,0.12608730560642875,-0.46754626006357575,0.6185207511629426,0.8190757096799433,0.30869236500853114,0.31616814431588613,0.09294668494996648,-0.4477978929622047,-0.16450126423277087,-0.49564606330714495,0.3879871341457924,0.014113411841972533,0.5812911986088503,-1.3286483115981003,0.8877789284048715,-0.7626962368507467,-0.7342821862702664,-0.19744298486173803,-0.5633845877352657,0.2911251954982905,-0.5741647764650408,-1.0694775505189256,-0.8458028083790133]::DOUBLE[]),(3,[1.3119833252675124,0.044258328637274344,-1.1675302849446099,0.008377403177420764,-1.555946414705409,1.7895665579723081,-1.5244781602909778,0.4787527046455685,0.5436256643142272,-1.4500077538405294,0.30027651841828845,0.9971720401657596,0.46757528576185525,0.261016274083352,0.9490966814610048,0.16090454888866232,0.3364252880770561,-0.12671154648393168,0.6318057260154758,-0.9413841472373661,0.7917632588742233,-0.5053015337885142,-1.090653373060846,0.3652489557719693,1.6929555515236436,0.9616782115907366,-0.5156498276026669,0.698059671998619,-0.454209119721369,-0.12401945613631439,0.08952849321707658,-2.317218216900625,0.19161476616248335,-1.029609188818006,-0.6973986134552436,-1.4743904107207184,-1.5165582181462036,-0.9432644007214415,0.8255972952985817,1.6660413474635754,-0.025205103519519486,1.091790933563312,-0.26398064687868195,-1.9119728247927603,0.14991661602143025,0.4456482631425715,-0.42861655475758254,0.30222423421292294,0.5725562476093207,-0.8634075676336961,-1.4768340975643026,-0.22125416534201214,-0.21106054027038276,-0.35266321385541605,0.9872467528013661,1.7255887894094382,-0.4166470179838092,0.6988867031627518,0.9409311129269357,0.7131564204233815,1.0474862871297028,-0.38924397003268574,0.7398063595133139,2.024481935859489]::DOUBLE[]),(4,[0.8036655593800595,-0.6198936689169603,0.6077124939345443,1.2623802917054945,0.3689862863896283,-0.5634006961428569,1.5430805830215768,-1.2497670465629258,0.5034250466559266,-0.016175574467128036,-1.1936657251775022,1.2194496835829487,0.3478875937013457,-1.166798177099069,0.6017283565618432,-0.43160042891134,-1.9027885021671262,-0.6889051253999523,0.2635514475016157,0.6357028862761235,0.16556490512827252,0.04516501126799043,0.46999000714326233,-0.210976101965214,1.176954603942294,0.14864164821343293,0.29392155247372515,0.540798991545746,-1.0571688403044779,-0.7092268763497593,1.5285791140398155,0.33530869036097966,-0.2826160786151785,0.3414835288114959,-0.48162223506155016,0.27856628863229466,-0.6658710549900579,0.27601881733916134,-1.5777025523190094,1.330919793665682,-0.5129578726969883,-1.5812411969951867,-0.2238416945870532,-0.3709961947182103,0.15239841860045156,-1.145250608848122,0.3974655997902583,3.623567688368005,-1.2786677207432902,0.3377155756992855,-0.31071885365042484,0.19260829481441374,-1.811809037837263,-1.1510093879783454,0.4596595352026752,-0.038418019395222595,1.6352381805909817,-0.7047973922713666,0.17449952715639466,2.913121452537828,-0.765561436417932,-0.9038334934759573,-0.035130084895088134,-0.04456267883565894]::DOUBLE[]),(5,[0.8441672801225347,0.12957587279758478,-0.7567393122486353,0.21142155200757654,2.6385967525787044,1.2717736740410226,-2.7821691176232233,-0.14201691359430452,-0.8750905219509657,0.6222625144051509,-0.17326348062410027,1.932695747995194,0.9312355636189067,0.8904028924592736,0.18657106002655185,-0.04029765330752769,0.34017992887452764,1.295279791418775,0.534389769872797,-0.3511325658376627,1.2750846584688966,0.19211036905670717,-0.0776150634716236,-0.7913768386620321,-0.5659922764661505,-0.636046779726964,-2.79235715975389,1.0168462003981633,0.5664775694278109,-0.21427059157909795,1.045983738409203,0.43798777953339196,0.37156747896960074,-2.4747635495786637,-0.23301591961061885,0.5321891257672531,1.6096868317882371,1.8402948816174964,1.4258382457202734,-1.1616095185495017,-2.197671367087202,0.5704695747069322,0.027615835350643075,0.9625532543524465,-0.12588436360404337,0.2197549635234998,-1.499989013056637,0.44800965515897445,-0.44489845287418683,0.349985357704251,0.4594059935421338,-0.1172221448808959,0.31680112211393313,-0.013607030533302129,0.759199501128509,0.5017429484459656,-0.5472163690372069,-0.5879018811026014,1.7437387779906113,-0.10159549531612938,0.9918077625655023,0.39338573028374196,-0.5641124904961297,-0.7489737969543596]::DOUBLE[])),\n    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n    bk AS (SELECT e.vec_id, CAST(sum(CASE WHEN list_dot_product(e.v, p.pv) > 0\n                                    THEN 1<<p.b ELSE 0 END) AS BIGINT) AS bucket\n           FROM e, planes p GROUP BY e.vec_id),\n    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),\n    qb AS (SELECT q.query_id, b.bucket FROM q JOIN bk b ON b.vec_id = q.query_id),\n    -- the Ray path probes the UNION of every query's multiprobe set and\n    -- ranks each query over that shared candidate pool\n    cand AS (SELECT DISTINCT bk.vec_id\n             FROM bk JOIN qb ON bit_count(xor(bk.bucket, qb.bucket)) <= 1)\n    SELECT q.query_id, c.vec_id,\n           CAST(row_number() OVER (PARTITION BY q.query_id\n               ORDER BY list_cosine_similarity(e.v, q.v) DESC, c.vec_id)\n            AS BIGINT) AS rank\n    FROM cand c JOIN e ON e.vec_id = c.vec_id, q\n    QUALIFY rank <= 10"
+
+_SQL_EMB_PQ_CELLS = '\n    WITH cb(j, cid, cv) AS (VALUES (0,0,[-60489,-32404,4152,-61137,99291,-12874,-31705,-2429,12459,30279,17160,18291,-45897,38690,-104787,81857]::DOUBLE[]),(0,1,[95375,-24018,-149563,35754,62801,91278,-15977,68036,37243,2883,43239,42534,-44287,-23560,102697,-117250]::DOUBLE[]),(0,2,[-83235,204198,34418,-2685,-90084,148467,-25155,-59653,-24322,44652,-159695,150938,4662,-20906,-56012,21409]::DOUBLE[]),(0,3,[-5250,-32736,51669,56917,46053,7254,-63811,93338,-41194,93575,-132897,50066,33522,81669,61948,61928]::DOUBLE[]),(0,4,[22830,-21074,7787,-35603,-151148,-51294,-29010,-104968,-93311,-78052,-11716,-17106,-96689,40580,-54508,-158574]::DOUBLE[]),(0,5,[146619,-107931,20837,58156,47614,65574,-157542,-143605,63213,-83448,79222,5845,40949,-56666,2701,102466]::DOUBLE[]),(0,6,[-21046,-15038,16752,-56963,14355,-40863,-17697,137400,-45519,-39599,54625,-54407,49503,-125583,-3706,-20680]::DOUBLE[]),(0,7,[68452,30780,2824,42670,5015,37981,100440,-46238,-71230,17659,7363,92203,17134,67059,-60327,-60568]::DOUBLE[]),(0,8,[78154,2368,68598,-79820,-41684,-62253,15337,-7567,76033,-30507,8536,-18941,-5471,-13819,10046,62171]::DOUBLE[]),(0,9,[-83312,88435,17415,76088,116472,73868,-142072,-46029,-103486,-69282,85111,19513,-22766,-8575,75460,42888]::DOUBLE[]),(0,10,[-45880,-2901,29595,-54060,-69217,140058,101857,41865,52289,-81685,13333,72147,68683,-9584,152810,45689]::DOUBLE[]),(0,11,[24960,-34656,4495,16875,33468,-84976,-83726,34435,-12829,165696,89464,-95382,73484,26262,60796,-25045]::DOUBLE[]),(0,12,[7152,88362,-71732,52686,-186431,-73404,-56451,-34045,11161,78967,-10238,67203,149334,14527,82138,17453]::DOUBLE[]),(0,13,[-74270,-76499,68884,10510,-40444,121800,-15878,50519,-105802,112649,80067,44433,-62068,-72567,-52061,-68684]::DOUBLE[]),(0,14,[-44043,-15293,5302,162813,6972,-12359,-15935,-17693,36317,-62334,-43353,-102046,-79893,-72962,-8914,-16]::DOUBLE[]),(0,15,[-33812,46181,-124315,-92173,22218,61803,-13402,-11406,76504,-100918,-74107,-29388,-12236,126085,18888,-12711]::DOUBLE[]),(1,0,[-9144,-1921,39164,67698,49512,-41741,-4015,18917,-64420,10688,-49127,-114012,-84004,13856,-79310,3986]::DOUBLE[]),(1,1,[29198,155368,14368,-106810,22289,-45318,-77915,-66540,-35363,-92064,148398,-45028,45081,-83685,2214,-124163]::DOUBLE[]),(1,2,[27382,44760,-82519,43711,-43586,13946,-86116,-23868,-32922,-57333,-87295,55169,17003,-20625,-83441,37939]::DOUBLE[]),(1,3,[-21781,-5569,36086,-17743,4555,35572,-15558,161524,96519,-23345,-51223,79367,3854,52737,31708,-6276]::DOUBLE[]),(1,4,[-18572,-126937,68541,-75020,14966,42385,-14565,-22232,106015,97468,-54310,-35080,-19900,7487,-57606,141233]::DOUBLE[]),(1,5,[41949,266,-23610,45449,124966,-43951,-26223,-140674,47467,32770,73550,98395,-25,-10558,-39392,69912]::DOUBLE[]),(1,6,[79186,36961,93442,-34221,-40960,-94426,66350,-7014,33824,-38847,-34662,85018,-74847,-15202,37500,15188]::DOUBLE[]),(1,7,[107082,-71986,-39029,-4496,-75093,-23332,-25206,-45635,49346,34870,40481,-59845,66753,32738,96974,-99653]::DOUBLE[]),(1,8,[-78725,126664,80564,37739,-67943,140830,13532,-48820,-37368,89292,-86063,-80635,-17401,20918,-68215,-20418]::DOUBLE[]),(1,9,[10104,36856,-20639,-70061,-27092,4811,6857,-35594,-88322,112826,-55995,19236,40785,-114819,99371,-34783]::DOUBLE[]),(1,10,[128718,-66428,40053,97795,-263323,-192836,41223,51810,-130138,75467,117059,-30803,4494,181808,101312,146321]::DOUBLE[]),(1,11,[-9071,-22420,5929,-47943,-3747,94672,24802,8826,-111344,19165,136953,75270,-44306,183731,50171,-55280]::DOUBLE[]),(1,12,[-42220,-81245,-77357,-15867,-41172,-21076,-1899,52010,-157928,-56559,-26084,-58699,113142,-34665,-72560,-130915]::DOUBLE[]),(1,13,[-7358,30028,87878,-28630,-81459,98135,-9048,58432,49462,45310,184377,-17391,15698,50372,-51198,130684]::DOUBLE[]),(1,14,[-21847,118993,-13926,31433,-554,26019,81291,-105069,-37271,-112473,-2470,24884,-70639,-39302,64360,-58750]::DOUBLE[]),(1,15,[-63556,-96587,-83549,44635,60145,-22231,37984,32789,46830,107617,14229,13270,42562,6616,15763,3584]::DOUBLE[]),(2,0,[-209372,46311,-63117,-136459,-125501,83698,12692,1262,-216187,-24063,-117728,90377,-19813,-63316,49214,-18964]::DOUBLE[]),(2,1,[46731,8589,15806,-151635,16992,-83459,108452,17874,32942,34993,34009,-8461,74270,-11320,41625,51590]::DOUBLE[]),(2,2,[8385,-30577,14620,46707,115675,113009,29885,-115333,-26873,-2711,-41767,81426,-3440,30860,68059,-30099]::DOUBLE[]),(2,3,[26140,77483,97936,132109,-183285,-122707,15524,41736,-21041,-23615,-127315,-85192,-97843,20160,-87494,-17836]::DOUBLE[]),(2,4,[-23213,-53884,46687,17631,460,66578,-36212,103381,-13613,-6931,-5059,-78692,-55143,-149920,-7550,-102437]::DOUBLE[]),(2,5,[-84251,44151,-30951,-28321,-94261,73189,-72400,-36864,-13271,-43159,170451,23914,-99229,54801,-79586,-36111]::DOUBLE[]),(2,6,[-6640,-125039,83882,-132520,-38024,-39664,-118729,-11921,125273,-121228,49404,-100181,129216,30201,53854,-31996]::DOUBLE[]),(2,7,[65812,-52693,-83809,71202,74079,55989,8225,99432,-56810,13178,-89366,13708,-71300,21018,126542,16386]::DOUBLE[]),(2,8,[80555,143728,75742,-11304,-8942,58841,3360,52921,-122649,-8945,33087,-10990,-35748,4558,-23865,38332]::DOUBLE[]),(2,9,[25858,78023,20396,26647,-9197,64814,-27440,-33505,-82904,-166926,-39605,-60517,96479,64974,79718,-110467]::DOUBLE[]),(2,10,[-19927,-10911,18462,87784,-73358,-54020,83777,-25968,76676,-153113,20297,37908,-87064,29231,24762,127490]::DOUBLE[]),(2,11,[-105544,-16003,-11354,-59616,-46314,79696,-17708,-63914,103539,97887,-69538,-19023,46530,63457,-5285,103801]::DOUBLE[]),(2,12,[66152,107308,34128,-6268,36926,-59404,-206054,50706,70961,-26302,-13958,76271,11124,-28624,-63385,45341]::DOUBLE[]),(2,13,[90091,-40755,-23974,-11016,-1103,-40415,-2297,-58244,-13708,-25575,-4482,42194,15444,39102,-54628,-45611]::DOUBLE[]),(2,14,[-18198,-41074,36066,110754,-66767,14304,81023,-53135,-69724,52819,-4612,-948,-27697,-122964,-9708,65381]::DOUBLE[]),(2,15,[-90891,-78397,-23073,16286,31703,-111701,-13005,58232,70032,17676,14418,-84561,-32836,23296,-18148,-993]::DOUBLE[]),(3,0,[82883,-42049,-44741,43272,67368,-42769,-34866,100916,-98561,48157,-12919,-19034,31204,-34556,-38817,65767]::DOUBLE[]),(3,1,[-43332,-35173,43915,53736,4643,122689,-46769,-26004,-40005,33687,17731,101897,-26562,-36143,96798,-70219]::DOUBLE[]),(3,2,[95943,-155732,-51262,-29724,-44370,90370,1847,-745,-26156,-122792,-39089,17426,13689,23525,-8944,-116605]::DOUBLE[]),(3,3,[11364,-40727,-15150,141095,14705,-48725,280,31492,34009,67072,-140314,-17977,45730,22704,-21749,-172518]::DOUBLE[]),(3,4,[99096,85316,37611,-56813,-19129,7418,87928,14135,53387,9893,-3188,44946,62129,-63420,8943,14467]::DOUBLE[]),(3,5,[-33864,-26032,116982,67262,86802,-52346,68937,2657,-45445,-102906,30796,-23656,6181,1643,-13014,-24188]::DOUBLE[]),(3,6,[7552,-28316,112569,-57890,-129495,-58543,-98403,-6884,30491,27567,-11695,38846,82348,26984,-48,44880]::DOUBLE[]),(3,7,[-44694,136903,-18453,-18472,119934,85187,71636,-18423,-27393,22862,49756,11069,25621,126201,-126283,-41986]::DOUBLE[]),(3,8,[168349,144031,-216722,299368,-224026,-121528,-2660,129109,12321,-1197,49485,-12495,-130706,36761,-111028,106202]::DOUBLE[]),(3,9,[-64707,-87557,95692,1640,-27890,77976,78463,53076,23515,81172,-78435,-80800,-61797,-65630,23152,31124]::DOUBLE[]),(3,10,[-32856,62923,10120,48536,-28863,30977,-118450,-194293,87061,-68069,25545,54013,-11080,61980,8327,66722]::DOUBLE[]),(3,11,[-3644,15702,-13180,-105034,-31133,-61330,19181,-145818,509,73900,8736,-51141,-86831,38242,-112450,-39218]::DOUBLE[]),(3,12,[62868,-65083,15203,-89928,45572,-34787,-77323,33579,57710,42698,194445,-53423,430,81295,-49475,-38990]::DOUBLE[]),(3,13,[-151420,20702,-40503,-57,-26443,-77608,74995,37873,-49506,11179,-53649,29747,-96952,37664,58942,-12006]::DOUBLE[]),(3,14,[-69099,-1594,-75800,8672,39122,37665,-36276,-43458,181258,-8578,-66568,-24627,90826,-66176,-12662,-28117]::DOUBLE[]),(3,15,[-14358,-15097,-106382,-14423,35994,-17619,-18784,8628,5929,-86272,-30574,-108727,-39121,6271,86931,15818]::DOUBLE[])),\n    e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x*1000000.0)) AS v\n          FROM embeddings WHERE embedding IS NOT NULL),\n    sub AS (SELECT vec_id, j, v[j*16+1 : j*16+16] AS sv\n            FROM e, (SELECT unnest([0,1,2,3]) AS j)),\n    asn AS (SELECT vec_id, j, cid FROM (\n        SELECT s.vec_id, s.j, c.cid, row_number() OVER (\n            PARTITION BY s.vec_id, s.j\n            ORDER BY list_dot_product(c.cv, c.cv)\n                     - 2*list_dot_product(s.sv, c.cv), c.cid) AS rn\n        FROM sub s JOIN cb c ON c.j = s.j) WHERE rn = 1)\n    SELECT CAST(c.j AS BIGINT) AS subspace, CAST(c.cid AS BIGINT) AS centroid,\n           CAST(coalesce(g.cnt, 0) AS BIGINT) AS n,\n           CAST(coalesce(g.ids, 0) AS BIGINT) AS id_sum\n    FROM cb c LEFT JOIN (SELECT j, cid, count(*) AS cnt, sum(vec_id) AS ids\n                         FROM asn GROUP BY j, cid) g\n        ON g.j = c.j AND g.cid = c.cid'
+
+_SQL_EMB_KNN_PQ = '\n    WITH cb(j, cid, cv) AS (VALUES (0,0,[-60489,-32404,4152,-61137,99291,-12874,-31705,-2429,12459,30279,17160,18291,-45897,38690,-104787,81857]::DOUBLE[]),(0,1,[95375,-24018,-149563,35754,62801,91278,-15977,68036,37243,2883,43239,42534,-44287,-23560,102697,-117250]::DOUBLE[]),(0,2,[-83235,204198,34418,-2685,-90084,148467,-25155,-59653,-24322,44652,-159695,150938,4662,-20906,-56012,21409]::DOUBLE[]),(0,3,[-5250,-32736,51669,56917,46053,7254,-63811,93338,-41194,93575,-132897,50066,33522,81669,61948,61928]::DOUBLE[]),(0,4,[22830,-21074,7787,-35603,-151148,-51294,-29010,-104968,-93311,-78052,-11716,-17106,-96689,40580,-54508,-158574]::DOUBLE[]),(0,5,[146619,-107931,20837,58156,47614,65574,-157542,-143605,63213,-83448,79222,5845,40949,-56666,2701,102466]::DOUBLE[]),(0,6,[-21046,-15038,16752,-56963,14355,-40863,-17697,137400,-45519,-39599,54625,-54407,49503,-125583,-3706,-20680]::DOUBLE[]),(0,7,[68452,30780,2824,42670,5015,37981,100440,-46238,-71230,17659,7363,92203,17134,67059,-60327,-60568]::DOUBLE[]),(0,8,[78154,2368,68598,-79820,-41684,-62253,15337,-7567,76033,-30507,8536,-18941,-5471,-13819,10046,62171]::DOUBLE[]),(0,9,[-83312,88435,17415,76088,116472,73868,-142072,-46029,-103486,-69282,85111,19513,-22766,-8575,75460,42888]::DOUBLE[]),(0,10,[-45880,-2901,29595,-54060,-69217,140058,101857,41865,52289,-81685,13333,72147,68683,-9584,152810,45689]::DOUBLE[]),(0,11,[24960,-34656,4495,16875,33468,-84976,-83726,34435,-12829,165696,89464,-95382,73484,26262,60796,-25045]::DOUBLE[]),(0,12,[7152,88362,-71732,52686,-186431,-73404,-56451,-34045,11161,78967,-10238,67203,149334,14527,82138,17453]::DOUBLE[]),(0,13,[-74270,-76499,68884,10510,-40444,121800,-15878,50519,-105802,112649,80067,44433,-62068,-72567,-52061,-68684]::DOUBLE[]),(0,14,[-44043,-15293,5302,162813,6972,-12359,-15935,-17693,36317,-62334,-43353,-102046,-79893,-72962,-8914,-16]::DOUBLE[]),(0,15,[-33812,46181,-124315,-92173,22218,61803,-13402,-11406,76504,-100918,-74107,-29388,-12236,126085,18888,-12711]::DOUBLE[]),(1,0,[-9144,-1921,39164,67698,49512,-41741,-4015,18917,-64420,10688,-49127,-114012,-84004,13856,-79310,3986]::DOUBLE[]),(1,1,[29198,155368,14368,-106810,22289,-45318,-77915,-66540,-35363,-92064,148398,-45028,45081,-83685,2214,-124163]::DOUBLE[]),(1,2,[27382,44760,-82519,43711,-43586,13946,-86116,-23868,-32922,-57333,-87295,55169,17003,-20625,-83441,37939]::DOUBLE[]),(1,3,[-21781,-5569,36086,-17743,4555,35572,-15558,161524,96519,-23345,-51223,79367,3854,52737,31708,-6276]::DOUBLE[]),(1,4,[-18572,-126937,68541,-75020,14966,42385,-14565,-22232,106015,97468,-54310,-35080,-19900,7487,-57606,141233]::DOUBLE[]),(1,5,[41949,266,-23610,45449,124966,-43951,-26223,-140674,47467,32770,73550,98395,-25,-10558,-39392,69912]::DOUBLE[]),(1,6,[79186,36961,93442,-34221,-40960,-94426,66350,-7014,33824,-38847,-34662,85018,-74847,-15202,37500,15188]::DOUBLE[]),(1,7,[107082,-71986,-39029,-4496,-75093,-23332,-25206,-45635,49346,34870,40481,-59845,66753,32738,96974,-99653]::DOUBLE[]),(1,8,[-78725,126664,80564,37739,-67943,140830,13532,-48820,-37368,89292,-86063,-80635,-17401,20918,-68215,-20418]::DOUBLE[]),(1,9,[10104,36856,-20639,-70061,-27092,4811,6857,-35594,-88322,112826,-55995,19236,40785,-114819,99371,-34783]::DOUBLE[]),(1,10,[128718,-66428,40053,97795,-263323,-192836,41223,51810,-130138,75467,117059,-30803,4494,181808,101312,146321]::DOUBLE[]),(1,11,[-9071,-22420,5929,-47943,-3747,94672,24802,8826,-111344,19165,136953,75270,-44306,183731,50171,-55280]::DOUBLE[]),(1,12,[-42220,-81245,-77357,-15867,-41172,-21076,-1899,52010,-157928,-56559,-26084,-58699,113142,-34665,-72560,-130915]::DOUBLE[]),(1,13,[-7358,30028,87878,-28630,-81459,98135,-9048,58432,49462,45310,184377,-17391,15698,50372,-51198,130684]::DOUBLE[]),(1,14,[-21847,118993,-13926,31433,-554,26019,81291,-105069,-37271,-112473,-2470,24884,-70639,-39302,64360,-58750]::DOUBLE[]),(1,15,[-63556,-96587,-83549,44635,60145,-22231,37984,32789,46830,107617,14229,13270,42562,6616,15763,3584]::DOUBLE[]),(2,0,[-209372,46311,-63117,-136459,-125501,83698,12692,1262,-216187,-24063,-117728,90377,-19813,-63316,49214,-18964]::DOUBLE[]),(2,1,[46731,8589,15806,-151635,16992,-83459,108452,17874,32942,34993,34009,-8461,74270,-11320,41625,51590]::DOUBLE[]),(2,2,[8385,-30577,14620,46707,115675,113009,29885,-115333,-26873,-2711,-41767,81426,-3440,30860,68059,-30099]::DOUBLE[]),(2,3,[26140,77483,97936,132109,-183285,-122707,15524,41736,-21041,-23615,-127315,-85192,-97843,20160,-87494,-17836]::DOUBLE[]),(2,4,[-23213,-53884,46687,17631,460,66578,-36212,103381,-13613,-6931,-5059,-78692,-55143,-149920,-7550,-102437]::DOUBLE[]),(2,5,[-84251,44151,-30951,-28321,-94261,73189,-72400,-36864,-13271,-43159,170451,23914,-99229,54801,-79586,-36111]::DOUBLE[]),(2,6,[-6640,-125039,83882,-132520,-38024,-39664,-118729,-11921,125273,-121228,49404,-100181,129216,30201,53854,-31996]::DOUBLE[]),(2,7,[65812,-52693,-83809,71202,74079,55989,8225,99432,-56810,13178,-89366,13708,-71300,21018,126542,16386]::DOUBLE[]),(2,8,[80555,143728,75742,-11304,-8942,58841,3360,52921,-122649,-8945,33087,-10990,-35748,4558,-23865,38332]::DOUBLE[]),(2,9,[25858,78023,20396,26647,-9197,64814,-27440,-33505,-82904,-166926,-39605,-60517,96479,64974,79718,-110467]::DOUBLE[]),(2,10,[-19927,-10911,18462,87784,-73358,-54020,83777,-25968,76676,-153113,20297,37908,-87064,29231,24762,127490]::DOUBLE[]),(2,11,[-105544,-16003,-11354,-59616,-46314,79696,-17708,-63914,103539,97887,-69538,-19023,46530,63457,-5285,103801]::DOUBLE[]),(2,12,[66152,107308,34128,-6268,36926,-59404,-206054,50706,70961,-26302,-13958,76271,11124,-28624,-63385,45341]::DOUBLE[]),(2,13,[90091,-40755,-23974,-11016,-1103,-40415,-2297,-58244,-13708,-25575,-4482,42194,15444,39102,-54628,-45611]::DOUBLE[]),(2,14,[-18198,-41074,36066,110754,-66767,14304,81023,-53135,-69724,52819,-4612,-948,-27697,-122964,-9708,65381]::DOUBLE[]),(2,15,[-90891,-78397,-23073,16286,31703,-111701,-13005,58232,70032,17676,14418,-84561,-32836,23296,-18148,-993]::DOUBLE[]),(3,0,[82883,-42049,-44741,43272,67368,-42769,-34866,100916,-98561,48157,-12919,-19034,31204,-34556,-38817,65767]::DOUBLE[]),(3,1,[-43332,-35173,43915,53736,4643,122689,-46769,-26004,-40005,33687,17731,101897,-26562,-36143,96798,-70219]::DOUBLE[]),(3,2,[95943,-155732,-51262,-29724,-44370,90370,1847,-745,-26156,-122792,-39089,17426,13689,23525,-8944,-116605]::DOUBLE[]),(3,3,[11364,-40727,-15150,141095,14705,-48725,280,31492,34009,67072,-140314,-17977,45730,22704,-21749,-172518]::DOUBLE[]),(3,4,[99096,85316,37611,-56813,-19129,7418,87928,14135,53387,9893,-3188,44946,62129,-63420,8943,14467]::DOUBLE[]),(3,5,[-33864,-26032,116982,67262,86802,-52346,68937,2657,-45445,-102906,30796,-23656,6181,1643,-13014,-24188]::DOUBLE[]),(3,6,[7552,-28316,112569,-57890,-129495,-58543,-98403,-6884,30491,27567,-11695,38846,82348,26984,-48,44880]::DOUBLE[]),(3,7,[-44694,136903,-18453,-18472,119934,85187,71636,-18423,-27393,22862,49756,11069,25621,126201,-126283,-41986]::DOUBLE[]),(3,8,[168349,144031,-216722,299368,-224026,-121528,-2660,129109,12321,-1197,49485,-12495,-130706,36761,-111028,106202]::DOUBLE[]),(3,9,[-64707,-87557,95692,1640,-27890,77976,78463,53076,23515,81172,-78435,-80800,-61797,-65630,23152,31124]::DOUBLE[]),(3,10,[-32856,62923,10120,48536,-28863,30977,-118450,-194293,87061,-68069,25545,54013,-11080,61980,8327,66722]::DOUBLE[]),(3,11,[-3644,15702,-13180,-105034,-31133,-61330,19181,-145818,509,73900,8736,-51141,-86831,38242,-112450,-39218]::DOUBLE[]),(3,12,[62868,-65083,15203,-89928,45572,-34787,-77323,33579,57710,42698,194445,-53423,430,81295,-49475,-38990]::DOUBLE[]),(3,13,[-151420,20702,-40503,-57,-26443,-77608,74995,37873,-49506,11179,-53649,29747,-96952,37664,58942,-12006]::DOUBLE[]),(3,14,[-69099,-1594,-75800,8672,39122,37665,-36276,-43458,181258,-8578,-66568,-24627,90826,-66176,-12662,-28117]::DOUBLE[]),(3,15,[-14358,-15097,-106382,-14423,35994,-17619,-18784,8628,5929,-86272,-30574,-108727,-39121,6271,86931,15818]::DOUBLE[])),\n    e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x*1000000.0)) AS v\n          FROM embeddings WHERE embedding IS NOT NULL),\n    sub AS (SELECT vec_id, j, v[j*16+1 : j*16+16] AS sv\n            FROM e, (SELECT unnest([0,1,2,3]) AS j)),\n    asn AS (SELECT vec_id, j, cid FROM (\n        SELECT s.vec_id, s.j, c.cid, row_number() OVER (\n            PARTITION BY s.vec_id, s.j\n            ORDER BY list_dot_product(c.cv, c.cv)\n                     - 2*list_dot_product(s.sv, c.cv), c.cid) AS rn\n        FROM sub s JOIN cb c ON c.j = s.j) WHERE rn = 1),\n    qsub AS (SELECT vec_id AS query_id, j, sv FROM sub WHERE vec_id < 5),\n    lut AS (SELECT qs.query_id, c.j, c.cid,\n                   list_dot_product(qs.sv, qs.sv)\n                   - 2*list_dot_product(qs.sv, c.cv)\n                   + list_dot_product(c.cv, c.cv) AS d\n            FROM qsub qs JOIN cb c ON c.j = qs.j)\n    SELECT query_id, vec_id, adc_dist,\n           CAST(row_number() OVER (PARTITION BY query_id\n               ORDER BY adc_dist, vec_id) AS BIGINT) AS "rank"\n    FROM (SELECT l.query_id, a.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist\n          FROM asn a JOIN lut l ON l.j = a.j AND l.cid = a.cid\n          GROUP BY l.query_id, a.vec_id)\n    QUALIFY "rank" <= 10'
+
+_SQL_EMB_KNN_IVFPQ = '\n    WITH cb(j, cid, cv) AS (VALUES (0,0,[-60489,-32404,4152,-61137,99291,-12874,-31705,-2429,12459,30279,17160,18291,-45897,38690,-104787,81857]::DOUBLE[]),(0,1,[95375,-24018,-149563,35754,62801,91278,-15977,68036,37243,2883,43239,42534,-44287,-23560,102697,-117250]::DOUBLE[]),(0,2,[-83235,204198,34418,-2685,-90084,148467,-25155,-59653,-24322,44652,-159695,150938,4662,-20906,-56012,21409]::DOUBLE[]),(0,3,[-5250,-32736,51669,56917,46053,7254,-63811,93338,-41194,93575,-132897,50066,33522,81669,61948,61928]::DOUBLE[]),(0,4,[22830,-21074,7787,-35603,-151148,-51294,-29010,-104968,-93311,-78052,-11716,-17106,-96689,40580,-54508,-158574]::DOUBLE[]),(0,5,[146619,-107931,20837,58156,47614,65574,-157542,-143605,63213,-83448,79222,5845,40949,-56666,2701,102466]::DOUBLE[]),(0,6,[-21046,-15038,16752,-56963,14355,-40863,-17697,137400,-45519,-39599,54625,-54407,49503,-125583,-3706,-20680]::DOUBLE[]),(0,7,[68452,30780,2824,42670,5015,37981,100440,-46238,-71230,17659,7363,92203,17134,67059,-60327,-60568]::DOUBLE[]),(0,8,[78154,2368,68598,-79820,-41684,-62253,15337,-7567,76033,-30507,8536,-18941,-5471,-13819,10046,62171]::DOUBLE[]),(0,9,[-83312,88435,17415,76088,116472,73868,-142072,-46029,-103486,-69282,85111,19513,-22766,-8575,75460,42888]::DOUBLE[]),(0,10,[-45880,-2901,29595,-54060,-69217,140058,101857,41865,52289,-81685,13333,72147,68683,-9584,152810,45689]::DOUBLE[]),(0,11,[24960,-34656,4495,16875,33468,-84976,-83726,34435,-12829,165696,89464,-95382,73484,26262,60796,-25045]::DOUBLE[]),(0,12,[7152,88362,-71732,52686,-186431,-73404,-56451,-34045,11161,78967,-10238,67203,149334,14527,82138,17453]::DOUBLE[]),(0,13,[-74270,-76499,68884,10510,-40444,121800,-15878,50519,-105802,112649,80067,44433,-62068,-72567,-52061,-68684]::DOUBLE[]),(0,14,[-44043,-15293,5302,162813,6972,-12359,-15935,-17693,36317,-62334,-43353,-102046,-79893,-72962,-8914,-16]::DOUBLE[]),(0,15,[-33812,46181,-124315,-92173,22218,61803,-13402,-11406,76504,-100918,-74107,-29388,-12236,126085,18888,-12711]::DOUBLE[]),(1,0,[-9144,-1921,39164,67698,49512,-41741,-4015,18917,-64420,10688,-49127,-114012,-84004,13856,-79310,3986]::DOUBLE[]),(1,1,[29198,155368,14368,-106810,22289,-45318,-77915,-66540,-35363,-92064,148398,-45028,45081,-83685,2214,-124163]::DOUBLE[]),(1,2,[27382,44760,-82519,43711,-43586,13946,-86116,-23868,-32922,-57333,-87295,55169,17003,-20625,-83441,37939]::DOUBLE[]),(1,3,[-21781,-5569,36086,-17743,4555,35572,-15558,161524,96519,-23345,-51223,79367,3854,52737,31708,-6276]::DOUBLE[]),(1,4,[-18572,-126937,68541,-75020,14966,42385,-14565,-22232,106015,97468,-54310,-35080,-19900,7487,-57606,141233]::DOUBLE[]),(1,5,[41949,266,-23610,45449,124966,-43951,-26223,-140674,47467,32770,73550,98395,-25,-10558,-39392,69912]::DOUBLE[]),(1,6,[79186,36961,93442,-34221,-40960,-94426,66350,-7014,33824,-38847,-34662,85018,-74847,-15202,37500,15188]::DOUBLE[]),(1,7,[107082,-71986,-39029,-4496,-75093,-23332,-25206,-45635,49346,34870,40481,-59845,66753,32738,96974,-99653]::DOUBLE[]),(1,8,[-78725,126664,80564,37739,-67943,140830,13532,-48820,-37368,89292,-86063,-80635,-17401,20918,-68215,-20418]::DOUBLE[]),(1,9,[10104,36856,-20639,-70061,-27092,4811,6857,-35594,-88322,112826,-55995,19236,40785,-114819,99371,-34783]::DOUBLE[]),(1,10,[128718,-66428,40053,97795,-263323,-192836,41223,51810,-130138,75467,117059,-30803,4494,181808,101312,146321]::DOUBLE[]),(1,11,[-9071,-22420,5929,-47943,-3747,94672,24802,8826,-111344,19165,136953,75270,-44306,183731,50171,-55280]::DOUBLE[]),(1,12,[-42220,-81245,-77357,-15867,-41172,-21076,-1899,52010,-157928,-56559,-26084,-58699,113142,-34665,-72560,-130915]::DOUBLE[]),(1,13,[-7358,30028,87878,-28630,-81459,98135,-9048,58432,49462,45310,184377,-17391,15698,50372,-51198,130684]::DOUBLE[]),(1,14,[-21847,118993,-13926,31433,-554,26019,81291,-105069,-37271,-112473,-2470,24884,-70639,-39302,64360,-58750]::DOUBLE[]),(1,15,[-63556,-96587,-83549,44635,60145,-22231,37984,32789,46830,107617,14229,13270,42562,6616,15763,3584]::DOUBLE[]),(2,0,[-209372,46311,-63117,-136459,-125501,83698,12692,1262,-216187,-24063,-117728,90377,-19813,-63316,49214,-18964]::DOUBLE[]),(2,1,[46731,8589,15806,-151635,16992,-83459,108452,17874,32942,34993,34009,-8461,74270,-11320,41625,51590]::DOUBLE[]),(2,2,[8385,-30577,14620,46707,115675,113009,29885,-115333,-26873,-2711,-41767,81426,-3440,30860,68059,-30099]::DOUBLE[]),(2,3,[26140,77483,97936,132109,-183285,-122707,15524,41736,-21041,-23615,-127315,-85192,-97843,20160,-87494,-17836]::DOUBLE[]),(2,4,[-23213,-53884,46687,17631,460,66578,-36212,103381,-13613,-6931,-5059,-78692,-55143,-149920,-7550,-102437]::DOUBLE[]),(2,5,[-84251,44151,-30951,-28321,-94261,73189,-72400,-36864,-13271,-43159,170451,23914,-99229,54801,-79586,-36111]::DOUBLE[]),(2,6,[-6640,-125039,83882,-132520,-38024,-39664,-118729,-11921,125273,-121228,49404,-100181,129216,30201,53854,-31996]::DOUBLE[]),(2,7,[65812,-52693,-83809,71202,74079,55989,8225,99432,-56810,13178,-89366,13708,-71300,21018,126542,16386]::DOUBLE[]),(2,8,[80555,143728,75742,-11304,-8942,58841,3360,52921,-122649,-8945,33087,-10990,-35748,4558,-23865,38332]::DOUBLE[]),(2,9,[25858,78023,20396,26647,-9197,64814,-27440,-33505,-82904,-166926,-39605,-60517,96479,64974,79718,-110467]::DOUBLE[]),(2,10,[-19927,-10911,18462,87784,-73358,-54020,83777,-25968,76676,-153113,20297,37908,-87064,29231,24762,127490]::DOUBLE[]),(2,11,[-105544,-16003,-11354,-59616,-46314,79696,-17708,-63914,103539,97887,-69538,-19023,46530,63457,-5285,103801]::DOUBLE[]),(2,12,[66152,107308,34128,-6268,36926,-59404,-206054,50706,70961,-26302,-13958,76271,11124,-28624,-63385,45341]::DOUBLE[]),(2,13,[90091,-40755,-23974,-11016,-1103,-40415,-2297,-58244,-13708,-25575,-4482,42194,15444,39102,-54628,-45611]::DOUBLE[]),(2,14,[-18198,-41074,36066,110754,-66767,14304,81023,-53135,-69724,52819,-4612,-948,-27697,-122964,-9708,65381]::DOUBLE[]),(2,15,[-90891,-78397,-23073,16286,31703,-111701,-13005,58232,70032,17676,14418,-84561,-32836,23296,-18148,-993]::DOUBLE[]),(3,0,[82883,-42049,-44741,43272,67368,-42769,-34866,100916,-98561,48157,-12919,-19034,31204,-34556,-38817,65767]::DOUBLE[]),(3,1,[-43332,-35173,43915,53736,4643,122689,-46769,-26004,-40005,33687,17731,101897,-26562,-36143,96798,-70219]::DOUBLE[]),(3,2,[95943,-155732,-51262,-29724,-44370,90370,1847,-745,-26156,-122792,-39089,17426,13689,23525,-8944,-116605]::DOUBLE[]),(3,3,[11364,-40727,-15150,141095,14705,-48725,280,31492,34009,67072,-140314,-17977,45730,22704,-21749,-172518]::DOUBLE[]),(3,4,[99096,85316,37611,-56813,-19129,7418,87928,14135,53387,9893,-3188,44946,62129,-63420,8943,14467]::DOUBLE[]),(3,5,[-33864,-26032,116982,67262,86802,-52346,68937,2657,-45445,-102906,30796,-23656,6181,1643,-13014,-24188]::DOUBLE[]),(3,6,[7552,-28316,112569,-57890,-129495,-58543,-98403,-6884,30491,27567,-11695,38846,82348,26984,-48,44880]::DOUBLE[]),(3,7,[-44694,136903,-18453,-18472,119934,85187,71636,-18423,-27393,22862,49756,11069,25621,126201,-126283,-41986]::DOUBLE[]),(3,8,[168349,144031,-216722,299368,-224026,-121528,-2660,129109,12321,-1197,49485,-12495,-130706,36761,-111028,106202]::DOUBLE[]),(3,9,[-64707,-87557,95692,1640,-27890,77976,78463,53076,23515,81172,-78435,-80800,-61797,-65630,23152,31124]::DOUBLE[]),(3,10,[-32856,62923,10120,48536,-28863,30977,-118450,-194293,87061,-68069,25545,54013,-11080,61980,8327,66722]::DOUBLE[]),(3,11,[-3644,15702,-13180,-105034,-31133,-61330,19181,-145818,509,73900,8736,-51141,-86831,38242,-112450,-39218]::DOUBLE[]),(3,12,[62868,-65083,15203,-89928,45572,-34787,-77323,33579,57710,42698,194445,-53423,430,81295,-49475,-38990]::DOUBLE[]),(3,13,[-151420,20702,-40503,-57,-26443,-77608,74995,37873,-49506,11179,-53649,29747,-96952,37664,58942,-12006]::DOUBLE[]),(3,14,[-69099,-1594,-75800,8672,39122,37665,-36276,-43458,181258,-8578,-66568,-24627,90826,-66176,-12662,-28117]::DOUBLE[]),(3,15,[-14358,-15097,-106382,-14423,35994,-17619,-18784,8628,5929,-86272,-30574,-108727,-39121,6271,86931,15818]::DOUBLE[])),\n    co(cid, cv) AS (VALUES (0,[24638,92660,20584,1165,-91075,59035,-34653,436,27528,5393,-32595,72715,-60366,-51192,25965,20581,31876,51067,55915,-1464,-39450,-7003,1311,33871,2498,-47018,83562,63300,525,23954,62228,98752,-13657,-23782,-46522,55463,-49206,22159,-35600,13630,-51345,-23192,-15240,19106,-2181,5315,60543,38963,-44928,-26224,49970,-36508,-28053,21150,-30483,57160,17132,2973,-29779,-5251,2724,26510,-2659,-40743]::DOUBLE[]),(1,[-32199,1756,-31858,55552,-75347,-15726,1147,-61608,18050,17996,39182,12517,9864,43765,13452,-24205,-13790,24979,-52714,-5402,10713,62721,-34239,55796,26174,49650,-30243,29903,21036,57662,-84678,-31775,69100,-39141,-41101,22481,41585,-73848,22203,49470,21273,15839,12652,-22237,-8070,8370,16601,51390,32714,-42319,36338,-73856,-3028,8419,-53383,1897,-61085,24874,69666,-53826,25710,39025,-15152,-48461]::DOUBLE[]),(2,[36618,-10011,13962,-41472,12352,-31578,-7646,32084,-33145,-18129,-33535,-1790,51922,4605,-43798,31889,-10931,12224,63533,-2404,-49350,26197,-10376,68863,70247,110075,28915,-10521,39496,44125,33428,56528,-42699,-13603,30297,-56627,-42707,-46871,-73312,-56049,26031,35045,14047,1025,46555,45978,-42255,-54863,-19774,-36627,-14127,23039,28167,22788,-213,79063,8152,-6699,-17424,-17304,15583,31723,28059,-7910]::DOUBLE[]),(3,[713,-14071,39327,-23962,297,77837,-43818,-40231,-22981,68402,-5988,87397,13617,62337,-34354,10388,-16060,-59187,12098,-29350,11283,11612,-20129,19870,-42658,8355,-12251,-53311,44168,-70043,42460,-63165,8244,-58438,23316,-45168,22939,18433,-27538,-45666,-34161,-41420,-21330,-33757,-27101,13100,-13307,-14793,-27633,12430,65532,52501,-1153,-14474,-58562,-6896,-24751,-10914,-28488,-9987,23413,-27785,59229,2146]::DOUBLE[]),(4,[-450,51065,4663,83148,78096,-1356,-103810,-63229,-48798,-58270,-193,-10443,-41420,23653,40261,14364,-16523,-22647,-84874,15495,-20832,3607,21590,-28548,17061,-43484,29436,-16208,-7551,15473,-24198,-28065,-27188,-42154,9482,-55322,23609,-14001,-15092,9279,7927,-753,39572,-1872,-32264,22082,-13695,-24805,35549,29718,35335,-62993,4798,-13927,-10867,23422,125286,21338,-61565,1649,96062,16108,109561,-21329]::DOUBLE[]),(5,[26304,-50544,26284,-22224,56276,78572,-45558,-503,7094,19365,30389,32831,79285,-88244,-28374,24662,16876,53743,33602,13752,23857,54875,-101547,-35781,10347,-2295,63589,-27691,3946,-60369,-34294,-46671,46031,61898,-8982,44969,-27518,-53756,32158,-46301,74313,-58280,18688,-37964,-4594,29834,-44322,18223,-53997,-9678,-67010,-1129,17904,-58537,8202,35391,18143,42534,37751,-4659,-11173,40767,-70712,-29222]::DOUBLE[]),(6,[-25051,61523,-21152,-9244,22020,79,-21426,-44,8747,-15149,11610,-16345,12916,32772,-55272,-1755,46052,70865,-26205,-37439,7900,-16054,55443,-131499,32853,-33863,26656,-22988,-63726,-53327,-45629,24724,58974,-21544,-1010,76829,40298,-8170,33352,6775,-56640,55049,-30006,-68023,-2005,-55465,35234,33044,56764,-124764,-19303,29220,-5928,59189,9953,-30871,-73013,-29515,-61765,14542,-566,5506,10831,13933]::DOUBLE[]),(7,[17745,-3721,-42063,-34444,81491,6305,21505,53019,25010,-52111,-23125,-17704,-43861,28519,-15004,38084,17414,60068,36655,34482,-41231,-39291,58916,-74092,-82510,-34795,18846,-25842,-13427,-37437,-7880,-29891,42667,-11631,17116,9433,23251,58278,32959,23411,36913,-14538,26336,50044,18485,27448,-21981,-46266,-2185,12764,-61127,-37858,-20061,-29746,31594,-117900,-12786,60908,45297,-29531,-61517,-16754,-14137,-13819]::DOUBLE[]),(8,[-3591,-85841,38515,-12598,-7941,-20184,-17784,62598,-49249,35908,85091,45406,-37919,-30792,-35592,-47576,-39818,23373,41574,17195,-14152,-56839,-4798,-65213,-66862,-16858,-56650,105693,3440,12080,18024,-18187,16508,10274,22083,-8455,-64278,-39614,21954,17769,6100,-32265,-8108,35378,-86171,-54082,6581,3792,-21592,9369,24725,25993,-2946,35480,104782,4450,-46449,-4197,10037,-75324,18823,52887,-9533,17749]::DOUBLE[]),(9,[43362,-2386,-50066,-24711,-26685,44149,-36764,37271,-23226,-5197,9011,-51628,21518,-19674,45569,-3030,-28339,8544,50793,-23727,-8488,-26219,-2591,-23727,64121,76028,-77081,20251,-85453,62992,-87935,47896,33032,-111375,-9893,4681,50792,46255,16872,17121,-8659,-76669,-4004,-10593,22867,-18473,-13573,-27587,35288,63638,55401,-19674,63172,8178,23826,-5925,57794,47508,-26559,29719,65381,-80744,-41007,9988]::DOUBLE[]),(10,[-79024,-71551,-4859,31882,11663,34236,-12258,32019,35096,64725,39003,-9304,-69205,-43451,-2039,-53285,-2999,-107061,-23405,16260,4131,32818,17270,-17477,60266,58723,-3087,-6223,9423,-30701,1299,75772,41926,6835,27535,-20370,-29977,22544,-115288,32663,11225,-32930,-35023,54936,-5257,42327,-3677,42729,-39628,16918,-8065,19807,60239,-22006,-57858,-14214,47626,-52543,29491,15764,3756,7115,-60738,-18322]::DOUBLE[]),(11,[74322,28869,96075,-7435,66123,14193,-39535,60891,26460,-29025,13261,-85694,53951,19174,-9394,113545,18084,-22739,-37627,-13273,-8617,-13275,54282,49411,-71943,10794,-33536,32304,22675,27353,58780,-12268,-43569,52752,32401,7241,-74496,-6544,29307,9735,-53707,-51832,34626,12768,-54900,-36162,14204,20471,6352,13422,6619,-6556,-2447,45395,33376,-45363,63068,-18556,-21625,18421,-48872,-9245,14076,3077]::DOUBLE[]),(12,[-31037,-12791,-18676,-18711,31106,-5163,14190,-59150,-20253,-42207,-22852,-49448,-87954,58931,24158,-36164,20564,78526,43365,755,59443,85292,12355,14517,-22953,-11468,-44873,-6299,10371,800,31368,13491,-101824,9698,46578,1848,27747,30549,20787,57079,21780,26122,7676,-61358,-20101,-17842,28803,29249,-23844,-2559,-20862,-1825,71224,-68528,46106,27194,-51642,-61598,-8728,22271,-26746,33045,17001,-58333]::DOUBLE[]),(13,[2464,708,23202,24698,-51229,-53043,-3701,-12721,-3677,-64453,-47732,59528,69466,-2011,59132,-35641,-13754,-44743,-34183,-10316,18452,-6814,-7211,-31014,17873,95614,-20813,-16097,-20124,11121,59263,-52394,-17048,37653,-18853,-12009,-13149,-11862,-24072,-74015,23371,-11959,-8351,9070,22328,15100,4330,22768,-49497,-81397,25388,55587,-24755,-14755,56211,-7281,25364,29227,26505,9992,-46368,-89508,-46030,-30649]::DOUBLE[]),(14,[-33213,-13507,-43020,-36552,-3536,-42212,35007,22406,-20331,13816,9812,-5475,-8237,9202,-20654,-7310,34726,2514,-99985,53724,-3820,-36469,24859,29723,28702,30669,13212,37640,49682,31251,73412,-107404,48286,26401,-72272,-32837,7219,1501,83674,-27332,-56049,46847,-61493,-57069,-22772,24312,-8252,-6058,32224,-17402,-5247,14369,-21003,-22243,-23256,-339,-7206,-38258,-30907,-18931,3656,49539,28470,44407]::DOUBLE[]),(15,[3681,-38623,-30390,-40862,34698,-46641,188,75016,37798,73783,33249,-6648,15707,-40700,95789,45603,14371,-60452,-16996,-20840,-63,-40445,-40291,32198,-19626,-49346,-1953,92879,-79955,-10255,-56823,-34938,33529,-18359,65230,42991,19274,32876,-19637,-29799,5940,-10142,40477,114174,-10000,31101,-26527,16105,71377,20440,102158,-21811,-11723,-46595,-48191,-27153,11263,-68045,-42618,-33129,-43005,-9440,-34509,-54384]::DOUBLE[])),\n    e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x*1000000.0)) AS v\n          FROM embeddings WHERE embedding IS NOT NULL),\n    sub AS (SELECT vec_id, j, v[j*16+1 : j*16+16] AS sv\n            FROM e, (SELECT unnest([0,1,2,3]) AS j)),\n    asn AS (SELECT vec_id, j, cid FROM (\n        SELECT s.vec_id, s.j, c.cid, row_number() OVER (\n            PARTITION BY s.vec_id, s.j\n            ORDER BY list_dot_product(c.cv, c.cv)\n                     - 2*list_dot_product(s.sv, c.cv), c.cid) AS rn\n        FROM sub s JOIN cb c ON c.j = s.j) WHERE rn = 1),\n    qsub AS (SELECT vec_id AS query_id, j, sv FROM sub WHERE vec_id < 5),\n    lut AS (SELECT qs.query_id, c.j, c.cid,\n                   list_dot_product(qs.sv, qs.sv)\n                   - 2*list_dot_product(qs.sv, c.cv)\n                   + list_dot_product(c.cv, c.cv) AS d\n            FROM qsub qs JOIN cb c ON c.j = qs.j),\n    cl AS (SELECT vec_id, cid FROM (\n        SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id\n            ORDER BY list_dot_product(c.cv, c.cv)\n                     - 2*list_dot_product(e.v, c.cv), c.cid) AS rn\n        FROM e, co c) WHERE rn = 1),\n    pr AS (SELECT query_id, cid FROM (\n        SELECT e.vec_id AS query_id, c.cid, row_number() OVER (\n            PARTITION BY e.vec_id\n            ORDER BY list_dot_product(c.cv, c.cv)\n                     - 2*list_dot_product(e.v, c.cv), c.cid) AS rn\n        FROM e, co c WHERE e.vec_id < 5) WHERE rn <= 4)\n    SELECT query_id, vec_id, adc_dist,\n           CAST(row_number() OVER (PARTITION BY query_id\n               ORDER BY adc_dist, vec_id) AS BIGINT) AS "rank"\n    FROM (SELECT l.query_id, a.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist\n          FROM asn a JOIN lut l ON l.j = a.j AND l.cid = a.cid\n          JOIN cl ON cl.vec_id = a.vec_id\n          JOIN pr ON pr.query_id = l.query_id AND pr.cid = cl.cid\n          GROUP BY l.query_id, a.vec_id)\n    QUALIFY "rank" <= 10'
+
+
 @register(
     "emb_knn",
     """SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
@@ -756,13 +775,15 @@ def emb_knn(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
-@register("emb_knn_ivf", """SELECT * FROM (VALUES (0,0,1),(0,190,3),(0,257,8),(0,323,6),(0,334,2),(0,388,4),(0,415,9),(0,478,10),(0,483,5),(0,498,7),(1,1,1),(1,80,6),(1,124,3),(1,195,2),(1,213,9),(1,285,8),(1,312,5),(1,370,10),(1,402,4),(1,467,7),(2,2,1),(2,109,10),(2,112,7),(2,117,2),(2,145,3),(2,188,4),(2,197,8),(2,320,5),(2,418,6),(2,440,9),(3,3,1),(3,149,2),(3,174,3),(3,218,9),(3,263,7),(3,376,8),(3,421,10),(3,437,4),(3,463,6),(3,474,5),(4,4,1),(4,92,8),(4,201,10),(4,280,3),(4,288,6),(4,332,7),(4,384,5),(4,434,9),(4,470,4),(4,482,2)) AS t(query_id, vec_id, rank)""",
+@register("emb_knn_ivf", _SQL_EMB_KNN_IVF,
           doc="IVF approximate top-k: distributed k-means coarse quantizer "
               "(broadcast centroids + partial-sum folds, shuffle-free) + "
-              "nprobe inverted-list search. Oracle: expected output pinned "
-              "as a VALUES table from the seeded deterministic pipeline at "
-              "sf0.01 (exact-recall tuning is impossible on iid random "
-              "embeddings; recall vs exact kNN is pinned by tests)")
+              "nprobe inverted-list search. Oracle (r4): only the FITTED "
+              "centroid matrix is pinned; SQL independently recomputes "
+              "list assignment (argmax dot), nprobe probe selection, "
+              "candidates and exact cosine top-k with tie-breaks "
+              "(scripts/pin_models.py); recall vs exact kNN also "
+              "pinned by tests")
 def emb_knn_ivf(sf_dir: str):
     from xema_ray.stages.similarity import kmeans_fit, knn_ivf
 
@@ -775,10 +796,11 @@ def emb_knn_ivf(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
-@register("emb_knn_lsh", """SELECT * FROM (VALUES (0,0,1),(0,73,5),(0,131,10),(0,323,7),(0,334,3),(0,344,8),(0,365,2),(0,387,4),(0,464,6),(0,498,9),(1,1,1),(1,27,3),(1,220,5),(1,233,9),(1,300,8),(1,312,6),(1,353,7),(1,386,2),(1,472,4),(1,477,10),(2,2,1),(2,109,7),(2,128,10),(2,145,2),(2,172,5),(2,198,8),(2,239,9),(2,418,3),(2,440,6),(2,471,4),(3,3,1),(3,130,2),(3,149,3),(3,174,4),(3,192,7),(3,207,6),(3,231,5),(3,315,8),(3,463,10),(3,474,9),(4,4,1),(4,92,8),(4,249,4),(4,280,3),(4,288,6),(4,353,7),(4,384,5),(4,395,9),(4,434,10),(4,496,2)) AS t(query_id, vec_id, rank)""",
-          doc="LSH-bucketed approximate top-k (scale path). Oracle: expected "
-              "output pinned as a VALUES table from the seeded deterministic "
-              "pipeline at sf0.01; recall vs exact kNN is pinned by tests")
+@register("emb_knn_lsh", _SQL_EMB_KNN_LSH,
+          doc="LSH-bucketed approximate top-k (scale path). Oracle (r4): only the "
+              "hyperplane matrix is pinned; SQL recomputes every bucket "
+              "bit (sign of dot), the union multiprobe candidate set "
+              "(bit_count(xor) <= 1) and exact cosine top-k")
 def emb_knn_lsh(sf_dir: str):
     from xema_ray.stages.similarity import knn_lsh
 
@@ -3193,16 +3215,14 @@ def orders_year_spine(sf_dir: str):
 
 @register(
     "emb_kmeans_clusters",
-    """SELECT * FROM (VALUES (0,62,15065),(1,52,12353),(2,72,18681),
-    (3,66,16307),(4,65,15612),(5,68,18354),(6,53,13547),(7,62,14831))
-    AS t(cluster, n, id_sum)""",
+    _SQL_EMB_KMEANS_CLUSTERS,
     doc="unsupervised K-MEANS clustering (k=8, 3 Lloyd iterations, "
         "seed 17): shuffle-free fit (broadcast centroids, per-batch "
         "partial folds) + one assignment pass with per-cluster integer "
         "partials; id_sum pins the exact membership, not just sizes. "
-        "Oracle = pinned VALUES from the seeded deterministic run at "
-        "sf0.01 (iterative float fit is not SQL-expressible); "
-        "stability verified at 2 and 8 CPUs",
+        "Oracle (r4): only the fitted centroids are pinned (the "
+        "iterative fit is not SQL-expressible); SQL recomputes every "
+        "row's argmax-dot assignment and the per-cluster n/id_sum",
 )
 def emb_kmeans_clusters(sf_dir: str):
     from xema_ray.stages.similarity import kmeans_clusters
@@ -3490,7 +3510,9 @@ def emb_quantize(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
-_PQ_CELLS_SQL = """SELECT * FROM (VALUES (0,0,54,13215),(0,1,27,7119),(0,2,13,3778),(0,3,35,9155),(0,4,22,5871),(0,5,17,4286),(0,6,44,9745),(0,7,41,9665),(0,8,56,15703),(0,9,26,7069),(0,10,17,4281),(0,11,31,7150),(0,12,15,3975),(0,13,29,6512),(0,14,37,8248),(0,15,36,8978),(1,0,36,8399),(1,1,17,3318),(1,2,37,8669),(1,3,42,10488),(1,4,22,5506),(1,5,36,10428),(1,6,40,9076),(1,7,32,8926),(1,8,25,6567),(1,9,40,9028),(1,10,6,1347),(1,11,20,4886),(1,12,22,4652),(1,13,24,6055),(1,14,44,11918),(1,15,57,15487),(2,0,8,2339),(2,1,48,12439),(2,2,35,7978),(2,3,14,4268),(2,4,32,7011),(2,5,33,8456),(2,6,18,4588),(2,7,36,7872),(2,8,38,10223),(2,9,20,5597),(2,10,26,5862),(2,11,31,8225),(2,12,30,7120),(2,13,52,13563),(2,14,36,8821),(2,15,43,10388),(3,0,36,10248),(3,1,36,9810),(3,2,25,5996),(3,3,22,5723),(3,4,45,10437),(3,5,43,10998),(3,6,38,10429),(3,7,26,5484),(3,8,3,647),(3,9,34,8803),(3,10,23,5797),(3,11,41,8589),(3,12,31,7948),(3,13,31,7919),(3,14,18,4950),(3,15,48,10972)) AS t(subspace, centroid, n, id_sum)"""
+
+
+_PQ_CELLS_SQL = _SQL_EMB_PQ_CELLS
 
 
 @register(
@@ -3500,10 +3522,11 @@ _PQ_CELLS_SQL = """SELECT * FROM (VALUES (0,0,54,13215),(0,1,27,7119),(0,2,13,37
         "integer-Lloyd iterations, seed 17): the billion-vector ANN "
         "compression — codebooks learned with the repo-wide fixed-point "
         "rule so distances, argmins and centroid updates are exact "
-        "integer arithmetic (bit-identical on any partitioning, which "
-        "is what permits a pinned oracle); per (subspace, centroid) "
-        "(n, id_sum) pins the exact assignment of every vector.  "
-        "Oracle = pinned VALUES, stability verified at 2 and 8 CPUs",
+        "integer arithmetic (bit-identical on any partitioning); per "
+        "(subspace, centroid) (n, id_sum) pins the exact assignment "
+        "of every vector.  Oracle (r4): only the integer codebooks "
+        "are pinned; SQL recomputes each row's per-subspace argmin "
+        "code (exact integer distances) and the cell fingerprints",
 )
 def emb_pq_cells(sf_dir: str):
     from xema_ray.stages.pq import pq_cell_stats, pq_fit
@@ -3513,7 +3536,7 @@ def emb_pq_cells(sf_dir: str):
     return pq_cell_stats(ds, cb)
 
 
-_PQ_KNN_SQL = """SELECT * FROM (VALUES (0,0,534616483499,1),(0,84,765205731144,2),(0,391,772395512967,3),(0,401,803649333659,4),(0,483,857512107783,5),(0,446,861846691018,6),(0,334,933793406948,7),(0,300,941151365714,8),(0,364,941504970837,9),(0,229,952484753077,10),(1,1,747736007762,1),(1,27,869369035610,2),(1,42,890746313442,3),(1,498,895624050570,4),(1,242,920091339113,5),(1,402,939551126421,6),(1,129,971412673712,7),(1,449,977243148518,8),(1,261,977761617926,9),(1,73,992075249461,10),(2,2,862904226328,1),(2,68,951296772072,2),(2,371,956992752899,3),(2,248,973494157796,4),(2,185,974043164187,5),(2,418,1010634524866,6),(2,337,1012292849217,7),(2,325,1012656549226,8),(2,112,1016571832463,9),(2,375,1021261609467,10),(3,3,627748315316,1),(3,205,747605346049,2),(3,448,793299872924,3),(3,61,797924945814,4),(3,463,847626022271,5),(3,376,889871381991,6),(3,163,906079372514,7),(3,464,906079372514,8),(3,112,915971977635,9),(3,85,936814179094,10),(4,4,758713300026,1),(4,190,836786966626,2),(4,183,910951531679,3),(4,350,962681278326,4),(4,92,968947497579,5),(4,81,972815392091,6),(4,316,977005773290,7),(4,461,986573803940,8),(4,408,990742877563,9),(4,422,991770520226,10)) AS t(query_id, vec_id, adc_dist, "rank")"""
+_PQ_KNN_SQL = _SQL_EMB_KNN_PQ
 
 
 @register(
@@ -3524,8 +3547,10 @@ _PQ_KNN_SQL = """SELECT * FROM (VALUES (0,0,534616483499,1),(0,84,765205731144,2
         "the codebooks; the scan touches only the m-byte codes column "
         "(pq_encode pass), per-batch local top-k, driver merges "
         "k x batches candidates.  All-integer distances + (dist, id) "
-        "tie-break => deterministic on any partitioning.  Oracle = "
-        "pinned VALUES (5 queries x top-10), verified at 2 and 8 CPUs",
+        "tie-break => deterministic on any partitioning.  Oracle (r4): "
+        "only the integer codebooks are pinned; SQL recomputes codes, "
+        "per-query LUT distances (exact in DOUBLE below 2^53) and the "
+        "(dist, id) top-10",
 )
 def emb_knn_pq(sf_dir: str):
     from xema_ray.stages.pq import knn_pq, pq_encode, pq_fit
@@ -3536,7 +3561,7 @@ def emb_knn_pq(sf_dir: str):
                   k=10, code_col="pq_code")
 
 
-_IVFPQ_KNN_SQL = """SELECT * FROM (VALUES (0,0,534616483499,1),(0,84,765205731144,2),(0,401,803649333659,3),(0,483,857512107783,4),(0,229,952484753077,5),(0,412,957095018205,6),(0,320,977308760460,7),(0,247,988030281807,8),(0,190,989552159698,9),(0,88,1002257886056,10),(1,1,747736007762,1),(1,498,895624050570,2),(1,449,977243148518,3),(1,261,977761617926,4),(1,153,1005205771945,5),(1,428,1008494850746,6),(1,233,1009483989492,7),(1,467,1009989092581,8),(1,386,1021196845666,9),(1,61,1022149572339,10),(2,2,862904226328,1),(2,68,951296772072,2),(2,418,1010634524866,3),(2,112,1016571832463,4),(2,375,1021261609467,5),(2,358,1041109790234,6),(2,265,1048092341248,7),(2,127,1052665383483,8),(2,241,1063050847707,9),(2,459,1073963385971,10),(3,3,627748315316,1),(3,205,747605346049,2),(3,61,797924945814,3),(3,85,936814179094,4),(3,192,944175385615,5),(3,437,953938011140,6),(3,73,988996741696,7),(3,349,991269240595,8),(3,121,995155699469,9),(3,490,996505666003,10),(4,4,758713300026,1),(4,190,836786966626,2),(4,350,962681278326,3),(4,92,968947497579,4),(4,408,990742877563,5),(4,422,991770520226,6),(4,269,1006189502752,7),(4,330,1023886098054,8),(4,256,1032064226715,9),(4,297,1035083834104,10)) AS t(query_id, vec_id, adc_dist, "rank")"""
+_IVFPQ_KNN_SQL = _SQL_EMB_KNN_IVFPQ
 
 
 @register(
@@ -3549,8 +3574,9 @@ _IVFPQ_KNN_SQL = """SELECT * FROM (VALUES (0,0,534616483499,1),(0,84,76520573114
         "selection, distances) so the result is deterministic on any "
         "partitioning.  The query fuses assign+encode+scan; the 100-TB "
         "deployment writes codes+list_id to list-partitioned parquet "
-        "once and scans only probed partitions.  Oracle = pinned "
-        "VALUES (verified at 2 and 8 CPUs)",
+        "once and scans only probed partitions.  Oracle (r4): only the "
+        "coarse + PQ integer codebooks are pinned; SQL recomputes "
+        "cell assignment, probe selection, ADC distances and top-10",
 )
 def emb_knn_ivfpq(sf_dir: str):
     from xema_ray.stages.pq import ivf_coarse_fit, knn_ivfpq, pq_fit
