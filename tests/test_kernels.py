@@ -458,3 +458,104 @@ def test_root_map_group_collects_under_finally():
         sv = sorted({v.keyword
                      for v in validate_value(schema, {"a": 1}, fail=mode)})
         assert got == sv == want, (mode, got, sv)
+
+
+def test_list_const_enum_vectorized_matches_scalar():
+    """r4: const/enum over LIST columns run pure-vector
+    (_list_const_mask) and agree with the scalar validator on strict
+    structural === — numeric cross-eq, bool/int distinction, null
+    elements, empty lists, impossible member types."""
+    rows = [[1, 2], [1], [], [0], [2, 2], None]
+    tbl = pa.table({"x": pa.array(rows, type=pa.list_(pa.int32()))})
+    for schema_src in (
+        ("list", {"const": [1, 2]}),
+        ("list", {"const": []}),
+        ("list", {"const": [0]}),
+        ("list", {"const": [1.0, 2.0]}),   # numeric cross-eq: matches [1,2]
+        ("list", {"const": [True]}),       # bool member never equals int 1
+        ("list", {"const": [1.5]}),        # non-integral float: impossible
+        ("list", {"const": 0}),            # non-list const: impossible
+        ("list", {"const": [[1]]}),        # nested member: impossible
+        ("list", {"enum": [[], [1], "foo", 6, {"a": 1}]}),
+        ("list", {"enum": ["foo", 6]}),    # no list member: all fail
+    ):
+        schema = compile_schema(("map", {"properties": {"x": schema_src}}))
+        plan = compile_table_plan(schema, tbl.schema)
+        assert all(cp.fallback_node is None for cp in plan.column_plans), \
+            schema_src
+        valid, _ = evaluate_batch(plan, tbl)
+        want = [is_valid(schema, {"x": r} if r is not None else {})
+                for r in rows]
+        assert list(map(bool, valid)) == want, (schema_src, list(valid), want)
+
+
+def test_list_const_null_elements_match_scalar():
+    rows = [[1, None], [1, 2], [None, None], None]
+    tbl = pa.table({"x": pa.array(rows, type=pa.list_(pa.int32()))})
+    for const in ([1, None], [None, None], [None]):
+        schema = compile_schema(
+            ("map", {"properties": {"x": ("list", {"const": const})}}))
+        plan = compile_table_plan(schema, tbl.schema)
+        assert all(cp.fallback_node is None for cp in plan.column_plans)
+        valid, _ = evaluate_batch(plan, tbl)
+        want = [is_valid(schema, {"x": r} if r is not None else {})
+                for r in rows]
+        assert list(map(bool, valid)) == want, (const, list(valid), want)
+
+
+def test_tuple_items_additional_items_vectorized():
+    """r4: positional items + additional_items over primitive-element
+    lists run pure-vector, matching scalar (length cap, tail schema)."""
+    rows = [[1, 2], [1, 2, 3], [1, 2, 3, 4], [], None]
+    tbl = pa.table({"x": pa.array(rows, type=pa.list_(pa.int32()))})
+    for schema_src in (
+        ("list", {"items": ["integer", "integer"],
+                  "additional_items": False}),
+        ("list", {"items": ["integer"],
+                  "additional_items": ("integer", {"maximum": 3})}),
+        ("list", {"additional_items": False}),  # no tuple items: ignored
+    ):
+        schema = compile_schema(("map", {"properties": {"x": schema_src}}))
+        plan = compile_table_plan(schema, tbl.schema)
+        assert all(cp.fallback_node is None for cp in plan.column_plans), \
+            schema_src
+        valid, _ = evaluate_batch(plan, tbl)
+        want = [is_valid(schema, {"x": r} if r is not None else {})
+                for r in rows]
+        assert list(map(bool, valid)) == want, (schema_src, list(valid), want)
+
+
+def test_object_type_union_static_on_list_column():
+    """r4: type unions naming map/tuple vectorize over list columns —
+    membership is static (an Arrow list is :list, never :map/:tuple)."""
+    rows = [[1], [], None]
+    tbl = pa.table({"x": pa.array(rows, type=pa.list_(pa.int32()))})
+    for schema_src, want_valid in (
+        (("map", {"properties": {"x": "map"}}), [False, False, True]),
+        (("map", {"properties": {"x": ["list", "map"]}}), [True, True, True]),
+        (("map", {"properties": {"x": ["map", "tuple"]}}),
+         [False, False, True]),
+    ):
+        schema = compile_schema(schema_src)
+        plan = compile_table_plan(schema, tbl.schema)
+        assert all(cp.fallback_node is None for cp in plan.column_plans), \
+            schema_src
+        valid, _ = evaluate_batch(plan, tbl)
+        want = [is_valid(schema, {"x": r} if r is not None else {})
+                for r in rows]
+        assert list(map(bool, valid)) == want == want_valid, \
+            (schema_src, list(valid), want)
+
+
+def test_not_object_branch_vectorizes_on_int_column():
+    """r4: a `not` branch describing an object vectorizes over an int
+    column (the branch's map keywords are statically inapplicable)."""
+    tbl = pa.table({"x": pa.array([1, 2, None], type=pa.int64())})
+    schema = compile_schema(("map", {"properties": {"x": (
+        "any", {"not": ("map", {"properties": {"foo": "string"}})})}}))
+    plan = compile_table_plan(schema, tbl.schema)
+    assert all(cp.fallback_node is None for cp in plan.column_plans)
+    valid, _ = evaluate_batch(plan, tbl)
+    want = [is_valid(schema, {"x": v}) for v in (1, 2)] + \
+        [is_valid(schema, {})]
+    assert list(map(bool, valid)) == want

@@ -68,10 +68,13 @@ def test_reference_corpus_through_vectorized_kernels():
         checked += 1
     assert checked > 800, f"only {checked} kernel-evaluable cases"
     # r2 floor: nested-combinator vectorization lifted this 1173 -> 1187;
-    # r3: physical-type keyword stripping (_effective_node) -> 1274 (the
-    # ~48 residuals are nested-value ===-equality const/enum and tuple
-    # semantics, principled scalar paths)
-    assert pure_vector >= 1270, f"pure-vector case count regressed: {pure_vector}"
+    # r3: physical-type keyword stripping (_effective_node) -> 1274;
+    # r4: list-column const/enum (===-equality via _list_const_mask),
+    # additional_items gate, static type-union resolution for list
+    # columns and col_type-aware combinator branches -> ALL 1322
+    # kernel-evaluable cases run pure-vector (zero scalar residue)
+    assert pure_vector == checked, \
+        f"pure-vector case count regressed: {pure_vector}/{checked}"
     assert not failures, f"{len(failures)}/{checked}:\n" + "\n".join(failures[:15])
 
 

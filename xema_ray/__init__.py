@@ -57,6 +57,16 @@ Layout:
   pipelines/  end-to-end pipelines (flagship corpus validation, dedup, ...)
 """
 
+# Import-time allocator tuning: every Ray worker that unpickles a stage
+# imports this package, so raising glibc's mmap/trim thresholds here
+# reaches all task/actor processes without touching ray.init (which the
+# driver owns).  Concurrent first-touch faulting of large numpy
+# temporaries otherwise serializes many-core single-image hosts (see
+# stages/shuffle.tune_malloc for measurements).
+from xema_ray.stages.shuffle import tune_malloc as _tune_malloc
+
+_tune_malloc()
+
 from xema_ray.schema.builder import SchemaError, compile_schema
 from xema_ray.schema.json_schema import from_json_schema, validate_json_schema
 from xema_ray.schema.source import schema_source

@@ -118,7 +118,7 @@ _VECTOR_SAFE_SLOTS = {
     "types", "bool_schema", "const", "enum", "minimum", "maximum",
     "exclusive_minimum", "exclusive_maximum", "multiple_of", "min_length",
     "max_length", "pattern", "pattern_re", "format", "min_items", "max_items",
-    "unique_items", "items", "contains", "ref",
+    "unique_items", "items", "additional_items", "contains", "ref",
 }
 
 
@@ -164,16 +164,20 @@ def _is_vectorizable(node: SchemaNode, compiled: CompiledSchema, depth: int = 0,
         if slot == "validator":
             return False
         if slot in _COMBINATOR_SLOTS:
-            if not _combinator_branches_vectorizable(node, compiled, seen=seen):
+            if not _combinator_branches_vectorizable(node, compiled, seen=seen,
+                                                     col_type=col_type):
                 return False
             continue
         if slot not in _VECTOR_SAFE_SLOTS:
             return False
     if node.types and any(t in ("map", "keyword", "struct", "tuple", "atom") for t in node.types):
-        # a nested column could actually BE one of these; a primitive
-        # column cannot — its union-type kernel statically fails the
-        # impossible members, so the gate may pass it through
-        if col_type is None or pa.types.is_struct(col_type)                 or pa.types.is_map(col_type) or pa.types.is_list(col_type)                 or pa.types.is_large_list(col_type)                 or pa.types.is_fixed_size_list(col_type):
+        # a struct/map column could actually BE one of these; a primitive
+        # OR LIST column cannot (an Arrow list is the reference's :list,
+        # never a map/tuple/atom) — its union-type kernel statically
+        # fails the impossible members, so the gate passes it through
+        # (r4: list columns were conservatively bounced here)
+        if col_type is None or pa.types.is_struct(col_type) \
+                or pa.types.is_map(col_type):
             return False
     if isinstance(node.items, list):
         for s in node.items:
@@ -192,11 +196,19 @@ def _is_vectorizable(node: SchemaNode, compiled: CompiledSchema, depth: int = 0,
 
 def _is_scalar_vectorizable(node: SchemaNode, compiled: CompiledSchema,
                             depth: int = 0,
-                            seen: Optional[frozenset] = None) -> bool:
+                            seen: Optional[frozenset] = None,
+                            col_type=None) -> bool:
     """Element sub-schema: scalar-only keyword set (no nested lists/maps).
     Combinators nest to arbitrary depth (each level is one round of mask
     algebra, ``_build_combinator_checks`` → ``_branch_evaluators`` →
-    ``_build_scalar_checks``); the gate guards ref cycles via ``seen``."""
+    ``_build_scalar_checks``); the gate guards ref cycles via ``seen``.
+
+    ``col_type`` (r4): when the physical column type is known and is not
+    a struct/map, branch keywords that can never apply to it are
+    stripped (``_effective_node``) and non-primitive ``type`` members
+    are allowed through — the type kernel statically fails them — so
+    ``not``/``anyOf`` branches mentioning objects vectorize over
+    primitive and list columns."""
     if depth > 32:
         return False
     seen = seen or frozenset()
@@ -211,25 +223,32 @@ def _is_scalar_vectorizable(node: SchemaNode, compiled: CompiledSchema,
         except KeyError:
             return False
         return target is not node and _is_scalar_vectorizable(
-            target, compiled, depth + 1, seen)
+            target, compiled, depth + 1, seen, col_type)
+    typed_scalar_col = col_type is not None and not (
+        pa.types.is_struct(col_type) or pa.types.is_map(col_type))
+    if typed_scalar_col:
+        node = _effective_node(node, col_type)
     for slot in node.keywords_present():
         if slot in ("items", "contains", "min_items", "max_items", "unique_items", "validator"):
             return False
         if slot in _COMBINATOR_SLOTS:
             if not _combinator_branches_vectorizable(node, compiled,
-                                                     depth=depth, seen=seen):
+                                                     depth=depth, seen=seen,
+                                                     col_type=col_type):
                 return False
             continue
         if slot not in _VECTOR_SAFE_SLOTS:
             return False
     if node.types and any(t not in ("integer", "float", "number", "string", "boolean", "nil", "any") for t in node.types):
-        return False
+        if not typed_scalar_col:
+            return False
     return True
 
 
 def _combinator_branches_vectorizable(node: SchemaNode, compiled,
                                       depth: int = 0,
-                                      seen: Optional[frozenset] = None) -> bool:
+                                      seen: Optional[frozenset] = None,
+                                      col_type=None) -> bool:
     """Every combinator branch must be scalar-vectorizable; branches may
     carry their OWN combinators to arbitrary depth (each level is a
     recursive mask-algebra evaluator; ``seen`` breaks ref cycles)."""
@@ -239,7 +258,8 @@ def _combinator_branches_vectorizable(node: SchemaNode, compiled,
         b = _deref(b, compiled)
         if b.bool_schema is not None:
             continue
-        if not _is_scalar_vectorizable(b, compiled, depth=depth + 1, seen=seen):
+        if not _is_scalar_vectorizable(b, compiled, depth=depth + 1,
+                                       seen=seen, col_type=col_type):
             return False
     return True
 
@@ -359,6 +379,71 @@ def _type_check(types: tuple, col_type: pa.DataType, path: str):
     return False, None
 
 
+def _list_const_mask(col, const) -> np.ndarray:
+    """ok-mask for ``const``/enum-member equality over a LIST column
+    (r4: the former nested-=== scalar-fallback class, vectorized).
+
+    Reference semantics (scalar.strict_eq): STRICT elementwise term
+    equality — ints never equal floats inside a list (the numeric
+    cross-equality lane applies only when const and value are both
+    top-level numbers, scalar.py:_const), booleans never equal numbers,
+    null elements equal only nil members, and a list cell never equals
+    a non-list constant.  Null CELLS pass (property-absent), mirroring
+    every other scalar check."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    nulls = _np_bool(pc.is_null(col))
+    if not isinstance(const, list):
+        return nulls
+    vt = col.type.value_type
+    elems: list = []
+    for e in const:
+        if e is None:
+            elems.append(None)
+        elif isinstance(e, bool):
+            if not pa.types.is_boolean(vt):
+                return nulls
+            elems.append(bool(e))
+        elif isinstance(e, int):
+            if not pa.types.is_integer(vt):
+                return nulls
+            elems.append(int(e))
+        elif isinstance(e, float):
+            if not pa.types.is_floating(vt):
+                return nulls
+            elems.append(float(e))
+        elif isinstance(e, str):
+            if not (pa.types.is_string(vt) or pa.types.is_large_string(vt)):
+                return nulls
+            elems.append(e)
+        else:
+            return nulls  # nested list/map member can't live in this column
+    k = len(elems)
+    len_ok = _np_bool(pc.fill_null(
+        pc.equal(pc.list_value_length(col), k), False))
+    rows = np.nonzero(len_ok & ~nulls)[0]
+    if k and len(rows):
+        values, offsets = _list_offsets(col)
+        starts = offsets[:-1][rows]
+        for i, e in enumerate(elems):
+            if not len(rows):
+                break
+            sub = values.take(pa.array(starts + i, type=pa.int64()))
+            if e is None:
+                m = _np_bool(pc.is_null(sub))
+            else:
+                target, ev = sub, e
+                if pa.types.is_floating(vt):
+                    # -0.0 == +0.0 (numeric ==): normalize both sides
+                    target = pc.add(sub, 0.0)
+                    ev = float(e) + 0.0
+                m = _np_bool(pc.fill_null(pc.equal(target, ev), False))
+            rows, starts = rows[m], starts[m]
+    ok = np.zeros(len(col), dtype=bool)
+    ok[rows] = True
+    return ok | nulls
+
+
 def _build_scalar_checks(node: SchemaNode, col_type: pa.DataType, path: str,
                          compiled: Optional[CompiledSchema] = None,
                          elem_mode: bool = False) -> list:
@@ -407,18 +492,45 @@ def _build_scalar_checks(node: SchemaNode, col_type: pa.DataType, path: str,
             checks.append(_Check("type", union_rt,
                                  f"expected type {'/'.join(node.types)}", path))
 
+    is_list_col = (pa.types.is_list(col_type) or pa.types.is_large_list(col_type)
+                   or pa.types.is_fixed_size_list(col_type))
+
     if node.const is not UNSET:
         const = node.const
-        def const_fn(col, tbl, const=const):
-            if const is None:
-                return _np_bool(pc.is_null(col))
-            try:
-                return _ok_with_nulls(pc.equal(col, pa.scalar(const)), col)
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
-                return _np_bool(pc.is_null(col))  # type-incompatible const
-        checks.append(_Check("const", const_fn, f"expected const {node.const!r}", path))
+        if is_list_col:
+            # structural ===-equality against a literal list (r4): the
+            # former scalar-fallback class
+            checks.append(_Check(
+                "const",
+                lambda col, tbl, const=const: _list_const_mask(col, const),
+                f"expected const {node.const!r}", path))
+        else:
+            def const_fn(col, tbl, const=const):
+                if const is None:
+                    return _np_bool(pc.is_null(col))
+                try:
+                    return _ok_with_nulls(pc.equal(col, pa.scalar(const)), col)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    return _np_bool(pc.is_null(col))  # type-incompatible const
+            checks.append(_Check("const", const_fn, f"expected const {node.const!r}", path))
 
-    if node.enum is not None:
+    if node.enum is not None and is_list_col:
+        members = node.enum
+
+        def list_enum_fn(col, tbl, members=members):
+            # a list cell can only === a LIST member; each member mask
+            # already includes the null-passes lane
+            masks = [_list_const_mask(col, m) for m in members
+                     if isinstance(m, list)]
+            if not masks:
+                return _np_bool(pc.is_null(col))
+            out = masks[0]
+            for m in masks[1:]:
+                out = out | m
+            return out
+        checks.append(_Check("enum", list_enum_fn,
+                             f"not in enum {node.enum!r}", path))
+    elif node.enum is not None:
         members = node.enum
         def enum_fn(col, tbl, members=members):
             # strict membership plus int↔zero-fraction-float cross-equality
@@ -1439,15 +1551,13 @@ def compile_table_plan(
                 cp.collect_kind = True  # list chain collects under :finally
                 plans.append(cp)
                 continue
-            is_nested_col = (
-                pa.types.is_list(field_type)
-                or pa.types.is_large_list(field_type)
-                or pa.types.is_fixed_size_list(field_type)
-                or pa.types.is_struct(field_type)
-                or pa.types.is_map(field_type)
-            )
+            # struct/map columns keep the scalar fallback for const/enum
+            # (general nested ===); LIST columns vectorize it via
+            # _list_const_mask (r4)
+            is_struct_col = (pa.types.is_struct(field_type)
+                             or pa.types.is_map(field_type))
             if _is_vectorizable(node, compiled, col_type=field_type) and not (
-                is_nested_col and (node.enum is not None or node.const is not UNSET)
+                is_struct_col and (node.enum is not None or node.const is not UNSET)
             ):
                 is_list_col = (
                     pa.types.is_list(field_type)
