@@ -71,13 +71,18 @@ def test_minhash_finds_exact_and_near_dups(docs_ds):
 
 
 def test_simhash_finds_exact_dups(docs_ds):
+    """Both hash lanes (splitmix engine default, md5 oracle lane) must
+    surface every exact-duplicate pair at Hamming 0 — identical gram
+    sets give identical signatures in ANY hash space."""
     ds, _ = docs_ds
     from xema_ray.stages.dedup import simhash_pairs
 
-    pairs = simhash_pairs(ds, max_hamming=3).take_all()
-    found = {(p["doc_a"], p["doc_b"]) for p in pairs}
-    for i in range(10):
-        assert (f"d{i:03d}", f"x{i:03d}") in found
+    for hash_fn in ("fast", "md5"):
+        pairs = simhash_pairs(ds, max_hamming=3, hash_fn=hash_fn).take_all()
+        found = {(p["doc_a"], p["doc_b"]): p["hamming"] for p in pairs}
+        for i in range(10):
+            assert found.get((f"d{i:03d}", f"x{i:03d}")) == 0, \
+                (hash_fn, i, found.get((f"d{i:03d}", f"x{i:03d}")))
 
 
 def test_verify_pairs_jaccard(docs_ds):

@@ -521,3 +521,35 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         cnt += (x & np.uint64(1)).astype(np.int64)
         x >>= np.uint64(1)
     return cnt
+
+
+def md5_ngram_hashes(words_all, n: int):
+    """Cross-engine-recomputable gram hashes: uint64 from the FIRST 16
+    hex chars of ``md5(' '.join(gram))`` — the oracle-lane twin of
+    :func:`word_ngram_hashes` (cf. the fingerprint stage's md5 lane).
+    SQL recomputes the identical value nibble-by-nibble from
+    ``md5(gram)``.  Same gram semantics: docs with fewer than ``n``
+    words contribute ONE whole-doc gram; zero-word docs contribute
+    nothing.  Distinct grams hash once per batch (dict cache)."""
+    import hashlib
+
+    flat: list = []
+    offsets = np.zeros(len(words_all) + 1, dtype=np.int64)
+    cache: dict = {}
+    for r, words in enumerate(words_all):
+        words = list(words) if words is not None else []
+        if not words:
+            grams = []
+        elif len(words) < n:
+            grams = [" ".join(words)]
+        else:
+            grams = [" ".join(words[i:i + n])
+                     for i in range(len(words) - n + 1)]
+        for g in grams:
+            h = cache.get(g)
+            if h is None:
+                h = cache[g] = int(hashlib.md5(
+                    g.encode("utf-8", "surrogatepass")).hexdigest()[:16], 16)
+            flat.append(h)
+        offsets[r + 1] = len(flat)
+    return np.array(flat, dtype=np.uint64), offsets

@@ -704,16 +704,51 @@ def doc_dup_clusters(sf_dir: str):
     return dup_clusters(verified)
 
 
-@register("doc_simhash_pairs", """SELECT * FROM (VALUES (8,245,3),(45,413,2),(58,293,2),(61,185,0),(70,447,2),(120,332,3),(267,413,2),(285,301,1),(295,374,2),(458,462,2)) AS t(doc_a, doc_b, hamming)""",
-          doc="SimHash near-dup pairs (4x16-bit band buckets). Oracle: "
-              "expected output pinned as a VALUES table from the seeded "
-              "deterministic pipeline at sf0.01 (the Hamming criterion is "
-              "signature-space, not SQL-recomputable); all 10 pairs are a "
-              "subset of the 25 exact Jaccard>=0.9 planted pairs")
+_SIMHASH_SQL = """
+WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(
+               lower(coalesce(text,'')),'[^a-z0-9]+'), x -> x <> '') AS w
+           FROM documents),
+g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+        THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                            FOR i IN generate_series(1, len(w) - 2)])
+        WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+        ELSE [] END AS grams FROM d),
+t AS (SELECT doc_id, md5(unnest(grams)) AS hx FROM g),
+b AS (SELECT doc_id, j,
+        sum(CASE WHEN ((strpos('0123456789abcdef',
+                substr(hx, 16 - j//4, 1)) - 1) & (1 << (j % 4))) <> 0
+            THEN 1 ELSE -1 END) AS score
+      FROM t, (SELECT unnest(generate_series(0, 63)) AS j)
+      GROUP BY doc_id, j),
+fp0 AS (SELECT doc_id, CAST(sum(CASE WHEN score > 0
+          THEN (CAST(1 AS UBIGINT) << j) ELSE CAST(0 AS UBIGINT) END)
+          AS UBIGINT) AS f
+        FROM b GROUP BY doc_id),
+fp AS (SELECT d.doc_id, coalesce(fp0.f, CAST(0 AS UBIGINT)) AS f
+       FROM d LEFT JOIN fp0 USING (doc_id)),
+bands AS (SELECT doc_id, f, bb, (f >> (16*bb)) & CAST(65535 AS UBIGINT) AS key
+          FROM fp, (SELECT unnest([0,1,2,3]) AS bb)),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                 a.f AS fa, b2.f AS fb
+          FROM bands a JOIN bands b2
+            ON a.bb = b2.bb AND a.key = b2.key AND a.doc_id < b2.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(fa, fb)) <= 3"""
+
+
+@register("doc_simhash_pairs", _SIMHASH_SQL,
+          doc="SimHash near-dup pairs (4x16-bit band buckets, Hamming<=3). "
+              "Oracle (r4): FULL SQL recomputation — the query pins the "
+              "md5 gram-hash lane (sketches.md5_ngram_hashes) so DuckDB "
+              "independently rebuilds every 3-word shingle hash, all 64 "
+              "per-doc sign sums, the banded candidate join and the "
+              "xor/bit_count Hamming cut; nothing is pinned. Both lanes "
+              "pass exact-dup recall (identical gram sets => Hamming 0)")
 def doc_simhash_pairs(sf_dir: str):
     from xema_ray.stages.dedup import simhash_pairs
 
-    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         hash_fn="md5")
 
 
 # ----------------------------------------------------------------------

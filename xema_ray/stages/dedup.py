@@ -461,17 +461,25 @@ def minhash_lsh_pairs(
 
 
 class SimHashStage:
-    """Actor: 64-bit SimHash per doc + 4×16-bit band keys."""
+    """Actor: 64-bit SimHash per doc + 4×16-bit band keys.
 
-    def __init__(self, col: str, id_col: str, shingle: int = 3):
+    ``hash_fn="md5"`` swaps the splitmix gram-hash space for md5-derived
+    hashes (:func:`~xema_ray.functions.sketches.md5_ngram_hashes`) so a
+    SQL oracle can recompute the full signature/band/Hamming pipeline
+    independently; ``"fast"`` (default) is the vectorized engine lane."""
+
+    def __init__(self, col: str, id_col: str, shingle: int = 3,
+                 hash_fn: str = "fast"):
         import re
 
         self.col, self.id_col = col, id_col
         self.shingle = shingle
+        self.hash_fn = hash_fn
         self.word_re = re.compile(r"[a-z0-9]+")
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         from xema_ray.functions.sketches import (
+            md5_ngram_hashes,
             simhash_flat,
             unique_per_row,
             word_ngram_hashes,
@@ -485,7 +493,10 @@ class SimHashStage:
         # unique_per_row (duplicates weight SimHash, unlike MinHash mins)
         s = pd.Series(texts, dtype="object").fillna("").str.lower()
         words_all = s.str.findall(self.word_re)
-        flat, offsets = word_ngram_hashes(words_all, self.shingle)
+        if self.hash_fn == "md5":
+            flat, offsets = md5_ngram_hashes(words_all, self.shingle)
+        else:
+            flat, offsets = word_ngram_hashes(words_all, self.shingle)
         flat, offsets = unique_per_row(flat, offsets)
         sh = simhash_flat(flat, offsets)
         doc = np.repeat(np.asarray(ids, dtype=object), 4)
@@ -505,7 +516,8 @@ class SimHashStage:
 def simhash_pairs(ds, col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, max_bucket: int = 64,
                   strategy: str = "auto",
-                  auto_driver_limit: int = 4_000_000):
+                  auto_driver_limit: int = 4_000_000,
+                  hash_fn: str = "fast"):
     """Near-duplicate pairs with SimHash Hamming distance ≤ ``max_hamming``
     (any such pair shares at least one of the 4 16-bit bands).
     ``strategy``: same measured-auto driver/groupby choice as
@@ -514,7 +526,8 @@ def simhash_pairs(ds, col: str = "text", id_col: str = "doc_id",
     from xema_ray.functions.sketches import hamming64
 
     rows = ds.map_batches(
-        SimHashStage, fn_constructor_kwargs={"col": col, "id_col": id_col},
+        SimHashStage, fn_constructor_kwargs={"col": col, "id_col": id_col,
+                                             "hash_fn": hash_fn},
         batch_format="pyarrow", concurrency=(1, 8),
     )
 
