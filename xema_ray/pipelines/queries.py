@@ -3727,7 +3727,40 @@ def orders_monthly_growth(sf_dir: str):
                      "delta_c": pa.array(delta, pa.int64())})
 
 
-_MMR_SQL = """SELECT * FROM (VALUES (0,0,1,699999),(0,365,2,147997),(0,334,3,145088),(0,387,4,132455),(0,423,5,118773),(1,1,1,699999),(1,386,2,148593),(1,27,3,139283),(1,407,4,130803),(1,195,5,129097),(2,2,1,700000),(2,117,2,127257),(2,450,3,106537),(2,145,4,105397),(2,188,5,105308),(3,3,1,699999),(3,130,2,159948),(3,149,3,131973),(3,343,4,123388),(3,174,5,121419),(4,4,1,700000),(4,114,2,159405),(4,496,3,136484),(4,408,4,129101),(4,482,5,125558)) AS t(query_id, vec_id, "rank", mmr_m)"""
+_MMR_SQL = """
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+pool AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(e.v, q.v) AS rel,
+                row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY list_cosine_similarity(e.v, q.v) DESC,
+                             e.vec_id) AS rn
+         FROM e, q QUALIFY rn <= 25),
+sims AS (SELECT p1.query_id, p1.vec_id AS a, p2.vec_id AS b,
+                list_cosine_similarity(e1.v, e2.v) AS s
+         FROM pool p1
+         JOIN pool p2 ON p1.query_id = p2.query_id
+                     AND p1.vec_id <> p2.vec_id
+         JOIN e e1 ON e1.vec_id = p1.vec_id
+         JOIN e e2 ON e2.vec_id = p2.vec_id),
+sel AS (
+  SELECT query_id, 0 AS step, CAST([] AS BIGINT[]) AS picked,
+         CAST(NULL AS BIGINT) AS pick, CAST(NULL AS BIGINT) AS m
+  FROM (SELECT DISTINCT query_id FROM pool)
+  UNION ALL
+  SELECT s.query_id, s.step + 1, list_append(s.picked, c.pick), c.pick, c.m
+  FROM sel s, LATERAL (
+     SELECT p.vec_id AS pick,
+            CAST(floor(1000000.0*(0.7*p.rel - 0.3*coalesce(
+                (SELECT max(si.s) FROM sims si
+                 WHERE si.query_id = p.query_id AND si.a = p.vec_id
+                   AND list_contains(s.picked, si.b)), 0.0))) AS BIGINT) AS m
+     FROM pool p WHERE p.query_id = s.query_id
+       AND NOT list_contains(s.picked, p.vec_id)
+     ORDER BY m DESC, p.vec_id LIMIT 1) c
+  WHERE s.step < 5)
+SELECT query_id, pick AS vec_id, CAST(step AS BIGINT) AS "rank", m AS mmr_m
+FROM sel WHERE step > 0"""
 
 
 @register(
@@ -3740,8 +3773,10 @@ _MMR_SQL = """SELECT * FROM (VALUES (0,0,1,699999),(0,365,2,147997),(0,334,3,145
         "brute-force scan; candidate vectors gather via one "
         "broadcast-id filter (O(queries x pool) rows), greedy runs "
         "driver-side; scores 1e-6 fixed-point + id tie-break => "
-        "deterministic.  Oracle = pinned VALUES (verified 2/8 CPUs; "
-        "greedy selection is not SQL-expressible)",
+        "deterministic.  Oracle (r4): FULL SQL recomputation — a "
+        "recursive CTE replays the greedy (LATERAL argmax per "
+        "step over a picked-list accumulator, max-over-selected "
+        "diversity via a correlated join); nothing is pinned",
 )
 def emb_mmr_topk(sf_dir: str):
     from xema_ray.stages.similarity import mmr_topk

@@ -745,15 +745,22 @@ def mmr_topk(ds, queries, k: int = 5, pool: int = 25, lam: float = 0.7,
         pool_by_q.setdefault(r["query_id"], []).append(r["vec_id"])
     for qi, qid in enumerate(qids):
         ids = pool_by_q.get(qid, [])
-        mat = _normalize(np.stack([vecs[i] for i in ids])) if ids \
-            else np.zeros((0, 1))
+        raw = np.stack([vecs[i] for i in ids]) if ids else np.zeros((0, 1))
+        mat = _normalize(raw) if ids else np.zeros((0, 1))
         rel = mat @ qarr[qi] if ids else np.zeros(0)
+        # bitwise-identical vectors get cosine EXACTLY 1: the
+        # normalize-then-dot float path loses it to rounding (1-1ulp)
+        # while the mathematical value — and SQL's ratio form — is 1.0
+        qraw = np.asarray(qmat[qi], dtype=np.float64)
+        if ids and raw.shape[1] == qraw.shape[0]:
+            rel[np.all(raw == qraw, axis=1)] = 1.0
         selected: list = []
         remaining = list(range(len(ids)))
         while remaining and len(selected) < k:
             best, best_key = None, None
             for j in remaining:
-                div = max((float(mat[j] @ mat[s]) for s in selected),
+                div = max((1.0 if np.array_equal(raw[j], raw[s])
+                           else float(mat[j] @ mat[s]) for s in selected),
                           default=0.0)
                 score = fp(lam * float(rel[j]) - (1 - lam) * div)
                 key = (-score, ids[j])
