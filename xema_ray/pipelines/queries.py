@@ -3396,9 +3396,79 @@ def doc_snapshot_diff(sf_dir: str):
                          hash_fn="md5", num_partitions=8)
 
 
-_BPE_MERGES_SQL = """SELECT * FROM (VALUES (0,'e','r',4568),(1,'e','</w>',4473),(2,'n','</w>',2834),(3,'er','</w>',2779),(4,'o','w',2747),(5,'ow','</w>',2747),(6,'o','r',2696),(7,'s','t',2676),(8,'h','</w>',1884),(9,'a','t',1845),(10,'l','u',1831),(11,'i','n',1796),(12,'a','</w>',1788),(13,'g','</w>',1777),(14,'y','</w>',1767),(15,'a','r',1758),(16,'p','ar',1758),(17,'t','</w>',1750),(18,'i','n</w>',964),(19,'j','o',964),(20,'jo','in</w>',964),(21,'a','s',947),(22,'as','h</w>',947),(23,'h','ash</w>',947),(24,'r','ow</w>',943),(25,'at','c',937),(26,'atc','h</w>',937),(27,'b','atch</w>',937),(28,'a','n</w>',936),(29,'c','an</w>',936),(30,'s','can</w>',936),(31,'c','o',934),(32,'c','u',934),(33,'co','lu',934),(34,'colu','m',934),(35,'colum','n</w>',934),(36,'cu','st',934),(37,'cust','o',934),(38,'custo','m',934),(39,'custom','er</w>',934)) AS t("rank", "left", "right", n)"""
+def _bpe_chain_ctes(n_merges: int = 40) -> list:
+    """Generated CTE chain that REPLAYS Sennrich BPE training in SQL.
 
-_BPE_STATS_SQL = """SELECT * FROM (VALUES ('src0',25,1435,4553),('src1',25,1540,4889),('src10',25,1303,4037),('src11',25,1522,4823),('src12',25,1272,3947),('src13',25,1553,4894),('src14',25,1318,4232),('src15',25,1298,4019),('src16',25,1351,4252),('src17',25,1373,4262),('src18',25,1364,4368),('src19',25,1147,3635),('src2',25,1407,4419),('src3',25,1384,4355),('src4',25,1294,4066),('src5',25,1329,4149),('src6',25,1266,4010),('src7',25,1507,4644),('src8',25,1136,3606),('src9',25,1366,4339)) AS t(source, n_docs, n_words, n_subwords)"""
+    Stage r: ``p{r}`` counts adjacent symbol pairs (unnest over the
+    space-separated symbol strings), ``b{r}`` picks the winner with the
+    engine's exact total order (count DESC, pair ASC), ``v{r+1}``
+    applies the merge with the double-space replace trick (doubling the
+    separators first makes ``replace`` handle overlapping occurrences:
+    each match consumes only one of the two spaces, leaving a separator
+    for the next).  Merging at rank r can only create pairs whose
+    merges were learned LATER (the new token did not exist before rank
+    r in training), so the chain's final symbol strings are also the
+    greedy encoder's output — ``doc_bpe_stats`` reuses the same chain.
+    ``MATERIALIZED`` is load-bearing: without it DuckDB inlines the
+    doubly-referenced CTEs and the plan (and parquet open count) grows
+    exponentially with depth.
+    """
+    parts = ["""wc AS MATERIALIZED (
+  SELECT w AS word, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents WHERE text IS NOT NULL) u
+  GROUP BY w)""", """v0 AS MATERIALIZED (
+  SELECT word, array_to_string(string_split(word, ''), ' ') || ' </w>' AS sym,
+         cnt FROM wc)"""]
+    for r in range(n_merges):
+        parts.append(f"""p{r} AS MATERIALIZED (
+  SELECT l[i] AS lft, l[i+1] AS rgt, SUM(cnt)::BIGINT AS n
+  FROM (SELECT string_split(sym, ' ') AS l, cnt,
+               unnest(range(1, len(string_split(sym, ' ')))) AS i FROM v{r}) t
+  GROUP BY 1, 2)""")
+        parts.append(f"""b{r} AS MATERIALIZED (
+  SELECT lft, rgt, n FROM p{r} ORDER BY n DESC, lft ASC, rgt ASC LIMIT 1)""")
+        parts.append(f"""v{r + 1} AS MATERIALIZED (
+  SELECT word,
+         trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+              ' ' || b.lft || '  ' || b.rgt || ' ',
+              ' ' || b.lft || b.rgt || ' '), '  ', ' ')) AS sym, cnt
+  FROM v{r}, b{r} b)""")
+    return parts
+
+
+def _bpe_merges_sql(n_merges: int = 40) -> str:
+    union = "\nUNION ALL\n".join(
+        f'SELECT {r} AS "rank", lft AS "left", rgt AS "right", n FROM b{r}'
+        for r in range(n_merges))
+    return ("WITH " + ",\n".join(_bpe_chain_ctes(n_merges)) + "\n"
+            + union + ' ORDER BY "rank"')
+
+
+def _bpe_stats_sql(n_merges: int = 40) -> str:
+    parts = _bpe_chain_ctes(n_merges)
+    parts.append(f"""enc AS MATERIALIZED (
+  SELECT word, len(string_split(sym, ' '))::BIGINT AS n_sub FROM v{n_merges})""")
+    parts.append("""occ AS MATERIALIZED (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents WHERE text IS NOT NULL)""")
+    parts.append("""wt AS (
+  SELECT o.source, COUNT(*)::BIGINT AS n_words,
+         SUM(e.n_sub)::BIGINT AS n_subwords
+  FROM occ o JOIN enc e USING (word) GROUP BY o.source)""")
+    parts.append("""nd AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs FROM documents
+  GROUP BY source)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT nd.source, nd.n_docs,
+       COALESCE(wt.n_words, 0)::BIGINT AS n_words,
+       COALESCE(wt.n_subwords, 0)::BIGINT AS n_subwords
+FROM nd LEFT JOIN wt USING (source) ORDER BY source""")
+
+
+_BPE_MERGES_SQL = _bpe_merges_sql()
+
+_BPE_STATS_SQL = _bpe_stats_sql()
 
 
 def _bpe_merges(sf_dir: str, n_merges: int = 40):
@@ -3417,9 +3487,9 @@ def _bpe_merges(sf_dir: str, n_merges: int = 40):
         "free by Heaps' law); the merge loop runs driver-side over the "
         "compact frequency table with an incremental pair index, "
         "deterministic (count DESC, pair ASC) selection.  Oracle = "
-        "pinned VALUES from the seeded run at sf0.01 (iterative argmax "
-        "training is not SQL-expressible); stability verified at 2 and "
-        "8 CPUs",
+        "FULL SQL replay of training: a generated 40-stage CTE chain "
+        "(pair-count -> exact-total-order argmax -> double-space "
+        "replace merge) recomputes every rank from the parquet",
 )
 def doc_bpe_merges(sf_dir: str):
     from xema_ray.stages.bpe import merges_table
@@ -3434,8 +3504,10 @@ def doc_bpe_merges(sf_dir: str):
         "40-rank learned table — merge ranks broadcast once (ray.put), "
         "per-actor encode cache keyed on UNIQUE words makes per-batch "
         "work O(distinct words) not O(tokens); per-source rollup is a "
-        "20-row Arrow groupby.  Oracle = pinned VALUES (stability "
-        "verified at 2 and 8 CPUs)",
+        "20-row Arrow groupby.  Oracle = SQL replay: the training-"
+        "chain CTEs' final symbol strings ARE the greedy encoder "
+        "output (a rank-r merge only creates later-rank pairs), so "
+        "per-word subword counts come from v40 and roll up per source",
 )
 def doc_bpe_stats(sf_dir: str):
     from xema_ray.stages.bpe import bpe_doc_stats
