@@ -241,3 +241,55 @@ def test_top_words_exact_matches_bruteforce(ray_session):
         k=15, capacity=256)
     got = list(zip(out["word"].to_pylist(), out["n"].to_pylist()))
     assert got == want
+
+
+def test_key_skew_report_exact_vs_bruteforce(ray_session):
+    """Two-pass skew report == brute-force counts with a tiny sketch
+    capacity (forces per-batch AND driver-side MG shrink), across
+    multiple blocks so the coalesced-batch total path is exercised."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.stats import key_skew_report
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: hot keys 0..9, uniform tail
+    keys = np.concatenate([
+        rng.integers(0, 10, size=4000),
+        rng.integers(10, 2000, size=6000),
+    ])
+    rng.shuffle(keys)
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(keys, pa.int64())})) \
+        .repartition(7)
+    # k=10 keeps the ask inside the certification bound (hot counts
+    # ~400 > total/capacity ~156); k into the uniform tail must refuse
+    out = key_skew_report(ds, key="user_id", k=10, capacity=64)
+    u, c = np.unique(keys, return_counts=True)
+    order = np.lexsort((u, -c))[:10]
+    assert out["user_id"].to_pylist() == list(u[order])
+    assert out["n"].to_pylist() == list(c[order])
+    total = len(keys)
+    assert out["share_ppm"].to_pylist() == \
+        [int(n) * 1_000_000 // total for n in c[order]]
+    assert out["rank"].to_pylist() == list(range(1, 11))
+    with pytest.raises(ValueError, match="not certified"):
+        key_skew_report(ds, key="user_id", k=12, capacity=64)
+
+
+def test_key_skew_report_nulls_and_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.stats import key_skew_report
+
+    t = pa.table({"user_id": pa.array([5, None, 5, 3, None], pa.int64())})
+    out = key_skew_report(rd.from_arrow(t), key="user_id", k=5)
+    assert out["user_id"].to_pylist() == [5, 3]
+    assert out["n"].to_pylist() == [2, 1]
+    # nulls excluded from the share denominator (SQL twin filters them)
+    assert out["share_ppm"].to_pylist() == [666666, 333333]
+    empty = pa.table({"user_id": pa.array([], pa.int64())})
+    out2 = key_skew_report(rd.from_arrow(empty), key="user_id", k=5)
+    assert out2.num_rows == 0
+    assert out2.column_names == ["rank", "user_id", "n", "share_ppm"]

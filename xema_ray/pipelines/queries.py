@@ -4028,6 +4028,32 @@ def events_transitions(sf_dir: str):
               ["event_id", "ts", "user_id", "event_type"], split=True))
 
 
+@register(
+    "events_key_skew",
+    """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT)
+               AS rank,
+           user_id, n,
+           CAST(n * 1000000 // t.total AS BIGINT) AS share_ppm
+    FROM c, t ORDER BY n DESC, user_id LIMIT 15""",
+    doc="Hot-key diagnostic (run-before-you-shuffle skew report): exact "
+        "top-15 keys by row count + traffic share over an unbounded "
+        "int64 key space — vectorized Misra-Gries array partials "
+        "(O(capacity) driver state), broadcast-candidate searchsorted "
+        "recount for exact counts; a key owning x ppm of rows owns x "
+        "ppm of one reducer's input in any hash exchange, which is "
+        "what the engine's salting / time-bucket paths exist for",
+)
+def events_key_skew(sf_dir: str):
+    from xema_ray.stages.stats import key_skew_report
+
+    return key_skew_report(
+        _read(sf_dir, "events", ["user_id"], split=True), key="user_id",
+        k=15)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering.  External gates that sample a prefix of the registry
 # (the driver checks the first 50 entries in dict order) should see a

@@ -970,3 +970,95 @@ def grouped_zscore_outliers(ds, key: str = "source", col: str = "n_tok",
         })
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def key_skew_report(ds, key: str = "user_id", k: int = 15,
+                    capacity: int = 4096):
+    """Hot-key diagnostic for shuffle planning: exact top-k keys by row
+    count plus their traffic share, over an UNBOUNDED integer key space.
+
+    The operator every 100-TB shuffle wants run first: a key that owns
+    x% of the rows owns x% of one reducer's input in any hash exchange
+    (the skew that motivates the engine's salting / time-bucket paths).
+    Same two-pass shape as :func:`top_words_exact` but fully vectorized
+    for int64 keys: per-batch ``np.unique`` counts shrunk to
+    Misra-Gries arrays (O(capacity) driver state; survivors are a
+    superset of every key with share > 1/capacity), then one
+    broadcast-candidate searchsorted recount for exact counts and the
+    exact total.  Returns (rank, <key>, n, share_ppm) with
+    ``share_ppm = n * 10^6 // total`` — integer, hash-stable.
+    """
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[key]
+        col = col.filter(pc.is_valid(col)) if col.null_count else col
+        v = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        keys, cnts = np.unique(v, return_counts=True)
+        keys, cnts = _mg_shrink_arrays(keys, cnts.astype(np.int64),
+                                       capacity)
+        # batch total rides in row 0 only: downstream iter_batches may
+        # COALESCE several map outputs into one batch, so a per-row
+        # constant cannot be read back as "one value per input batch"
+        tot = np.zeros(len(keys), np.int64)
+        if len(tot):
+            tot[0] = len(v)
+        return pa.table({"k": pa.array(keys, pa.int64()),
+                         "c": pa.array(cnts, pa.int64()),
+                         "tot": pa.array(tot)})
+
+    mk = np.array([], np.int64)
+    mc = np.array([], np.int64)
+    total = 0
+    for b in ds.select_columns([key]).map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        bk = b["k"].to_numpy(zero_copy_only=False)
+        if not len(bk):
+            continue
+        total += int(pc.sum(b["tot"]).as_py() or 0)
+        cat_k = np.concatenate([mk, bk])
+        cat_c = np.concatenate([mc, b["c"].to_numpy(zero_copy_only=False)])
+        mk, inv = np.unique(cat_k, return_inverse=True)
+        mc = np.zeros(len(mk), np.int64)
+        np.add.at(mc, inv, cat_c)
+        mk, mc = _mg_shrink_arrays(mk, mc, capacity)
+    cand_ref = ray.put(np.sort(mk))
+
+    def recount(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        col = t[key]
+        col = col.filter(pc.is_valid(col)) if col.null_count else col
+        v = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cand, v)
+        pos_c = np.clip(pos, 0, len(cand) - 1)
+        hit = (len(cand) > 0) & (cand[pos_c] == v) if len(cand) else \
+            np.zeros(len(v), bool)
+        cnt = np.bincount(pos_c[hit], minlength=len(cand)) \
+            .astype(np.int64) if len(cand) else np.zeros(0, np.int64)
+        return pa.table({"i": pa.array(np.arange(len(cand), dtype=np.int64)),
+                         "c": pa.array(cnt)})
+
+    exact = np.zeros(len(mk), np.int64)
+    for b in ds.select_columns([key]).map_batches(
+            recount, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        np.add.at(exact, b["i"].to_numpy(zero_copy_only=False),
+                  b["c"].to_numpy(zero_copy_only=False))
+    cand = np.sort(mk)
+    order = np.lexsort((cand, -exact))[:k]
+    n = exact[order]
+    # self-certification (the top_token_bigrams contract): the merged
+    # MG sketch undercounts by at most total/capacity, so candidates
+    # cover every key with true count above that bound — if the k-th
+    # recounted candidate clears it, the top-k is provably complete
+    if len(n) == k and n[-1] * capacity <= total:
+        raise ValueError(
+            f"top-{k} not certified: k-th count {n[-1]} <= "
+            f"total/capacity {total}/{capacity}; raise capacity")
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        key: pa.array(cand[order], pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "share_ppm": pa.array(n * 1_000_000 // max(total, 1), pa.int64()),
+    })
