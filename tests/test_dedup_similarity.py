@@ -456,3 +456,56 @@ def test_minhash_max_bucket_retention_is_order_independent(ray_session):
     # the retained subset is the doc_id-sorted prefix
     assert outs[0] == {(f"d{i:02d}", f"d{j:02d}")
                       for i in range(5) for j in range(i + 1, 5)}
+
+
+def test_semantic_dedup_vs_bruteforce(ray_session):
+    """Kmeans-blocked dominance == per-cluster brute force, and the
+    result is partition-invariant (order-free rule)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.similarity import (_normalize, kmeans_fit,
+                                            semantic_dedup)
+
+    rng = np.random.default_rng(11)
+    # 3 tight clusters of near-dups + uniform noise
+    centers = _normalize(rng.normal(size=(3, 16)))
+    rows, ids = [], []
+    for i in range(120):
+        c = centers[i % 3]
+        rows.append(c + 0.05 * rng.normal(size=16))
+        ids.append(i)
+    for i in range(120, 200):
+        rows.append(rng.normal(size=16))
+        ids.append(i)
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in rows],
+                                        pa.list_(pa.float32()))})
+
+    def brute(k, tau, nblocks):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        cent = kmeans_fit(ds, k=k, iters=3, seed=17)
+        m = _normalize(np.asarray(
+            [np.asarray(r, np.float64) for r in
+             t["embedding"].to_pylist()]))
+        lab = np.argmax(m @ cent.T, axis=1)
+        sim = m @ m.T
+        want = []
+        for i in range(len(ids)):
+            dom = [j for j in range(i) if lab[j] == lab[i]
+                   and sim[i, j] >= tau]
+            if dom:
+                want.append((ids[i], int(lab[i]), ids[min(dom)]))
+        out = semantic_dedup(rd.from_arrow(t).repartition(nblocks),
+                             k=k, iters=3, seed=17, tau=tau)
+        got = sorted(
+            (r["vec_id"], r["cluster"], r["dup_of"])
+            for b in out.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist())
+        return sorted(want), got
+
+    want2, got2 = brute(4, 0.9, 2)
+    assert got2 == want2 and len(want2) > 50
+    want7, got7 = brute(4, 0.9, 7)
+    assert got7 == want7 == want2

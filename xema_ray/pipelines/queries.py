@@ -776,7 +776,11 @@ def _query_vectors(sf_dir: str, n: int = 5, with_labels: bool = False):
 # (assignment, probe selection, candidates, exact/ADC distances,
 # top-k tie-breaks). Generated+verified by scripts/pin_models.py. ---
 
-_SQL_EMB_KMEANS_CLUSTERS = '\n    WITH cent(cid, cv) AS (VALUES (0,[-0.04386786371427541,0.12447612924529096,0.03867510145755651,0.1089502663026256,-0.019275038728977217,0.12385341407033325,-0.009535732972434863,0.10188927763062666,-0.07305575184209114,0.10354833864906046,-0.06920284591956298,0.1353681243990789,-0.26200933413393973,0.05202551759046455,-0.01811390329807087,-0.13218225697865893,-0.17067174825854983,-0.130243589963251,0.08290173661229927,-0.11097642498055985,-0.15664297991554046,0.0759263502539571,-0.05227061754894557,0.17172893122344146,0.18042710729605096,0.20787974160513034,0.2639590861812276,-0.07659976207727778,-0.03282022176715452,0.0037124475346786063,0.03723754309258243,0.07380483951911801,-0.04120097452443125,-0.14827212973060744,0.0069846321219174945,0.014050200097772721,-0.1589153481332387,0.17883847244073678,-0.05088236570183366,0.08047087992887253,-0.25022982097909185,-0.18685657563992789,-0.07600074685606725,0.13588893735791835,-0.1641493983566176,0.13001413976735995,0.10314623629004059,0.06681088693305388,0.009733599085334603,0.12398984201032705,0.2618523479216486,0.061859901091274545,-0.04359145665235796,-0.09042524406274656,-0.10541463318715615,-0.03988527766619978,0.2709468288952996,0.05876745465497053,-0.021186304661414097,0.12631390841039972,0.1504158172602364,-0.14172997904577914,-0.08302584759148703,0.05649674406128413]::DOUBLE[]),(1,[-0.14416938176047034,-0.14947387677100035,0.11184368992933198,0.0688148450531557,0.0997075944353959,-0.03718948171776434,0.026926535305196432,0.1133951159572431,-0.06362475437847107,0.12008983796268476,0.006064586097435295,-0.04009672915119818,-0.1664633649565521,-0.10186418758310507,-0.1399568150788911,-0.11418609755852929,0.1535329560101753,0.03398220415391643,0.07996120778794975,0.07154298138295666,-0.01638276055858265,-0.0959147258043406,0.30074877320443794,-0.45903708489974,-0.08707473493941749,-0.02732524928261205,-0.06397439172167563,-0.012376756757017182,0.023598417373594385,0.06316918269388706,-0.18463901409128142,0.19299984887062607,0.22683913864928495,0.04299133668299873,-0.015367787023346074,-0.06323249358931188,0.1962625276390121,-0.040118664769319703,-0.1604325107546793,0.05962470287442482,0.21085807089748637,0.07003618498337247,0.040997789777378855,0.18364332261863522,-0.000992448780715895,-0.08496635817677622,-0.010202238669840685,0.027164780665251544,-0.13112533393258677,0.044236750789721814,-0.08670010745180667,0.1659836325368695,0.018422588032866963,-0.0037851604179266,0.05447690515897483,-0.13629525507791837,-0.004158273019016084,0.14333937160235544,-0.10031310102734955,0.1433431039695911,-0.04273167813495611,0.15147089328648025,-0.10465896617034481,0.07583567138562712]::DOUBLE[]),(2,[0.04469338600649405,0.09759783104638906,0.04456936226249344,-0.10518025010950827,-0.10467983542440304,0.167757005168706,0.04686901673811291,0.0767894645788492,-0.02772375596320704,0.11580363791431833,0.10895732672504034,0.23380505315616845,0.21225216662408133,0.0013452252697228047,0.3183251072407557,0.05540494437682615,0.09435094758734998,0.011794363157901784,0.07422212822105032,0.024505932460048008,-0.02866241199907137,-0.24751296928890826,-0.15089498875416074,-0.09894221409497911,0.02261394163815601,0.07916628547374872,0.09056955820792051,0.23430640341369607,0.11181923165770777,-0.12772324465691912,-0.041802658614007046,-0.049727954480923035,0.13773885659644805,0.03940081320062519,-0.09100439032778625,0.04439150344188379,-0.0997482310806666,-0.18225796325786967,0.10486927816141414,-0.14273430269964643,-0.05393047100424301,-0.14444058018682188,-0.06215175338067173,-0.10750121530528939,0.11168488634164041,-0.10934899336974034,-0.030568455676084072,0.1805582764062074,0.06943498116432008,-0.031022485789564666,-0.06950521292363716,-0.12900295080505045,-0.054402352813743615,-0.11767253998020148,0.025275906300250325,0.14869112040258164,0.01667574606946965,-0.25269997732706667,-0.13398435133406647,-0.3183489180567161,0.1097702894178676,0.058843431547120136,-0.11566306748344785,-0.06121263576372539]::DOUBLE[]),(3,[-0.15268339759130808,-0.0839439298539858,-0.18353345870124016,0.018046100705889606,0.0786512706529707,0.02673265188160402,-0.12699871646573196,-0.04972147379701515,-0.04154281491643346,-0.08146302295508323,0.02855827326932585,-0.0517999982422521,-0.026086113337216946,0.269983776565429,0.07192341555595749,-0.0424900783600939,-0.043405896937326376,-0.2087273730117859,-0.1763047840206289,0.08035679467855643,0.040196508611246365,0.16350568316986194,-0.10347699712130781,0.20464586335372612,-0.06596627128712283,0.11766997142275144,-0.07108299657825334,-0.04629451006725817,0.047576441185240466,-0.0353772259057807,0.011739038843124716,1.2430644718802479e-05,0.05708145040250168,-0.1930403035017159,0.09034302173863355,-0.026013248324389466,0.16545887266442574,0.022256156798894748,-0.03494955630088502,0.07334591466965275,0.08043706839015105,0.20047257269911542,-0.16238200466755323,-0.1403870128310035,0.022492395927503964,-0.038259643960664745,0.09563576328989233,-0.03529060417336515,-0.04585822579538823,-0.18765492399858025,0.06067252546142362,-0.25548339831620176,0.2659907829993715,0.0008632657738418764,-0.3231608119430976,-0.0596270537731103,-0.11187956139024526,-0.08876527713588912,0.08840708335941022,-0.1492082869980219,0.010972402707363662,0.2619864380797544,-0.02552682369011702,-0.17583132570859866]::DOUBLE[]),(4,[0.044924027245255176,0.07598761865235261,0.011923479975685831,0.06359634917994367,0.1635304971975658,0.2056808635081259,-0.2778789708196876,0.099527445110977,0.033927104295052614,0.07550670990020121,-0.19870832069255248,0.0006561208544581976,0.1614714225822478,-0.07654184709785056,-0.03257378623602136,0.25908063469211734,0.018298090464498814,-0.07059330088062417,-0.019232214637327768,-0.16651648478444797,0.15440658792752565,-0.013608161645511275,0.021854337196683327,0.04608403780786905,-0.1579705402436776,0.2057255377665085,-0.09923009531642622,-0.03327506505167552,0.05133129609557422,0.010078610057080474,-0.0037868486875453082,0.025338883370571465,-0.0753068581172715,0.08507742632181194,0.05340228196984788,0.019964957099621827,-0.12113378774176317,0.13303009642616104,0.0029127616625707156,-0.15918805124922875,-0.03901977759212665,-0.18965080789833505,0.17575645361547765,-0.039393378382302065,-0.2835398636855557,-0.024109962565627027,-0.23197931894093224,-0.010221767171170987,-0.07025696615703143,-0.20454791491790472,0.06395236102589835,-0.06485703543246428,-0.2748545838908056,0.12055353912669814,0.0002498001270398398,-0.20376654093476784,0.07821251875411064,0.13264660529473024,-0.015756941454882926,0.012083062805956746,-0.15572113750132996,-0.15651845244888618,0.06846574077943733,0.028481595915017692]::DOUBLE[]),(5,[0.16124431514774362,-0.15149223737118736,0.0747264972210478,-0.07907312444756699,0.20384264640207536,0.11344807817283017,-0.18650098616233782,0.03696737415233312,0.021704350502349236,-0.003997903869615553,0.13237306880317848,0.15518030855923978,0.032426559619351904,0.06990086328545454,-0.2025173204116822,0.18935287654797323,-0.10108446869780786,0.37244221336200717,-0.17905968552064266,-0.08040900297810459,0.04238513358268494,0.1564402686835063,0.05555258037265911,-0.26050025203287874,-0.038843974276256875,-0.0878825778128669,0.049939741349067035,-0.06570750989020924,-0.0756119262236312,-0.023806919863628588,0.2133796137396442,-0.2414585923783762,0.13449082274618535,-0.020446757235245996,0.011775035175881203,0.15881757030796628,0.007610890519889602,-0.07647067489287745,0.04988672502709637,-0.003441931096302712,0.08561399945708166,-0.08180741960220987,0.03907208240413189,0.030319727590854505,0.014328728066265877,0.1145963105195231,0.10654701794821955,0.14370478029784878,0.1945922183574459,-0.09698610569569208,-0.016827268255591374,0.09801735752883176,0.18528006830081298,0.09447741967920655,0.07050687102691816,0.15559608335076236,-0.14339773787413815,-0.04596075095625426,0.12355191062665612,0.13083375578606413,-0.06717855331259455,0.0682187856925583,0.06688000659490802,-0.023029701314699686]::DOUBLE[]),(6,[-0.023694168935694787,-0.009111874352044367,-0.015576712893228959,-0.13133373271835563,-0.03476344421023466,-0.1672039740024483,0.24040771578356665,-0.03407999021189809,0.19886832622659278,-0.1562175770336327,0.04157849161292201,-0.17525866998629075,-0.06200187969921529,0.001098939736642325,-0.040893153390413675,-0.23559314043074842,0.0488117063973636,0.07906577247278655,0.1151759085095098,0.09409183828661274,0.10720175818977375,0.1532223010218843,0.11979985594798193,-0.1783526052488325,0.02160436451567891,0.012054828855794567,-0.2246045325095547,0.16652715491333636,-0.2649726594894258,0.09926668298671636,-0.16689135466704008,-0.16938379358280636,-0.08483905588258661,-0.12446816718447443,0.070100495882413,-0.06174624213765214,0.07511583223084141,0.1284387775659397,0.11978426607363356,0.19494738938050574,-0.03490574643423558,0.04894364648628843,-0.077312441904931,-0.15825207246207323,0.10268288019390998,-0.10374411201690038,0.09929582647152488,-0.13329790224909485,-0.16831976234496418,-0.009302895239084638,0.05164245135502477,0.10383666880019975,0.11897029463897008,-0.1319469801243379,0.2620680366183953,-0.14412584941634254,0.03178247267790886,-0.05974965394267685,-0.024696072218465325,-0.07642287787442194,0.049613178159238734,-0.10134170495434768,-0.06788776878195558,-0.16825243588149064]::DOUBLE[]),(7,[0.126260155316679,-0.05363639946751668,0.048192317875301434,-0.07273086917744867,-0.10420756491186915,-0.27052085397996817,-0.17893390933317085,-0.06458499855991204,-0.10476359201770086,-0.2006022281007489,0.12683493477845528,-0.22764081913700934,-0.05254220077684523,-0.18863394190408414,-0.0042756256192079505,0.09466463483325141,0.13203286276754622,0.06334904179022212,0.0684345880594488,0.15850745336654348,-0.26180343676932605,-0.11501285345950561,0.01646275949959236,0.2619920419425309,0.07687678008386653,-0.13079265498724738,-0.0359247400312124,0.15853002886573148,0.06023561595236012,0.06669036774876562,0.2213717157158962,0.042347723156039116,-0.10986302960757377,0.10513363702637729,0.03736037928540995,-0.09595201619676552,-0.1762432296607779,-0.16967934185791747,-0.08880311269309293,-0.07360802273167037,-0.03588372019559756,-0.03309589307656649,0.12454490660019119,0.10943037678633447,-0.1394875813953183,0.20414967262775655,-0.1359470420775612,-0.11101304187233504,-0.04608351096551703,0.10026903683965216,0.022073677416380635,0.03991911108923064,0.018547332938951194,-0.019330328278521346,0.2055845329043481,0.10080921954422375,0.03827246935142891,0.088119313878573,-0.08882755638828985,-0.08653426222687106,-0.05338218998225587,-0.005195467777794719,0.1952309169995236,-0.12227232359910524]::DOUBLE[])),\n    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v\n          FROM embeddings WHERE embedding IS NOT NULL),\n    a AS (SELECT e.vec_id, c.cid,\n            row_number() OVER (PARTITION BY e.vec_id\n                ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn\n          FROM e, cent c)\n    SELECT CAST(cid AS INT) AS cluster, CAST(count(*) AS INT) AS n,\n           CAST(sum(vec_id) AS INT) AS id_sum\n    FROM a WHERE rn = 1 GROUP BY cid'
+# the fitted k=8/iters=3/seed=17 centroid matrix, pinned once by
+# scripts/pin_models.py and shared by every kmeans-blocked oracle
+_SQL_KMEANS_CENT = 'cent(cid, cv) AS (VALUES (0,[-0.04386786371427541,0.12447612924529096,0.03867510145755651,0.1089502663026256,-0.019275038728977217,0.12385341407033325,-0.009535732972434863,0.10188927763062666,-0.07305575184209114,0.10354833864906046,-0.06920284591956298,0.1353681243990789,-0.26200933413393973,0.05202551759046455,-0.01811390329807087,-0.13218225697865893,-0.17067174825854983,-0.130243589963251,0.08290173661229927,-0.11097642498055985,-0.15664297991554046,0.0759263502539571,-0.05227061754894557,0.17172893122344146,0.18042710729605096,0.20787974160513034,0.2639590861812276,-0.07659976207727778,-0.03282022176715452,0.0037124475346786063,0.03723754309258243,0.07380483951911801,-0.04120097452443125,-0.14827212973060744,0.0069846321219174945,0.014050200097772721,-0.1589153481332387,0.17883847244073678,-0.05088236570183366,0.08047087992887253,-0.25022982097909185,-0.18685657563992789,-0.07600074685606725,0.13588893735791835,-0.1641493983566176,0.13001413976735995,0.10314623629004059,0.06681088693305388,0.009733599085334603,0.12398984201032705,0.2618523479216486,0.061859901091274545,-0.04359145665235796,-0.09042524406274656,-0.10541463318715615,-0.03988527766619978,0.2709468288952996,0.05876745465497053,-0.021186304661414097,0.12631390841039972,0.1504158172602364,-0.14172997904577914,-0.08302584759148703,0.05649674406128413]::DOUBLE[]),(1,[-0.14416938176047034,-0.14947387677100035,0.11184368992933198,0.0688148450531557,0.0997075944353959,-0.03718948171776434,0.026926535305196432,0.1133951159572431,-0.06362475437847107,0.12008983796268476,0.006064586097435295,-0.04009672915119818,-0.1664633649565521,-0.10186418758310507,-0.1399568150788911,-0.11418609755852929,0.1535329560101753,0.03398220415391643,0.07996120778794975,0.07154298138295666,-0.01638276055858265,-0.0959147258043406,0.30074877320443794,-0.45903708489974,-0.08707473493941749,-0.02732524928261205,-0.06397439172167563,-0.012376756757017182,0.023598417373594385,0.06316918269388706,-0.18463901409128142,0.19299984887062607,0.22683913864928495,0.04299133668299873,-0.015367787023346074,-0.06323249358931188,0.1962625276390121,-0.040118664769319703,-0.1604325107546793,0.05962470287442482,0.21085807089748637,0.07003618498337247,0.040997789777378855,0.18364332261863522,-0.000992448780715895,-0.08496635817677622,-0.010202238669840685,0.027164780665251544,-0.13112533393258677,0.044236750789721814,-0.08670010745180667,0.1659836325368695,0.018422588032866963,-0.0037851604179266,0.05447690515897483,-0.13629525507791837,-0.004158273019016084,0.14333937160235544,-0.10031310102734955,0.1433431039695911,-0.04273167813495611,0.15147089328648025,-0.10465896617034481,0.07583567138562712]::DOUBLE[]),(2,[0.04469338600649405,0.09759783104638906,0.04456936226249344,-0.10518025010950827,-0.10467983542440304,0.167757005168706,0.04686901673811291,0.0767894645788492,-0.02772375596320704,0.11580363791431833,0.10895732672504034,0.23380505315616845,0.21225216662408133,0.0013452252697228047,0.3183251072407557,0.05540494437682615,0.09435094758734998,0.011794363157901784,0.07422212822105032,0.024505932460048008,-0.02866241199907137,-0.24751296928890826,-0.15089498875416074,-0.09894221409497911,0.02261394163815601,0.07916628547374872,0.09056955820792051,0.23430640341369607,0.11181923165770777,-0.12772324465691912,-0.041802658614007046,-0.049727954480923035,0.13773885659644805,0.03940081320062519,-0.09100439032778625,0.04439150344188379,-0.0997482310806666,-0.18225796325786967,0.10486927816141414,-0.14273430269964643,-0.05393047100424301,-0.14444058018682188,-0.06215175338067173,-0.10750121530528939,0.11168488634164041,-0.10934899336974034,-0.030568455676084072,0.1805582764062074,0.06943498116432008,-0.031022485789564666,-0.06950521292363716,-0.12900295080505045,-0.054402352813743615,-0.11767253998020148,0.025275906300250325,0.14869112040258164,0.01667574606946965,-0.25269997732706667,-0.13398435133406647,-0.3183489180567161,0.1097702894178676,0.058843431547120136,-0.11566306748344785,-0.06121263576372539]::DOUBLE[]),(3,[-0.15268339759130808,-0.0839439298539858,-0.18353345870124016,0.018046100705889606,0.0786512706529707,0.02673265188160402,-0.12699871646573196,-0.04972147379701515,-0.04154281491643346,-0.08146302295508323,0.02855827326932585,-0.0517999982422521,-0.026086113337216946,0.269983776565429,0.07192341555595749,-0.0424900783600939,-0.043405896937326376,-0.2087273730117859,-0.1763047840206289,0.08035679467855643,0.040196508611246365,0.16350568316986194,-0.10347699712130781,0.20464586335372612,-0.06596627128712283,0.11766997142275144,-0.07108299657825334,-0.04629451006725817,0.047576441185240466,-0.0353772259057807,0.011739038843124716,1.2430644718802479e-05,0.05708145040250168,-0.1930403035017159,0.09034302173863355,-0.026013248324389466,0.16545887266442574,0.022256156798894748,-0.03494955630088502,0.07334591466965275,0.08043706839015105,0.20047257269911542,-0.16238200466755323,-0.1403870128310035,0.022492395927503964,-0.038259643960664745,0.09563576328989233,-0.03529060417336515,-0.04585822579538823,-0.18765492399858025,0.06067252546142362,-0.25548339831620176,0.2659907829993715,0.0008632657738418764,-0.3231608119430976,-0.0596270537731103,-0.11187956139024526,-0.08876527713588912,0.08840708335941022,-0.1492082869980219,0.010972402707363662,0.2619864380797544,-0.02552682369011702,-0.17583132570859866]::DOUBLE[]),(4,[0.044924027245255176,0.07598761865235261,0.011923479975685831,0.06359634917994367,0.1635304971975658,0.2056808635081259,-0.2778789708196876,0.099527445110977,0.033927104295052614,0.07550670990020121,-0.19870832069255248,0.0006561208544581976,0.1614714225822478,-0.07654184709785056,-0.03257378623602136,0.25908063469211734,0.018298090464498814,-0.07059330088062417,-0.019232214637327768,-0.16651648478444797,0.15440658792752565,-0.013608161645511275,0.021854337196683327,0.04608403780786905,-0.1579705402436776,0.2057255377665085,-0.09923009531642622,-0.03327506505167552,0.05133129609557422,0.010078610057080474,-0.0037868486875453082,0.025338883370571465,-0.0753068581172715,0.08507742632181194,0.05340228196984788,0.019964957099621827,-0.12113378774176317,0.13303009642616104,0.0029127616625707156,-0.15918805124922875,-0.03901977759212665,-0.18965080789833505,0.17575645361547765,-0.039393378382302065,-0.2835398636855557,-0.024109962565627027,-0.23197931894093224,-0.010221767171170987,-0.07025696615703143,-0.20454791491790472,0.06395236102589835,-0.06485703543246428,-0.2748545838908056,0.12055353912669814,0.0002498001270398398,-0.20376654093476784,0.07821251875411064,0.13264660529473024,-0.015756941454882926,0.012083062805956746,-0.15572113750132996,-0.15651845244888618,0.06846574077943733,0.028481595915017692]::DOUBLE[]),(5,[0.16124431514774362,-0.15149223737118736,0.0747264972210478,-0.07907312444756699,0.20384264640207536,0.11344807817283017,-0.18650098616233782,0.03696737415233312,0.021704350502349236,-0.003997903869615553,0.13237306880317848,0.15518030855923978,0.032426559619351904,0.06990086328545454,-0.2025173204116822,0.18935287654797323,-0.10108446869780786,0.37244221336200717,-0.17905968552064266,-0.08040900297810459,0.04238513358268494,0.1564402686835063,0.05555258037265911,-0.26050025203287874,-0.038843974276256875,-0.0878825778128669,0.049939741349067035,-0.06570750989020924,-0.0756119262236312,-0.023806919863628588,0.2133796137396442,-0.2414585923783762,0.13449082274618535,-0.020446757235245996,0.011775035175881203,0.15881757030796628,0.007610890519889602,-0.07647067489287745,0.04988672502709637,-0.003441931096302712,0.08561399945708166,-0.08180741960220987,0.03907208240413189,0.030319727590854505,0.014328728066265877,0.1145963105195231,0.10654701794821955,0.14370478029784878,0.1945922183574459,-0.09698610569569208,-0.016827268255591374,0.09801735752883176,0.18528006830081298,0.09447741967920655,0.07050687102691816,0.15559608335076236,-0.14339773787413815,-0.04596075095625426,0.12355191062665612,0.13083375578606413,-0.06717855331259455,0.0682187856925583,0.06688000659490802,-0.023029701314699686]::DOUBLE[]),(6,[-0.023694168935694787,-0.009111874352044367,-0.015576712893228959,-0.13133373271835563,-0.03476344421023466,-0.1672039740024483,0.24040771578356665,-0.03407999021189809,0.19886832622659278,-0.1562175770336327,0.04157849161292201,-0.17525866998629075,-0.06200187969921529,0.001098939736642325,-0.040893153390413675,-0.23559314043074842,0.0488117063973636,0.07906577247278655,0.1151759085095098,0.09409183828661274,0.10720175818977375,0.1532223010218843,0.11979985594798193,-0.1783526052488325,0.02160436451567891,0.012054828855794567,-0.2246045325095547,0.16652715491333636,-0.2649726594894258,0.09926668298671636,-0.16689135466704008,-0.16938379358280636,-0.08483905588258661,-0.12446816718447443,0.070100495882413,-0.06174624213765214,0.07511583223084141,0.1284387775659397,0.11978426607363356,0.19494738938050574,-0.03490574643423558,0.04894364648628843,-0.077312441904931,-0.15825207246207323,0.10268288019390998,-0.10374411201690038,0.09929582647152488,-0.13329790224909485,-0.16831976234496418,-0.009302895239084638,0.05164245135502477,0.10383666880019975,0.11897029463897008,-0.1319469801243379,0.2620680366183953,-0.14412584941634254,0.03178247267790886,-0.05974965394267685,-0.024696072218465325,-0.07642287787442194,0.049613178159238734,-0.10134170495434768,-0.06788776878195558,-0.16825243588149064]::DOUBLE[]),(7,[0.126260155316679,-0.05363639946751668,0.048192317875301434,-0.07273086917744867,-0.10420756491186915,-0.27052085397996817,-0.17893390933317085,-0.06458499855991204,-0.10476359201770086,-0.2006022281007489,0.12683493477845528,-0.22764081913700934,-0.05254220077684523,-0.18863394190408414,-0.0042756256192079505,0.09466463483325141,0.13203286276754622,0.06334904179022212,0.0684345880594488,0.15850745336654348,-0.26180343676932605,-0.11501285345950561,0.01646275949959236,0.2619920419425309,0.07687678008386653,-0.13079265498724738,-0.0359247400312124,0.15853002886573148,0.06023561595236012,0.06669036774876562,0.2213717157158962,0.042347723156039116,-0.10986302960757377,0.10513363702637729,0.03736037928540995,-0.09595201619676552,-0.1762432296607779,-0.16967934185791747,-0.08880311269309293,-0.07360802273167037,-0.03588372019559756,-0.03309589307656649,0.12454490660019119,0.10943037678633447,-0.1394875813953183,0.20414967262775655,-0.1359470420775612,-0.11101304187233504,-0.04608351096551703,0.10026903683965216,0.022073677416380635,0.03991911108923064,0.018547332938951194,-0.019330328278521346,0.2055845329043481,0.10080921954422375,0.03827246935142891,0.088119313878573,-0.08882755638828985,-0.08653426222687106,-0.05338218998225587,-0.005195467777794719,0.1952309169995236,-0.12227232359910524]::DOUBLE[]))'
+
+_SQL_EMB_KMEANS_CLUSTERS = ('\n    WITH ' + _SQL_KMEANS_CENT + ',\n    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v\n          FROM embeddings WHERE embedding IS NOT NULL),\n    a AS (SELECT e.vec_id, c.cid,\n            row_number() OVER (PARTITION BY e.vec_id\n                ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn\n          FROM e, cent c)\n    SELECT CAST(cid AS INT) AS cluster, CAST(count(*) AS INT) AS n,\n           CAST(sum(vec_id) AS INT) AS id_sum\n    FROM a WHERE rn = 1 GROUP BY cid')
 
 _SQL_EMB_KNN_IVF = '\n    WITH cent(cid, cv) AS (VALUES (0,[0.03973157097102652,-0.11338783650599353,0.12207388965243667,-0.22253984250655648,0.3049849725293285,0.005392156138147552,-0.16462697262999348,0.07058519648934145,0.09398275602300937,0.001122980085308212,-0.0013835890261026317,-0.0689975692434296,0.0067989874052938135,-0.016395433228758218,-0.0775965002885906,0.19606782138609646,-0.10006134155298607,0.24525510620086524,0.14262664877408893,0.10657226633863466,-0.22218686484509603,0.23728888168419537,0.036463085157551124,0.032402458625924856,-0.16910932490743252,0.17232561177893593,0.19486390115062538,-0.053454759618538086,0.049356247015357894,-0.13678625302479425,0.08816607093114139,0.0750241187138817,0.03852588097047626,0.027506289084277116,0.13263787884101036,-0.014217400545038724,-0.15188107806335607,-0.2712694151740978,-0.006727510824999909,0.021605141413938385,-0.01192640022495726,-0.2417653899178951,0.044862308644953476,-0.051431049307727,0.024520478340997732,-0.07966883977444605,-0.10323285073187394,0.00519926433000431,0.10873895512158453,0.07178749316315151,0.06977462965100144,-0.02112905250366482,0.2587269460215365,-0.06893098124597624,0.08351598570615591,0.040054904080572745,-0.23370920920961394,-0.04957640317283923,0.020829731934864783,-0.051981022042371115,-0.11320047299826003,0.09110939306885239,-0.0527408170622696,-0.09637414569534557]::DOUBLE[]),(1,[0.17790483906775123,0.06456336150648868,-0.18294020313181877,0.07776523129166789,0.04092734531217002,0.15820831380961245,0.05221098277371207,0.255514712239273,-0.009454596715142326,-0.003103469256317863,0.05078926948926669,0.056152963078741555,0.02323902577049378,-0.08220044364672688,0.20959516511551202,-0.3130568198129306,0.05197292076745797,0.04045294876688508,0.01721226747101894,-0.10013593350274688,-0.049822682198281086,0.09526015611478411,-0.1502576054075585,-0.029708851369624593,0.02221170297777004,-0.015909555178921855,0.010510768234549552,0.1370595263352567,-0.09388924620665179,-0.008158806905808717,0.20046112045038242,0.016118159042777403,0.16721839724805068,0.005192031887117174,-0.13158000615614307,0.01184052490790668,-0.021955087134350997,-0.14056312777053007,-0.004692994094098658,-0.3141383559967673,-0.09149203263900439,-0.13646828635734906,-0.1701425729197881,0.1421558726673144,0.11272032360702083,0.13863205701018633,-0.2446398962770306,0.2510135887092625,-0.23469860708115312,-0.1739901278402831,0.055262296957148634,0.03998669225502684,-0.04891843264906263,-0.00018513306047955662,-0.055116858681571866,-0.0021164339970194297,0.16204365472780896,0.02053763585076109,-0.0043700832070369304,0.10286974756167497,-0.04424397232622325,-0.12807748825158252,0.03854429765436196,-0.09135750637103385]::DOUBLE[]),(2,[-0.07390880959390166,0.32052234643191924,0.1394932459517579,-0.16025311192089914,-0.03506079940366554,0.328275567020724,0.07294781510972179,-0.093146423092007,0.04504429960222539,-0.13399973575739765,-0.09175552718530738,0.15423077240789662,-0.10395932692824311,0.06634268841020971,-0.03788321518563216,0.08131351415207447,0.04680961740552666,-0.052770753281588735,0.2287405673691541,0.00026901820936667096,0.16166478677612509,0.06104129944748687,0.17708882144608973,0.01834444311620695,-0.01201099112007534,0.056658560405079515,0.10590470760148059,-0.14919885407674585,-0.116117221310194,-0.011523294366375772,0.07273944274922858,0.11855793035139914,-0.06680964527969299,0.10616779606711785,-0.2313027850672238,0.12945157017351797,-0.03764039230676729,0.02702273996865929,-0.102802853352308,-0.11499162862591326,-0.2772276404592039,-0.1471832689014088,0.031026217265497036,0.043598316653583415,-0.21942746746532432,0.06270457308166504,0.031217569209583403,0.02512547745128825,0.12839265336886257,-0.023550735524478308,-0.14393345134790966,-0.14193849326324667,-0.2056030073572417,-0.0012991832103291783,0.02494041150594669,-0.147729232588673,0.06180377296434398,0.10946984147219921,-0.16613318986659972,-0.14880994601864875,-0.02160696085183413,-0.05128878470115977,0.025615173169733742,-0.025494888307882463]::DOUBLE[]),(3,[0.17909956653069162,-0.0563517463833846,-0.061747569786942506,0.16363080043810202,0.0691267322473899,0.08013443090261921,-0.14254023279771028,0.2628199224590447,-0.1796188269696803,-0.08605101811239438,-0.15802438160671994,-0.061779937231669094,-0.12241867142269226,0.13491120510467267,0.014774291677474306,0.2892282539078885,0.1947723062562191,-0.1702577410383451,-0.13719653833898907,-0.19308316057144195,-0.09923956769405841,-0.020278651678358545,0.15554296880059498,0.10558085951698887,-0.2217325568395953,0.03848536571709191,-0.16678223284018726,0.04268666581198359,-0.08540006504140474,-0.128652368561777,0.22651694870098854,-0.1263363633252092,-0.242332304866805,-0.06478570903114104,0.09660272829764117,0.08835303217330231,-0.10608453597433506,-0.09958289637757188,0.003878246344717492,0.037733153397763765,0.07200588008942978,-0.045744217319542105,0.08268825551377103,-0.16687164631896298,-0.030567905171995313,-0.062310545180860884,-0.08774219381035596,-0.03170166125857922,0.06989626471599235,-0.06220123567477566,-0.05926165499667786,-0.19146144513896368,-0.0980958367626889,0.08742761076061974,-0.10138582961324201,-0.15653278024645334,0.06085252074453546,-0.0791768577707802,-0.08949719449097063,-0.06475458384279179,-0.06507934357631268,-0.06759711811083187,0.039882997697943304,-0.12779105773607694]::DOUBLE[]),(4,[0.1342975197076147,-0.08295435376920063,0.016217535527165705,-0.1671832203560036,-0.1406318285383049,-0.11436603237674377,-0.030035714638878514,-0.1986909897773194,-0.1096960585888733,-0.2528696408184741,0.023816067925275644,-0.054973457890087445,-0.17784353134491465,0.11850841331684545,-0.08411218224948085,-0.17295107998499964,0.17056345926279695,0.05631837706234112,-0.07106982464593589,0.033525282739834454,-0.1888962932429498,0.07368637979241306,-0.07107206843882626,-0.09485893113554555,0.03284422102875068,-0.12952299741136153,-0.11132248541910852,0.07761765593869278,0.1014521886312062,0.03258276424963852,-0.22324402949646213,-0.06777114380625744,-0.12837273496341017,-0.23558106290168215,-0.13431564027743848,-0.09178452949137544,0.10150774289775091,-0.05561693030557795,-0.020293412161442988,0.043813777461822925,0.12318641595210773,0.07332493589273825,-0.023843322089230394,-0.19613227571511305,-0.000578117785699572,-0.08563374970482522,-0.09892260688919184,0.012155879584262508,0.0707058049594491,-0.022660003946718247,0.1102547043591196,-0.11260789584882365,0.1558961365779672,-0.05967511252698477,0.19374795147434215,0.16649358584533827,0.10358346286193702,0.2001248971939943,0.20082904199731666,-0.16608307589021623,0.09576035250443571,0.267119188007438,-0.02583495678239095,0.03696260112850219]::DOUBLE[]),(5,[0.16224308109543722,-0.1948595486158811,0.006714415649696844,0.05126975175439081,0.2615715457562464,-0.050017333913457016,-0.19544541246462457,-0.18614076655625492,0.1633602745707519,-0.05841550283908734,-0.047436099766178484,0.18344509341617227,-0.08408518178404291,-0.06615471010334151,0.09547173667587998,0.11164167008019471,-0.06432807608254719,0.13730717488138347,-0.255947417400376,0.1914189120052366,0.08496542665859669,0.1235354710765703,-0.23902891594466935,0.11416303214335374,-0.12959329256131416,-0.09007111643844389,-0.10021755726398633,-0.03300772145990633,-0.10499807389494367,-0.07974960094656337,-0.2074371058564079,0.1086301321995555,0.045923721011558005,0.0233713402275884,-0.07012683162448251,0.04261490221411933,-0.03691998238800604,0.2620071915500819,-0.08753599891815216,0.10977695613854287,-0.2520205399813262,-0.042164902760692756,0.008253845880369577,0.17081055501765968,0.0701783844784437,0.1990660818055172,0.12533848518138532,0.032973198112085454,0.08405444222766628,-0.2140068140368277,0.1214756693909211,0.06348295804031684,0.052202843275733685,0.0006733879397621519,0.012826173875973814,0.05854522309719425,0.043412004916159506,-0.09986087908324909,0.04225941111996565,0.0571925299069579,-0.03870608801773595,-0.08530692922277457,-0.0688441552391796,-0.028222368599870814]::DOUBLE[]),(6,[-0.0918698537271113,0.03490540504894103,-0.06785793491462194,0.08049752654367565,-0.0003477474711477453,0.08105418329442138,-0.028439868054303145,0.2617085569935203,-0.056368902762479876,-0.05415235482316536,0.17082679820947053,-0.30620031538972725,-0.047249786095864034,-0.14078870940638427,-0.17715388109314376,-0.03969381771151008,-0.06236000834303096,0.02655855985532987,0.2082624184010145,-0.04443264365187569,-0.1844791610100046,0.042648366983504805,0.038713392998787774,0.020755099908987797,0.06849871824450388,0.04535780125477845,0.1338395139858367,0.11859186112784187,-0.2072366532895297,0.18015714073057607,-0.07837063290450764,-0.0654536695277811,0.027383820626054687,-0.12100531775517012,0.04303148019579226,0.15367903240112427,0.19223823069638035,0.09661601144824787,0.10136902414548238,0.3009362468413551,-0.10175496955071633,0.1344892291741307,-0.06046505536418304,0.04180040356222476,-0.21350623920298234,-0.00278508480958763,0.018138411388015533,-0.06765887831842135,-0.14514384145392942,-0.051152987874146474,0.10936571141799269,-0.02539522893374226,0.034783226041720634,-0.057373057118811153,-0.08095762250339361,0.12100737901037871,0.03710595195908502,-0.014411315879822268,-0.3132083388731844,-0.02243699440491029,0.10756452248446215,-0.20561389174193573,-0.08311078500619248,0.10854170804622128]::DOUBLE[]),(7,[0.11309866876791905,-0.08248611646072682,0.06687128756844067,0.031558288355383525,0.11769992128986909,0.0700821617899617,0.13971582255932524,-0.028431901857229377,0.04686976546169345,0.06355676856869921,0.12427125703020712,0.16545564329138276,0.07883901711438142,0.10838044813868697,0.03454835050048578,-0.033008587074053686,-0.02558363894524569,-0.012115722093290366,-0.03928100146169701,-0.12111245457157718,-0.016638818364505537,0.15694754614490533,0.040383228357142975,-0.1464537486009455,0.087259774977083,0.22271506454113843,0.07091778995323597,0.09687709938687872,0.026266369022360972,-0.1448163416423734,-0.0042481000809067035,-0.22038287475509677,-0.023061026403006918,0.01496563417950986,-0.0024482551532163375,0.09460401270653633,-0.04256866261981052,0.0010805654242654588,0.2805420707726996,0.09530309006166306,0.30052600394325946,-0.026737857808362325,-0.03991160833937481,0.021248404322025568,-0.003998904388311825,0.025757268022721855,-0.040515528499515806,0.1676413266687666,-0.06634831552318775,0.128685757869693,-0.10367654275852349,-0.16444529761524085,0.0694952163720391,0.10680614302981656,0.26018347355943483,-0.09381154910775673,-0.19566314723818648,0.09067512219200455,0.18162337635624223,-0.1335992354204435,0.18536579698137626,0.222064587741771,-0.22522105309319795,-0.23157162623973068]::DOUBLE[]),(8,[0.08368676069538628,0.11239204209909678,0.11726637097060959,-0.15139127318379186,0.0021410159412354923,0.03686564259166919,0.06134016141715273,0.039727178309532,-0.022968434615892763,0.024096214481105983,-0.02521277883479889,-0.10248409972822269,0.031019565730631766,-0.22151262413409945,0.09797508014650201,0.12807639428625875,-0.10354222395334109,-0.03121588077697297,0.10718980221639327,0.02447748617266681,0.17704003063594423,-0.23903848929306215,-0.19332422988538525,0.10407731247263657,-0.09069599118137045,0.022016782114590575,-0.009025012652143517,0.2294443142260293,0.31588074974205116,0.14494868792355983,0.0003404450979227396,0.06298164842980307,0.09260919541833275,0.09976973657296637,0.042214952895426164,-0.07424332372254538,-0.05221481768230746,-0.15760331558003388,0.025332213317025766,0.048618331022154265,0.26208520875892066,-0.19630055507507327,0.15887278835858712,0.0032990332854282317,-0.22566534745426742,0.09335662816038218,0.0397347364382949,0.05705293187616176,0.11677540740842417,0.107111481470872,-0.006062332536073992,0.0770198151296762,-0.05396191166344768,-0.35517300138097957,-0.08831554788597118,0.02576974721897923,0.20280447480222608,-0.07431593653765103,-0.06094738471445821,0.005351979562727309,-0.04563956983296946,-0.032795529104250765,0.017697370934345095,0.16195609667111263]::DOUBLE[]),(9,[-0.2812101185898633,0.0554452614174625,-0.007143567247885477,-0.07851048691417585,0.2681084994038393,0.2830573063516144,-0.22910975052445598,-0.2027895433910402,-0.14130515278920788,0.12342107055615888,0.16667465443749502,0.14209580018171394,0.054898926621421075,0.1569454516504552,0.07103554990725161,0.12626514850216888,0.08882416872051166,-0.04868341828046298,-0.13106306173057497,-0.09915546731217964,0.07119189524623698,-0.26193257680110266,-0.0307796783527995,-0.09609355411218357,0.11735953724048555,0.16040209125814192,0.1369189666950526,0.22334072106164907,0.07834444733634682,0.043318891512182794,0.06675086866072795,-0.0767592208327635,-0.025538049203826775,-0.14288216865244174,-0.06365335419080753,-0.0987981395736783,-0.07354379551224464,0.11872681344632025,-0.006569919946421974,0.127817812324334,-0.08077048665971163,-0.06992436128475103,-0.0020879297901833745,-0.005579142324392999,-0.06542997781961402,-0.07760060139262524,0.11078315727406354,-0.0044292541814576715,0.03270724285317587,0.0020184182244006275,0.06286076851454038,-0.04202244712038787,-0.1397687541441975,0.17055423978745893,-0.05260527463422058,0.10880999076821071,0.15063054367654202,-0.008013882034271462,-0.1935599498331994,0.013948776670609252,0.10165266616508165,-0.08069287156614635,0.18573138021143787,0.0009698012868259961]::DOUBLE[]),(10,[-0.023317521589293802,-0.04456545369287008,0.08639887693375846,0.0012606647270745977,-0.03328484846174252,-0.034645003957694265,0.07442215370878359,-0.07118193812451046,0.17868018736218538,-0.18302898195530792,-0.016916238548162075,0.24179497870494204,0.20147290971062906,0.03506070085903203,0.09006719065366622,-0.03623006920096413,-0.2388086887357912,-0.24808961708660468,-0.1762405365747101,-0.04716982809246525,0.10852166486813855,-0.1790022878791683,-0.06583494637204036,-0.1601858857319872,0.016130141408583668,0.10297752337264791,-0.1564744167593237,-0.07578753590596086,0.15823599511442318,-0.017997391097151066,0.018515815274120422,-0.2825554394002544,0.043155356377986225,-0.01900904428122363,0.08723163654353484,-0.11118501839652246,0.05019607300484978,-0.002578774855689455,-0.11733721566027992,-0.2601707348192175,-0.045267592982824456,-0.15446533429063736,-0.05998507786495068,-0.25100977755665194,0.04853942681540367,0.011702164249229775,0.05350459673518816,0.04034306811105803,-0.04468263577744956,-0.08079433571336297,0.00629232621751417,-0.09685153381512657,0.0593388714472784,-0.12682596104195676,0.07628738967516896,-0.11166829456235966,-0.20986126687845377,-0.10123226101982481,-0.1760303353611084,-0.1503734755049732,-0.11451540671704631,0.09195019050560421,0.18680497477104996,0.059064056892275445]::DOUBLE[]),(11,[0.2847256013757774,-0.09326930207605423,-0.03795406940335003,0.08232105737185806,-0.050579570608169984,-0.21277528608222485,-0.1639417861436123,0.12070515363188734,0.06282933129509792,0.15069231060345792,0.0685514732289106,-0.20839600202367992,0.16988919799924074,-0.06643304174261405,0.11390734710000991,0.0670617114443706,-0.04542943989735207,-0.0012054343463354755,0.007555990364734984,0.059393191816486314,0.06543325454952978,-0.1582682263396784,0.23927222883658936,0.11695421731711225,0.04145122302890936,0.0915629146300664,-0.22776198887889312,0.15791358278721843,-0.1669805856620724,0.1069920916626589,-0.11588627602248844,-0.09374090802164299,0.024672195081691727,0.002107384339284506,0.17090879390829813,-0.259003111089368,-0.1709275207084732,0.14076458411042223,0.08185603777763258,0.03744512171907486,-0.2122723991322326,0.04922461718872235,-0.10252335022885174,-0.05596021002425749,0.03318061116532795,0.03843301205265177,-0.18928928441345108,-0.0848139700275773,0.0012313843697485947,0.055425110053808915,0.2318612114258872,0.09778586020625891,-0.15212176805006108,0.09037626627533943,0.027284801866341336,-0.04301955170967059,0.0794210727303082,0.1307683073234636,0.07569770783560746,-0.05071565336259871,0.12587939211927643,-0.04284900496848327,-0.009416989187544281,-0.14929230353626818]::DOUBLE[]),(12,[-0.1868362640362677,0.1586871337025492,-0.10327869053419711,-0.05512791470807987,-0.2922937323979604,-0.11184864891535481,-0.17945852563602888,0.016607384428115695,-0.12291612813905448,0.023655941334815855,-0.12513805761280328,0.13708613361196015,0.124863662952504,-0.1000285105676947,-0.04192872839668575,-0.009578586817859246,0.17879621429747447,0.25404018667112727,0.2004644451803584,-0.11155444437097972,-0.09671071068898651,0.10092506268438436,0.1224743295274294,-0.05420927063559721,0.09293306877501002,-0.2335245701718803,0.16717602161367878,-0.12215656464321747,0.0004228254177182682,-0.06544134613857433,-0.009780905660107942,0.1519647573836769,0.1367419444863401,-0.023541565406206368,0.029939375582895868,0.12559341190354395,-0.17308648511301855,0.06792362313923622,0.0450670108670238,-0.2270188483289882,-0.06873535910176365,0.027294959047132444,0.21406712389272098,-0.1496212499297516,0.11401335055698163,0.019947600972254297,0.016090594990797916,0.0738317178248415,-0.004533867600401018,-0.24662875753309235,-0.10508704547357396,-0.1236869114877192,0.04419828060708942,0.01118447775382182,-0.16078015765865303,0.10919033553511787,-0.0683213841953386,0.017967623612547706,-0.019614248448179127,0.0004985819210028537,-0.029419296358986432,0.19979705596849878,-0.06883283946305817,-0.05743097015976568]::DOUBLE[]),(13,[-0.13929170425773515,-0.1567480397886223,0.20468151245617838,0.06734220358968881,-0.09333313231416646,-0.022166354161645682,0.03221932801497742,0.25752782045141537,-0.1688109317680698,0.3661922081757532,0.16404030963983543,0.009177278666922709,-0.050399234060148,-0.14604573716968278,-0.1470784246435566,-0.06841729246036553,0.025039244139900836,-0.05202343968062116,-0.18740857476624373,0.22634908677866844,-0.037212739999542374,-0.0041586557529817506,0.12856185260494954,-0.011907366356296495,0.0994285414413685,-0.0057692272864693075,0.051727599767431375,-0.08798490351625794,0.05583187474974295,0.1490106039935857,0.10496119445842762,0.11578458370084245,0.09151902757480845,0.03910367992545753,0.01729245044868179,0.1395262474368531,-0.09528210397084377,-0.11178762964402547,-0.19942428492193834,0.07036858696626841,-0.011688412815660007,0.13449082757022335,-0.16984280287844175,0.10657929472588971,-0.1092681491666514,-0.1708162600221478,-0.010220273220175814,0.14154735867186477,-0.08328627014656775,-0.0859845595935758,0.10529953778580045,0.005450625598995105,0.20583924389951688,-0.1126983428630227,-0.007821272795254311,-0.07358973817692734,-0.0366930141611253,-0.11660910976057375,0.03312032566456467,0.06577925043577063,-0.21721554854000108,-0.040701975079016836,-0.13764047802479884,-0.16006930816769235]::DOUBLE[]),(14,[-0.17084600974397085,-0.030701826912685613,0.05016146972086823,0.09576671270420671,0.07403844677787634,-0.15998846417339055,0.010394675075609719,-0.030835150860453422,0.05482593417120961,-0.06322433263913366,-0.07443540280107079,-0.1396675224607536,-0.04996514261063961,0.1278848589258,-0.029405764322734472,-0.046412462148851565,-0.0018728581297071984,0.31586273722087116,0.1631079346934594,0.056680100219298535,0.0790573139122249,-0.09287380372346271,0.02821579301099023,-0.39711232196380114,-0.09133818097983896,0.039718326076593743,-0.07783351114624608,0.020340921167858895,-0.07923684733490703,0.006365447373064802,0.08999739994232057,-0.08966418379861588,0.12611590405165435,0.10914960688331415,0.20345994799588554,-0.12976250231082,0.11361827961572624,0.0259074633940234,-0.07012475550327282,0.06251534033411955,0.15699182835759234,-0.04649455215149278,0.17339590714712377,0.11893999506195076,0.0002827175497589775,0.03838217736550132,0.16289648081402994,-0.030373510730722246,-0.22053090984175636,-0.015400684715711321,-0.11198254601319621,0.4324129341616849,-0.0504656068178613,-0.03861283468707291,0.19097827500412395,-0.11050443590661005,0.060629502930396525,0.007650299456849127,-0.010238835955329656,0.048447922611621994,-0.08528649412268137,-0.01897032721261445,0.08337333249017319,-0.004248766246074196]::DOUBLE[]),(15,[-0.128970484368669,0.007300870447522565,-0.1585745274538528,-0.05720999001041896,-0.10448123879994982,0.08626861266678047,-0.1187637539566161,-0.026722122378957432,0.13639468949957395,-0.05040745259734019,0.03911751803654752,0.05030547417157522,-0.1565311757140655,0.11517448459041937,-0.1479304870480525,0.005793082374014265,-0.052381902388106916,-0.2652377367848561,-0.007539954019675608,0.05888713578790526,0.0526469962086949,0.15629993043939566,-0.04510284862123923,0.13038621636068246,0.05064823116020233,0.1242053579418661,-0.10353218726721458,-0.12872678855813013,0.0036388243588534462,-0.013555631403405847,0.005873891294441501,0.10185498996292408,0.13532781835338872,-0.09985014536401475,0.033139358939805276,0.11314919448472047,0.3271382317063416,0.08575661297334211,0.023189056000286774,-0.1616607398831546,0.08279952301159337,0.08952954530252796,-0.04117409886472408,0.20009339999595419,-0.17885632678734203,0.12750689366341342,0.2639278770255349,-0.3350479074749859,0.015068147369780642,0.08408087054435869,0.0641522857621484,0.10338792088201527,0.19681898977263054,0.07411418706465431,-0.16136763984398017,-0.09819456868450932,-2.4975008675976047e-06,-0.19328883075484965,0.11314040473671681,0.04005404541378503,0.14301305405424908,0.07744826136483403,0.05930965939226564,0.06587609494068715]::DOUBLE[])),\n    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n    asn AS (SELECT vec_id, cid FROM (\n        SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id\n            ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn\n        FROM e, cent c) WHERE rn = 1),\n    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),\n    pr AS (SELECT query_id, cid FROM (\n        SELECT q.query_id, c.cid, row_number() OVER (PARTITION BY q.query_id\n            ORDER BY list_dot_product(q.v, c.cv) DESC, c.cid) AS rn\n        FROM q, cent c) WHERE rn <= 4),\n    cand AS (SELECT q.query_id, e.vec_id, q.v AS qv, e.v AS ev\n             FROM q JOIN pr ON pr.query_id = q.query_id\n                    JOIN asn ON asn.cid = pr.cid\n                    JOIN e ON e.vec_id = asn.vec_id)\n    SELECT query_id, vec_id,\n           CAST(row_number() OVER (PARTITION BY query_id\n               ORDER BY list_cosine_similarity(ev, qv) DESC, vec_id)\n            AS BIGINT) AS rank\n    FROM cand QUALIFY rank <= 10'
 
@@ -4026,6 +4030,155 @@ def events_transitions(sf_dir: str):
     return transition_counts(
         _read(sf_dir, "events",
               ["event_id", "ts", "user_id", "event_type"], split=True))
+
+
+_SQL_EMB_SEMANTIC_DEDUP = ("""
+    WITH """ + _SQL_KMEANS_CENT + """,
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+    a AS (SELECT e.vec_id, e.v, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
+          FROM e, cent c),
+    m AS (SELECT vec_id, v, cid FROM a WHERE rn = 1)
+    SELECT x.vec_id AS vec_id, CAST(x.cid AS BIGINT) AS cluster,
+           CAST(min(y.vec_id) AS BIGINT) AS dup_of
+    FROM m x JOIN m y ON x.cid = y.cid AND y.vec_id < x.vec_id
+       AND list_cosine_similarity(x.v, y.v) >= 0.4
+    GROUP BY x.vec_id, x.cid""")
+
+
+@register(
+    "emb_semantic_dedup",
+    _SQL_EMB_SEMANTIC_DEDUP,
+    doc="SemDeDup (Abbas et al. 2023): semantic near-dup removal with "
+        "K-MEANS BLOCKING — Lloyd fit (shuffle-free broadcast "
+        "iterations), one assignment pass, ONE cluster exchange, then "
+        "within-cluster cosine dominance (drop any vector with cos >= "
+        "0.4 to a lower-id member; order-free rule, partition-"
+        "invariant).  Emits the removal manifest (vec_id, cluster, "
+        "dup_of=min dominating id).  Oracle: centroids pinned (shared "
+        "with emb_kmeans_clusters), SQL recomputes assignment AND the "
+        "dominance self-join from the parquet",
+)
+def emb_semantic_dedup(sf_dir: str):
+    from xema_ray.stages.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=8, iters=3, seed=17, tau=0.4)
+    return out.map_batches(
+        lambda t: pa.table({
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "cluster": pc.cast(t["cluster"], pa.int64()),
+            "dup_of": pc.cast(t["dup_of"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+@register(
+    "orders_region_revenue",
+    """SELECT n.n_name AS n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue_c DESC, n_name""",
+    doc="TPC-H Q5-shaped local-supplier revenue: SIX tables, ONE "
+        "shuffle.  region/nation fold to an allowed-nation lookup on "
+        "the driver; customer and supplier broadcast as key->nationkey "
+        "maps (dimension-sized: TPC-H scales them 150k/10k per SF — "
+        "object-store-broadcastable far past 100 TB of facts; were "
+        "they ever fact-sized the o_custkey lookup becomes a second "
+        "hash join); lineitem pre-aggregates per batch to (orderkey, "
+        "supp_nation, cents) partials so the single hash-partitioned "
+        "Dataset.join on orderkey moves partials, not line items; the "
+        "local-supplier predicate c_nationkey = s_nationkey applies "
+        "vectorized post-join, and per-nation cents fold to O(nations) "
+        "driver state — exact BIGINT, no float order sensitivity",
+)
+def orders_region_revenue(sf_dir: str):
+    import datetime as _dt
+
+    from xema_ray.stages.shuffle import (broadcast_join,
+                                         default_shuffle_buckets)
+
+    nation = _read(sf_dir, "nation").materialize()
+    region = _read(sf_dir, "region").materialize()
+    nt = pa.concat_tables(
+        b for b in nation.iter_batches(batch_format="pyarrow"))
+    rt = pa.concat_tables(
+        b for b in region.iter_batches(batch_format="pyarrow"))
+    asia = rt.filter(pc.equal(rt["r_name"], "ASIA"))["r_regionkey"]
+    nt = nt.filter(pc.is_in(nt["n_regionkey"], value_set=pa.concat_arrays(
+        [c.cast(pa.int32()) for c in asia.chunks])))
+    nation_names = {k.as_py(): v.as_py()
+                    for k, v in zip(nt["n_nationkey"], nt["n_name"])}
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1998, 1, 1), type=pa.timestamp("us"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   filter=(pc.field("o_orderdate") >= lo)
+                   & (pc.field("o_orderdate") < hi))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = broadcast_join(orders, cust, on="o_custkey",
+                            right_on="c_custkey",
+                            columns=["c_nationkey"]) \
+        .map_batches(lambda t: t.filter(pc.is_valid(t["c_nationkey"]))
+                     .select(["o_orderkey", "c_nationkey"]),
+                     batch_format="pyarrow")
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    allowed = pa.array(sorted(nation_names), pa.int32())
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["s_nationkey"]))
+        t = t.filter(pc.is_in(t["s_nationkey"], value_set=allowed))
+        cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "s_nationkey": t["s_nationkey"],
+                         "cents": cents}) \
+            .group_by(["l_orderkey", "s_nationkey"]) \
+            .aggregate([("cents", "sum")])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"], split=True)
+    li = broadcast_join(li, supp, on="l_suppkey", right_on="s_suppkey",
+                        columns=["s_nationkey"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=default_shuffle_buckets(per_cpu=1,
+                                                            lo=8),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    acc: dict = {}
+    for b in joined.map_batches(
+            lambda t: t.filter(pc.equal(t["s_nationkey"],
+                                        t["c_nationkey"]))
+            .group_by("s_nationkey").aggregate([("cents_sum", "sum")]),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            acc[r["s_nationkey"]] = acc.get(r["s_nationkey"], 0) \
+                + r["cents_sum_sum"]
+    rows = sorted(((nation_names[k], v) for k, v in acc.items()),
+                  key=lambda kv: (-kv[1], kv[0]))
+    return pa.table({
+        "n_name": pa.array([r[0] for r in rows], pa.string()),
+        "revenue_c": pa.array([r[1] for r in rows], pa.int64()),
+    })
 
 
 @register(

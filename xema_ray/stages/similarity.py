@@ -789,3 +789,70 @@ def hard_negatives(ds, queries, k: int = 10, vec_col: str = "embedding",
     one fused matmul scan."""
     return _knn_label_restricted(ds, queries, k, vec_col, id_col,
                                  label_col, "different", concurrency)
+
+
+def semantic_dedup(ds, k: int = 8, iters: int = 3, seed: int = 17,
+                   tau: float = 0.5, vec_col: str = "embedding",
+                   id_col: str = "vec_id"):
+    """SemDeDup (Abbas et al. 2023, public arXiv 2303.09540): semantic
+    near-duplicate detection with K-MEANS BLOCKING — the third blocking
+    strategy next to LSH (:func:`cosine_near_dup_pairs`) and the exact
+    broadcast scan (:func:`near_dup_pairs_exact`).
+
+    Pipeline: shuffle-free Lloyd fit (broadcast centroids), one
+    assignment pass, then ONE cluster exchange co-locating each
+    cluster's vectors; inside a cluster the dominance rule drops every
+    vector that has cosine >= tau with a LOWER-id member — order-free
+    (no greedy sequence), so the result is partition-invariant and
+    SQL-recomputable.  Per-cluster work is O(|cluster|^2·d) matmul;
+    pick k ~ sqrt(N/target_cluster_rows) at scale (the paper uses
+    ~sqrt N clusters at LAION scale) so a cluster fits one task.
+
+    Returns the DROPPED rows ``(vec_id, cluster, dup_of)`` where
+    ``dup_of`` is the smallest dominating id — the removal manifest
+    (join back to the corpus to filter, same shape as exact dedup).
+    """
+    import pandas as pd
+    import ray
+
+    cent = kmeans_fit(ds, k=k, iters=iters, seed=seed, vec_col=vec_col)
+    ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        t = t.filter(pc.is_valid(t[vec_col]))
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             vec_col: pa.array([], t.schema.field(
+                                 vec_col).type)})
+        m = _normalize(_matrix_from_list_col(t[vec_col]))
+        lab = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "cluster": pa.array(lab),
+            vec_col: t[vec_col],
+        })
+
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow")
+
+    def dominated(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        ids = g[id_col].to_numpy()
+        m = _normalize(np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in g[vec_col]]))
+        sim = m @ m.T
+        # strictly-lower-id dominance: mask the diagonal and upper tri
+        hit = np.tril(sim >= tau, k=-1)
+        rows = np.where(hit.any(axis=1))[0]
+        dup_of = np.array([ids[np.argmax(hit[i])] for i in rows],
+                          dtype=np.int64)
+        return pd.DataFrame({
+            id_col: ids[rows],
+            "cluster": g["cluster"].to_numpy()[rows],
+            "dup_of": dup_of,
+        })
+
+    return assigned.groupby("cluster").map_groups(
+        dominated, batch_format="pandas")
