@@ -509,3 +509,53 @@ def test_semantic_dedup_vs_bruteforce(ray_session):
     assert got2 == want2 and len(want2) > 50
     want7, got7 = brute(4, 0.9, 7)
     assert got7 == want7 == want2
+
+
+def test_dup_spans_known_passages(ray_session):
+    """A shared verbatim passage is recovered as one maximal span in
+    every doc containing it; unique text yields no spans; the fast and
+    md5 lanes agree; within-doc repetition counts toward min_count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.dedup import dup_spans
+
+    passage = " ".join(f"shared{i}" for i in range(12))  # 12 words
+    rng = np.random.default_rng(3)
+
+    def noise(k, tag):
+        return " ".join(f"{tag}{rng.integers(1_000_000)}" for _ in range(k))
+
+    docs = {
+        "a": noise(5, "ua") + " " + passage + " " + noise(4, "ua"),
+        "b": noise(9, "ub") + " " + passage,
+        "c": noise(30, "uc"),                      # no dups
+        "d": "tiny doc",                           # < n words
+        # within-doc repeat: the same 10 words twice, no other copy
+        "e": " ".join(f"rep{i}" for i in range(10)) + " " + noise(3, "ue")
+             + " " + " ".join(f"rep{i}" for i in range(10)),
+    }
+    t = pa.table({"doc_id": pa.array(list(docs)),
+                  "text": pa.array(list(docs.values()))})
+    results = {}
+    for lane in ("fast", "md5"):
+        out = dup_spans(rd.from_arrow(t).repartition(3), n=8,
+                        min_count=2, hash_fn=lane)
+        rows = sorted(
+            (r["doc_id"], r["start_pos"], r["end_pos"], r["n_words"])
+            for b in out.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist())
+        results[lane] = rows
+    assert results["fast"] == results["md5"]
+    rows = results["fast"]
+    by_doc = {}
+    for d, s, e, w in rows:
+        by_doc.setdefault(d, []).append((s, e, w))
+    # doc a: passage words at positions 6..17 (1-based)
+    assert by_doc["a"] == [(6, 17, 12)]
+    # doc b: passage at 10..21
+    assert by_doc["b"] == [(10, 21, 12)]
+    assert "c" not in by_doc and "d" not in by_doc
+    # doc e: both copies of the 10-word run are flagged
+    assert by_doc["e"] == [(1, 10, 10), (14, 23, 10)]

@@ -4032,6 +4032,49 @@ def events_transitions(sf_dir: str):
               ["event_id", "ts", "user_id", "event_type"], split=True))
 
 
+_DUP_SPAN_LEADS = " || ' ' || ".join(
+    f"lead(w,{k}) OVER win" for k in range(1, 8))
+
+_SQL_DOC_DUP_SPANS = f"""
+    WITH d AS (SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text,'')),
+                                    '[a-z0-9]+') AS ws FROM documents),
+    t AS (SELECT doc_id, unnest(ws) AS w,
+                 generate_subscripts(ws, 1) AS pos FROM d),
+    g AS (SELECT doc_id, pos, w || ' ' || {_DUP_SPAN_LEADS} AS gram
+          FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+    gg AS (SELECT doc_id, pos, gram FROM g WHERE gram IS NOT NULL),
+    c AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) >= 2),
+    dup AS (SELECT doc_id, pos FROM gg JOIN c USING (gram)),
+    isl AS (SELECT doc_id, pos,
+              pos - row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY pos) AS grp FROM dup)
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+           CAST(max(pos) + 7 AS BIGINT) AS end_pos,
+           CAST(max(pos) - min(pos) + 8 AS BIGINT) AS n_words
+    FROM isl GROUP BY doc_id, grp"""
+
+
+@register(
+    "doc_dup_spans",
+    _SQL_DOC_DUP_SPANS,
+    doc="exact duplicated-SPAN extraction (Lee et al. 2021 substring "
+        "dedup): maximal word runs whose 8-grams each occur >=2 times "
+        "corpus-wide — the removal manifest for verbatim shared "
+        "passages (licenses, templates, quotes) that doc-level exact/"
+        "near dedup can't see.  One digest-only counting exchange "
+        "(per-batch np.unique partials, bucket-exact sums), broadcast "
+        "duplicated-gram set, streaming vectorized mark-and-merge; "
+        "md5 lane for the oracle, splitmix64 engine lane "
+        "(differential-tested)",
+)
+def doc_dup_spans(sf_dir: str):
+    from xema_ray.stages.dedup import dup_spans
+
+    return dup_spans(_read(sf_dir, "documents", ["doc_id", "text"]),
+                     n=8, min_count=2, hash_fn="md5")
+
+
 _SQL_EMB_SEMANTIC_DEDUP = ("""
     WITH """ + _SQL_KMEANS_CENT + """,
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -1075,3 +1075,165 @@ def _attach_bucket(g: pa.Table, n_buckets: int = None) -> pa.Table:
     else:
         bucket = np.empty(0, dtype=np.int32)
     return g.append_column("bucket", pa.array(bucket, type=pa.int32()))
+
+
+# ----------------------------------------------------------------------
+# exact duplicated-span extraction (Lee et al. 2021, arXiv 2107.06499)
+# ----------------------------------------------------------------------
+
+
+def _gram_stream(texts: pd.Series, n: int, hash_fn: str):
+    """Per-gram ``(doc_row, pos0, hash)`` arrays for every word
+    ``n``-gram in the batch (docs with < n words contribute nothing —
+    span semantics, unlike the fingerprint lane's whole-doc gram).
+
+    ``hash_fn="fast"``: shared vectorized splitmix kernel, uint64.
+    ``hash_fn="md5"``: full md5 hex over the joined gram string (S32
+    bytes) — the cross-engine lane (SQL groups the gram STRINGS; equal
+    strings <=> equal md5 up to collisions far below corpus scale).
+    """
+    import re
+
+    word_re = re.compile(r"[a-z0-9]+")
+    words_all = texts.fillna("").str.lower().str.findall(word_re) \
+        .reset_index(drop=True)
+    if hash_fn == "md5":
+        rows, pos, hs = [], [], []
+        for r, words in enumerate(words_all):
+            for j in range(len(words) - n + 1):
+                rows.append(r)
+                pos.append(j)
+                hs.append(hashlib.md5(
+                    " ".join(words[j:j + n]).encode()).hexdigest())
+        return (np.asarray(rows, np.int64), np.asarray(pos, np.int64),
+                np.asarray(hs, dtype="S32"))
+    from xema_ray.functions.sketches import word_ngram_hashes
+
+    flat, offsets = word_ngram_hashes(words_all, n)
+    wc = words_all.str.len().to_numpy(dtype=np.int64)
+    n_grams = np.diff(offsets)
+    real = wc >= n  # short docs contributed one whole-doc gram: drop it
+    keep = np.repeat(real, n_grams)
+    rows = np.repeat(np.arange(len(wc), dtype=np.int64), n_grams)[keep]
+    pos = (np.arange(len(flat), dtype=np.int64)
+           - np.repeat(offsets[:-1], n_grams))[keep]
+    return rows, pos, flat[keep]
+
+
+def duplicated_grams(ds, n: int = 8, min_count: int = 2,
+                     text_col: str = "text", hash_fn: str = "fast",
+                     n_buckets: int = None) -> np.ndarray:
+    """Sorted hashes of word n-grams occurring >= ``min_count`` times
+    corpus-wide (total occurrences, within-doc repeats included) — the
+    digest-only counting pass.  Per-batch ``np.unique`` partials
+    (hash, cnt) exchange through the coarse hash-bucket groupby (each
+    hash in exactly one bucket => per-bucket sums are exact); only the
+    duplicated tail leaves the workers, never gram strings."""
+    from xema_ray.functions.sketches import hash_strings
+    from xema_ray.stages.shuffle import default_shuffle_buckets
+
+    if n_buckets is None:
+        n_buckets = default_shuffle_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, _, h = _gram_stream(t[text_col].to_pandas(), n, hash_fn)
+        uniq, cnt = np.unique(h, return_counts=True)
+        if not len(uniq):
+            return pa.table({
+                "h": pa.array([], pa.string() if hash_fn == "md5"
+                              else pa.uint64()),
+                "c": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32())})
+        if hash_fn == "md5":
+            bucket = (_hex_prefix_u64(uniq) % n_buckets).astype(np.int32)
+            hcol = pa.array([x.decode() for x in uniq], pa.string())
+        else:
+            bucket = (uniq % np.uint64(n_buckets)).astype(np.int32)
+            hcol = pa.array(uniq, pa.uint64())
+        return pa.table({"h": hcol,
+                         "c": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array(bucket)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("h", sort=False)["c"].sum()
+        return pd.DataFrame({"h": agg.index[agg >= min_count]})
+
+    rows = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow").groupby("bucket").map_groups(
+        fold, batch_format="pandas").take_all()
+    if hash_fn == "md5":
+        return np.sort(np.asarray([r["h"] for r in rows], dtype="S32"))
+    return np.sort(np.asarray([r["h"] for r in rows], dtype=np.uint64))
+
+
+def dup_spans(ds, n: int = 8, min_count: int = 2, text_col: str = "text",
+              id_col: str = "doc_id", hash_fn: str = "fast",
+              concurrency=(1, 8)):
+    """Exact duplicated-SPAN extraction (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every maximal run of
+    words whose constituent word ``n``-grams each occur >= ``min_count``
+    times corpus-wide.  The removal manifest for substring-level dedup
+    — exact dedup catches identical docs, MinHash near-identical docs;
+    this catches the verbatim PASSAGES shared across otherwise-distinct
+    documents (licenses, templates, quoted spans) that n-copy memorized
+    text comes from.
+
+    Scale shape: one digest-only counting exchange (8 B/gram partials,
+    bucket-exact sums) + a broadcast of the duplicated-gram set
+    (boilerplate-sized by assumption, same contract as line dedup) + a
+    streaming mark-and-merge pass (vectorized run detection, no
+    shuffle).  Returns ``(doc_id, start_pos, end_pos, n_words)`` with
+    1-based inclusive word positions.
+    """
+    import ray
+
+    dup = duplicated_grams(ds, n=n, min_count=min_count,
+                           text_col=text_col, hash_fn=hash_fn)
+    dup_ref = ray.put(dup)
+
+    class MarkSpans:
+        def __init__(self):
+            self.dup = ray.get(dup_ref)  # one plasma read per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rows, pos, h = _gram_stream(t[text_col].to_pandas(), n,
+                                        hash_fn)
+            out_schema = {
+                id_col: t.schema.field(id_col).type,
+            }
+            if len(h):
+                i = np.searchsorted(self.dup, h)
+                i = np.clip(i, 0, max(len(self.dup) - 1, 0))
+                hit = (self.dup[i] == h) if len(self.dup) else \
+                    np.zeros(len(h), bool)
+            else:
+                hit = np.zeros(0, bool)
+            rows, pos = rows[hit], pos[hit]
+            # maximal runs: a new span starts at a doc change or a
+            # position gap (order within a doc is the emission order)
+            if len(rows):
+                brk = np.ones(len(rows), bool)
+                brk[1:] = (rows[1:] != rows[:-1]) | (np.diff(pos) != 1)
+                sidx = np.flatnonzero(brk)
+                eidx = np.append(sidx[1:], len(rows)) - 1
+                ids = t[id_col].take(pa.array(rows[sidx])) \
+                    .combine_chunks() if isinstance(t[id_col],
+                                                    pa.ChunkedArray) \
+                    else t[id_col].take(pa.array(rows[sidx]))
+                start = pos[sidx] + 1
+                end = pos[eidx] + n
+                return pa.table({
+                    id_col: ids,
+                    "start_pos": pa.array(start, pa.int64()),
+                    "end_pos": pa.array(end, pa.int64()),
+                    "n_words": pa.array(end - start + 1, pa.int64()),
+                })
+            return pa.table({
+                id_col: pa.array([], out_schema[id_col]),
+                "start_pos": pa.array([], pa.int64()),
+                "end_pos": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+            })
+
+    return ds.map_batches(MarkSpans, batch_format="pyarrow",
+                          concurrency=concurrency)
