@@ -559,3 +559,30 @@ def test_dup_spans_known_passages(ray_session):
     assert "c" not in by_doc and "d" not in by_doc
     # doc e: both copies of the 10-word run are flagged
     assert by_doc["e"] == [(1, 10, 10), (14, 23, 10)]
+
+
+def test_remove_spans_applies_manifest(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.dedup import dup_spans, remove_spans
+
+    passage = " ".join(f"shared{i}" for i in range(12))
+    docs = {
+        "a": "u1 u2 u3 " + passage + " tail1 tail2",
+        "b": passage,
+        "c": "plain unique words only here nothing repeats at all",
+        "d": None,  # null text -> 0 words, empty clean_text
+    }
+    t = pa.table({"doc_id": pa.array(list(docs)),
+                  "text": pa.array(list(docs.values()), pa.string())})
+    ds = rd.from_arrow(t)
+    manifest = dup_spans(ds, n=8, min_count=2, hash_fn="fast")
+    out = {r["doc_id"]: r for b in remove_spans(ds, manifest)
+           .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    assert out["a"]["clean_text"] == "u1 u2 u3 tail1 tail2"
+    assert out["a"]["n_words"] == 17 and out["a"]["n_removed"] == 12
+    assert out["b"]["clean_text"] == "" and out["b"]["n_removed"] == 12
+    assert out["c"]["n_removed"] == 0 and \
+        out["c"]["clean_text"].startswith("plain unique")
+    assert out["d"]["n_words"] == 0 and out["d"]["clean_text"] == ""

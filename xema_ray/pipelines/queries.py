@@ -4075,6 +4075,53 @@ def doc_dup_spans(sf_dir: str):
                      n=8, min_count=2, hash_fn="md5")
 
 
+_SQL_DOC_SPAN_SCRUB = f"""
+    WITH d AS (SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text,'')),
+                                    '[a-z0-9]+') AS ws FROM documents),
+    t AS (SELECT doc_id, unnest(ws) AS w,
+                 generate_subscripts(ws, 1) AS pos FROM d),
+    g AS (SELECT doc_id, pos, w || ' ' || {_DUP_SPAN_LEADS} AS gram
+          FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+    gg AS (SELECT doc_id, pos, gram FROM g WHERE gram IS NOT NULL),
+    c AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) >= 2),
+    dup AS (SELECT doc_id, pos FROM gg JOIN c USING (gram)),
+    covw AS (SELECT DISTINCT doc_id, pos + k AS wp
+             FROM dup CROSS JOIN (SELECT unnest(range(8)) AS k)),
+    kept AS (SELECT t.doc_id, t.pos, t.w FROM t
+             LEFT JOIN covw ON t.doc_id = covw.doc_id
+                AND t.pos = covw.wp
+             WHERE covw.wp IS NULL),
+    agg AS (SELECT doc_id,
+              string_agg(w, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id),
+    nw AS (SELECT doc_id, len(ws)::BIGINT AS n_words FROM d),
+    nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+           FROM covw GROUP BY doc_id)
+    SELECT nw.doc_id, nw.n_words,
+           COALESCE(nr.n_removed, 0)::BIGINT AS n_removed,
+           COALESCE(agg.clean_text, '') AS clean_text
+    FROM nw LEFT JOIN nr USING (doc_id) LEFT JOIN agg USING (doc_id)"""
+
+
+@register(
+    "doc_span_scrub",
+    _SQL_DOC_SPAN_SCRUB,
+    doc="duplicated-span REMOVAL (Lee et al. 2021 step 2, composed on "
+        "doc_dup_spans): the manifest broadcasts once (boilerplate-"
+        "sized contract) and a streaming pass excises the flagged word "
+        "runs — full clean_text parity against the SQL string_agg "
+        "reconstruction, no shuffle in the apply pass",
+)
+def doc_span_scrub(sf_dir: str):
+    from xema_ray.stages.dedup import dup_spans, remove_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    manifest = dup_spans(docs, n=8, min_count=2, hash_fn="md5")
+    return remove_spans(_read(sf_dir, "documents", ["doc_id", "text"]),
+                        manifest)
+
+
 _SQL_EMB_SEMANTIC_DEDUP = ("""
     WITH """ + _SQL_KMEANS_CENT + """,
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

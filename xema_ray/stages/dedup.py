@@ -1237,3 +1237,61 @@ def dup_spans(ds, n: int = 8, min_count: int = 2, text_col: str = "text",
 
     return ds.map_batches(MarkSpans, batch_format="pyarrow",
                           concurrency=concurrency)
+
+
+def remove_spans(ds, spans, text_col: str = "text",
+                 id_col: str = "doc_id", concurrency=(1, 8)):
+    """APPLY a duplicated-span manifest (Lee et al. 2021 step 2): cut
+    the flagged word runs out of every document.  ``spans`` is the
+    :func:`dup_spans` output (pyarrow Table or small Dataset — the
+    manifest is boilerplate-sized by the same contract as the line-
+    dedup common set) broadcast once via ``ray.put``; the pass streams,
+    no shuffle.  Output ``(doc_id, n_words, n_removed, clean_text)``
+    where ``clean_text`` is the surviving words joined by one space
+    (word-stream semantics, same normalization as the manifest)."""
+    import re
+
+    import ray
+
+    if not isinstance(spans, pa.Table):
+        spans = pa.concat_tables(
+            b for b in spans.iter_batches(batch_format="pyarrow"))
+    by_doc: dict = {}
+    for r in spans.to_pylist():
+        by_doc.setdefault(r[id_col], []).append(
+            (r["start_pos"], r["end_pos"]))
+    ref = ray.put(by_doc)
+
+    class Scrub:
+        def __init__(self):
+            self.by_doc = ray.get(ref)
+            self.word_re = re.compile(r"[a-z0-9]+")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t[text_col].to_pandas().fillna("").str.lower() \
+                .str.findall(self.word_re).reset_index(drop=True)
+            ids = t[id_col].to_pylist()
+            n_words = np.zeros(len(ids), np.int64)
+            n_removed = np.zeros(len(ids), np.int64)
+            clean = []
+            for i, (doc, words) in enumerate(zip(ids, texts)):
+                n_words[i] = len(words)
+                iv = self.by_doc.get(doc)
+                if not iv:
+                    clean.append(" ".join(words))
+                    continue
+                drop = np.zeros(len(words), bool)
+                for s, e in iv:  # 1-based inclusive
+                    drop[s - 1:e] = True
+                n_removed[i] = int(drop.sum())
+                clean.append(" ".join(
+                    w for w, d in zip(words, drop) if not d))
+            return pa.table({
+                id_col: t[id_col],
+                "n_words": pa.array(n_words),
+                "n_removed": pa.array(n_removed),
+                "clean_text": pa.array(clean, pa.string()),
+            })
+
+    return ds.map_batches(Scrub, batch_format="pyarrow",
+                          concurrency=concurrency)
