@@ -11,6 +11,11 @@ and 4N (default 2 and 8; GRAFT_SCALING_LEVELS=lo,hi overrides) on the same
 tmpfs-staged input — the sandbox proxy for two cluster sizes
 (BASELINE.json north_rule) — and print throughput at both + scaling
 efficiency = (T_N/T_4N)/4, best of GRAFT_SCALING_TRIALS runs.
+
+--weak-scaling: same two-process shape but per-CPU data held CONSTANT
+(N CPUs on N/4N of the files vs 4N CPUs on all — how a real cluster
+grows: each node brings its own shard); ideal = unchanged wall time;
+prints weak_scaling_efficiency = throughput ratio / CPU ratio.
 """
 
 from __future__ import annotations
@@ -203,6 +208,12 @@ def run_scaling_child() -> dict:
 
     corpus_dir = _stage_scaling_corpus()
     paths = corpus_paths(corpus_dir)
+    # weak-scaling leg: hold DATA PER CPU constant (the two-cluster-size
+    # criterion as a real cluster would run it — each node brings its
+    # own shard); the parent passes the proportional file count
+    nfiles = int(os.environ.get("GRAFT_SCALING_NFILES", "0"))
+    if nfiles > 0:
+        paths = sorted(paths)[:nfiles]
 
     best = None
     rows = tokens = 0
@@ -234,10 +245,12 @@ def run_scaling_child() -> dict:
     return out
 
 
-def run_child(ncpu: int, scaling: bool = False) -> dict:
+def run_child(ncpu: int, scaling: bool = False, nfiles: int = 0) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
     if scaling:
         env["GRAFT_BENCH_MODE"] = "scaling-child"
+    if nfiles:
+        env["GRAFT_SCALING_NFILES"] = str(nfiles)
     p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                        capture_output=True, text=True, check=True)
     return json.loads(p.stdout.strip().splitlines()[-1])
@@ -270,6 +283,36 @@ def main():
             f"tokens_per_sec_{lo}": r_lo["tokens_per_sec"],
             f"tokens_per_sec_{hi}": r_hi["tokens_per_sec"],
             "scaling_efficiency": round(eff, 3),
+        }))
+        return
+    if "--weak-scaling" in sys.argv:
+        # the two-cluster-size criterion as a real cluster runs it: per-
+        # CPU data held CONSTANT (each node brings its own shard), so
+        # ideal = unchanged wall time; efficiency = throughput ratio /
+        # CPU ratio.  Complements --scaling (fixed total input).
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        _stage_scaling_corpus()
+        levels = [int(x) for x in
+                  os.environ.get("GRAFT_SCALING_LEVELS", "2,8").split(",")]
+        lo, hi = levels[0], levels[1]
+        nf_lo = max(1, SCALING_FILES * lo // hi)
+        r_lo = run_child(lo, scaling=True, nfiles=nf_lo)
+        r_hi = run_child(hi, scaling=True)
+        tps_lo = r_lo["tokens"] / r_lo["value"]
+        tps_hi = r_hi["tokens"] / r_hi["value"]
+        eff = (tps_hi / tps_lo) / (hi / lo)
+        print(json.dumps({
+            "metric": f"full-schema validation WEAK scaling ({lo} CPUs on "
+                      f"{nf_lo}/{SCALING_FILES} files -> {hi} CPUs on all: "
+                      f"per-CPU data constant, fresh processes, tmpfs, "
+                      f"best of {SCALING_TRIALS})",
+            f"tokens_{lo}": r_lo["tokens"],
+            f"tokens_{hi}": r_hi["tokens"],
+            f"sec_{lo}": r_lo["value"],
+            f"sec_{hi}": r_hi["value"],
+            f"tokens_per_sec_{lo}": round(tps_lo, 1),
+            f"tokens_per_sec_{hi}": round(tps_hi, 1),
+            "weak_scaling_efficiency": round(eff, 3),
         }))
         return
     print(json.dumps(run_bench()))

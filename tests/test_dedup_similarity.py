@@ -586,3 +586,39 @@ def test_remove_spans_applies_manifest(ray_session):
     assert out["c"]["n_removed"] == 0 and \
         out["c"]["clean_text"].startswith("plain unique")
     assert out["d"]["n_words"] == 0 and out["d"]["clean_text"] == ""
+
+
+def test_run_span_dedup_resume_and_invalidation(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xema_ray.stages.dedup import run_span_dedup
+
+    d = tmp_path / "in"; d.mkdir()
+    passage = " ".join(f"shared{i}" for i in range(10))
+    for i in range(2):
+        pq.write_table(pa.table({
+            "doc_id": [i * 10, i * 10 + 1],
+            "text": [f"unique{i} one two three four {passage}",
+                     f"other{i} five six seven eight {passage} tail{i}"],
+        }), str(d / f"s{i}.parquet"))
+    paths = sorted(str(p) for p in d.glob("*.parquet"))
+    out = str(tmp_path / "out")
+    s1 = run_span_dedup(paths, out, n=8, min_count=2)
+    assert s1.partitions_done == 2 and s1.rows_out == 4
+    shards1 = {p.name: p.stat().st_mtime_ns
+               for p in (tmp_path / "out" / "shards").glob("*.parquet")}
+    # resume: everything skipped, dup-gram set loaded from disk
+    s2 = run_span_dedup(paths, out, n=8, min_count=2)
+    assert s2.partitions_skipped == 2 and s2.partitions_done == 0
+    shards2 = {p.name: p.stat().st_mtime_ns
+               for p in (tmp_path / "out" / "shards").glob("*.parquet")}
+    assert shards1 == shards2
+    # config change invalidates the scrub shards
+    s3 = run_span_dedup(paths, out, n=9, min_count=2)
+    assert s3.partitions_done == 2
+    got = pq.read_table(out + "/shards/s0.parquet").to_pandas()
+    # the shared 10-word passage is gone from every doc (n=8 run result
+    # was overwritten by n=9; the passage still repeats 4x so both flag it)
+    assert (got["n_removed"] >= 10).all()
+    assert not got["clean_text"].str.contains("shared0").any()

@@ -267,6 +267,26 @@ def cmd_linededup(args):
 
 
 
+def cmd_spandedup(args):
+    _init_ray(args.num_cpus)
+    import dataclasses
+
+    import ray.data as rd
+
+    from xema_ray.stages.dedup import run_span_dedup
+
+    summary = run_span_dedup(_paths(args.input), args.out,
+                             n=args.ngram, min_count=args.min_count,
+                             text_col=args.text_col, id_col=args.id_col,
+                             batch_rows=args.batch_rows)
+    agg = rd.read_parquet(args.out + "/shards")
+    n_words = agg.sum("n_words")
+    n_removed = agg.sum("n_removed")
+    out = dataclasses.asdict(summary)
+    out.update({"words": n_words, "removed": n_removed})
+    print(json.dumps(out))
+
+
 def cmd_bpe(args):
     """Train a BPE merge table (one word-count fold + driver merges) and
     save it as a parquet artifact, or apply a saved table to report
@@ -494,6 +514,19 @@ def main(argv=None):
     ld.add_argument("--max-docs", type=int, default=1)
     ld.add_argument("--batch-rows", type=int, default=16384)
     ld.set_defaults(fn=cmd_linededup)
+
+    sd = sub.add_parser(
+        "spandedup", help="excise word spans whose n-grams repeat "
+                          ">=min-count times corpus-wide (Lee et al. "
+                          "2021 substring dedup); checkpointed/resumable")
+    sd.add_argument("input")
+    sd.add_argument("out")
+    sd.add_argument("--text-col", default="text")
+    sd.add_argument("--id-col", default="doc_id")
+    sd.add_argument("--ngram", type=int, default=8)
+    sd.add_argument("--min-count", type=int, default=2)
+    sd.add_argument("--batch-rows", type=int, default=16384)
+    sd.set_defaults(fn=cmd_spandedup)
 
 
     bp = sub.add_parser(

@@ -1295,3 +1295,94 @@ def remove_spans(ds, spans, text_col: str = "text",
 
     return ds.map_batches(Scrub, batch_format="pyarrow",
                           concurrency=concurrency)
+
+
+def _span_scrub_table(tbl: pa.Table, dup: np.ndarray, n: int,
+                      text_col: str, id_col: str) -> pa.Table:
+    """One-pass mark + excise for the checkpointed shard map: spans are
+    recomputed LOCALLY from the broadcast duplicated-gram set (the only
+    shared state), so a shard task needs no manifest join."""
+    texts = tbl[text_col].to_pandas()
+    rows, pos, h = _gram_stream(texts, n, "fast")
+    if len(h) and len(dup):
+        i = np.clip(np.searchsorted(dup, h), 0, len(dup) - 1)
+        hit = dup[i] == h
+    else:
+        hit = np.zeros(len(h), bool)
+    import re
+
+    word_re = re.compile(r"[a-z0-9]+")
+    words_all = texts.fillna("").str.lower().str.findall(word_re) \
+        .reset_index(drop=True)
+    n_words = words_all.str.len().to_numpy(dtype=np.int64)
+    drop_masks = [None] * len(words_all)
+    for r, p in zip(rows[hit], pos[hit]):
+        m = drop_masks[r]
+        if m is None:
+            m = drop_masks[r] = np.zeros(n_words[r], bool)
+        m[p:p + n] = True
+    n_removed = np.zeros(len(words_all), np.int64)
+    clean = []
+    for r, words in enumerate(words_all):
+        m = drop_masks[r]
+        if m is None:
+            clean.append(" ".join(words))
+            continue
+        n_removed[r] = int(m.sum())
+        clean.append(" ".join(w for w, d in zip(words, m) if not d))
+    return pa.table({
+        id_col: tbl[id_col],
+        "n_words": pa.array(n_words),
+        "n_removed": pa.array(n_removed),
+        "clean_text": pa.array(clean, pa.string()),
+    })
+
+
+def run_span_dedup(paths, out_dir: str, n: int = 8, min_count: int = 2,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   batch_rows: int = 16384):
+    """Checkpointed, RESUMABLE duplicated-span dedup — the production
+    runner (mirrors ``run_line_dedup``): the duplicated-gram set is
+    computed once and persisted to ``<out_dir>/dup_grams.parquet`` with
+    a signature over every input shard's lineage + config (a rerun with
+    unchanged inputs loads it instead of recounting); the scrub pass
+    runs through :func:`~xema_ray.state.checkpoint.run_map_shards`
+    (atomic per-shard parquet, manifest resume) with the gram-set
+    digest embedded in its config signature."""
+    import functools
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from xema_ray.state.checkpoint import _lineage, run_map_shards
+
+    paths = sorted(paths)
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = {"n": n, "min_count": min_count, "text_col": text_col}
+    sig = hashlib.md5(json.dumps(
+        [cfg] + [_lineage(p) for p in paths]).encode()).hexdigest()
+    dup_file = os.path.join(out_dir, "dup_grams.parquet")
+    sig_file = dup_file + ".sig"
+    if (os.path.exists(dup_file) and os.path.exists(sig_file)
+            and open(sig_file).read() == sig):
+        dup = pq.read_table(dup_file)["h"].to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+    else:
+        dup = duplicated_grams(rd.read_parquet(paths), n=n,
+                               min_count=min_count, text_col=text_col,
+                               hash_fn="fast")
+        tmp = dup_file + ".tmp"
+        pq.write_table(pa.table({"h": pa.array(dup, pa.uint64())}), tmp)
+        os.replace(tmp, dup_file)
+        with open(sig_file, "w") as f:
+            f.write(sig)
+    dup_sig = hashlib.md5(dup.tobytes()).hexdigest()[:16]
+    fn = functools.partial(_span_scrub_table, dup=dup, n=n,
+                           text_col=text_col, id_col=id_col)
+    return run_map_shards(
+        paths, out_dir, fn, columns=[id_col, text_col],
+        cfg_sig=f"spandedup:{json.dumps(cfg, sort_keys=True)}"
+                f":dup={dup_sig}",
+        batch_rows=batch_rows)
