@@ -154,3 +154,40 @@ class TestBpeProperties:
                 assert "".join(encode_word(w, ranks)) == w + END
 
         check()
+
+
+def test_bpe_sql_replay_matches_engine_on_random_corpus(ray_session,
+                                                        tmp_path):
+    """The generated CTE chain (the doc_bpe_merges oracle) replays
+    training EXACTLY on a corpus it was never pinned against, at a
+    different merge count — locks the SQL-replay equivalence (pair
+    count, total-order argmax, double-space merge) as a property, not
+    a fixture."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from xema_ray.pipelines.queries import _bpe_merges_sql
+    from xema_ray.stages.bpe import learn_bpe, merges_table
+
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "router",
+             "rerouted", "routing", "xy", "zq"]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+            for _ in range(300)]
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": pa.array(docs)})
+    f = str(tmp_path / "documents.parquet")
+    pq.write_table(t, f)
+
+    engine = merges_table(
+        learn_bpe(rd.from_arrow(t), n_merges=12)).to_pylist()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{f}')")
+    sql = con.execute(_bpe_merges_sql(12)).fetchall()
+    got = [(r["rank"], r["left"], r["right"], r["n"]) for r in engine]
+    assert got == [(int(a), b, c, int(d)) for a, b, c, d in sql]
+    assert len(got) == 12

@@ -622,3 +622,63 @@ def test_run_span_dedup_resume_and_invalidation(ray_session, tmp_path):
     # was overwritten by n=9; the passage still repeats 4x so both flag it)
     assert (got["n_removed"] >= 10).all()
     assert not got["clean_text"].str.contains("shared0").any()
+
+
+def test_dup_spans_randomized_vs_python_reference(ray_session):
+    """Randomized corpora with injected shared passages: the
+    distributed mark-and-merge equals a direct python reference
+    (per-doc gram membership + run merge), across seeds and both
+    hash lanes' min_count accounting."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.dedup import dup_spans
+
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(400)]
+        passages = [" ".join(rng.choice(vocab, size=rng.integers(8, 14)))
+                    for _ in range(3)]
+        docs = []
+        for _ in range(60):
+            parts = [" ".join(rng.choice(vocab,
+                                         size=rng.integers(0, 20)))]
+            if rng.random() < 0.6:
+                parts.append(passages[rng.integers(3)])
+                parts.append(" ".join(rng.choice(
+                    vocab, size=rng.integers(0, 10))))
+            docs.append(" ".join(p for p in parts if p))
+        n = 6
+        words_all = [d.split() for d in docs]
+        # python reference: count every n-gram, mark, merge runs
+        from collections import Counter
+
+        cnt = Counter()
+        for ws in words_all:
+            for j in range(len(ws) - n + 1):
+                cnt[tuple(ws[j:j + n])] += 1
+        want = []
+        for di, ws in enumerate(words_all):
+            flags = [cnt[tuple(ws[j:j + n])] >= 2
+                     for j in range(len(ws) - n + 1)]
+            j = 0
+            while j < len(flags):
+                if flags[j]:
+                    k = j
+                    while k + 1 < len(flags) and flags[k + 1]:
+                        k += 1
+                    want.append((di, j + 1, k + n, k + n - j))
+                    j = k + 1
+                else:
+                    j += 1
+        want = sorted((d, s, e, e - s + 1) for d, s, e, _ in want)
+        t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs)})
+        out = dup_spans(rd.from_arrow(t).repartition(5), n=n,
+                        min_count=2, hash_fn="fast")
+        got = sorted(
+            (r["doc_id"], r["start_pos"], r["end_pos"], r["n_words"])
+            for b in out.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist())
+        assert got == want and len(want) > 20
