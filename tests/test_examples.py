@@ -19,6 +19,7 @@ _SF0001 = "/root/testdata/sf0.001"
     ("corpus_cleaning.py", "cleaning_done", [_SF0001]),
     ("event_analytics.py", "analytics_done", [_SF0001]),
     ("incremental_ingest.py", "ingest_done", [_SF0001]),
+    ("substring_dedup.py", "dup spans:", [_SF0001]),
 ])
 def test_example_runs(script, needle, args):
     out = subprocess.run(
