@@ -1132,6 +1132,26 @@ def duplicated_grams(ds, n: int = 8, min_count: int = 2,
     from xema_ray.functions.sketches import hash_strings
     from xema_ray.stages.shuffle import default_shuffle_buckets
 
+    if hash_fn == "fast":
+        # scale lane: the gram keys are near-unique (the same worst
+        # case as uniform bigrams), so route them through the shared
+        # raw-task u64 hash exchange instead of the Ray sort-based
+        # groupby (see stats.u64_key_exchange notes; 131 s -> ~13 s at
+        # 175 M keys).  Per-bucket counts are global, so the
+        # >= min_count cut per bucket is globally exact.
+        from xema_ray.stages.stats import u64_key_exchange
+
+        def gram_keys(t: pa.Table) -> np.ndarray:
+            _, _, h = _gram_stream(t[text_col].to_pandas(), n, "fast")
+            return h
+
+        keys, _ = u64_key_exchange(
+            ds.select_columns([text_col]).to_arrow_refs(), gram_keys,
+            lambda uk, cnts: (uk[cnts >= min_count],
+                              cnts[cnts >= min_count]),
+            n_buckets=n_buckets)
+        return np.sort(keys)
+
     if n_buckets is None:
         n_buckets = default_shuffle_buckets()
 

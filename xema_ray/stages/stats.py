@@ -603,27 +603,28 @@ def _mg_shrink_arrays(keys: np.ndarray, cnts: np.ndarray, capacity: int):
     return keys[m], c2[m]
 
 
-def _bigram_exchange(ds, k: int, list_col: str, n_buckets: int = None,
-                     task_parallelism: int = None):
-    """Exact global top-``k`` bigrams via a raw-task map-reduce with
-    PER-BUCKET objects — the worst-case lane (r4, VERDICT item 6).
+def u64_key_exchange(block_refs, keys_fn, bucket_select,
+                     n_buckets: int = None, task_parallelism: int = None):
+    """Generic raw-task map-reduce over uint64 keys with PER-BUCKET
+    objects — the worst-case exchange lane (r4, VERDICT item 6),
+    shared by the bigram top-k and the duplicated-gram counting pass.
 
-    Ray Data's sort-based groupby exchange costs O(total pairs · log)
+    Ray Data's sort-based groupby exchange costs O(total keys · log)
     through one sort pipeline (measured 131-152 s at sf0.1 / 175 M
-    near-uniform pairs).  Here the Dataset API genuinely can't express
+    near-uniform pair keys).  The Dataset API genuinely can't express
     the cheap form — a pure hash exchange of fixed-width keys — so
     this drops to raw Ray tasks (the sanctioned last resort):
 
     * ``T ≈ cpus/4`` map tasks, each walking several input blocks
-      sequentially: vectorized pair pack, then an O(n) chunked
-      counting-sort split by ``key % B`` into ``B`` bucket shards
-      returned as SEPARATE objects (``num_returns=B``) — at cluster
-      scale a reducer pulls only its own bucket's bytes (8 B/pair),
-      never whole blocks;
+      sequentially: ``keys_fn(block) -> uint64 array``, then an O(n)
+      chunked counting-sort split by ``key % B`` into ``B`` bucket
+      shards returned as SEPARATE objects (``num_returns=B``) — at
+      cluster scale a reducer pulls only its own bucket's bytes
+      (8 B/key), never whole blocks;
     * ``T`` reduce tasks, each folding ``B/T`` buckets sequentially:
-      concat + sort + run-length diff + local top-k under the global
-      (n desc, t1, t2) total order;
-    * driver: merges ``B·k`` rows.
+      concat + sort + run-length diff, then ``bucket_select(uk, cnts)``
+      cuts the bucket's survivors (top-k, count threshold, ...);
+    * driver: concatenates the per-bucket survivors.
 
     Task shape is deliberately COARSE (``cpus/4`` single-threaded
     tasks, several blocks/buckets each): random-key sorting saturates
@@ -632,21 +633,18 @@ def _bigram_exchange(ds, k: int, list_col: str, n_buckets: int = None,
     superlinear — measured cold wall 13.7 s at 8 concurrent tasks vs
     56 s at 16 and ~90 s at 32 on the same 32-core host; sequential
     blocks inside one task reuse the already-faulted arena.  Memory
-    per reduce fold is bounded by distinct-pairs/B; every pair key
-    lives in exactly one bucket, so per-bucket top-k cuts are globally
-    sound.  End-to-end: 15 s cold / 7 s warm vs 131 s for the groupby
-    lane on the same input (sf0.1, 32 CPUs)."""
+    per reduce fold is bounded by distinct-keys/B; every key lives in
+    exactly one bucket, so per-bucket cuts against bucket-local counts
+    are globally sound (the counts per key ARE global).
+    Returns ``(keys, counts)`` uint64/int64 arrays."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
     if task_parallelism is None:
         task_parallelism = max(2, cpus // 4)
-    block_refs = ds.to_arrow_refs()
     if not block_refs:
-        return pa.table({"t1": pa.array([], type=pa.int64()),
-                         "t2": pa.array([], type=pa.int64()),
-                         "n": pa.array([], type=pa.int64())})
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
     nt = min(task_parallelism, len(block_refs))
     if n_buckets is None:
         # a small sequential fan-in of buckets per reduce task bounds
@@ -657,10 +655,10 @@ def _bigram_exchange(ds, k: int, list_col: str, n_buckets: int = None,
 
     def map_group(*tbls):
         # NO map-side pre-reduce on purpose: this lane exists for the
-        # near-uniform worst case where per-batch pairs barely repeat,
+        # near-uniform worst case where per-batch keys barely repeat,
         # so a per-batch sort-unique costs 5x the O(n) counting-sort
         # split and saves nothing (skewed inputs certify in the MG lane
-        # and never reach here).  Raw keys are 8 B/pair — LESS than the
+        # and never reach here).  Raw keys are 8 B each — LESS than the
         # 12 B (key, cnt) a pre-reduced shard would ship when counts
         # are ~1.
         from xema_ray.stages.shuffle import tune_malloc
@@ -668,7 +666,7 @@ def _bigram_exchange(ds, k: int, list_col: str, n_buckets: int = None,
         tune_malloc()
         outs = [[] for _ in range(nb)]
         for tbl in tbls:
-            keys = _pair_keys_batch(tbl, list_col)
+            keys = keys_fn(tbl)
             for s0 in range(0, len(keys), _SPLIT_CHUNK):
                 kc = keys[s0:s0 + _SPLIT_CHUNK]
                 b = (kc % np.uint64(nb)).astype(np.int32)
@@ -701,8 +699,7 @@ def _bigram_exchange(ds, k: int, list_col: str, n_buckets: int = None,
             np.not_equal(s[1:], s[:-1], out=m[1:])
             uk = s[m]
             cnts = np.diff(np.append(np.flatnonzero(m), len(s)))
-            order = np.lexsort((uk, -cnts))[:k]
-            out.append((uk[order], cnts[order].astype(np.int64)))
+            out.append(bucket_select(uk, cnts.astype(np.int64)))
         return out
 
     map_remote = ray.remote(num_returns=nb, num_cpus=1)(map_group)
@@ -715,10 +712,27 @@ def _bigram_exchange(ds, k: int, list_col: str, n_buckets: int = None,
         len(shard_refs), *[s[b] for b in bs for s in shard_refs])
         for bs in bucket_sets if bs]
     tops = [t for chunk in ray.get(futs) for t in chunk]
-    pairs = np.concatenate([t[0] for t in tops])
-    ns = np.concatenate([t[1] for t in tops])
-    order = np.lexsort((pairs, -ns))[:k]
-    t1, t2 = _unpack_pairs(pairs[order])
+    if not tops:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    return (np.concatenate([t[0] for t in tops]),
+            np.concatenate([t[1] for t in tops]))
+
+
+def _bigram_exchange(ds, k: int, list_col: str, n_buckets: int = None,
+                     task_parallelism: int = None):
+    """Exact global top-``k`` bigrams through the shared raw-task
+    u64-key exchange: per-bucket top-k cuts under the global
+    (n desc, t1, t2) total order, driver merges B·k survivors."""
+    def select(uk, cnts):
+        order = np.lexsort((uk, -cnts))[:k]
+        return uk[order], cnts[order]
+
+    keys, ns = u64_key_exchange(
+        ds.to_arrow_refs(),
+        lambda tbl: _pair_keys_batch(tbl, list_col), select,
+        n_buckets=n_buckets, task_parallelism=task_parallelism)
+    order = np.lexsort((keys, -ns))[:k]
+    t1, t2 = _unpack_pairs(keys[order])
     return pa.table({
         "t1": pa.array(t1, type=pa.int64()),
         "t2": pa.array(t2, type=pa.int64()),
