@@ -4307,10 +4307,14 @@ def events_key_skew(sf_dir: str):
 # in this file groups by topic instead, so reorder the dict in place
 # (in place, not rebound: other modules hold references to QUERIES).
 _DRIVER_PRIORITY = (
-    # core validation / north-rule surface
+    # core validation / north-rule surface (stats/drift/nested/inrow
+    # rotated OUT in r4 — they hold official CORRECTNESS_r03 rows; the
+    # full sweep record covers everything every round)
     "seq_violations", "seq_verdict_by_source", "seq_duplicate_doc_ids",
-    "seq_referential_violations", "seq_stats_n_tok", "seq_drift_report",
-    "nested_struct_violations", "seq_inrow_dup_tokens", "seq_export_pipeline",
+    "seq_referential_violations", "seq_export_pipeline",
+    # round-4 operator additions
+    "doc_dup_spans", "doc_span_scrub", "emb_semantic_dedup",
+    "orders_region_revenue", "events_key_skew",
     # tokenizer training + quantization / ANN index family
     "doc_bpe_merges", "doc_bpe_stats", "emb_quantize", "emb_pq_cells",
     "emb_knn_pq", "emb_knn_ivfpq", "emb_filtered_knn", "emb_knn_per_label",
@@ -4328,7 +4332,7 @@ _DRIVER_PRIORITY = (
     "seq_outlier_filter", "seq_variance_by_source", "seq_zscore_outliers",
     "seq_rank_normalize",
     # relational + multimodal spread
-    "orders_shipping_priority", "orders_no_lineitem", "orders_monthly_growth",
+    "orders_shipping_priority", "orders_no_lineitem",
     "media_thumbnails",
 )
 
