@@ -4165,6 +4165,87 @@ def emb_semantic_dedup(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+_SQL_EMB_CLUSTER_QUALITY = ("""
+    WITH """ + _SQL_KMEANS_CENT + """,
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+    a AS (SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
+          FROM e, cent c),
+    m AS (SELECT vec_id, cid FROM a WHERE rn = 1)
+    SELECT CAST(m.cid AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+    FROM m JOIN documents d ON m.vec_id = d.doc_id
+    GROUP BY m.cid""")
+
+
+@register(
+    "emb_cluster_quality",
+    _SQL_EMB_CLUSTER_QUALITY,
+    doc="CROSS-MODAL rollup: per-kmeans-cluster document statistics — "
+        "the embedding table's cluster assignment (broadcast pinned-"
+        "model argmax, no shuffle) hash-joins the documents table on "
+        "id (two corpus-sized sides: the native partitioned join, not "
+        "a broadcast), then integer partials fold per cluster; id_sum "
+        "pins the exact join membership.  Oracle: shared pinned "
+        "centroids, SQL recomputes assignment + join + rollup",
+)
+def emb_cluster_quality(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    from xema_ray.stages.shuffle import default_shuffle_buckets
+    from xema_ray.stages.similarity import (_matrix_from_list_col,
+                                            _normalize, kmeans_fit)
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = kmeans_fit(emb, k=8, iters=3, seed=17)
+    ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        t = t.filter(pc.is_valid(t["embedding"]))
+        m = _normalize(_matrix_from_list_col(t["embedding"]))
+        lab = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": pc.cast(t["vec_id"], pa.int64()),
+                         "cluster": pa.array(lab)})
+
+    assigned = emb.map_batches(assign, batch_format="pyarrow")
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    joined = assigned.join(docs, join_type="inner",
+                           num_partitions=default_shuffle_buckets(
+                               per_cpu=1, lo=8),
+                           on=("vec_id",), right_on=("doc_id",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster": t["cluster"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "sum_chars": pc.cast(t["n_chars"], pa.int64()),
+            "id_sum": pc.cast(t["vec_id"], pa.int64()),
+        }).group_by("cluster").aggregate(
+            [("n", "sum"), ("sum_chars", "sum"), ("id_sum", "sum")])
+
+    acc: dict = {}
+    for b in joined.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            c = acc.setdefault(r["cluster"], [0, 0, 0])
+            c[0] += r["n_sum"]
+            c[1] += r["sum_chars_sum"]
+            c[2] += r["id_sum_sum"]
+    ks = sorted(acc)
+    return pa.table({
+        "cluster": pa.array(ks, pa.int64()),
+        "n": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "sum_chars": pa.array([acc[k][1] for k in ks], pa.int64()),
+        "id_sum": pa.array([acc[k][2] for k in ks], pa.int64()),
+    })
+
+
 @register(
     "orders_region_revenue",
     """SELECT n.n_name AS n_name,
