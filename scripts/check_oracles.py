@@ -6,8 +6,8 @@ Usage: python scripts/check_oracles.py [--json OUT.json] [sf_dir] [query ...]
 
 With --json, also write a CORRECTNESS_r*.json-shaped record (one object per
 query: rows_match/schema_match/hash_match/spark_rows/oracle_rows/err) so the
-FULL 105-query sweep can be committed per round alongside the driver's
-50-query sample.
+FULL registry sweep (every registered query) can be committed per round
+alongside the driver's 50-query sample.
 """
 
 from __future__ import annotations

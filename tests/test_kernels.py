@@ -559,3 +559,69 @@ def test_not_object_branch_vectorizes_on_int_column():
     want = [is_valid(schema, {"x": v}) for v in (1, 2)] + \
         [is_valid(schema, {})]
     assert list(map(bool, valid)) == want
+
+
+def test_fixed_size_list_column_all_list_keywords():
+    """Regression (code-review r4): fixed-size-list columns carry no
+    offsets buffer — _list_offsets casts them to variable-size lists —
+    and every list keyword must match the scalar interpreter on them,
+    including null rows and null elements."""
+    from xema_ray.functions.scalar import validate_value
+
+    data = [[1, 2], [2, 2], None, [0, 5], [-1, None], [3, 1], [None, 2]]
+    arr = pa.array(data, type=pa.list_(pa.int64(), 2))
+    specs = [
+        {"const": [1, 2]},
+        {"enum": [[1, 2], [3, 1], [0, 0]]},
+        {"min_items": 3}, {"max_items": 1},
+        {"unique_items": True},
+        {"items": ("integer", {"minimum": 1})},
+        {"items": [("integer", {"minimum": 1}),
+                   ("integer", {"maximum": 3})]},
+        {"contains": ("integer", {"minimum": 4})},
+    ]
+    for spec in specs:
+        schema = compile_schema(
+            ("map", {"properties": {"l": ("list", spec)}}))
+        tbl = pa.table({"l": arr})
+        plan = compile_table_plan(schema, tbl.schema)
+        valid, viols = evaluate_batch(plan, tbl, fail="finally")
+        got = {}
+        for cv in viols:
+            for j, r in enumerate(cv.row_idx.tolist()):
+                p = cv.paths[j] if hasattr(cv.paths, "tolist") else cv.paths
+                got.setdefault(r, set()).add((p, cv.keyword))
+        for i, row in enumerate(tbl.to_pylist()):
+            row = {k: v for k, v in row.items() if v is not None}
+            sv = validate_value(schema, row, fail="finally")
+            want = {(v.path or "/", v.keyword) for v in sv}
+            assert bool(valid[i]) == (not want), (spec, i, row)
+            assert got.get(i, set()) == want, (spec, i, row,
+                                               got.get(i), want)
+
+
+def test_positional_items_null_element_is_type_violation():
+    """Regression (code-review r4): a null element under a positional
+    `items` slot with a required type is a TYPE violation (the scalar
+    chain checks type first), not the slot's inner keyword; non-null
+    failing elements attribute their first failing keyword."""
+    from xema_ray.functions.scalar import validate_value
+
+    tbl = pa.table({"l": pa.array([[-1, None], [0, 9], [None, 2]],
+                                  type=pa.list_(pa.int64()))})
+    schema = compile_schema(("map", {"properties": {"l": (
+        "list", {"items": [("integer", {"minimum": 1}),
+                           ("integer", {"maximum": 3})]})}}))
+    plan = compile_table_plan(schema, tbl.schema)
+    valid, viols = evaluate_batch(plan, tbl, fail="finally")
+    got = {}
+    for cv in viols:
+        for j, r in enumerate(cv.row_idx.tolist()):
+            p = cv.paths[j] if hasattr(cv.paths, "tolist") else cv.paths
+            got.setdefault(r, set()).add((p, cv.keyword))
+    assert got[0] == {("/l/0", "minimum"), ("/l/1", "type")}
+    assert got[1] == {("/l/0", "minimum"), ("/l/1", "maximum")}
+    assert got[2] == {("/l/0", "type")}
+    for i, row in enumerate(tbl.to_pylist()):
+        sv = validate_value(schema, row, fail="finally")
+        assert {(v.path or "/", v.keyword) for v in sv} == got.get(i, set())

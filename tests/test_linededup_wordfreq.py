@@ -193,6 +193,33 @@ def test_line_dedup_duplicate_doc_id_across_batches(ray_session):
                                 strategy=strategy)) == 1
 
 
+def test_line_dedup_null_doc_ids(ray_session):
+    """Regression (code-review r4): factorize marks null ids code -1,
+    which WRAPPED to the batch's last real doc hash (conflating a null
+    row with a real doc) and raised IndexError on an all-null batch.
+    Null-id rows form one shared pseudo-doc identity."""
+    import ray.data as rd
+
+    from xema_ray.stages.linededup import common_lines
+
+    line = "only here once special line words"
+    # all-null batch: must not crash; one pseudo-doc -> not boilerplate
+    ds = _docs_ds({"doc_id": [None, None], "text": [line, line]})
+    assert len(common_lines(ds, words_per_line=6, max_docs=1,
+                            strategy="driver")) == 0
+    # a real doc + a null-id row = TWO distinct docs -> boilerplate
+    df1 = pd.DataFrame({"doc_id": ["a"], "text": [line]})
+    df2 = pd.DataFrame({"doc_id": [None], "text": [line]})
+    ds2 = rd.from_pandas([df1, df2])
+    for strategy in ("driver", "groupby"):
+        assert len(common_lines(ds2, words_per_line=6, max_docs=1,
+                                strategy=strategy)) == 1
+    # null must NOT alias the real doc in the SAME batch either
+    df3 = pd.DataFrame({"doc_id": ["a", None], "text": [line, line]})
+    assert len(common_lines(rd.from_pandas([df3]), words_per_line=6,
+                            max_docs=1, strategy="driver")) == 1
+
+
 def test_run_line_dedup_resume_and_invalidation(ray_session, tmp_path):
     import json
     import pyarrow.parquet as pq

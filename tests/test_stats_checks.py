@@ -277,6 +277,33 @@ def test_key_skew_report_exact_vs_bruteforce(ray_session):
         key_skew_report(ds, key="user_id", k=12, capacity=64)
 
 
+def test_key_skew_report_uniform_batches_keep_total(ray_session):
+    """Regression (code-review r4): a batch whose MG shrink empties the
+    partial (all counts tied, distinct > capacity) must still contribute
+    its row count to `total` — it rides a flagged meta row — and a fully
+    uniform corpus must REFUSE, not return an empty report."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.stats import key_skew_report
+
+    uniform = pa.table({"user_id": pa.array(
+        np.arange(5000, dtype=np.int64))})          # shrink empties
+    hot = pa.table({"user_id": pa.array(
+        np.full(5000, 7, dtype=np.int64))})
+    ds = rd.from_arrow([uniform, hot])
+    out = key_skew_report(ds, key="user_id", k=1, capacity=64)
+    assert out["user_id"].to_pylist() == [7]
+    assert out["n"].to_pylist() == [5001]
+    # total must include the uniform batch's 5000 rows: 5001/10000
+    assert out["share_ppm"].to_pylist() == [5001 * 1_000_000 // 10000]
+    # fully uniform corpus: nothing certifiable -> explicit refusal
+    with pytest.raises(ValueError, match="not certified"):
+        key_skew_report(rd.from_arrow([uniform]), key="user_id", k=5,
+                        capacity=64)
+
+
 def test_key_skew_report_nulls_and_empty(ray_session):
     import pyarrow as pa
     import ray.data as rd

@@ -873,13 +873,16 @@ def _format_mask(col, name: str) -> np.ndarray:
 
 
 def _list_offsets(arr) -> tuple:
-    """(values, offsets) for a (Large)ListArray, zero-copy."""
+    """(values, offsets) for a (Large)ListArray, zero-copy.
+
+    Fixed-size lists carry no offsets buffer; cast to a variable-size list
+    first (null rows become empty segments, matching ListArray semantics).
+    """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if isinstance(arr, pa.LargeListArray):
-        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    else:
-        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    if isinstance(arr, pa.FixedSizeListArray):
+        arr = arr.cast(pa.list_(arr.type.value_type))
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     return arr.values, offsets
 
 
@@ -955,25 +958,44 @@ def inrow_duplicate_rows(vals: np.ndarray, offsets: np.ndarray,
 
 
 def _positional_slot_evaluator(s: SchemaNode, value_type, path, compiled):
-    """(mask_fn(subset_values) -> ok, requires_type, keyword) for one slot."""
+    """mask_fn(subset_values) -> (ok, kw_of_elem) for one positional slot.
+
+    ``kw_of_elem`` attributes each failing element to a keyword the way the
+    single-``items`` arm does (first fail wins, the reference's chain order;
+    a null element under a required type is a ``type`` violation,
+    validator.ex:242) — ``None`` entries are passing elements."""
     if s.bool_schema is not None:
         const = bool(s.bool_schema)
-        return (lambda sub, const=const: np.full(len(sub), const, dtype=bool),
-                False, "items")
+
+        def bool_fn(sub, const=const):
+            ok = np.full(len(sub), const, dtype=bool)
+            kw = np.full(len(sub), None, dtype=object)
+            if not const:
+                kw[:] = "items"
+            return ok, kw
+        return bool_fn
     sub_checks = _build_scalar_checks(s, value_type, path, compiled, elem_mode=True)
     requires_type = bool(s.types and not ({"any", "nil"} & set(s.types)))
 
     def fn(sub, sub_checks=sub_checks, requires_type=requires_type):
-        m = np.ones(len(sub), dtype=bool)
+        n = len(sub)
+        ok = np.ones(n, dtype=bool)
+        kw = np.full(n, None, dtype=object)
         for c in sub_checks:
             r = c.fn(sub, None)
-            m &= r if isinstance(r, np.ndarray) else np.asarray(r)
+            m = r if isinstance(r, np.ndarray) else np.asarray(r)
+            newly = ok & ~m
+            if newly.any():
+                kw[newly] = c.keyword
+            ok &= m
         if requires_type and sub.null_count:
-            m &= _np_bool(pc.is_valid(sub))
-        return m
+            isnull = ~_np_bool(pc.is_valid(sub))
+            if isnull.any():
+                kw[isnull] = "type"
+                ok &= ~isnull
+        return ok, kw
 
-    kw = sub_checks[0].keyword if len(sub_checks) == 1 else "items"
-    return fn, requires_type, kw
+    return fn
 
 
 def _build_positional_items_check(node: SchemaNode, col_type, path: str,
@@ -1000,31 +1022,38 @@ def _build_positional_items_check(node: SchemaNode, col_type, path: str,
         row_ok = np.ones(nrows, dtype=bool)
         viols: list = []
 
-        def fail_rows(rows, local_pos, keyword, message):
-            if len(rows):
-                paths = np.array([f"{path}/{p}" for p in np.atleast_1d(local_pos)],
-                                 dtype=object) if not np.isscalar(local_pos) else                     np.array([f"{path}/{local_pos}"] * len(rows), dtype=object)
-                viols.append(CheckViolations(rows.astype(np.int64), keyword,
-                                             paths, message))
+        def fail_grouped(rows, local, kw_of_bad, message):
+            # one violation group per failing leaf keyword (same flattening
+            # as the single-items arm)
+            for keyword in np.unique(kw_of_bad.astype(str)):
+                sel = kw_of_bad == keyword
+                paths = np.array([f"{path}/{p}" for p in np.atleast_1d(local)[sel]]
+                                 if not np.isscalar(local) else
+                                 [f"{path}/{local}"] * int(sel.sum()), dtype=object)
+                viols.append(CheckViolations(rows[sel].astype(np.int64),
+                                             str(keyword), paths, message))
 
-        for i, (slot_fn, _rt, kw) in enumerate(slots):
+        for i, slot_fn in enumerate(slots):
             rows_i = np.nonzero(lengths > i)[0]
             if len(rows_i) == 0:
                 continue
             idx = offsets[:-1][rows_i] + i
             sub = values.take(pa.array(idx, type=pa.int64()))
-            ok = slot_fn(sub)
+            ok, kw = slot_fn(sub)
             bad = ~ok
             if bad.any():
                 row_ok[rows_i[bad]] = False
-                fail_rows(rows_i[bad], i, kw, f"positional item {i} fails")
+                fail_grouped(rows_i[bad], i, kw[bad],
+                             f"positional item {i} fails")
         if additional is False:
             over = np.nonzero(lengths > k)[0]
             if len(over):
                 row_ok[over] = False
-                fail_rows(over, k, "additional_items", "no additional items allowed")
+                paths = np.array([f"{path}/{k}"] * len(over), dtype=object)
+                viols.append(CheckViolations(over.astype(np.int64),
+                                             "additional_items", paths,
+                                             "no additional items allowed"))
         elif add_eval is not None:
-            add_fn, _rt, kw = add_eval
             # tail elements: positions >= k
             tail_rows = np.nonzero(lengths > k)[0]
             if len(tail_rows):
@@ -1034,14 +1063,13 @@ def _build_positional_items_check(node: SchemaNode, col_type, path: str,
                 rep = np.concatenate([np.full(len(a), r, dtype=np.int64)
                                       for a, r in zip(idx_list, tail_rows)])
                 sub = values.take(pa.array(idx, type=pa.int64()))
-                ok = add_fn(sub)
+                ok, kw = add_eval(sub)
                 bad = ~ok
                 if bad.any():
                     row_ok[rep[bad]] = False
                     local = idx[bad] - starts[rep[bad]]
-                    paths = np.array([f"{path}/{p}" for p in local], dtype=object)
-                    viols.append(CheckViolations(rep[bad], kw, paths,
-                                                 "additional item fails schema"))
+                    fail_grouped(rep[bad], local, kw[bad],
+                                 "additional item fails schema")
         null_rows = _np_bool(pc.is_null(col))
         row_ok |= null_rows
         if null_rows.any() and viols:

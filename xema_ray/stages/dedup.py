@@ -20,6 +20,7 @@ Shuffle strategy (SURVEY.md §4 / ray guide "Aggregation at scale"):
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Optional
 
 import numpy as np
@@ -1082,7 +1083,20 @@ def _attach_bucket(g: pa.Table, n_buckets: int = None) -> pa.Table:
 # ----------------------------------------------------------------------
 
 
-def _gram_stream(texts: pd.Series, n: int, hash_fn: str):
+def _words_lower(texts: pd.Series) -> pd.Series:
+    """Lowercased ``[a-z0-9]+`` word lists per document — the shared
+    tokenization for the gram/span lanes (regex findall dominates the
+    scrub cost; callers that need BOTH grams and words compute this once
+    and pass it to :func:`_gram_stream`)."""
+    return texts.fillna("").str.lower().str.findall(_WORD_RE) \
+        .reset_index(drop=True)
+
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def _gram_stream(texts: pd.Series, n: int, hash_fn: str,
+                 words_all: pd.Series = None):
     """Per-gram ``(doc_row, pos0, hash)`` arrays for every word
     ``n``-gram in the batch (docs with < n words contribute nothing —
     span semantics, unlike the fingerprint lane's whole-doc gram).
@@ -1092,11 +1106,8 @@ def _gram_stream(texts: pd.Series, n: int, hash_fn: str):
     bytes) — the cross-engine lane (SQL groups the gram STRINGS; equal
     strings <=> equal md5 up to collisions far below corpus scale).
     """
-    import re
-
-    word_re = re.compile(r"[a-z0-9]+")
-    words_all = texts.fillna("").str.lower().str.findall(word_re) \
-        .reset_index(drop=True)
+    if words_all is None:
+        words_all = _words_lower(texts)
     if hash_fn == "md5":
         rows, pos, hs = [], [], []
         for r, words in enumerate(words_all):
@@ -1323,17 +1334,13 @@ def _span_scrub_table(tbl: pa.Table, dup: np.ndarray, n: int,
     recomputed LOCALLY from the broadcast duplicated-gram set (the only
     shared state), so a shard task needs no manifest join."""
     texts = tbl[text_col].to_pandas()
-    rows, pos, h = _gram_stream(texts, n, "fast")
+    words_all = _words_lower(texts)  # tokenize ONCE; grams reuse it
+    rows, pos, h = _gram_stream(texts, n, "fast", words_all=words_all)
     if len(h) and len(dup):
         i = np.clip(np.searchsorted(dup, h), 0, len(dup) - 1)
         hit = dup[i] == h
     else:
         hit = np.zeros(len(h), bool)
-    import re
-
-    word_re = re.compile(r"[a-z0-9]+")
-    words_all = texts.fillna("").str.lower().str.findall(word_re) \
-        .reset_index(drop=True)
     n_words = words_all.str.len().to_numpy(dtype=np.int64)
     drop_masks = [None] * len(words_all)
     for r, p in zip(rows[hit], pos[hit]):

@@ -140,8 +140,16 @@ def common_lines(ds, text_col: str = "text", id_col: str = "doc_id",
                 len(uniq_ids) and not isinstance(uniq_ids[0], str)):
             uniq_ids = uniq_ids.astype(str)  # hash the id's string form
         dh_vocab = hash_strings(uniq_ids.astype(object))
+        # factorize marks null ids as code -1, which would WRAP to the
+        # batch's last real doc (or IndexError on an all-null batch);
+        # all null-id rows share one fixed pseudo-doc identity instead
+        dh_rows = np.full(len(codes), np.uint64(0x9E3779B97F4A7C15),
+                          dtype=np.uint64)
+        valid_code = codes >= 0
+        if valid_code.any():
+            dh_rows[valid_code] = dh_vocab[codes[valid_code]]
         if len(h):
-            pair = np.stack([h, dh_vocab[codes[lrows]]], axis=1)
+            pair = np.stack([h, dh_rows[lrows]], axis=1)
             pair = np.unique(pair, axis=0)  # sorted by (h, dh)
             starts = np.ones(len(pair), dtype=bool)
             starts[1:] = pair[1:, 0] != pair[:-1, 0]

@@ -1011,15 +1011,16 @@ def key_skew_report(ds, key: str = "user_id", k: int = 15,
         keys, cnts = np.unique(v, return_counts=True)
         keys, cnts = _mg_shrink_arrays(keys, cnts.astype(np.int64),
                                        capacity)
-        # batch total rides in row 0 only: downstream iter_batches may
-        # COALESCE several map outputs into one batch, so a per-row
-        # constant cannot be read back as "one value per input batch"
-        tot = np.zeros(len(keys), np.int64)
-        if len(tot):
-            tot[0] = len(v)
-        return pa.table({"k": pa.array(keys, pa.int64()),
-                         "c": pa.array(cnts, pa.int64()),
-                         "tot": pa.array(tot)})
+        # batch total rides in a FLAGGED meta row (the top_token_bigrams
+        # contract): it must survive even when the shrink empties the
+        # sketch (all counts tied, distinct > capacity), or `total`
+        # undercounts and the certification bound falsely certifies
+        return pa.table({
+            "k": pa.array(np.concatenate([[0], keys]), pa.int64()),
+            "c": pa.array(np.concatenate([[len(v)], cnts]), pa.int64()),
+            "meta": pa.array(np.concatenate([[True], np.zeros(len(keys), bool)]),
+                             pa.bool_()),
+        })
 
     mk = np.array([], np.int64)
     mc = np.array([], np.int64)
@@ -1027,12 +1028,16 @@ def key_skew_report(ds, key: str = "user_id", k: int = 15,
     for b in ds.select_columns([key]).map_batches(
             partial, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"):
-        bk = b["k"].to_numpy(zero_copy_only=False)
-        if not len(bk):
+        if not b.num_rows:
             continue
-        total += int(pc.sum(b["tot"]).as_py() or 0)
-        cat_k = np.concatenate([mk, bk])
-        cat_c = np.concatenate([mc, b["c"].to_numpy(zero_copy_only=False)])
+        bk = b["k"].to_numpy(zero_copy_only=False)
+        bc = b["c"].to_numpy(zero_copy_only=False)
+        meta = b["meta"].to_numpy(zero_copy_only=False)
+        total += int(bc[meta].sum())
+        if not (~meta).any():
+            continue
+        cat_k = np.concatenate([mk, bk[~meta]])
+        cat_c = np.concatenate([mc, bc[~meta]])
         mk, inv = np.unique(cat_k, return_inverse=True)
         mc = np.zeros(len(mk), np.int64)
         np.add.at(mc, inv, cat_c)
@@ -1065,10 +1070,19 @@ def key_skew_report(ds, key: str = "user_id", k: int = 15,
     # self-certification (the top_token_bigrams contract): the merged
     # MG sketch undercounts by at most total/capacity, so candidates
     # cover every key with true count above that bound — if the k-th
-    # recounted candidate clears it, the top-k is provably complete
-    if len(n) == k and n[-1] * capacity <= total:
+    # recounted candidate clears it, the top-k is provably complete.
+    # With FEWER than k candidates, completeness needs the candidates
+    # to cover every row (sum == total): otherwise unseen keys with
+    # count <= total/capacity could belong in the report (the fully
+    # uniform corpus lands here and must raise, not return empty)
+    if len(n) == k:
+        certified = n[-1] * capacity > total
+    else:
+        certified = int(exact.sum()) == total
+    if not certified:
+        kth = int(n[-1]) if len(n) else 0
         raise ValueError(
-            f"top-{k} not certified: k-th count {n[-1]} <= "
+            f"top-{k} not certified: k-th count {kth} <= "
             f"total/capacity {total}/{capacity}; raise capacity")
     return pa.table({
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
