@@ -172,3 +172,100 @@ def test_dedup_resume_invalidates_on_config_change(ray_session, tmp_path):
     s2 = run_exact_dedup(paths, out, hash_fn="md5")
     assert s2.partitions_skipped == 0  # config change invalidated both phases
     assert s2.survivors == 2
+
+
+def test_fuzzy_contaminated_docs_planted(ray_session):
+    """Planted near-dup: a train doc sharing most 3-grams with an eval
+    item is flagged with the exact gram-set Jaccard; an unrelated doc is
+    not; an exact duplicate scores 1.0."""
+    import ray.data as rd
+
+    from xema_ray.stages.decontam import fuzzy_contaminated_docs
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"  # edit last word
+    train = rd.from_pandas(pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "text": [near, "totally different words entirely here now",
+                 eval_text],
+    }))
+    evl = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": [eval_text]}))
+    out = pd.DataFrame(fuzzy_contaminated_docs(
+        train, evl, n=3, threshold_ppm=300_000).take_all()) \
+        .sort_values("doc_id").reset_index(drop=True)
+    # eval: 6 distinct 3-grams; near: 6, sharing 5 -> j = 5/7
+    assert list(out["doc_id"]) == [10, 12]
+    assert list(out["eval_id"]) == [1, 1]
+    assert list(out["n_shared"]) == [5, 6]
+    assert list(out["jaccard_ppm"]) == [5 * 1_000_000 // 7, 1_000_000]
+
+
+def test_fuzzy_contaminated_docs_empty_and_nulls(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.decontam import fuzzy_contaminated_docs
+
+    train = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["some words here", None]}))
+    # empty eval set -> no pairs, schema intact
+    evl = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype=np.int64),
+        "text": pd.Series([], dtype=object)}))
+    out = fuzzy_contaminated_docs(train, evl).take_all()
+    assert out == []
+    # null train text -> no crash, no pair
+    evl2 = rd.from_pandas(pd.DataFrame({"doc_id": [9],
+                                        "text": ["some words here"]}))
+    out2 = pd.DataFrame(fuzzy_contaminated_docs(
+        train, evl2, n=3).take_all())
+    assert list(out2["doc_id"]) == [1]
+
+
+def test_importance_weights_matches_reference(ray_session):
+    """DSIR weights == a pure-pandas recompute of the same add-one
+    smoothed bucket-ratio estimator, and docs drawn from the target
+    slice outscore (per gram) docs with disjoint vocabulary."""
+    import hashlib
+
+    import ray.data as rd
+
+    from xema_ray.stages.text import importance_weights
+
+    rng = np.random.default_rng(5)
+    tgt_vocab = [f"tw{i}" for i in range(30)]
+    oth_vocab = [f"ow{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        is_t = i % 2 == 0
+        words = rng.choice(tgt_vocab if is_t else oth_vocab, 12)
+        rows.append({"doc_id": i, "text": " ".join(words),
+                     "source": "tgt" if is_t else "oth"})
+    df = pd.DataFrame(rows)
+    out = pd.DataFrame(importance_weights(
+        rd.from_pandas(df), target_sources=("tgt",)).take_all()) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # reference recompute
+    B = 4096
+    prof_cr = np.zeros(B, np.int64)
+    prof_ct = np.zeros(B, np.int64)
+    doc_buckets = []
+    for _, r in df.iterrows():
+        ws = r["text"].split()
+        bks = [int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:3], 16) % B
+               for a, b in zip(ws, ws[1:])]
+        doc_buckets.append(bks)
+        for b in bks:
+            prof_cr[b] += 1
+            if r["source"] == "tgt":
+                prof_ct[b] += 1
+    w = (prof_ct + 1) * 1_000_000 // (prof_cr + 1)
+    want_sc = [int(sum(w[b] for b in bks)) for bks in doc_buckets]
+    want_ng = [len(bks) for bks in doc_buckets]
+    assert list(out["score"]) == want_sc
+    assert list(out["n_grams"]) == want_ng
+    tgt_avg = out[df.source == "tgt"]["score"].sum() / sum(
+        want_ng[i] for i in range(0, 40, 2))
+    oth_avg = out[df.source == "oth"]["score"].sum() / sum(
+        want_ng[i] for i in range(1, 40, 2))
+    assert tgt_avg > 2 * oth_avg

@@ -1537,6 +1537,96 @@ def doc_contamination(sf_dir: str):
     return contaminated_docs(train, evl, n=5)
 
 
+@register(
+    "doc_decontam_fuzzy",
+    """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(
+               lower(coalesce(text,'')),'[^a-z0-9]+'), x -> x <> '') AS wl
+           FROM documents),
+    g0 AS (SELECT doc_id, CASE WHEN len(wl) >= 3
+            THEN list_distinct([array_to_string(wl[i:i+2], ' ')
+                                FOR i IN generate_series(1, len(wl) - 2)])
+            WHEN len(wl) > 0 THEN [array_to_string(wl, ' ')]
+            ELSE [] END AS grams FROM d),
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM g0
+          WHERE doc_id >= 100),
+    sz AS (SELECT doc_id, len(grams) AS n FROM g0 WHERE doc_id >= 100),
+    e AS (SELECT doc_id AS eval_id, unnest(grams) AS gram FROM g0
+          WHERE doc_id < 100),
+    esz AS (SELECT doc_id AS eval_id, len(grams) AS ne FROM g0
+            WHERE doc_id < 100),
+    inter AS (SELECT g.doc_id, e.eval_id, count(*) AS n_shared
+              FROM g JOIN e USING (gram) GROUP BY 1, 2)
+    SELECT i.doc_id, i.eval_id, i.n_shared,
+           i.n_shared * 1000000 // (sz.n + esz.ne - i.n_shared)
+               AS jaccard_ppm
+    FROM inter i JOIN sz USING (doc_id) JOIN esz USING (eval_id)
+    WHERE i.n_shared * 1000000 // (sz.n + esz.ne - i.n_shared)
+          >= 300000""",
+    doc="FUZZY (near-match) DECONTAMINATION: (train doc, eval item) pairs "
+        "whose distinct word-3-gram sets have Jaccard >= 0.3 — catches the "
+        "paraphrased benchmark leaks the exact-gram pass misses.  The eval "
+        "side's gram->items postings broadcast once (eval sets are small "
+        "by definition); the train side streams, candidates = pairs "
+        "sharing >= 1 gram (a superset of every pair above any positive "
+        "threshold — EXACT, no minhash recall risk), intersections via "
+        "one np.unique over packed (doc,eval) keys.  Zero shuffle.  "
+        "Fixed-point ppm Jaccard; the oracle recomputes gram sets, the "
+        "candidate join and the threshold from the parquet alone.",
+)
+def doc_decontam_fuzzy(sf_dir: str):
+    from xema_ray.stages.decontam import fuzzy_contaminated_docs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], split=True)
+    evl = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 100)), batch_format="pyarrow")
+    train = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 100)),
+        batch_format="pyarrow")
+    return fuzzy_contaminated_docs(train, evl, n=3, threshold_ppm=300_000)
+
+
+@register(
+    "doc_importance_weights",
+    """WITH d AS (SELECT doc_id, source, list_filter(regexp_split_to_array(
+               lower(coalesce(text,'')),'[^a-z0-9]+'), x -> x <> '') AS wl
+           FROM documents),
+    g AS (SELECT doc_id, source, unnest(CASE WHEN len(wl) >= 2
+            THEN [array_to_string(wl[i:i+1], ' ')
+                  FOR i IN generate_series(1, len(wl) - 1)]
+            ELSE [] END) AS gram FROM d),
+    b AS (SELECT doc_id, source,
+            (strpos('0123456789abcdef', substr(md5(gram),1,1))-1)*256
+          + (strpos('0123456789abcdef', substr(md5(gram),2,1))-1)*16
+          + (strpos('0123456789abcdef', substr(md5(gram),3,1))-1) AS bucket
+          FROM g),
+    prof AS (SELECT bucket, count(*) AS cr,
+                    count(*) FILTER (WHERE source IN ('src0','src1')) AS ct
+             FROM b GROUP BY bucket),
+    wt AS (SELECT bucket, ((ct+1) * 1000000) // (cr+1) AS w FROM prof),
+    sc AS (SELECT b.doc_id, count(*) AS n_grams,
+                  CAST(sum(wt.w) AS BIGINT) AS score
+           FROM b JOIN wt USING (bucket) GROUP BY b.doc_id)
+    SELECT d.doc_id, coalesce(sc.n_grams, 0) AS n_grams,
+           coalesce(sc.score, 0) AS score
+    FROM d LEFT JOIN sc USING (doc_id)""",
+    doc="DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023): score every doc "
+        "by how much its hashed-bigram distribution matches a TARGET "
+        "slice's (sources src0/src1), the data-selection signal for "
+        "importance resampling.  Two streaming passes, zero shuffle: one "
+        "fold of 4096-bucket raw+target profiles (O(buckets) driver state "
+        "at any corpus size), then the add-one-smoothed integer weight "
+        "table broadcasts once and each batch sums w[bucket(gram)].  "
+        "Buckets come from md5's first 3 nibbles so the oracle recomputes "
+        "profiles, weights and scores entirely in SQL.",
+)
+def doc_importance_weights(sf_dir: str):
+    from xema_ray.stages.text import importance_weights
+
+    return importance_weights(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"], split=True),
+        target_sources=("src0", "src1"))
+
+
 def _sample_case_sql() -> str:
     from xema_ray.stages.sample import rate_threshold_hex
 
@@ -4388,14 +4478,15 @@ def events_key_skew(sf_dir: str):
 # in this file groups by topic instead, so reorder the dict in place
 # (in place, not rebound: other modules hold references to QUERIES).
 _DRIVER_PRIORITY = (
-    # core validation / north-rule surface (stats/drift/nested/inrow
-    # rotated OUT in r4 — they hold official CORRECTNESS_r03 rows; the
-    # full sweep record covers everything every round)
-    "seq_violations", "seq_verdict_by_source", "seq_duplicate_doc_ids",
-    "seq_referential_violations", "seq_export_pipeline",
+    # core validation / north-rule surface (stats/drift/nested/inrow,
+    # then verdict_by_source/duplicate_doc_ids, rotated OUT in r4 —
+    # they hold official CORRECTNESS_r03 rows; the full sweep record
+    # covers everything every round)
+    "seq_violations", "seq_referential_violations", "seq_export_pipeline",
     # round-4 operator additions
     "doc_dup_spans", "doc_span_scrub", "emb_semantic_dedup",
     "orders_region_revenue", "events_key_skew",
+    "doc_importance_weights", "doc_decontam_fuzzy",
     # tokenizer training + quantization / ANN index family
     "doc_bpe_merges", "doc_bpe_stats", "emb_quantize", "emb_pq_cells",
     "emb_knn_pq", "emb_knn_ivfpq", "emb_filtered_knn", "emb_knn_per_label",

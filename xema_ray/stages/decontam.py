@@ -76,3 +76,104 @@ def contaminated_docs(train_ds, eval_ds, text_col: str = "text",
 
     return train_ds.select_columns([id_col, text_col]).map_batches(
         flag, batch_format="pyarrow")
+
+
+def eval_gram_postings(eval_ds, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3):
+    """Per-eval-item distinct gram sets as a broadcastable postings
+    structure: ``(gram_keys sorted u64, offsets, eval_idx flat, eval_ids,
+    set_sizes)`` — gram -> which eval items contain it.  One streaming
+    pass; the whole structure is eval-set-sized (a benchmark, small by
+    definition), never corpus-sized."""
+    ids, grams = [], []
+    for b in eval_ds.select_columns([id_col, text_col]).iter_batches(
+            batch_format="pyarrow"):
+        flat, offsets = _batch_gram_hashes(b[text_col].to_pylist(), n)
+        bid = b[id_col].to_pylist()
+        for i in range(len(bid)):
+            ids.append(bid[i])
+            grams.append(flat[offsets[i]:offsets[i + 1]])
+    sizes = np.array([len(g) for g in grams], dtype=np.int64)
+    if not len(ids) or not sizes.sum():
+        return (np.empty(0, np.uint64), np.zeros(1, np.int64),
+                np.empty(0, np.int64), ids, sizes)
+    flat_g = np.concatenate([g for g in grams if len(g)])
+    flat_e = np.repeat(np.arange(len(ids), dtype=np.int64), sizes)
+    order = np.argsort(flat_g, kind="stable")
+    flat_g, flat_e = flat_g[order], flat_e[order]
+    starts = np.ones(len(flat_g), dtype=bool)
+    starts[1:] = flat_g[1:] != flat_g[:-1]
+    keys = flat_g[starts]
+    offsets = np.concatenate([np.flatnonzero(starts),
+                              [len(flat_g)]]).astype(np.int64)
+    return keys, offsets, flat_e, ids, sizes
+
+
+def fuzzy_contaminated_docs(train_ds, eval_ds, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            eval_id_col: str = "eval_id", n: int = 3,
+                            threshold_ppm: int = 500_000):
+    """NEAR-match decontamination: ``(doc, eval item)`` pairs whose
+    distinct word-``n``-gram sets have Jaccard >= threshold — catches
+    the paraphrased / lightly-edited benchmark leaks the exact-gram
+    :func:`contaminated_docs` pass misses.
+
+    Same zero-shuffle shape as the exact pass: the eval side's
+    gram->items postings broadcast once (``ray.put``), the train side
+    streams; per batch, matched grams gather their eval items and ONE
+    ``np.unique`` over packed ``(doc_row, eval_idx)`` keys yields every
+    intersection size in a single vectorized step (no per-pair loop, no
+    minhash approximation — candidates are exactly the pairs sharing
+    >= 1 gram, a superset of every pair above any positive threshold).
+    Jaccard is emitted in fixed-point ppm (``inter * 10^6 // union``),
+    the repo-wide hash-stable convention.
+    """
+    import ray
+
+    keys, offs, flat_e, eval_ids, sizes = eval_gram_postings(
+        eval_ds, text_col=text_col, id_col=id_col, n=n)
+    n_eval = len(eval_ids)
+    post_ref = ray.put((keys, offs, flat_e, sizes))
+    ids_arr = pa.array(eval_ids)
+
+    def flag(t: pa.Table) -> pa.Table:
+        ks, of, fe, sz = ray.get(post_ref)
+        flat, offsets = _batch_gram_hashes(t[text_col].to_pylist(), n)
+        empty = pa.table({
+            id_col: t[id_col].slice(0, 0),
+            eval_id_col: ids_arr.slice(0, 0),
+            "n_shared": pa.array([], pa.int64()),
+            "jaccard_ppm": pa.array([], pa.int64()),
+        })
+        if not len(flat) or not len(ks):
+            return empty
+        doc_rows = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                             np.diff(offsets))
+        pos = np.searchsorted(ks, flat)
+        pos_c = np.minimum(pos, len(ks) - 1)
+        m = ks[pos_c] == flat
+        if not m.any():
+            return empty
+        # expand matched grams to their eval items
+        mpos, mrows = pos_c[m], doc_rows[m]
+        counts = (of[mpos + 1] - of[mpos])
+        e_items = np.concatenate([fe[of[p]:of[p + 1]] for p in mpos]) \
+            if len(mpos) else np.empty(0, np.int64)
+        d_items = np.repeat(mrows, counts)
+        packed = d_items * n_eval + e_items
+        uk, inter = np.unique(packed, return_counts=True)
+        dr, ei = uk // n_eval, uk % n_eval
+        doc_sizes = np.diff(offsets)[dr]
+        union = doc_sizes + sz[ei] - inter
+        jacc = inter * 1_000_000 // np.maximum(union, 1)
+        keep = jacc >= threshold_ppm
+        dr, ei, inter, jacc = dr[keep], ei[keep], inter[keep], jacc[keep]
+        return pa.table({
+            id_col: t[id_col].take(pa.array(dr, pa.int64())),
+            eval_id_col: ids_arr.take(pa.array(ei, pa.int64())),
+            "n_shared": pa.array(inter.astype(np.int64)),
+            "jaccard_ppm": pa.array(jacc.astype(np.int64)),
+        })
+
+    return train_ds.select_columns([id_col, text_col]).map_batches(
+        flag, batch_format="pyarrow")

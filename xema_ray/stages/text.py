@@ -917,3 +917,111 @@ def bigram_novelty_scores(ds, text_col: str = "text", top_k: int = 500,
         BigramNovelty,
         fn_constructor_kwargs={"table_ref": ref, "text_col": text_col},
         batch_format="pandas", concurrency=concurrency)
+
+
+# ----------------------------------------------------------------------
+# DSIR-style hashed-ngram importance weights (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling")
+# ----------------------------------------------------------------------
+
+
+def _bigram_buckets(texts, n_buckets: int = 4096):
+    """(doc_rows, bucket ids) of every within-doc word bigram, hashed
+    into ``n_buckets`` dimensions via md5's first 3 hex nibbles — the
+    cross-engine bucket rule (DuckDB recomputes it with strpos nibble
+    arithmetic; with the default 4096 the modulo is the identity).
+    md5 runs once per UNIQUE bigram per batch (vocab-bounded)."""
+    import hashlib
+
+    import pandas as pd
+
+    rows, bg = _doc_bigrams(texts)
+    if not len(bg):
+        return rows, np.empty(0, np.int64)
+    codes, uniq = pd.factorize(pd.Series(bg))
+    bucket_of = np.array(
+        [int(hashlib.md5(g.encode()).hexdigest()[:3], 16) % n_buckets
+         for g in uniq], dtype=np.int64)
+    return rows, bucket_of[codes]
+
+
+def dsir_profiles(ds, target_sources, text_col: str = "text",
+                  source_col: str = "source", n_buckets: int = 4096):
+    """ONE streaming pass -> (corpus_counts, target_counts), each a
+    dense ``n_buckets`` int64 vector of hashed-bigram occurrence counts
+    (the DSIR raw/target feature distributions).  Per-batch partials
+    are sparse ``(bucket, cr, ct)`` rows — at most ``n_buckets`` per
+    batch regardless of corpus size, so the driver fold is O(buckets)
+    state at any scale."""
+    targets = set(target_sources)
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pandas()
+        rows, bk = _bigram_buckets(texts, n_buckets)
+        cr = np.bincount(bk, minlength=n_buckets)
+        src = t[source_col].to_pandas().to_numpy(dtype=object)
+        if len(rows):
+            is_t = np.isin(src, list(targets))[rows]
+            ct = np.bincount(bk[is_t], minlength=n_buckets)
+        else:
+            ct = np.zeros(n_buckets, np.int64)
+        nz = np.nonzero(cr)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "cr": pa.array(cr[nz].astype(np.int64)),
+                         "ct": pa.array(ct[nz].astype(np.int64))})
+
+    corpus = np.zeros(n_buckets, np.int64)
+    target = np.zeros(n_buckets, np.int64)
+    for b in ds.select_columns([text_col, source_col]).map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        idx = b["bucket"].to_numpy(zero_copy_only=False)
+        np.add.at(corpus, idx, b["cr"].to_numpy(zero_copy_only=False))
+        np.add.at(target, idx, b["ct"].to_numpy(zero_copy_only=False))
+    return corpus, target
+
+
+def importance_weights(ds, target_sources=("src0", "src1"),
+                       text_col: str = "text", id_col: str = "doc_id",
+                       source_col: str = "source", n_buckets: int = 4096,
+                       scale: int = 1_000_000):
+    """DSIR importance weights: score every document by how much its
+    hashed-bigram distribution looks like the TARGET slice's (add-one
+    smoothed ratio estimator, integer fixed-point so the result is
+    hash-stable and SQL-recomputable).
+
+    Two streaming passes, zero shuffle: (1) :func:`dsir_profiles` folds
+    the raw and target bucket counts (O(n_buckets) driver state),
+    (2) the per-bucket weight table ``w[b] = (ct[b]+1)*scale //
+    (cr[b]+1)`` broadcasts once via ``ray.put`` and each batch sums
+    ``w[bucket(g)]`` over its bigram occurrences.  DSIR proper
+    resamples by exp(sum log ratio); the integer sum-of-ratios keeps
+    the same ordering signal while staying exactly reproducible
+    cross-engine (the repo-wide fixed-point convention).
+
+    Returns ``(id_col, n_grams, score)`` for EVERY input row (gram-less
+    docs score 0).
+    """
+    import ray
+
+    corpus, target = dsir_profiles(ds, target_sources, text_col=text_col,
+                                   source_col=source_col,
+                                   n_buckets=n_buckets)
+    w = (target + 1) * scale // (corpus + 1)
+    w_ref = ray.put(w)
+
+    def score(t: pa.Table) -> pa.Table:
+        wt = ray.get(w_ref)
+        texts = t[text_col].to_pandas()
+        rows, bk = _bigram_buckets(texts, n_buckets)
+        sc = np.zeros(t.num_rows, np.int64)
+        ng = np.zeros(t.num_rows, np.int64)
+        if len(rows):
+            np.add.at(sc, rows, wt[bk])
+            np.add.at(ng, rows, 1)
+        return pa.table({id_col: t[id_col],
+                         "n_grams": pa.array(ng),
+                         "score": pa.array(sc)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
