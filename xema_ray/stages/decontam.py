@@ -154,11 +154,14 @@ def fuzzy_contaminated_docs(train_ds, eval_ds, text_col: str = "text",
         m = ks[pos_c] == flat
         if not m.any():
             return empty
-        # expand matched grams to their eval items
+        # expand matched grams to their eval items (vectorized gather:
+        # absolute index = repeated posting start + within-group offset)
         mpos, mrows = pos_c[m], doc_rows[m]
-        counts = (of[mpos + 1] - of[mpos])
-        e_items = np.concatenate([fe[of[p]:of[p + 1]] for p in mpos]) \
-            if len(mpos) else np.empty(0, np.int64)
+        counts = of[mpos + 1] - of[mpos]
+        cum = np.concatenate([[0], np.cumsum(counts)])
+        within = np.arange(cum[-1], dtype=np.int64) \
+            - np.repeat(cum[:-1], counts)
+        e_items = fe[np.repeat(of[mpos], counts) + within]
         d_items = np.repeat(mrows, counts)
         packed = d_items * n_eval + e_items
         uk, inter = np.unique(packed, return_counts=True)
