@@ -520,28 +520,28 @@ def knn_lsh(ds, queries, k: int = 10, n_bits: int = 8, dim: int = 64,
 # ----------------------------------------------------------------------
 
 
-class _KMeansPartial:
-    """Actor: assign each batch row to its nearest centroid and emit the
-    per-centroid (sum, count) partial — one tiny row per batch."""
+def _kmeans_partial_batch(tbl: pa.Table, cent_ref, vec_col: str) -> pa.Table:
+    """TASK-pool stage: assign each batch row to its nearest centroid and
+    emit the per-centroid (sum, count) partial — one tiny row per batch.
+    A task, not an actor, because the loop below re-broadcasts new
+    centroids EVERY iteration: an actor pool would respawn per iteration
+    (~1.5 s each on this box — the pq_fit lesson, stages/pq.py), while a
+    per-task ``ray.get`` of the plasma-shared matrix is a zero-copy local
+    read."""
+    import pickle
 
-    def __init__(self, cent_ref, vec_col: str):
-        import ray
+    import ray
 
-        self.cent = ray.get(cent_ref)  # (k, d) normalized, one read/actor
-        self.vec_col = vec_col
-
-    def __call__(self, tbl: pa.Table) -> pa.Table:
-        import pickle
-
-        m = _normalize(_matrix_from_list_col(tbl[self.vec_col]))
-        assign = (m @ self.cent.T).argmax(axis=1)
-        k, d = self.cent.shape
-        sums = np.zeros((k, d), dtype=np.float64)
-        np.add.at(sums, assign, m)
-        counts = np.bincount(assign, minlength=k).astype(np.int64)
-        return pa.table({
-            "partial": pa.array([pickle.dumps((sums, counts))], type=pa.binary()),
-        })
+    cent = ray.get(cent_ref)
+    m = _normalize(_matrix_from_list_col(tbl[vec_col]))
+    assign = (m @ cent.T).argmax(axis=1)
+    k, d = cent.shape
+    sums = np.zeros((k, d), dtype=np.float64)
+    np.add.at(sums, assign, m)
+    counts = np.bincount(assign, minlength=k).astype(np.int64)
+    return pa.table({
+        "partial": pa.array([pickle.dumps((sums, counts))], type=pa.binary()),
+    })
 
 
 def kmeans_fit(ds, k: int = 64, iters: int = 5, vec_col: str = "embedding",
@@ -570,9 +570,8 @@ def kmeans_fit(ds, k: int = 64, iters: int = 5, vec_col: str = "embedding",
     for _ in range(iters):
         ref = ray.put(cent)
         rows = ds.map_batches(
-            _KMeansPartial, fn_constructor_kwargs={"cent_ref": ref,
-                                                   "vec_col": vec_col},
-            batch_format="pyarrow", concurrency=concurrency,
+            lambda t, ref=ref: _kmeans_partial_batch(t, ref, vec_col),
+            batch_format="pyarrow",
         ).take_all()
         sums = np.zeros_like(cent)
         counts = np.zeros(k, dtype=np.int64)
