@@ -140,24 +140,24 @@ def connected_components(pairs, u_col: str = "doc_a", v_col: str = "doc_b",
 
         ref = ray.put((nodes, lbl))
 
-        class Contract:
-            def __init__(self, ref):
-                self.nodes, self.lbl = ray.get(ref)  # one read per actor
+        def contract(t: pa.Table, ref=ref) -> pa.Table:
+            # TASK, not an actor pool: a fresh label table broadcasts
+            # every round, so an actor pool would respawn per round
+            # (the kmeans_fit/pq_fit lesson); per-task ray.get of the
+            # plasma-shared arrays is a zero-copy local read
+            nodes_, lbl_ = ray.get(ref)
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            nu = lbl_[np.searchsorted(nodes_, u)]
+            nv = lbl_[np.searchsorted(nodes_, v)]
+            keep = nu != nv
+            e = np.stack([nu[keep], nv[keep]])
+            if e.shape[1]:  # block-local dedupe only (cheap, lossless)
+                e = np.unique(e, axis=1)
+            return pa.table({"u": e[0], "v": e[1]})
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                u = t["u"].to_numpy(zero_copy_only=False)
-                v = t["v"].to_numpy(zero_copy_only=False)
-                nu = self.lbl[np.searchsorted(self.nodes, u)]
-                nv = self.lbl[np.searchsorted(self.nodes, v)]
-                keep = nu != nv
-                e = np.stack([nu[keep], nv[keep]])
-                if e.shape[1]:  # block-local dedupe only (cheap, lossless)
-                    e = np.unique(e, axis=1)
-                return pa.table({"u": e[0], "v": e[1]})
-
-        cur = cur.map_batches(Contract, fn_constructor_args=(ref,),
-                              batch_format="pyarrow",
-                              concurrency=(1, 8)).materialize()
+        cur = cur.map_batches(contract,
+                              batch_format="pyarrow").materialize()
         if cur.count() == 0:
             break
     else:
