@@ -102,7 +102,9 @@ def run_bench() -> dict:
                   "emb_knn", "seq_top_tokens", "events_hopping",
                   "seq_packing", "seq_export_pipeline", "seq_token_chunks",
                   "doc_filter_pipeline", "doc_shuffle_export",
-                  "doc_bpe_stats", "emb_knn_ivfpq", "doc_snapshot_diff"):
+                  "doc_bpe_stats", "emb_knn_ivfpq", "doc_snapshot_diff",
+                  "doc_importance_weights", "doc_decontam_fuzzy",
+                  "emb_semantic_dedup", "events_key_skew", "doc_dup_spans"):
         t0 = time.perf_counter()
         try:
             _consume(QUERIES[extra].fn(sf_dir))
