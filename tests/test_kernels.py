@@ -625,3 +625,24 @@ def test_positional_items_null_element_is_type_violation():
     for i, row in enumerate(tbl.to_pylist()):
         sv = validate_value(schema, row, fail="finally")
         assert {(v.path or "/", v.keyword) for v in sv} == got.get(i, set())
+
+
+def test_fixed_size_list_null_rows_empty_segments():
+    """Regression (code-review r4): a null fixed-size-list row must
+    yield an EMPTY segment from _list_offsets (pyarrow's FSL->list cast
+    keeps list_size-long null segments), or null rows miscount in
+    offset-consuming kernels like in-row duplicate detection."""
+    from xema_ray.functions.kernels import _list_offsets, inrow_duplicate_rows
+
+    arr = pa.array([[1, 2], [3, 3], None, [4, 5]],
+                   type=pa.list_(pa.int64(), 2))
+    values, offsets = _list_offsets(arr)
+    assert offsets.tolist() == [0, 2, 4, 4, 6]
+    assert values.to_pylist() == [1, 2, 3, 3, 4, 5]
+    vals = values.to_numpy(zero_copy_only=False)
+    # only row 1 has an in-row duplicate; the null row must NOT count
+    assert inrow_duplicate_rows(vals, offsets).tolist() == [1]
+    # sliced arrays keep the right slot base
+    values2, offsets2 = _list_offsets(arr.slice(1, 3))
+    assert offsets2.tolist() == [0, 2, 2, 4]
+    assert values2.to_pylist() == [3, 3, 4, 5]

@@ -320,3 +320,22 @@ def test_key_skew_report_nulls_and_empty(ray_session):
     out2 = key_skew_report(rd.from_arrow(empty), key="user_id", k=5)
     assert out2.num_rows == 0
     assert out2.column_names == ["rank", "user_id", "n", "share_ppm"]
+
+
+def test_key_skew_report_coverage_certifies_small_vocab(ray_session):
+    """Regression (code-review r4): when the candidate recounts cover
+    the WHOLE corpus (distinct keys < capacity, sketch exact), the
+    top-k is provably exact even if the k-th count is under
+    total/capacity — must not refuse."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages.stats import key_skew_report
+
+    keys = np.concatenate([np.full(200_000, 1, np.int64),
+                           np.repeat(np.arange(2, 101, dtype=np.int64), 50)])
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(keys)}))
+    out = key_skew_report(ds, key="user_id", k=15, capacity=4096)
+    assert out["user_id"].to_pylist()[0] == 1
+    assert out["n"].to_pylist() == [200_000] + [50] * 14

@@ -207,12 +207,15 @@ def test_fuzzy_contaminated_docs_empty_and_nulls(ray_session):
 
     train = rd.from_pandas(pd.DataFrame({
         "doc_id": [1, 2], "text": ["some words here", None]}))
-    # empty eval set -> no pairs, schema intact
+    # empty eval set -> no pairs, and the eval_id column keeps the id
+    # column's REAL type (an empty python list would infer Arrow null)
     evl = rd.from_pandas(pd.DataFrame({
         "doc_id": pd.Series([], dtype=np.int64),
         "text": pd.Series([], dtype=object)}))
-    out = fuzzy_contaminated_docs(train, evl).take_all()
-    assert out == []
+    out_ds = fuzzy_contaminated_docs(train, evl)
+    assert out_ds.take_all() == []
+    sch = out_ds.schema()
+    assert dict(zip(sch.names, sch.types))["eval_id"] == pa.int64()
     # null train text -> no crash, no pair
     evl2 = rd.from_pandas(pd.DataFrame({"doc_id": [9],
                                         "text": ["some words here"]}))

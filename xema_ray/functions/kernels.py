@@ -875,12 +875,26 @@ def _format_mask(col, name: str) -> np.ndarray:
 def _list_offsets(arr) -> tuple:
     """(values, offsets) for a (Large)ListArray, zero-copy.
 
-    Fixed-size lists carry no offsets buffer; cast to a variable-size list
-    first (null rows become empty segments, matching ListArray semantics).
+    Fixed-size lists carry no offsets buffer: a null-free one casts to a
+    variable-size list; with null rows the cast would KEEP list_size-long
+    segments of null values under each null row (pyarrow 16 behavior), so
+    the offsets/values are rebuilt with null rows as truly EMPTY segments
+    — the invariant every caller assumes (builder-produced variable-size
+    lists give null rows empty segments).
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if isinstance(arr, pa.FixedSizeListArray):
+        w = arr.type.list_size
+        if arr.null_count:
+            valid = _np_bool(pc.is_valid(arr))
+            lens = np.where(valid, w, 0).astype(np.int64)
+            offsets = np.concatenate([[0], np.cumsum(lens)])
+            rows = np.flatnonzero(valid)
+            idx = ((arr.offset + rows)[:, None] * w
+                   + np.arange(w, dtype=np.int64)).ravel()
+            values = arr.values.take(pa.array(idx, type=pa.int64()))
+            return values, offsets
         arr = arr.cast(pa.list_(arr.type.value_type))
     offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     return arr.values, offsets

@@ -134,7 +134,18 @@ def fuzzy_contaminated_docs(train_ds, eval_ds, text_col: str = "text",
         eval_ds, text_col=text_col, id_col=id_col, n=n)
     n_eval = len(eval_ids)
     post_ref = ray.put((keys, offs, flat_e, sizes))
-    ids_arr = pa.array(eval_ids)
+    if n_eval:
+        ids_arr = pa.array(eval_ids)
+    else:
+        # an empty python list would infer Arrow's null type for the
+        # eval_id column (breaking parquet writes / unions downstream);
+        # pin it to the eval dataset's real id type (Ray schemas carry
+        # Arrow types for Arrow blocks, numpy dtypes for pandas blocks)
+        sch = eval_ds.schema()
+        typ = dict(zip(sch.names, sch.types))[id_col]
+        if not isinstance(typ, pa.DataType):
+            typ = pa.from_numpy_dtype(typ)
+        ids_arr = pa.array([], type=typ)
 
     def flag(t: pa.Table) -> pa.Table:
         ks, of, fe, sz = ray.get(post_ref)

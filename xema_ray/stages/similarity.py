@@ -545,7 +545,7 @@ def _kmeans_partial_batch(tbl: pa.Table, cent_ref, vec_col: str) -> pa.Table:
 
 
 def kmeans_fit(ds, k: int = 64, iters: int = 5, vec_col: str = "embedding",
-               seed: int = 17, sample: int = 4096, concurrency=(1, 8)):
+               seed: int = 17, sample: int = 4096):
     """Distributed Lloyd iterations for the IVF coarse quantizer.
 
     Shuffle-free: each iteration broadcasts the (k, d) centroid matrix

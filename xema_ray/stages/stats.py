@@ -1071,14 +1071,17 @@ def key_skew_report(ds, key: str = "user_id", k: int = 15,
     # MG sketch undercounts by at most total/capacity, so candidates
     # cover every key with true count above that bound — if the k-th
     # recounted candidate clears it, the top-k is provably complete.
-    # With FEWER than k candidates, completeness needs the candidates
-    # to cover every row (sum == total): otherwise unseen keys with
-    # count <= total/capacity could belong in the report (the fully
-    # uniform corpus lands here and must raise, not return empty)
-    if len(n) == k:
-        certified = n[-1] * capacity > total
-    else:
-        certified = int(exact.sum()) == total
+    # The coverage certificate applies in EITHER branch: when the
+    # candidates' recounts sum to the corpus total, no key exists
+    # outside the candidate set, so the cut is exact regardless of the
+    # bound (code-review r4: a skewed corpus with < capacity distinct
+    # keys must not refuse just because the k-th count is small).
+    # With FEWER than k candidates the bound alone can never certify:
+    # unseen keys with count <= total/capacity could belong in the
+    # report (the fully uniform corpus lands here and must raise,
+    # not return empty)
+    covered = int(exact.sum()) == total
+    certified = covered or (len(n) == k and n[-1] * capacity > total)
     if not certified:
         kth = int(n[-1]) if len(n) else 0
         raise ValueError(
