@@ -682,3 +682,86 @@ def test_dup_spans_randomized_vs_python_reference(ray_session):
             for b in out.iter_batches(batch_format="pyarrow")
             for r in b.to_pylist())
         assert got == want and len(want) > 20
+
+
+# ---------------------------------------------------------------------------
+# AllPairs / PPJoin exact set-similarity self-join
+# ---------------------------------------------------------------------------
+
+
+def _brute_jaccard_pairs(pdf, threshold, n=3):
+    from xema_ray.stages.dedup import ngram_jaccard
+
+    ids = pdf["doc_id"].tolist()
+    texts = pdf["text"].tolist()
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if ngram_jaccard(texts[i], texts[j], n=n) >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                want.add((a, b))
+    return want
+
+
+@pytest.mark.parametrize("order", ["df", "hash"])
+def test_allpairs_exact_vs_bruteforce(docs_ds, order):
+    """Candidates are a guaranteed superset; after exact verification the
+    result EQUALS the brute-force all-pairs Jaccard answer (recall certified
+    by the prefix-filter theorem, not corpus luck)."""
+    ds, pdf = docs_ds
+    from xema_ray.stages.dedup import (allpairs_jaccard_pairs,
+                                       verify_pairs_jaccard)
+
+    thr = 0.5
+    cands = allpairs_jaccard_pairs(ds, threshold=thr, order=order)
+    cand_set = {(r["doc_a"], r["doc_b"])
+                for r in cands.take_all()}
+    want = _brute_jaccard_pairs(pdf, thr)
+    missing = want - {tuple(sorted(p)) for p in cand_set}
+    assert not missing, f"prefix filter lost true pairs: {missing}"
+
+    verified = verify_pairs_jaccard(cands, ds, threshold=thr).take_all()
+    got = {tuple(sorted((r["doc_a"], r["doc_b"]))) for r in verified}
+    assert got == want and len(want) >= 10  # 10 exact-dup pairs at least
+
+
+def test_allpairs_driver_matches_groupby(docs_ds):
+    ds, _ = docs_ds
+    from xema_ray.stages.dedup import allpairs_jaccard_pairs
+
+    a = {(r["doc_a"], r["doc_b"]) for r in allpairs_jaccard_pairs(
+        ds, threshold=0.6, strategy="driver").take_all()}
+    b = {(r["doc_a"], r["doc_b"]) for r in allpairs_jaccard_pairs(
+        ds, threshold=0.6, strategy="groupby").take_all()}
+    assert a == b and a
+
+
+def test_allpairs_empty_and_short_docs(ray_session):
+    import ray.data as rd
+    from xema_ray.stages.dedup import allpairs_jaccard_pairs
+
+    pdf = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d", "e"],
+        "text": ["", "", "one two", "one two", "totally different words"],
+    })
+    got = {(r["doc_a"], r["doc_b"]) for r in allpairs_jaccard_pairs(
+        rd.from_pandas(pdf), threshold=0.9).take_all()}
+    # empty docs share the empty gram (J=1); the short-doc whole-doc gram
+    # makes c/d identical singleton sets
+    assert ("a", "b") in got and ("c", "d") in got
+    assert not any("e" in p for p in got)
+
+
+def test_allpairs_prefix_smaller_than_full_postings(docs_ds):
+    """Prefix rows (what the exchange moves) are strictly fewer than total
+    distinct grams — the scale property the prefix filter exists for."""
+    import numpy as np
+    ds, pdf = docs_ds
+    from xema_ray.stages.dedup import _doc_gram_sets
+
+    thr = 0.5
+    _, offs = _doc_gram_sets(pdf["text"], 3)
+    sizes = np.diff(offs)
+    prefix = sizes - np.ceil(thr * sizes - 1e-9).astype(np.int64) + 1
+    assert prefix.sum() < 0.6 * sizes.sum()
+    assert (prefix >= 1).all() and (prefix <= sizes).all()

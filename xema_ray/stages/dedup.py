@@ -1413,3 +1413,192 @@ def run_span_dedup(paths, out_dir: str, n: int = 8, min_count: int = 2,
         cfg_sig=f"spandedup:{json.dumps(cfg, sort_keys=True)}"
                 f":dup={dup_sig}",
         batch_rows=batch_rows)
+
+
+# ----------------------------------------------------------------------
+# exact set-similarity self-join (AllPairs / PPJoin prefix filtering)
+# ----------------------------------------------------------------------
+#
+# Reference scope note: Xema has no similarity operators; this family is
+# part of the training-data suite the build brief asks for.  Algorithm:
+# Bayardo, Ma, Srikant "Scaling Up All Pairs Similarity Search" (WWW'07)
+# and Xiao et al. "Efficient Similarity Joins for Near Duplicate
+# Detection" (PPJoin, WWW'08) — both public.
+
+
+def _doc_gram_sets(texts: pd.Series, n: int):
+    """Per-doc DISTINCT word-n-gram hash sets ``(flat, offsets)`` —
+    same gram semantics as the MinHash lane (short docs contribute one
+    whole-doc gram, empty docs the empty gram, matching the SQL oracle's
+    ``CASE WHEN len(w) >= n`` arm)."""
+    from xema_ray.functions.sketches import unique_per_row, word_ngram_hashes
+
+    words = _words_lower(texts)
+    flat, offs = word_ngram_hashes(words, n, empty_doc_gram=True)
+    return unique_per_row(flat, offs)
+
+
+def allpairs_jaccard_pairs(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    order: str = "df",
+    hot_min_df: int = 32,
+    max_posting: Optional[int] = None,
+    strategy: str = "auto",
+    auto_driver_limit: int = 4_000_000,
+):
+    """EXACT candidate pairs at n-gram Jaccard >= ``threshold`` via
+    prefix-filtered set-similarity self-join (AllPairs / PPJoin).
+
+    Unlike MinHash-LSH this is lossless by construction: two sets with
+    Jaccard >= t MUST share a token inside their length-
+    ``s - ceil(t*s) + 1`` prefixes under ANY global token order, so the
+    candidate set is a guaranteed superset of the true pair set —
+    composing with :func:`verify_pairs_jaccard` yields the exact answer
+    with recall certified by the algorithm, not by corpus luck.
+
+    Scale shape: only PREFIX postings are exchanged (a ``1 - t/(1+t)``
+    fraction of each doc's distinct grams), grouped by gram hash through
+    the shared coarse-bucket exchange.  ``order='df'`` (default) runs ONE
+    digest-only document-frequency pass through the raw-task u64 exchange
+    and broadcasts only the HOT grams (df >= ``hot_min_df``) — prefixes
+    then hold each doc's rarest grams, so posting lists stay tiny and the
+    broadcast is O(hot vocabulary), never O(vocabulary).  ``order='hash'``
+    skips the pass (correct under any total order; more candidates).
+    Gram identity is the shared 64-bit splitmix hash — a cross-gram
+    collision (~2^-64 per pair) could at worst add a spurious candidate,
+    which exact verification removes.
+
+    ``max_posting`` (default None = exact) optionally caps degenerate
+    posting lists with doc_id-sorted retention — the documented skew
+    guard, which trades the recall guarantee; with df ordering the
+    prefix of a real corpus holds rare grams and the cap stays inert.
+
+    Returns a Dataset of distinct ``(doc_a, doc_b)`` with doc_a < doc_b.
+    """
+    import ray
+    import ray.data as rd
+
+    eps = 1e-9
+    hot_ref = None
+    if order == "df":
+        from xema_ray.stages.stats import u64_key_exchange
+
+        def df_keys(tbl: pa.Table) -> np.ndarray:
+            flat, _ = _doc_gram_sets(tbl[col].to_pandas(), n)
+            return flat  # per-doc distinct => counts are document freqs
+
+        hk, hd = u64_key_exchange(
+            ds.select_columns([col]).to_arrow_refs(), df_keys,
+            lambda uk, cnts: (uk[cnts >= hot_min_df],
+                              cnts[cnts >= hot_min_df]))
+        o = np.argsort(hk)
+        hot_ref = ray.put((hk[o], hd[o].astype(np.int64)))
+    elif order != "hash":
+        raise ValueError(f"unknown order {order!r}")
+
+    def postings(t: pa.Table) -> pa.Table:
+        flat, offs = _doc_gram_sets(t[col].to_pandas(), n)
+        sizes = np.diff(offs)
+        ids = np.repeat(np.asarray(t[id_col].to_pylist(), dtype=object),
+                        sizes)
+        if hot_ref is not None and len(flat):
+            hk, hd = ray.get(hot_ref)  # plasma-local read per task
+            if len(hk):
+                idx = np.minimum(np.searchsorted(hk, flat), len(hk) - 1)
+                df = np.where(hk[idx] == flat, hd[idx], 0)
+            else:
+                df = np.zeros(len(flat), np.int64)
+        else:
+            df = np.zeros(len(flat), np.int64)
+        rows = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        # rare-first canonical order: (df with cold grams at 0, hash);
+        # a pure function of the gram + the broadcast hot table, so
+        # every doc in every batch sorts its set identically
+        order_ = np.lexsort((flat, df, rows))
+        f2, ids2 = flat[order_], ids[order_]
+        pos = (np.arange(len(f2), dtype=np.int64)
+               - np.repeat(offs[:-1], sizes))
+        # prefix length s - ceil(t*s) + 1; eps makes the ceil LOOSE
+        # (never smaller prefixes than the bound requires)
+        p = sizes - np.ceil(threshold * sizes - eps).astype(np.int64) + 1
+        keep = pos < np.repeat(p, sizes)
+        return pa.table({
+            "gram": pa.array(f2[keep].view(np.int64), type=pa.int64()),
+            "doc_id": pa.array(ids2[keep]),
+            "size": pa.array(sizes.repeat(sizes)[keep].astype(np.int64)),
+            "pos": pa.array(pos[keep], type=pa.int64()),
+        })
+
+    post_rows = ds.map_batches(postings, batch_format="pyarrow")
+    req_f = threshold / (1.0 + threshold)
+
+    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        g_all = group.sort_values("gram", kind="stable")
+        keys = g_all["gram"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            g = g_all.iloc[s:e].sort_values("doc_id", kind="stable") \
+                .drop_duplicates("doc_id")
+            if max_posting is not None:
+                g = g.head(max_posting)
+            m = len(g)
+            if m < 2:
+                continue
+            ids = g["doc_id"].to_numpy()
+            sz = g["size"].to_numpy(dtype=np.int64)
+            ps = g["pos"].to_numpy(dtype=np.int64)
+            for i in range(m - 1):
+                sa, pa_i = sz[i], ps[i]
+                sb, pb = sz[i + 1:], ps[i + 1:]
+                mn = np.minimum(sa, sb)
+                mx = np.maximum(sa, sb)
+                # size filter: J <= min/max
+                ok = mn >= np.ceil(threshold * mx - eps)
+                # positional filter: under one global order, common
+                # grams before this shared gram number <= min(pa, pb)
+                # and at-or-after it <= min(sa-pa, sb-pb), so overlap
+                # <= both summed — sound at EVERY shared gram
+                # independently (no probe-order state needed)
+                o_req = np.ceil(req_f * (sa + sb) - eps)
+                ub = (np.minimum(pa_i, pb)
+                      + np.minimum(sa - pa_i, sb - pb))
+                ok &= ub >= o_req
+                for j in np.nonzero(ok)[0]:
+                    a, b = ids[i], ids[i + 1 + j]
+                    if a == b:
+                        continue
+                    if a > b:
+                        a, b = b, a
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    if strategy == "auto":
+        post_rows = post_rows.materialize()
+        strategy = "driver" if post_rows.count() <= auto_driver_limit \
+            else "groupby"
+
+    if strategy == "driver":
+        id_type = post_rows.schema().base_schema.field("doc_id").type
+        schema = pa.schema([("doc_a", id_type), ("doc_b", id_type)])
+        frames = [b.to_pandas() for b in
+                  post_rows.iter_batches(batch_format="pyarrow")
+                  if b.num_rows]
+        if not frames:
+            return rd.from_arrow(pa.table(
+                {f.name: pa.array([], f.type) for f in schema}))
+        pairs_df = block_pairs(pd.concat(frames, ignore_index=True))
+        pairs_df = pairs_df.drop_duplicates(["doc_a", "doc_b"])
+        return rd.from_arrow(pa.Table.from_pandas(
+            pairs_df.reset_index(drop=True), schema=schema,
+            preserve_index=False))
+
+    pairs = _coarse_groupby(post_rows, ["gram"], block_pairs)
+    return _dedupe_pairs(pairs, keep=[])
