@@ -104,7 +104,8 @@ def run_bench() -> dict:
                   "doc_filter_pipeline", "doc_shuffle_export",
                   "doc_bpe_stats", "emb_knn_ivfpq", "doc_snapshot_diff",
                   "doc_importance_weights", "doc_decontam_fuzzy",
-                  "emb_semantic_dedup", "events_key_skew", "doc_dup_spans"):
+                  "emb_semantic_dedup", "events_key_skew", "doc_dup_spans",
+                  "doc_allpairs_jaccard"):
         t0 = time.perf_counter()
         try:
             _consume(QUERIES[extra].fn(sf_dir))

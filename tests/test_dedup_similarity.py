@@ -765,3 +765,50 @@ def test_allpairs_prefix_smaller_than_full_postings(docs_ds):
     prefix = sizes - np.ceil(thr * sizes - 1e-9).astype(np.int64) + 1
     assert prefix.sum() < 0.6 * sizes.sum()
     assert (prefix >= 1).all() and (prefix <= sizes).all()
+
+
+def test_neardup_sql_oracles_agree_on_empty_docs(ray_session):
+    """Engine-vs-oracle parity on the divergence class the shipped corpora
+    happen to lack (code-review r4): zero-token docs — empty string, NULL,
+    punctuation-only.  DuckDB's array_to_string([], ' ') is NULL; the
+    _GRAMS_CTE coalesce maps them to the shared '' gram so the oracle
+    agrees with the engine's empty-gram semantics (J=1 between empty
+    docs)."""
+    import duckdb
+    import ray.data as rd
+    from xema_ray.pipelines.queries import _ALLPAIRS_SQL, _MINHASH_SQL
+    from xema_ray.stages.dedup import (allpairs_jaccard_pairs,
+                                       minhash_lsh_pairs,
+                                       verify_pairs_jaccard)
+
+    pdf = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4, 5, 6], dtype="int64"),
+        "text": ["", None, "!!! ...", "alpha beta gamma delta",
+                 "alpha beta gamma delta", "unrelated words here now"],
+    })
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    def run_sql(sql):
+        df = con.execute(sql).fetchdf()
+        return {(int(a), int(b), int(j))
+                for a, b, j in df.itertuples(index=False)}
+
+    ds = rd.from_pandas(pdf)
+    got_ap = verify_pairs_jaccard(
+        allpairs_jaccard_pairs(ds, threshold=0.4), ds,
+        threshold=0.4, fixed_point=True)
+    got_ap = {(int(r["doc_a"]), int(r["doc_b"]), int(r["j_fp"]))
+              for r in got_ap.take_all()}
+    want_ap = run_sql(_ALLPAIRS_SQL)
+    assert got_ap == want_ap
+    # the three zero-token docs pair pairwise at J=1 plus the exact dup
+    assert {(1, 2, 1000000), (1, 3, 1000000), (2, 3, 1000000),
+            (4, 5, 1000000)} == want_ap
+
+    got_mh = verify_pairs_jaccard(
+        minhash_lsh_pairs(ds, threshold=0.45), ds,
+        threshold=0.5, fixed_point=True)
+    got_mh = {(int(r["doc_a"]), int(r["doc_b"]), int(r["j_fp"]))
+              for r in got_mh.take_all()}
+    assert got_mh == run_sql(_MINHASH_SQL)

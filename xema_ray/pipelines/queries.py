@@ -611,7 +611,15 @@ def doc_fingerprints(sf_dir: str):
                           batch_format="pyarrow")
 
 
-_MINHASH_SQL = """WITH d AS (
+# Shared word-3-gram CTEs for the near-dup oracle family.  The ELSE arm
+# wraps array_to_string in coalesce: DuckDB's array_to_string([], ' ') is
+# NULL, which would give zero-token docs grams=[NULL] (intersect/union 0,
+# j NULL -> pair dropped), while the engine gives every empty doc the
+# shared empty gram (J=1 between empty docs, matching
+# ngram_jaccard('','')==1.0).  coalesce maps the empty doc to the ''
+# gram — unreachable from any non-empty doc since split tokens are
+# nonempty — so oracle and engine agree on the empty-doc pair class.
+_GRAMS_CTE = """d AS (
   SELECT doc_id, list_filter(regexp_split_to_array(
       lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
   FROM documents
@@ -620,9 +628,14 @@ _MINHASH_SQL = """WITH d AS (
     CASE WHEN len(w) >= 3
          THEN list_distinct([array_to_string(w[i:i+2], ' ')
                              FOR i IN generate_series(1, len(w) - 2)])
-         ELSE [array_to_string(w, ' ')] END AS grams
+         ELSE [coalesce(array_to_string(w, ' '), '')] END AS grams
   FROM d
-), p AS (
+)"""
+
+
+def _pairs_jfp_sql(threshold: float) -> str:
+    """Exact all-pairs 3-gram-Jaccard >= threshold, fixed-point j."""
+    return f"""WITH {_GRAMS_CTE}, p AS (
   SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
          CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
          NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0) AS j
@@ -630,7 +643,10 @@ _MINHASH_SQL = """WITH d AS (
   WHERE a.doc_id < b.doc_id AND len(list_intersect(a.grams, b.grams)) > 0
 )
 SELECT doc_a, doc_b, CAST(floor(1e6 * j) AS BIGINT) AS j_fp
-FROM p WHERE j >= 0.5"""
+FROM p WHERE j >= {threshold}"""
+
+
+_MINHASH_SQL = _pairs_jfp_sql(0.5)
 
 
 @register("doc_minhash_pairs", _MINHASH_SQL,
@@ -654,26 +670,7 @@ def doc_minhash_pairs(sf_dir: str):
     return verified.select_columns(["doc_a", "doc_b", "j_fp"])
 
 
-_ALLPAIRS_SQL = """WITH d AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(
-      lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
-  FROM documents
-), g AS (
-  SELECT doc_id,
-    CASE WHEN len(w) >= 3
-         THEN list_distinct([array_to_string(w[i:i+2], ' ')
-                             FOR i IN generate_series(1, len(w) - 2)])
-         ELSE [array_to_string(w, ' ')] END AS grams
-  FROM d
-), p AS (
-  SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
-         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-         NULLIF(len(list_distinct(list_concat(a.grams, b.grams))), 0) AS j
-  FROM g a, g b
-  WHERE a.doc_id < b.doc_id AND len(list_intersect(a.grams, b.grams)) > 0
-)
-SELECT doc_a, doc_b, CAST(floor(1e6 * j) AS BIGINT) AS j_fp
-FROM p WHERE j >= 0.4"""
+_ALLPAIRS_SQL = _pairs_jfp_sql(0.4)
 
 
 @register("doc_allpairs_jaccard", _ALLPAIRS_SQL,
@@ -696,18 +693,7 @@ def doc_allpairs_jaccard(sf_dir: str):
     return verified.select_columns(["doc_a", "doc_b", "j_fp"])
 
 
-_CLUSTER_SQL = """WITH RECURSIVE d AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(
-      lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
-  FROM documents
-), g AS (
-  SELECT doc_id,
-    CASE WHEN len(w) >= 3
-         THEN list_distinct([array_to_string(w[i:i+2], ' ')
-                             FOR i IN generate_series(1, len(w) - 2)])
-         ELSE [array_to_string(w, ' ')] END AS grams
-  FROM d
-), p AS (
+_CLUSTER_SQL = f"""WITH RECURSIVE {_GRAMS_CTE}, p AS (
   SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
   FROM g a, g b
   WHERE a.doc_id < b.doc_id AND len(list_intersect(a.grams, b.grams)) > 0

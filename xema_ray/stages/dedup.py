@@ -347,6 +347,48 @@ def _dedupe_pairs(pairs, keep: list, n_buckets: Optional[int] = None):
         .groupby("_cb").map_groups(drop, batch_format="pandas")
 
 
+def _pair_self_join(rows, block_fn, key_cols: list, extra_fields: list,
+                    strategy: str, auto_driver_limit: int):
+    """Shared driver/groupby strategy scaffold for pair-generating
+    self-joins (MinHash bands, SimHash bands, AllPairs prefix postings):
+    measured-auto lane choice, then either a driver fold with an EXPLICIT
+    output schema (an empty or all-int pandas frame would otherwise infer
+    float64 ids and diverge from the groupby path's column types —
+    code-review r3s5) or the coarse-bucket groupby + distributed pair
+    dedupe.
+
+    ``rows`` must carry a ``doc_id`` column (every stage renames to it);
+    ``extra_fields``: ``(name, pa_type)`` columns kept after doc_a/doc_b.
+    """
+    import ray.data as rd
+
+    if strategy == "auto":
+        rows = rows.materialize()
+        strategy = "driver" if rows.count() <= auto_driver_limit \
+            else "groupby"
+
+    if strategy == "driver":
+        id_type = rows.schema().base_schema.field("doc_id").type
+        schema = pa.schema([("doc_a", id_type), ("doc_b", id_type),
+                            *extra_fields])
+        frames = [b.to_pandas() for b in
+                  rows.iter_batches(batch_format="pyarrow")
+                  if b.num_rows]
+        if not frames:
+            return rd.from_arrow(pa.table(
+                {f.name: pa.array([], f.type) for f in schema}))
+        pairs_df = block_fn(pd.concat(frames, ignore_index=True))
+        pairs_df = pairs_df.drop_duplicates(["doc_a", "doc_b"])
+        return rd.from_arrow(pa.Table.from_pandas(
+            pairs_df.reset_index(drop=True), schema=schema,
+            preserve_index=False))
+
+    if strategy != "groupby":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    pairs = _coarse_groupby(rows, key_cols, block_fn)
+    return _dedupe_pairs(pairs, keep=[n for n, _ in extra_fields])
+
+
 def minhash_lsh_pairs(
     ds,
     col: str = "text",
@@ -423,37 +465,9 @@ def minhash_lsh_pairs(
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
                              "est_jaccard": out_j})
 
-    if strategy == "auto":
-        band_rows = band_rows.materialize()
-        strategy = "driver" if band_rows.count() <= auto_driver_limit \
-            else "groupby"
-
-    if strategy == "driver":
-        import ray.data as rd
-
-        # band_rows is already materialized in auto mode — its schema
-        # is free, unlike ds.schema() on an arbitrary lazy input; the
-        # stage always names the id column "doc_id"
-        id_type = band_rows.schema().base_schema.field("doc_id").type
-        schema = pa.schema([("doc_a", id_type), ("doc_b", id_type),
-                            ("est_jaccard", pa.float64())])
-        frames = [b.to_pandas() for b in
-                  band_rows.iter_batches(batch_format="pyarrow")
-                  if b.num_rows]
-        if not frames:
-            return rd.from_arrow(pa.table(
-                {f.name: pa.array([], f.type) for f in schema}))
-        pairs_df = block_pairs(pd.concat(frames, ignore_index=True))
-        pairs_df = pairs_df.drop_duplicates(["doc_a", "doc_b"])
-        # explicit schema: an empty (or all-int) pandas frame would
-        # otherwise infer float64 ids and diverge from the groupby
-        # path's column types (code-review r3s5)
-        return rd.from_arrow(pa.Table.from_pandas(
-            pairs_df.reset_index(drop=True), schema=schema,
-            preserve_index=False))
-
-    pairs = _coarse_groupby(band_rows, ["band", "band_hash"], block_pairs)
-    return _dedupe_pairs(pairs, keep=["est_jaccard"])
+    return _pair_self_join(band_rows, block_pairs, ["band", "band_hash"],
+                           [("est_jaccard", pa.float64())],
+                           strategy, auto_driver_limit)
 
 
 # ----------------------------------------------------------------------
@@ -560,33 +574,9 @@ def simhash_pairs(ds, col: str = "text", id_col: str = "doc_id",
                     out_a.append(a); out_b.append(b); out_h.append(int(d[j]))
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
 
-    if strategy == "auto":
-        rows = rows.materialize()
-        strategy = "driver" if rows.count() <= auto_driver_limit \
-            else "groupby"
-
-    if strategy == "driver":
-        import ray.data as rd
-
-        # band rows always name the id column "doc_id" (the stage
-        # renames) — field(id_col) raised for non-default id_col
-        id_type = rows.schema().base_schema.field("doc_id").type
-        schema = pa.schema([("doc_a", id_type), ("doc_b", id_type),
-                            ("hamming", pa.int64())])
-        frames = [b.to_pandas() for b in
-                  rows.iter_batches(batch_format="pyarrow")
-                  if b.num_rows]
-        if not frames:
-            return rd.from_arrow(pa.table(
-                {f.name: pa.array([], f.type) for f in schema}))
-        pairs_df = block_pairs(pd.concat(frames, ignore_index=True))
-        pairs_df = pairs_df.drop_duplicates(["doc_a", "doc_b"])
-        return rd.from_arrow(pa.Table.from_pandas(
-            pairs_df.reset_index(drop=True), schema=schema,
-            preserve_index=False))
-
-    pairs = _coarse_groupby(rows, ["band", "band_key"], block_pairs)
-    return _dedupe_pairs(pairs, keep=["hamming"])
+    return _pair_self_join(rows, block_pairs, ["band", "band_key"],
+                           [("hamming", pa.int64())],
+                           strategy, auto_driver_limit)
 
 
 # ----------------------------------------------------------------------
@@ -1480,7 +1470,6 @@ def allpairs_jaccard_pairs(
     Returns a Dataset of distinct ``(doc_a, doc_b)`` with doc_a < doc_b.
     """
     import ray
-    import ray.data as rd
 
     eps = 1e-9
     hot_ref = None
@@ -1544,10 +1533,13 @@ def allpairs_jaccard_pairs(
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s < 2:
                 continue
-            g = g_all.iloc[s:e].sort_values("doc_id", kind="stable") \
-                .drop_duplicates("doc_id")
+            g = g_all.iloc[s:e]
             if max_posting is not None:
-                g = g.head(max_posting)
+                # doc_id sort only exists to make cap retention
+                # deterministic; postings are per-doc distinct, so the
+                # dedup is a no-op unless the corpus repeats doc_ids
+                g = g.sort_values("doc_id", kind="stable") \
+                    .drop_duplicates("doc_id").head(max_posting)
             m = len(g)
             if m < 2:
                 continue
@@ -1580,25 +1572,5 @@ def allpairs_jaccard_pairs(
                     out_b.append(b)
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
-    if strategy == "auto":
-        post_rows = post_rows.materialize()
-        strategy = "driver" if post_rows.count() <= auto_driver_limit \
-            else "groupby"
-
-    if strategy == "driver":
-        id_type = post_rows.schema().base_schema.field("doc_id").type
-        schema = pa.schema([("doc_a", id_type), ("doc_b", id_type)])
-        frames = [b.to_pandas() for b in
-                  post_rows.iter_batches(batch_format="pyarrow")
-                  if b.num_rows]
-        if not frames:
-            return rd.from_arrow(pa.table(
-                {f.name: pa.array([], f.type) for f in schema}))
-        pairs_df = block_pairs(pd.concat(frames, ignore_index=True))
-        pairs_df = pairs_df.drop_duplicates(["doc_a", "doc_b"])
-        return rd.from_arrow(pa.Table.from_pandas(
-            pairs_df.reset_index(drop=True), schema=schema,
-            preserve_index=False))
-
-    pairs = _coarse_groupby(post_rows, ["gram"], block_pairs)
-    return _dedupe_pairs(pairs, keep=[])
+    return _pair_self_join(post_rows, block_pairs, ["gram"], [],
+                           strategy, auto_driver_limit)
