@@ -812,3 +812,18 @@ def test_neardup_sql_oracles_agree_on_empty_docs(ray_session):
     got_mh = {(int(r["doc_a"]), int(r["doc_b"]), int(r["j_fp"]))
               for r in got_mh.take_all()}
     assert got_mh == run_sql(_MINHASH_SQL)
+
+
+def test_verify_hash_method_matches_exact(docs_ds):
+    ds, _ = docs_ds
+    from xema_ray.stages.dedup import (allpairs_jaccard_pairs,
+                                       verify_pairs_jaccard)
+
+    cands = allpairs_jaccard_pairs(ds, threshold=0.5)
+    a = {(r["doc_a"], r["doc_b"], r["j_fp"]) for r in verify_pairs_jaccard(
+        cands, ds, threshold=0.5, fixed_point=True,
+        method="exact").take_all()}
+    b = {(r["doc_a"], r["doc_b"], r["j_fp"]) for r in verify_pairs_jaccard(
+        cands, ds, threshold=0.5, fixed_point=True,
+        method="hash").take_all()}
+    assert a == b and a

@@ -688,8 +688,12 @@ def doc_allpairs_jaccard(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"], split=True)
     cands = allpairs_jaccard_pairs(docs, threshold=0.4)
+    # hash verification: the prefix join at t=0.4 yields ~10 candidates
+    # per doc (576k at sf0.1), where per-pair Python set Jaccard was 40 s
+    # of a 53 s wall; searchsorted over broadcast sorted gram-hash
+    # arrays verifies the same set in ~2 s
     verified = verify_pairs_jaccard(cands, docs, threshold=0.4,
-                                    fixed_point=True)
+                                    fixed_point=True, method="hash")
     return verified.select_columns(["doc_a", "doc_b", "j_fp"])
 
 

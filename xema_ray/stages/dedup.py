@@ -606,7 +606,8 @@ def _ngrams(words, n):
 def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
                          id_col: str = "doc_id", n: int = 3,
                          threshold: float = 0.6,
-                         fixed_point: bool = False):
+                         fixed_point: bool = False,
+                         method: str = "exact"):
     """Exact-Jaccard verification of candidate pairs.
 
     Scale shape (round-1 verdict fix): the candidate-id set (small — LSH
@@ -614,11 +615,23 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
     ``is_in``-filtered map stage, so only the candidate docs' texts ever
     leave the workers.  Verification itself runs distributed as a
     ``map_batches`` over the pairs with the gathered texts broadcast once.
+
+    ``method``: ``"exact"`` recomputes string-gram set Jaccard per pair
+    (Python set ops — fine for LSH-sized candidate sets).  ``"hash"``
+    broadcasts each candidate doc's SORTED distinct 64-bit gram-hash
+    array and counts intersections with ``np.searchsorted`` — ~50×
+    faster per pair, for candidate sets in the 10^5-10^6 range (the
+    AllPairs prefix join at low thresholds).  A cross-gram hash
+    collision (~2^-64 per gram pair) could perturb one count by 1;
+    identical gram semantics otherwise (empty docs share the empty
+    gram, so empty-empty verifies at J=1 in both modes).
     """
     import ray
     import ray.data as rd
     import pyarrow.compute as pc
 
+    if method not in ("exact", "hash"):
+        raise ValueError(f"unknown method {method!r}")
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype=object),
                           "doc_b": pd.Series([], dtype=object),
                           "jaccard": pd.Series([], dtype=float)})
@@ -640,6 +653,56 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
 
     cand = docs_ds.select_columns([id_col, col]).map_batches(
         gather, batch_format="pyarrow")
+
+    if method == "hash":
+        grams: dict = {}  # id -> sorted distinct uint64 gram hashes
+        for b in cand.iter_batches(batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            flat, offs = _doc_gram_sets(b[col].to_pandas(), n)
+            ids_b = b[id_col].to_pylist()
+            for i, s, e in zip(ids_b, offs[:-1], offs[1:]):
+                grams[i] = flat[s:e]  # unique_per_row => sorted
+        gref = ray.put(grams)
+        _EMPTY_SET = np.empty(0, np.uint64)
+
+        class VerifyHash:
+            def __init__(self):
+                self.grams = ray.get(gref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ja = np.empty(t.num_rows, np.float64)
+                for k, (a, b) in enumerate(zip(t["doc_a"].to_pylist(),
+                                               t["doc_b"].to_pylist())):
+                    ga = self.grams.get(a, _EMPTY_SET)
+                    gb = self.grams.get(b, _EMPTY_SET)
+                    la, lb = len(ga), len(gb)
+                    if la == 0 and lb == 0:
+                        ja[k] = 1.0  # matches ngram_jaccard('','')
+                        continue
+                    if la == 0 or lb == 0:
+                        ja[k] = 0.0
+                        continue
+                    if la > lb:
+                        ga, gb, la, lb = gb, ga, lb, la
+                    idx = np.searchsorted(gb, ga)
+                    idx[idx == lb] = lb - 1
+                    inter = int((gb[idx] == ga).sum())
+                    ja[k] = inter / (la + lb - inter)
+                if fixed_point:
+                    t = t.append_column("j_fp", pa.array(
+                        np.floor(1e6 * ja).astype(np.int64),
+                        type=pa.int64()))
+                    return t.filter(pc.greater_equal(
+                        t["j_fp"], pa.scalar(int(np.floor(1e6 * threshold)),
+                                             type=pa.int64())))
+                t = t.append_column("jaccard", pa.array(
+                    np.round(ja, 6), type=pa.float64()))
+                return t.filter(pc.greater_equal(t["jaccard"], threshold))
+
+        return pairs_ds.map_batches(VerifyHash, batch_format="pyarrow",
+                                    concurrency=(1, 8))
+
     texts: dict = {}
     for b in cand.iter_batches(batch_format="pyarrow"):  # ≤ 2·|pairs| rows
         for i, t in zip(b[id_col].to_pylist(), b[col].to_pylist()):
