@@ -1589,13 +1589,21 @@ def allpairs_jaccard_pairs(
     req_f = threshold / (1.0 + threshold)
 
     def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+        out_a, out_b = [], []  # numpy chunks; ONE frame built at the end
         g_all = group.sort_values("gram", kind="stable")
         keys = g_all["gram"].to_numpy()
         bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        blk = np.diff(bounds)
+        # drop singleton gram blocks VECTORIZED before the Python loop:
+        # on a mostly-unique vocabulary nearly every block is size 1,
+        # and iterating them in Python dominated the fold
+        if (blk < 2).any():
+            g_all = g_all.iloc[np.repeat(blk, blk) >= 2]
+            keys = g_all["gram"].to_numpy()
+            bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1],
+                                          True]) if len(keys) else \
+                np.array([0])
         for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
-                continue
             g = g_all.iloc[s:e]
             if max_posting is not None:
                 # doc_id sort only exists to make cap retention
@@ -1620,20 +1628,25 @@ def allpairs_jaccard_pairs(
                 # grams before this shared gram number <= min(pa, pb)
                 # and at-or-after it <= min(sa-pa, sb-pb), so overlap
                 # <= both summed — sound at EVERY shared gram
-                # independently (no probe-order state needed)
+                # independently (no probe-order state needed; the
+                # min-over-occurrences variant was measured to cut
+                # <0.01% more candidates at 4x the fold cost)
                 o_req = np.ceil(req_f * (sa + sb) - eps)
                 ub = (np.minimum(pa_i, pb)
                       + np.minimum(sa - pa_i, sb - pb))
                 ok &= ub >= o_req
-                for j in np.nonzero(ok)[0]:
-                    a, b = ids[i], ids[i + 1 + j]
-                    if a == b:
-                        continue
-                    if a > b:
-                        a, b = b, a
-                    out_a.append(a)
-                    out_b.append(b)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+                ok &= ids[i + 1:] != ids[i]
+                if not ok.any():
+                    continue
+                jb = ids[i + 1:][ok]
+                ja = np.full(len(jb), ids[i], dtype=ids.dtype)
+                out_a.append(np.minimum(ja, jb))
+                out_b.append(np.maximum(ja, jb))
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=object),
+                                 "doc_b": pd.Series([], dtype=object)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
 
     return _pair_self_join(post_rows, block_pairs, ["gram"], [],
                            strategy, auto_driver_limit)
