@@ -795,13 +795,16 @@ def test_neardup_sql_oracles_agree_on_empty_docs(ray_session):
                 for a, b, j in df.itertuples(index=False)}
 
     ds = rd.from_pandas(pdf)
-    got_ap = verify_pairs_jaccard(
-        allpairs_jaccard_pairs(ds, threshold=0.4), ds,
-        threshold=0.4, fixed_point=True)
-    got_ap = {(int(r["doc_a"]), int(r["doc_b"]), int(r["j_fp"]))
-              for r in got_ap.take_all()}
     want_ap = run_sql(_ALLPAIRS_SQL)
-    assert got_ap == want_ap
+    # BOTH verification lanes — production doc_allpairs_jaccard runs
+    # method='hash', so its empty-gram semantics need this pin too
+    for method in ("exact", "hash"):
+        got_ap = verify_pairs_jaccard(
+            allpairs_jaccard_pairs(ds, threshold=0.4), ds,
+            threshold=0.4, fixed_point=True, method=method)
+        got_ap = {(int(r["doc_a"]), int(r["doc_b"]), int(r["j_fp"]))
+                  for r in got_ap.take_all()}
+        assert got_ap == want_ap, method
     # the three zero-token docs pair pairwise at J=1 plus the exact dup
     assert {(1, 2, 1000000), (1, 3, 1000000), (2, 3, 1000000),
             (4, 5, 1000000)} == want_ap

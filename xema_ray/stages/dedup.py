@@ -632,9 +632,14 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
 
     if method not in ("exact", "hash"):
         raise ValueError(f"unknown method {method!r}")
+    # empty-candidate early return must mirror the verified schema:
+    # j_fp (int64) under fixed_point, jaccard (float) otherwise —
+    # callers select the score column (code-review r4s2)
+    score = ("j_fp", pd.Series([], dtype=np.int64)) if fixed_point \
+        else ("jaccard", pd.Series([], dtype=float))
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype=object),
                           "doc_b": pd.Series([], dtype=object),
-                          "jaccard": pd.Series([], dtype=float)})
+                          score[0]: score[1]})
     pairs_ds = pairs_ds.materialize()  # tiny; avoids re-running LSH twice
     id_rows = pairs_ds.select_columns(["doc_a", "doc_b"]).take_all()
     if not id_rows:
@@ -664,7 +669,10 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
             for i, s, e in zip(ids_b, offs[:-1], offs[1:]):
                 grams[i] = flat[s:e]  # unique_per_row => sorted
         gref = ray.put(grams)
-        _EMPTY_SET = np.empty(0, np.uint64)
+        # a candidate id absent from docs_ds gets the zero-token doc's
+        # gram set, mirroring the exact lane's texts.get(a, "") — both
+        # lanes then verify (missing, empty-doc) at J=1 (code-review r4s2)
+        _MISSING = _doc_gram_sets(pd.Series([""]), n)[0]
 
         class VerifyHash:
             def __init__(self):
@@ -674,8 +682,8 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
                 ja = np.empty(t.num_rows, np.float64)
                 for k, (a, b) in enumerate(zip(t["doc_a"].to_pylist(),
                                                t["doc_b"].to_pylist())):
-                    ga = self.grams.get(a, _EMPTY_SET)
-                    gb = self.grams.get(b, _EMPTY_SET)
+                    ga = self.grams.get(a, _MISSING)
+                    gb = self.grams.get(b, _MISSING)
                     la, lb = len(ga), len(gb)
                     if la == 0 and lb == 0:
                         ja[k] = 1.0  # matches ngram_jaccard('','')
@@ -1588,7 +1596,12 @@ def allpairs_jaccard_pairs(
     post_rows = ds.map_batches(postings, batch_format="pyarrow")
     req_f = threshold / (1.0 + threshold)
 
+    _NO_PAIRS = {"doc_a": pd.Series([], dtype=object),
+                 "doc_b": pd.Series([], dtype=object)}
+
     def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame(_NO_PAIRS)
         out_a, out_b = [], []  # numpy chunks; ONE frame built at the end
         g_all = group.sort_values("gram", kind="stable")
         keys = g_all["gram"].to_numpy()
@@ -1643,8 +1656,7 @@ def allpairs_jaccard_pairs(
                 out_a.append(np.minimum(ja, jb))
                 out_b.append(np.maximum(ja, jb))
         if not out_a:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=object),
-                                 "doc_b": pd.Series([], dtype=object)})
+            return pd.DataFrame(_NO_PAIRS)
         return pd.DataFrame({"doc_a": np.concatenate(out_a),
                              "doc_b": np.concatenate(out_b)})
 
