@@ -182,3 +182,30 @@ def test_cmd_bpe_train_and_apply(ray_session, tmp_path, capsys):
     assert rep2["merges"] == 15
     assert rep2["by_source"]["a"]["n_docs"] == 2
     assert rep2["by_source"]["b"]["n_words"] == 4
+
+
+def test_cmd_neardup(ray_session, tmp_path, capsys):
+    from xema_ray.__main__ import cmd_neardup
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the rain falls softly on the quiet gray town tonight")
+    near = base.replace("gray", "grey")
+    inp = _docs(tmp_path, [base, base, near,
+                           "completely unrelated words about other things "
+                           "spread across many more tokens than needed"])
+    out = str(tmp_path / "nd")
+    cmd_neardup(argparse.Namespace(input=inp, out=out, threshold=0.7,
+                                   text_col="text", id_col="doc_id",
+                                   verify="hash", candidates="allpairs",
+                                   num_cpus=4))
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs"] == 4 and rep["clusters"] == 1
+    assert rep["removed"] == 2 and rep["survivors"] == 2
+    import ray.data as rd
+
+    surv = {r["doc_id"] for r in
+            rd.read_parquet(out + "/survivors").take_all()}
+    assert surv == {"d000", "d003"}  # min-id survivor + the unrelated doc
+    cl = rd.read_parquet(out + "/clusters").take_all()
+    assert {r["doc_id"] for r in cl} == {"d000", "d001", "d002"}
+    assert all(r["cluster_id"] == "d000" for r in cl)

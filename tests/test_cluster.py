@@ -113,3 +113,31 @@ def test_nonconvergence_raises(ray_session):
                                          "doc_b": rng.integers(0, 200, 150)}))
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_rounds=1)
+
+
+def test_dup_clusters_string_ids(ray_session):
+    """Non-integer doc ids run through the node-code dictionary; the
+    cluster representative is the lexicographically smallest member."""
+    import ray.data as rd
+
+    from xema_ray.stages.cluster import dup_clusters
+
+    pairs = rd.from_pandas(pd.DataFrame({
+        "doc_a": ["b", "c", "x"],
+        "doc_b": ["a", "b", "y"],
+    }))
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in dup_clusters(pairs).take_all()}
+    assert rows == {"a": ("a", 1), "b": ("a", 0), "c": ("a", 0),
+                    "x": ("x", 1), "y": ("x", 0)}
+
+
+def test_dup_clusters_string_ids_empty(ray_session):
+    import ray.data as rd
+
+    from xema_ray.stages.cluster import dup_clusters
+
+    pairs = rd.from_pandas(pd.DataFrame({
+        "doc_a": pd.Series([], dtype=object),
+        "doc_b": pd.Series([], dtype=object)}))
+    assert dup_clusters(pairs).take_all() == []

@@ -287,6 +287,67 @@ def cmd_spandedup(args):
     print(json.dumps(out))
 
 
+def cmd_neardup(args):
+    """MinHash-LSH near-dup pipeline over parquet shards: candidate
+    pairs -> exact-Jaccard verification -> connected-component cluster
+    resolution -> survivor corpus (min-id per cluster kept).  Outputs
+    ``<out>/pairs``, ``<out>/clusters`` and ``<out>/survivors`` parquet
+    directories; only the duplicate-membership set (bounded by dup
+    docs, not corpus size) ever reaches the driver."""
+    _init_ray(args.num_cpus)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from xema_ray.stages.cluster import dup_clusters
+    from xema_ray.stages.dedup import (allpairs_jaccard_pairs,
+                                       minhash_lsh_pairs,
+                                       verify_pairs_jaccard)
+
+    paths = _paths(args.input)
+    thin = rd.read_parquet(paths, columns=[args.id_col, args.text_col])
+    if args.candidates == "allpairs":
+        # exact prefix-filtered self-join: recall GUARANTEED at the cut
+        cands = allpairs_jaccard_pairs(thin, col=args.text_col,
+                                       id_col=args.id_col,
+                                       threshold=args.threshold)
+    else:
+        # estimator threshold slightly below the exact cut for candidate
+        # recall (the exact jaccard >= threshold filter defines the output)
+        cands = minhash_lsh_pairs(thin, col=args.text_col,
+                                  id_col=args.id_col,
+                                  threshold=max(0.0, args.threshold - 0.05))
+    pairs = verify_pairs_jaccard(cands, thin, col=args.text_col,
+                                 id_col=args.id_col,
+                                 threshold=args.threshold,
+                                 method=args.verify).materialize()
+    clusters = dup_clusters(pairs).materialize()
+    pairs.write_parquet(os.path.join(args.out, "pairs"))
+    clusters.write_parquet(os.path.join(args.out, "clusters"))
+
+    drop = []  # non-survivor cluster members: bounded by duplicate docs
+    n_clusters = set()
+    for b in clusters.iter_batches(batch_format="pyarrow"):
+        drop.extend(b.filter(pc.equal(b["keep"], 0))["doc_id"].to_pylist())
+        n_clusters.update(b["cluster_id"].to_pylist())
+    drop_ref = ray.put(pa.array(sorted(drop, key=str)))
+
+    def keep_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(
+            t[args.id_col], value_set=ray.get(drop_ref))))
+
+    full = rd.read_parquet(paths)  # all columns for the survivor corpus
+    survivors = full.map_batches(keep_rows, batch_format="pyarrow")
+    survivors.write_parquet(os.path.join(args.out, "survivors"))
+    n_docs = full.count()
+    print(json.dumps({
+        "docs": n_docs, "pairs": pairs.count(),
+        "clusters": len(n_clusters), "removed": len(drop),
+        "survivors": n_docs - len(drop), "threshold": args.threshold,
+    }))
+
+
 def cmd_bpe(args):
     """Train a BPE merge table (one word-count fold + driver merges) and
     save it as a parquet artifact, or apply a saved table to report
@@ -528,6 +589,25 @@ def main(argv=None):
     sd.add_argument("--batch-rows", type=int, default=16384)
     sd.set_defaults(fn=cmd_spandedup)
 
+
+    nd = sub.add_parser(
+        "neardup", help="MinHash-LSH near-dedup: verified pairs + "
+                        "connected-component clusters + survivor corpus")
+    nd.add_argument("input")
+    nd.add_argument("out")
+    nd.add_argument("--threshold", type=float, default=0.8,
+                    help="exact n-gram-Jaccard cut for a duplicate pair")
+    nd.add_argument("--text-col", default="text")
+    nd.add_argument("--id-col", default="doc_id")
+    nd.add_argument("--verify", choices=["exact", "hash"], default="hash",
+                    help="pair verification lane (hash = searchsorted "
+                         "over broadcast gram-hash sets)")
+    nd.add_argument("--candidates", choices=["minhash", "allpairs"],
+                    default="minhash",
+                    help="candidate generation: minhash LSH (probabilistic "
+                         "recall, cheapest at scale) or the exact "
+                         "prefix-filtered self-join (guaranteed recall)")
+    nd.set_defaults(fn=cmd_neardup)
 
     bp = sub.add_parser(
         "bpe", help="train a BPE merge table (word-count fold + driver "

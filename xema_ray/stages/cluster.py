@@ -177,8 +177,55 @@ def dup_clusters(pairs, u_col: str = "doc_a", v_col: str = "doc_b",
     ``cluster_id`` = min doc id of the near-dup component; ``keep`` = 1
     for the survivor (the cluster representative), 0 for every other
     member.  Docs in no pair are absent (they are all keepers).
+
+    Non-integer doc ids are supported through a node-code dictionary:
+    the contraction loop runs on dense int64 codes and the output maps
+    back.  The dictionary is bounded by PAIR-GRAPH nodes (duplicate
+    docs), the same driver bound the label merge already carries — for
+    string ids the component minimum is the lexicographically smallest
+    member.
     """
     import pyarrow.compute as pc
+
+    sch = pairs.schema(fetch_if_missing=True)
+    if sch is None:  # zero-block dataset: any path handles empty
+        is_int = True
+    else:
+        typ = sch.types[sch.names.index(u_col)]
+        is_int = pa.types.is_integer(typ) if isinstance(typ, pa.DataType) \
+            else np.issubdtype(typ, np.integer)  # pandas-block schema
+    if not is_int:
+        import ray
+
+        pairs = pairs.materialize()
+        ids: set = set()
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            ids.update(b[u_col].to_pylist())
+            ids.update(b[v_col].to_pylist())
+        inv = np.array(sorted(ids, key=str), dtype=object)
+        cref = ray.put({i: k for k, i in enumerate(inv)})
+
+        def enc(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            return pa.table({
+                u_col: pa.array([c[x] for x in t[u_col].to_pylist()],
+                                type=pa.int64()),
+                v_col: pa.array([c[x] for x in t[v_col].to_pylist()],
+                                type=pa.int64()),
+            })
+
+        coded = dup_clusters(
+            pairs.map_batches(enc, batch_format="pyarrow"),
+            u_col, v_col, **kw)
+
+        def dec(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pa.array(inv[t["doc_id"].to_numpy()]),
+                "cluster_id": pa.array(inv[t["cluster_id"].to_numpy()]),
+                "keep": t["keep"],
+            })
+
+        return coded.map_batches(dec, batch_format="pyarrow")
 
     labels = connected_components(pairs, u_col, v_col, **kw)
 
