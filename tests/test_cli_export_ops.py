@@ -209,3 +209,25 @@ def test_cmd_neardup(ray_session, tmp_path, capsys):
     cl = rd.read_parquet(out + "/clusters").take_all()
     assert {r["doc_id"] for r in cl} == {"d000", "d001", "d002"}
     assert all(r["cluster_id"] == "d000" for r in cl)
+
+
+def test_cmd_neardup_clean_corpus(ray_session, tmp_path, capsys):
+    """Zero near-dups: survivors == full corpus, no null-typed is_in
+    crash (code-review r4s2)."""
+    from xema_ray.__main__ import cmd_neardup
+
+    inp = _docs(tmp_path, ["totally distinct first document text here",
+                           "second item shares absolutely nothing at all",
+                           "third one is about completely other topics"])
+    out = str(tmp_path / "nd_clean")
+    cmd_neardup(argparse.Namespace(input=inp, out=out, threshold=0.8,
+                                   text_col="text", id_col="doc_id",
+                                   verify="hash", candidates="allpairs",
+                                   num_cpus=4))
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"docs": 3, "pairs": 0, "clusters": 0, "removed": 0,
+                   "survivors": 3, "threshold": 0.8}
+    import ray.data as rd
+
+    surv = rd.read_parquet(out + "/survivors")
+    assert surv.count() == 3

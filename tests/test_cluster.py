@@ -141,3 +141,19 @@ def test_dup_clusters_string_ids_empty(ray_session):
         "doc_a": pd.Series([], dtype=object),
         "doc_b": pd.Series([], dtype=object)}))
     assert dup_clusters(pairs).take_all() == []
+
+
+def test_dup_clusters_string_ids_null_endpoints(ray_session):
+    """Null endpoints are dropped in the string lane, matching the
+    integer lane's _sym_edges is_valid filter (code-review r4s2)."""
+    import ray.data as rd
+
+    from xema_ray.stages.cluster import dup_clusters
+
+    pairs = rd.from_pandas(pd.DataFrame({
+        "doc_a": [None, "b"],
+        "doc_b": ["d5", "a"],
+    }))
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in dup_clusters(pairs).take_all()}
+    assert rows == {"a": ("a", 1), "b": ("a", 0)}  # d5/None pair dropped

@@ -295,12 +295,10 @@ def cmd_neardup(args):
     directories; only the duplicate-membership set (bounded by dup
     docs, not corpus size) ever reaches the driver."""
     _init_ray(args.num_cpus)
-    import pyarrow as pa
     import pyarrow.compute as pc
-    import ray
     import ray.data as rd
 
-    from xema_ray.stages.cluster import dup_clusters
+    from xema_ray.stages.cluster import drop_ids_filter, dup_clusters
     from xema_ray.stages.dedup import (allpairs_jaccard_pairs,
                                        minhash_lsh_pairs,
                                        verify_pairs_jaccard)
@@ -331,14 +329,9 @@ def cmd_neardup(args):
     for b in clusters.iter_batches(batch_format="pyarrow"):
         drop.extend(b.filter(pc.equal(b["keep"], 0))["doc_id"].to_pylist())
         n_clusters.update(b["cluster_id"].to_pylist())
-    drop_ref = ray.put(pa.array(sorted(drop, key=str)))
-
-    def keep_rows(t: pa.Table) -> pa.Table:
-        return t.filter(pc.invert(pc.is_in(
-            t[args.id_col], value_set=ray.get(drop_ref))))
 
     full = rd.read_parquet(paths)  # all columns for the survivor corpus
-    survivors = full.map_batches(keep_rows, batch_format="pyarrow")
+    survivors = drop_ids_filter(full, args.id_col, drop)
     survivors.write_parquet(os.path.join(args.out, "survivors"))
     n_docs = full.count()
     print(json.dumps({

@@ -200,18 +200,22 @@ def dup_clusters(pairs, u_col: str = "doc_a", v_col: str = "doc_b",
         pairs = pairs.materialize()
         ids: set = set()
         for b in pairs.iter_batches(batch_format="pyarrow"):
-            ids.update(b[u_col].to_pylist())
-            ids.update(b[v_col].to_pylist())
+            for a, c in zip(b[u_col].to_pylist(), b[v_col].to_pylist()):
+                if a is not None and c is not None:  # match _sym_edges'
+                    ids.add(a)                       # null-endpoint drop
+                    ids.add(c)
         inv = np.array(sorted(ids, key=str), dtype=object)
         cref = ray.put({i: k for k, i in enumerate(inv)})
+        out_t = typ if isinstance(typ, pa.DataType) else pa.string()
 
         def enc(t: pa.Table) -> pa.Table:
             c = ray.get(cref)
+            coded = [(c[a], c[v]) for a, v in
+                     zip(t[u_col].to_pylist(), t[v_col].to_pylist())
+                     if a is not None and v is not None]
             return pa.table({
-                u_col: pa.array([c[x] for x in t[u_col].to_pylist()],
-                                type=pa.int64()),
-                v_col: pa.array([c[x] for x in t[v_col].to_pylist()],
-                                type=pa.int64()),
+                u_col: pa.array([p[0] for p in coded], type=pa.int64()),
+                v_col: pa.array([p[1] for p in coded], type=pa.int64()),
             })
 
         coded = dup_clusters(
@@ -219,9 +223,13 @@ def dup_clusters(pairs, u_col: str = "doc_a", v_col: str = "doc_b",
             u_col, v_col, **kw)
 
         def dec(t: pa.Table) -> pa.Table:
+            # explicit type: an empty object ndarray would infer a
+            # null-typed column and break schema unification downstream
             return pa.table({
-                "doc_id": pa.array(inv[t["doc_id"].to_numpy()]),
-                "cluster_id": pa.array(inv[t["cluster_id"].to_numpy()]),
+                "doc_id": pa.array(inv[t["doc_id"].to_numpy()],
+                                   type=out_t),
+                "cluster_id": pa.array(inv[t["cluster_id"].to_numpy()],
+                                       type=out_t),
                 "keep": t["keep"],
             })
 
@@ -248,7 +256,6 @@ def near_dup_dedup(ds, pairs, id_col: str = "doc_id",
     duplicate docs, rare by assumption) is collected and broadcast via
     ``ray.put``; the corpus streams through an ``is_in`` filter.
     """
-    import ray
     import pyarrow.compute as pc
 
     clusters = dup_clusters(pairs, u_col, v_col, **kw)
@@ -256,17 +263,30 @@ def near_dup_dedup(ds, pairs, id_col: str = "doc_id",
         lambda t: t.filter(pc.equal(t["keep"], 0)).select(["doc_id"]),
         batch_format="pyarrow",
     ).take_all()  # O(duplicate docs), not O(corpus)
-    losers = pa.array([r["doc_id"] for r in loser_rows], type=pa.int64())
-    loser_ref = ray.put(losers)
+    return drop_ids_filter(ds, id_col, [r["doc_id"] for r in loser_rows])
+
+
+def drop_ids_filter(ds, id_col: str, drop_ids: list):
+    """Stream ``ds`` through a broadcast ``is_in`` DROP filter — the
+    shared survivor-filter kernel (near_dup_dedup, the neardup CLI).
+    No-op for an empty drop set: ``pa.array([])`` is null-typed and
+    ``is_in`` rejects it against a typed id column."""
+    import ray
+    import pyarrow.compute as pc
+
+    if not drop_ids:
+        return ds
+    bad = pa.array(sorted(drop_ids, key=str))  # type from the real ids
+    ref = ray.put(bad)
 
     class Keep:
-        def __init__(self, ref):
-            self.bad = ray.get(ref)  # one plasma read per actor
+        def __init__(self, r):
+            self.bad = ray.get(r)  # one plasma read per actor
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ids = pc.cast(t[id_col], pa.int64())
+            ids = pc.cast(t[id_col], self.bad.type)
             drop = pc.fill_null(pc.is_in(ids, value_set=self.bad), False)
             return t.filter(pc.invert(drop))
 
-    return ds.map_batches(Keep, fn_constructor_args=(loser_ref,),
+    return ds.map_batches(Keep, fn_constructor_args=(ref,),
                           batch_format="pyarrow", concurrency=(1, 8))

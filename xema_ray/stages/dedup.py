@@ -362,7 +362,8 @@ def _pair_self_join(rows, block_fn, key_cols: list, extra_fields: list,
     """
     import ray.data as rd
 
-    if strategy == "auto":
+    auto = strategy == "auto"
+    if auto:
         rows = rows.materialize()
         strategy = "driver" if rows.count() <= auto_driver_limit \
             else "groupby"
@@ -385,24 +386,28 @@ def _pair_self_join(rows, block_fn, key_cols: list, extra_fields: list,
 
     if strategy != "groupby":
         raise ValueError(f"unknown strategy {strategy!r}")
-    pairs = _coarse_groupby(rows, key_cols, block_fn).materialize()
-    cols = ["doc_a", "doc_b"] + [n for n, _ in extra_fields]
-    if pairs.count() <= auto_driver_limit:
-        # measured-auto dedupe: the pair set is usually orders of
-        # magnitude smaller than the postings that produced it, and the
-        # distributed pair dedupe costs a second full exchange (~4-6 s
-        # fixed on this box) to dedupe what fits in one driver frame
-        frames = [b.to_pandas() for b in
-                  pairs.iter_batches(batch_format="pyarrow")
-                  if b.num_rows]
-        if not frames:
-            return pairs.map_batches(lambda t: t.select(cols),
-                                     batch_format="pyarrow")
-        out = pd.concat(frames, ignore_index=True) \
-            .drop_duplicates(["doc_a", "doc_b"])[cols]
-        # fold-output schema is already exact (built per-bucket from
-        # typed numpy arrays), so round-tripping it preserves id types
-        return rd.from_pandas(out.reset_index(drop=True))
+    pairs = _coarse_groupby(rows, key_cols, block_fn)
+    if auto:
+        # measured-auto dedupe (auto lane ONLY — explicit "groupby" keeps
+        # the fully distributed chain testable and barrier-free): the
+        # pair set is usually orders of magnitude smaller than the
+        # postings that produced it, and the distributed pair dedupe
+        # costs a second full exchange (~4-6 s fixed on this box) to
+        # dedupe what fits in one driver frame
+        pairs = pairs.materialize()
+        cols = ["doc_a", "doc_b"] + [n for n, _ in extra_fields]
+        if pairs.count() <= auto_driver_limit:
+            frames = [b.to_pandas() for b in
+                      pairs.iter_batches(batch_format="pyarrow")
+                      if b.num_rows]
+            if not frames:
+                return pairs.map_batches(lambda t: t.select(cols),
+                                         batch_format="pyarrow")
+            out = pd.concat(frames, ignore_index=True) \
+                .drop_duplicates(["doc_a", "doc_b"])[cols]
+            # fold-output schema is already exact (built per-bucket from
+            # typed numpy arrays), so round-tripping preserves id types
+            return rd.from_pandas(out.reset_index(drop=True))
     return _dedupe_pairs(pairs, keep=[n for n, _ in extra_fields])
 
 
