@@ -105,7 +105,7 @@ def run_bench() -> dict:
                   "doc_bpe_stats", "emb_knn_ivfpq", "doc_snapshot_diff",
                   "doc_importance_weights", "doc_decontam_fuzzy",
                   "emb_semantic_dedup", "events_key_skew", "doc_dup_spans",
-                  "doc_allpairs_jaccard"):
+                  "doc_allpairs_jaccard", "doc_lm_familiarity"):
         t0 = time.perf_counter()
         try:
             _consume(QUERIES[extra].fn(sf_dir))

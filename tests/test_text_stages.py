@@ -136,3 +136,77 @@ def test_bigram_novelty_reference_table_and_edges(ray_session):
     assert out["b"]["oov_m"] == 1_000_000
     assert out["c"]["n_bigrams"] == 0 and out["c"]["oov_m"] == 0
     assert out["d"]["n_bigrams"] == 0 and out["d"]["n_oov"] == 0
+
+
+# ---------------------------------------------------------------------------
+# reference-LM familiarity (CCNet-style integer-exact perplexity stand-in)
+# ---------------------------------------------------------------------------
+
+
+def _py_lm_familiarity(pdf, ref_mod=20):
+    """Pure-Python reference: trigram/context counts over the reference
+    split, then per-doc floor(mean(floor(1e6*c3/c2)))."""
+    import re
+    from collections import Counter
+
+    tok = re.compile(r"[a-z0-9]+")
+    words = {r.doc_id: tok.findall((r.text or "").lower())
+             for r in pdf.itertuples()}
+    c3, c2 = Counter(), Counter()
+    for did, w in words.items():
+        if did % ref_mod == 0:
+            for i in range(len(w) - 2):
+                c3[tuple(w[i:i + 3])] += 1
+                c2[tuple(w[i:i + 2])] += 1
+    out = {}
+    for did, w in words.items():
+        n = len(w) - 2
+        if n < 1:
+            continue
+        terms, oov = [], 0
+        for i in range(n):
+            t3 = tuple(w[i:i + 3])
+            if c3[t3]:
+                terms.append(int(np.floor(1e6 * c3[t3] / c2[t3[:2]])))
+            else:
+                terms.append(0)
+                oov += 1
+        out[did] = (n, oov, int(np.floor(sum(terms) / n)))
+    return out
+
+
+def test_lm_familiarity_matches_python_reference(ray_session):
+    import ray.data as rd
+    from xema_ray.stages.text import lm_familiarity
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+             for _ in range(120)]
+    texts[5] = ""            # empty doc: excluded (no trigram)
+    texts[6] = "one two"     # 2 words: excluded
+    texts[7] = "zz qq xx"    # all-OOV trigram (unseen words)
+    pdf = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                        "text": texts})
+    got = {r["doc_id"]: (r["n_tri"], r["n_oov"], r["fam_fp"])
+           for r in lm_familiarity(
+               rd.from_pandas(pdf).repartition(5), ref_mod=20).take_all()}
+    want = _py_lm_familiarity(pdf)
+    assert got == want
+    assert 5 not in got and 6 not in got
+    assert got[7][1] == 1 and got[7][2] == 0   # fully OOV -> fam 0
+    # reference docs score high on their own trigrams
+    assert got[0][2] > 0
+
+
+def test_lm_familiarity_empty_reference(ray_session):
+    """No doc hits the reference split -> every trigram OOV, fam 0."""
+    import ray.data as rd
+    from xema_ray.stages.text import lm_familiarity
+
+    pdf = pd.DataFrame({"doc_id": np.array([1, 3, 7], dtype=np.int64),
+                        "text": ["a b c d", "b c d e", "x"]})
+    rows = {r["doc_id"]: (r["n_tri"], r["n_oov"], r["fam_fp"])
+            for r in lm_familiarity(rd.from_pandas(pdf),
+                                    ref_mod=1000).take_all()}
+    assert rows == {1: (2, 2, 0), 3: (2, 2, 0)}

@@ -1659,6 +1659,52 @@ def doc_importance_weights(sf_dir: str):
         target_sources=("src0", "src1"))
 
 
+@register(
+    "doc_lm_familiarity",
+    """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(
+             lower(coalesce(text,'')),'[^a-z0-9]+'), x -> x <> '') AS w
+           FROM documents),
+    x AS (SELECT doc_id,
+            unnest([array_to_string(w[i:i+2], ' ')
+                    FOR i IN generate_series(1, len(w) - 2)]) AS g,
+            unnest([array_to_string(w[i:i+1], ' ')
+                    FOR i IN generate_series(1, len(w) - 2)]) AS b
+          FROM d WHERE len(w) >= 3),
+    r3 AS (SELECT g, CAST(count(*) AS BIGINT) AS c3 FROM x
+           WHERE doc_id % 20 = 0 GROUP BY g),
+    r2 AS (SELECT b, CAST(count(*) AS BIGINT) AS c2 FROM x
+           WHERE doc_id % 20 = 0 GROUP BY b),
+    sc AS (SELECT x.doc_id,
+            CASE WHEN r3.c3 IS NOT NULL
+                 THEN CAST(floor(1e6 * r3.c3 / r2.c2) AS BIGINT)
+                 ELSE 0 END AS term,
+            CASE WHEN r3.c3 IS NULL THEN 1 ELSE 0 END AS oov
+           FROM x LEFT JOIN r3 USING (g) LEFT JOIN r2 USING (b))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           CAST(floor(CAST(sum(term) AS DOUBLE) / count(*)) AS BIGINT)
+             AS fam_fp
+    FROM sc GROUP BY doc_id""",
+    doc="Reference-LM FAMILIARITY scoring — the integer-exact stand-in "
+        "for CCNet/KenLM perplexity filtering: train trigram + "
+        "context-bigram occurrence counts on the doc_id%20==0 reference "
+        "split, then score every >=3-word doc with "
+        "fam_fp = floor(mean(floor(1e6*c3/c2))), term 0 for trigrams "
+        "unseen in the reference (n_oov reported).  Distinct from DSIR "
+        "(conditional probabilities vs hashed profile ratios).  Two "
+        "streaming passes, zero shuffle: the count fold is bounded by "
+        "the reference VOCABULARY (the reference split is small by "
+        "design, as in CCNet); the count tables broadcast once and "
+        "scoring is one searchsorted per table per batch.",
+)
+def doc_lm_familiarity(sf_dir: str):
+    from xema_ray.stages.text import lm_familiarity
+
+    return lm_familiarity(
+        _read(sf_dir, "documents", ["doc_id", "text"], split=True),
+        ref_mod=20)
+
+
 def _sample_case_sql() -> str:
     from xema_ray.stages.sample import rate_threshold_hex
 
@@ -4520,7 +4566,7 @@ _DRIVER_PRIORITY = (
     "doc_allpairs_jaccard",
     "doc_dup_spans", "doc_span_scrub", "emb_semantic_dedup",
     "orders_region_revenue", "events_key_skew",
-    "doc_importance_weights", "doc_decontam_fuzzy",
+    "doc_importance_weights", "doc_decontam_fuzzy", "doc_lm_familiarity",
     # tokenizer training + quantization / ANN index family
     "doc_bpe_merges", "doc_bpe_stats", "emb_quantize", "emb_pq_cells",
     "emb_knn_pq", "emb_knn_ivfpq", "emb_filtered_knn", "emb_knn_per_label",

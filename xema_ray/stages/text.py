@@ -567,6 +567,157 @@ def word_freq_scores(ds, text_col: str = "text", rare_below: int = 100,
     )
 
 
+def _doc_trigram_strings(batch, text_col: str):
+    """Per-batch (rows, tri 'w1 w2 w3', ctx 'w1 w2', n_words_per_row) —
+    vectorized sliding trigram + context-bigram strings over the shared
+    ``[a-z0-9]+`` tokenizer; object-array string concat, no row loop."""
+    import re
+
+    word_pat = re.compile(r"[a-z0-9]+")
+    texts = batch[text_col].fillna("").str.lower().reset_index(drop=True)
+    ex = texts.str.findall(word_pat).explode().dropna()
+    n_per_row = np.zeros(len(batch), dtype=np.int64)
+    if not len(ex):
+        e = np.empty(0, dtype=object)
+        return np.empty(0, np.int64), e, e, n_per_row
+    rows = ex.index.to_numpy().astype(np.int64)
+    np.add.at(n_per_row, rows, 1)
+    w = ex.to_numpy()
+    if len(w) < 3:
+        e = np.empty(0, dtype=object)
+        return np.empty(0, np.int64), e, e, n_per_row
+    same = rows[:-2] == rows[2:]
+    ctx = w[:-2][same] + " " + w[1:-1][same]
+    tri = ctx + " " + w[2:][same]
+    return rows[:-2][same], tri, ctx, n_per_row
+
+
+def ref_trigram_lm(ds, text_col: str = "text", ref_mod: int = 20):
+    """Pass 1 of LM-familiarity scoring (CCNet-style reference-LM
+    filtering, integer-exact): trigram and context-bigram OCCURRENCE
+    counts over the reference split ``doc_id % ref_mod == 0``.
+
+    Context counts are bigrams at TRIGRAM positions only, so
+    ``c3(w1 w2 w3) <= c2(w1 w2)`` always holds and ``c3/c2`` is a proper
+    conditional probability estimate.  Returns ``(tri_sorted 'S'-bytes,
+    c3, ctx_sorted 'S'-bytes, c2)``.
+
+    Scale shape mirrors :func:`global_word_counts`: per-batch factorize
+    partials fold on the driver, right while the reference VOCABULARY is
+    driver-sized (the reference split is deliberately small — CCNet uses
+    Wikipedia); for an unbounded reference add a min-count prune through
+    the u64 exchange (`stats.u64_key_exchange`).
+    """
+    import pandas as pd
+
+    def partial(batch):
+        keep = (batch["doc_id"].to_numpy().astype(np.int64)
+                % ref_mod) == 0
+        rows, tri, _, _ = _doc_trigram_strings(
+            batch.loc[keep].reset_index(drop=True), text_col)
+        if not len(tri):
+            return pd.DataFrame({"g": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        codes, uniq = pd.factorize(tri)
+        return pd.DataFrame({
+            "g": uniq,
+            # the context bigram is the trigram minus its last word
+            "b": pd.Series(uniq).str.rsplit(" ", n=1).str[0].to_numpy(),
+            "cnt": np.bincount(codes, minlength=len(uniq))
+                   .astype(np.int64)})
+
+    frames = [b.to_pandas() for b in
+              ds.map_batches(partial, batch_format="pandas")
+              .iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not frames:
+        e = np.empty(0, dtype="S1")
+        z = np.empty(0, dtype=np.int64)
+        return e, z, e, z
+    df = pd.concat(frames, ignore_index=True)
+
+    def fold(keys, cnt):
+        kb = keys.astype("S")
+        uniq, inv = np.unique(kb, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, cnt)
+        return uniq, sums
+
+    cnt = df["cnt"].to_numpy(dtype=np.int64)
+    t3, c3 = fold(df["g"].to_numpy(), cnt)
+    t2, c2 = fold(df["b"].to_numpy(), cnt)
+    return t3, c3, t2, c2
+
+
+class LmFamiliarity:
+    """Actor-pool stage: per-document trigram-LM familiarity against the
+    broadcast reference counts — ``n_tri`` trigram occurrences, ``n_oov``
+    trigrams unseen in the reference, and fixed-point
+    ``fam_fp = floor(Σ floor(1e6·c3/c2) / n_tri)`` (term 0 for unseen
+    trigrams; 1e6 = in-reference-vocabulary every step).  Docs with
+    fewer than 3 words are omitted (no trigram to condition on).
+    One searchsorted per table per batch — no per-row Python."""
+
+    def __init__(self, lm_ref, text_col: str = "text"):
+        import ray
+
+        self.t3, self.c3, self.t2, self.c2 = ray.get(lm_ref)
+        self.text_col = text_col
+
+    def _lookup(self, table, counts, keys):
+        if not len(table):
+            return np.zeros(len(keys), dtype=np.int64)
+        pos = np.minimum(np.searchsorted(table, keys), len(table) - 1)
+        return np.where(table[pos] == keys, counts[pos], 0) \
+            .astype(np.int64)
+
+    def __call__(self, batch):
+        import pandas as pd
+
+        rows, tri, ctx, n_per_row = _doc_trigram_strings(
+            batch, self.text_col)
+        ids = batch["doc_id"].reset_index(drop=True)
+        keep_docs = np.flatnonzero(n_per_row >= 3)
+        n = len(keep_docs)
+        n_tri = np.zeros(n, dtype=np.int64)
+        n_oov = np.zeros(n, dtype=np.int64)
+        s_term = np.zeros(n, dtype=np.int64)
+        if len(tri):
+            dense = np.full(len(batch), -1, dtype=np.int64)
+            dense[keep_docs] = np.arange(n)
+            r = dense[rows]  # every trigram row has >= 3 words
+            c3v = self._lookup(self.t3, self.c3, tri.astype("S"))
+            c2v = self._lookup(self.t2, self.c2, ctx.astype("S"))
+            term = np.where(
+                c3v > 0,
+                np.floor(1e6 * c3v / np.maximum(c2v, 1)).astype(np.int64),
+                0)
+            np.add.at(n_tri, r, 1)
+            np.add.at(n_oov, r, (c3v == 0).astype(np.int64))
+            np.add.at(s_term, r, term)
+        fam = np.floor(s_term / np.maximum(n_tri, 1)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids.iloc[keep_docs].reset_index(drop=True),
+            "n_tri": n_tri, "n_oov": n_oov, "fam_fp": fam,
+        })
+
+
+def lm_familiarity(ds, text_col: str = "text", ref_mod: int = 20,
+                   concurrency=(1, 8)):
+    """Two-pass reference-LM familiarity scoring (the integer-exact
+    stand-in for CCNet/KenLM perplexity filtering): train trigram +
+    context counts on the ``doc_id % ref_mod == 0`` split, broadcast,
+    score every document vectorized."""
+    import ray
+
+    lm_ref = ray.put(ref_trigram_lm(ds, text_col, ref_mod))
+    return ds.map_batches(
+        LmFamiliarity,
+        fn_constructor_kwargs={"lm_ref": lm_ref, "text_col": text_col},
+        batch_format="pandas", concurrency=concurrency,
+    )
+
+
 def winnow_fingerprints(ds, text_col: str = "text", ngram: int = 3,
                         window: int = 4, hash_fn: str = "fast",
                         concurrency=(1, 8)):
