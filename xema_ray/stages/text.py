@@ -443,6 +443,18 @@ def repetition_signals(ds, text_col: str = "text", concurrency=(1, 8)):
     )
 
 
+def _fold_counts(keys: np.ndarray, cnt: np.ndarray):
+    """Driver-side merge of (key, partial-count) rows into
+    ``(keys_sorted 'S'-bytes, summed int64)`` — the shared fold kernel
+    of every vocabulary-bounded counting pass (words, bigrams, LM
+    trigrams/contexts)."""
+    kb = keys.astype("S")
+    uniq, inv = np.unique(kb, return_inverse=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, cnt)
+    return uniq, sums
+
+
 def global_word_counts(ds, text_col: str = "text",
                        distinct_per_doc: bool = False):
     """Corpus-wide word frequencies as ``(words_sorted 'S'-bytes array,
@@ -492,11 +504,8 @@ def global_word_counts(ds, text_col: str = "text",
     import pandas as pd
 
     df = pd.concat(frames, ignore_index=True)
-    wb = df["word"].to_numpy().astype("S")
-    uniq, inv = np.unique(wb, return_inverse=True)
-    sums = np.zeros(len(uniq), np.int64)
-    np.add.at(sums, inv, df["cnt"].to_numpy(dtype=np.int64))
-    return uniq, sums
+    return _fold_counts(df["word"].to_numpy(),
+                        df["cnt"].to_numpy(dtype=np.int64))
 
 
 class WordFreqScore:
@@ -568,28 +577,17 @@ def word_freq_scores(ds, text_col: str = "text", rare_below: int = 100,
 
 
 def _doc_trigram_strings(batch, text_col: str):
-    """Per-batch (rows, tri 'w1 w2 w3', ctx 'w1 w2', n_words_per_row) —
-    vectorized sliding trigram + context-bigram strings over the shared
-    ``[a-z0-9]+`` tokenizer; object-array string concat, no row loop."""
-    import re
+    """Per-batch (rows, tri 'w1 w2 w3', ctx 'w1 w2', n_words_per_row)
+    via the shared adjacent-n-gram lane (:func:`_doc_adjacent_ngrams`);
+    the context bigram is the trigram minus its last word."""
+    import pandas as pd
 
-    word_pat = re.compile(r"[a-z0-9]+")
-    texts = batch[text_col].fillna("").str.lower().reset_index(drop=True)
-    ex = texts.str.findall(word_pat).explode().dropna()
-    n_per_row = np.zeros(len(batch), dtype=np.int64)
-    if not len(ex):
-        e = np.empty(0, dtype=object)
-        return np.empty(0, np.int64), e, e, n_per_row
-    rows = ex.index.to_numpy().astype(np.int64)
-    np.add.at(n_per_row, rows, 1)
-    w = ex.to_numpy()
-    if len(w) < 3:
-        e = np.empty(0, dtype=object)
-        return np.empty(0, np.int64), e, e, n_per_row
-    same = rows[:-2] == rows[2:]
-    ctx = w[:-2][same] + " " + w[1:-1][same]
-    tri = ctx + " " + w[2:][same]
-    return rows[:-2][same], tri, ctx, n_per_row
+    rows, tri, n_per_row = _doc_adjacent_ngrams(
+        batch[text_col].reset_index(drop=True), 3)
+    if not len(tri):
+        return rows, tri, tri, n_per_row
+    ctx = pd.Series(tri).str.rsplit(" ", n=1).str[0].to_numpy()
+    return rows, tri, ctx, n_per_row
 
 
 def ref_trigram_lm(ds, text_col: str = "text", ref_mod: int = 20):
@@ -635,17 +633,9 @@ def ref_trigram_lm(ds, text_col: str = "text", ref_mod: int = 20):
         z = np.empty(0, dtype=np.int64)
         return e, z, e, z
     df = pd.concat(frames, ignore_index=True)
-
-    def fold(keys, cnt):
-        kb = keys.astype("S")
-        uniq, inv = np.unique(kb, return_inverse=True)
-        sums = np.zeros(len(uniq), np.int64)
-        np.add.at(sums, inv, cnt)
-        return uniq, sums
-
     cnt = df["cnt"].to_numpy(dtype=np.int64)
-    t3, c3 = fold(df["g"].to_numpy(), cnt)
-    t2, c2 = fold(df["b"].to_numpy(), cnt)
+    t3, c3 = _fold_counts(df["g"].to_numpy(), cnt)
+    t2, c2 = _fold_counts(df["b"].to_numpy(), cnt)
     return t3, c3, t2, c2
 
 
@@ -940,24 +930,39 @@ def feature_hash_counts(ds, text_col: str = "text", buckets: int = 16):
         batch_format="pandas")
 
 
-def _doc_bigrams(texts):
-    """pandas Series[str] -> (rows int64, bigram object-array) of
-    within-doc adjacent word pairs ``"w1 w2"`` (vectorized: one explode
-    + one shifted same-row mask + one C-loop string concat)."""
+def _doc_adjacent_ngrams(texts, n: int):
+    """pandas Series[str] -> (rows int64, ``"w1 .. wn"`` object-array,
+    words-per-row int64) of within-doc adjacent word ``n``-grams —
+    the shared tokenize + shifted same-row mask + C-loop string-concat
+    lane (explode preserves order, so ``rows[i] == rows[i+n-1]``
+    implies the whole window sits in one doc)."""
     import pandas as pd
 
     ex = texts.fillna("").str.lower().str.findall(_WORD_RE_FH) \
         .explode().dropna()
-    if len(ex) < 2:
-        return np.empty(0, np.int64), np.empty(0, object)
+    n_per_row = np.zeros(len(texts), dtype=np.int64)
+    empty = (np.empty(0, np.int64), np.empty(0, object), n_per_row)
+    if not len(ex):
+        return empty
     rows = ex.index.to_numpy(dtype=np.int64)
+    np.add.at(n_per_row, rows, 1)
     w = ex.to_numpy()
-    mask = rows[1:] == rows[:-1]
+    if len(w) < n:
+        return empty
+    end = len(w) - n + 1
+    mask = rows[:end] == rows[n - 1:]
     if not mask.any():
-        return np.empty(0, np.int64), np.empty(0, object)
-    bg = (pd.Series(w[:-1][mask]) + " " + pd.Series(w[1:][mask])) \
-        .to_numpy()
-    return rows[:-1][mask], bg
+        return empty
+    s = pd.Series(w[:end][mask])
+    for k in range(1, n):
+        s = s + " " + pd.Series(w[k:end + k][mask])
+    return rows[:end][mask], s.to_numpy(), n_per_row
+
+
+def _doc_bigrams(texts):
+    """(rows, ``"w1 w2"``) of within-doc adjacent word pairs."""
+    rows, bg, _ = _doc_adjacent_ngrams(texts, 2)
+    return rows, bg
 
 
 def global_bigram_counts(ds, text_col: str = "text"):
@@ -991,11 +996,8 @@ def global_bigram_counts(ds, text_col: str = "text"):
     import pandas as pd
 
     df = pd.concat(frames, ignore_index=True)
-    wb = df["word"].to_numpy().astype("S")
-    uniq, inv = np.unique(wb, return_inverse=True)
-    sums = np.zeros(len(uniq), np.int64)
-    np.add.at(sums, inv, df["cnt"].to_numpy(dtype=np.int64))
-    return uniq, sums
+    return _fold_counts(df["word"].to_numpy(),
+                        df["cnt"].to_numpy(dtype=np.int64))
 
 
 def top_bigram_table(bigrams_sorted: np.ndarray, counts: np.ndarray,
