@@ -196,3 +196,52 @@ def test_hot_key_bucketed_asof_matches_plain(ray_session):
         bucketed = gather(asof_join_events(
             rd.from_arrow(tbl), time_bucket_seconds=bucket_s))
         pd.testing.assert_frame_equal(plain, bucketed), bucket_s
+
+
+# ---------------------------------------------------------------------------
+# AllPairs/PPJoin exact set-similarity join: randomized corpora vs brute force
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _corpus_case(draw):
+    n_docs = draw(st.integers(min_value=2, max_value=18))
+    vocab = [f"v{i}" for i in range(draw(st.integers(4, 12)))]
+    docs = []
+    for _ in range(n_docs):
+        ln = draw(st.integers(0, 14))
+        docs.append(" ".join(draw(st.sampled_from(vocab))
+                             for _ in range(ln)))
+    # bias toward actual near-dups: sometimes clone an earlier doc
+    for i in range(1, n_docs):
+        if draw(st.booleans()):
+            docs[i] = docs[draw(st.integers(0, i - 1))]
+    thr = draw(st.sampled_from([0.3, 0.5, 0.7, 0.9]))
+    return docs, thr
+
+
+@settings(max_examples=20, deadline=None)
+@given(case=_corpus_case())
+def test_allpairs_property_matches_bruteforce(ray_session, case):
+    """Prefix-filter candidates verified == brute-force all-pairs Jaccard
+    on arbitrary corpora (dups, empty docs, short docs, any threshold)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from xema_ray.stages.dedup import (allpairs_jaccard_pairs,
+                                       ngram_jaccard,
+                                       verify_pairs_jaccard)
+
+    docs, thr = case
+    ids = [f"d{i:02d}" for i in range(len(docs))]
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if ngram_jaccard(docs[i], docs[j]) >= thr:
+                want.add((ids[i], ids[j]))
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": docs}))
+    cands = allpairs_jaccard_pairs(ds, threshold=thr)
+    got = {tuple(sorted((r["doc_a"], r["doc_b"])))
+           for r in verify_pairs_jaccard(
+               cands, ds, threshold=thr, method="hash").take_all()}
+    assert got == want
