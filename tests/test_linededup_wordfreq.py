@@ -253,3 +253,24 @@ def test_run_line_dedup_resume_and_invalidation(ray_session, tmp_path):
     got = pq.read_table(out + "/shards/s0.parquet").to_pandas()
     assert (got["n_kept"] < got["n_lines"]).all()
     assert not got["clean_text"].str.contains("boiler").any()
+
+
+def test_ipc_mirror_roundtrip(tmp_path, ray_session):
+    """Sharded Arrow-IPC mirror + custom FileBasedDatasource roundtrip:
+    values survive, nulls survive (unlike CSV), sharding splits files,
+    second mirror call is an idempotent no-op."""
+    import pyarrow.parquet as pq
+
+    from xema_ray.sources.ipcfile import mirror_documents_ipc, read_ipc
+
+    src = tmp_path / "docs.parquet"
+    texts = ["plain words", None, 'quoted "inner" text', "multi  space",
+             "fifth row forces a second shard"]
+    pq.write_table(pa.table({"doc_id": [1, 2, 3, 4, 5], "text": texts}),
+                   str(src))
+    out = str(tmp_path / "ipc")
+    paths = mirror_documents_ipc(str(src), out, rows_per_shard=3)
+    assert len(paths) == 2
+    got = sorted(read_ipc(paths).take_all(), key=lambda r: r["doc_id"])
+    assert [r["text"] for r in got] == texts  # None survives IPC
+    assert mirror_documents_ipc(str(src), out, rows_per_shard=3) == paths

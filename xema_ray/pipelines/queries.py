@@ -2366,6 +2366,34 @@ def doc_token_counts_csv(sf_dir: str):
 
 
 @register(
+    "doc_token_counts_ipc",
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) "
+    "AS BIGINT) AS n_words, CAST(length(text) AS BIGINT) AS n_chars_text "
+    "FROM documents",
+    doc="SOURCE-FORMAT coverage: token counts over a sharded Arrow-IPC "
+        "(Feather v2) corpus read through a custom FileBasedDatasource "
+        "(`sources/ipcfile.py` — Ray Data ships no IPC reader; "
+        "_read_stream yields one table per record batch, one task per "
+        "file).  DuckDB has no offline IPC reader, so the oracle reads "
+        "the parquet the mirror derives from — certifying the "
+        "datasource + pipeline against the same logical table.",
+)
+def doc_token_counts_ipc(sf_dir: str):
+    from xema_ray.sources.ipcfile import mirror_documents_ipc, read_ipc
+    from xema_ray.stages.text import token_counts
+
+    out_dir = f"/tmp/xema_ray_corpus/documents_ipc_sf{sf_of_dir(sf_dir)}"
+    paths = mirror_documents_ipc(
+        os.path.join(sf_dir, "documents.parquet"), out_dir,
+        rows_per_shard=200)  # several shards even at sf0.001
+    ds = read_ipc(paths)
+    out = token_counts(ds)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_words", "n_chars_text"]),
+        batch_format="pyarrow")
+
+
+@register(
     "doc_tfidf",
     """WITH w AS (SELECT doc_id,
                 unnest(regexp_extract_all(lower(coalesce(text,'')),
