@@ -274,3 +274,20 @@ def test_ipc_mirror_roundtrip(tmp_path, ray_session):
     got = sorted(read_ipc(paths).take_all(), key=lambda r: r["doc_id"])
     assert [r["text"] for r in got] == texts  # None survives IPC
     assert mirror_documents_ipc(str(src), out, rows_per_shard=3) == paths
+
+
+def test_orc_mirror_roundtrip(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from xema_ray.sources.orcfile import mirror_documents_orc, read_orc
+
+    src = tmp_path / "docs.parquet"
+    texts = ["plain words", None, "third", "fourth", "fifth"]
+    pq.write_table(pa.table({"doc_id": [1, 2, 3, 4, 5], "text": texts}),
+                   str(src))
+    out = str(tmp_path / "orc")
+    paths = mirror_documents_orc(str(src), out, rows_per_shard=3)
+    assert len(paths) == 2
+    got = sorted(read_orc(paths).take_all(), key=lambda r: r["doc_id"])
+    assert [r["text"] for r in got] == texts
+    assert mirror_documents_orc(str(src), out, rows_per_shard=3) == paths

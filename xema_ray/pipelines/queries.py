@@ -2394,6 +2394,32 @@ def doc_token_counts_ipc(sf_dir: str):
 
 
 @register(
+    "doc_token_counts_orc",
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) "
+    "AS BIGINT) AS n_words, CAST(length(text) AS BIGINT) AS n_chars_text "
+    "FROM documents",
+    doc="SOURCE-FORMAT coverage: token counts over a sharded ORC corpus "
+        "(`sources/orcfile.py` FileBasedDatasource, stripes -> Arrow "
+        "tables; footer seek satisfied by buffering each small shard).  "
+        "Oracle reads the parquet the mirror derives from, as with the "
+        "IPC lane (DuckDB ships no offline ORC reader).",
+)
+def doc_token_counts_orc(sf_dir: str):
+    from xema_ray.sources.orcfile import mirror_documents_orc, read_orc
+    from xema_ray.stages.text import token_counts
+
+    out_dir = f"/tmp/xema_ray_corpus/documents_orc_sf{sf_of_dir(sf_dir)}"
+    paths = mirror_documents_orc(
+        os.path.join(sf_dir, "documents.parquet"), out_dir,
+        rows_per_shard=200)
+    ds = read_orc(paths)
+    out = token_counts(ds)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_words", "n_chars_text"]),
+        batch_format="pyarrow")
+
+
+@register(
     "doc_tfidf",
     """WITH w AS (SELECT doc_id,
                 unnest(regexp_extract_all(lower(coalesce(text,'')),
