@@ -291,3 +291,50 @@ def test_orc_mirror_roundtrip(tmp_path, ray_session):
     got = sorted(read_orc(paths).take_all(), key=lambda r: r["doc_id"])
     assert [r["text"] for r in got] == texts
     assert mirror_documents_orc(str(src), out, rows_per_shard=3) == paths
+
+
+def test_mirror_invalidation_and_stale_shard_cleanup(tmp_path, ray_session):
+    """code-review r4s2: the mirror marker keys on rows_per_shard,
+    columns AND source lineage; shrinking the shard count removes stale
+    part files so directory reads can't resurrect rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from xema_ray.sources.ipcfile import mirror_documents_ipc, read_ipc
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({"doc_id": list(range(8)),
+                             "text": [f"t{i}" for i in range(8)]}),
+                   str(src))
+    out = str(tmp_path / "ipc")
+    p4 = mirror_documents_ipc(str(src), out, rows_per_shard=2)
+    assert len(p4) == 4
+    # same source, bigger shards: must REWRITE (not return stale part-0000
+    # holding 2 rows) and remove the extra shards
+    p1 = mirror_documents_ipc(str(src), out, rows_per_shard=8)
+    assert len(p1) == 1
+    assert read_ipc(p1).count() == 8
+    assert sorted(f for f in os.listdir(out) if f.startswith("part-")) \
+        == ["part-0000.arrow"]
+    # regenerated source with SAME row count: marker must invalidate
+    pq.write_table(pa.table({"doc_id": list(range(8)),
+                             "text": [f"u{i}" for i in range(8)]}),
+                   str(src))
+    mirror_documents_ipc(str(src), out, rows_per_shard=8)
+    texts = {r["text"] for r in read_ipc(p1).take_all()}
+    assert texts == {f"u{i}" for i in range(8)}
+
+
+def test_read_ipc_file_format_feather(tmp_path, ray_session):
+    """The reader sniffs the ARROW1 magic: FILE-format (Feather V2)
+    inputs written by pa.ipc.new_file read correctly too."""
+    from xema_ray.sources.ipcfile import read_ipc
+
+    p = str(tmp_path / "docs.feather")
+    t = pa.table({"doc_id": [1, 2], "text": ["a b", None]})
+    with pa.OSFile(p, "wb") as sink:
+        with pa.ipc.new_file(sink, t.schema) as w:
+            w.write_table(t)
+    got = sorted(read_ipc([p]).take_all(), key=lambda r: r["doc_id"])
+    assert [r["text"] for r in got] == ["a b", None]

@@ -2371,12 +2371,13 @@ def doc_token_counts_csv(sf_dir: str):
     "AS BIGINT) AS n_words, CAST(length(text) AS BIGINT) AS n_chars_text "
     "FROM documents",
     doc="SOURCE-FORMAT coverage: token counts over a sharded Arrow-IPC "
-        "(Feather v2) corpus read through a custom FileBasedDatasource "
+        "corpus read through a custom FileBasedDatasource "
         "(`sources/ipcfile.py` — Ray Data ships no IPC reader; "
-        "_read_stream yields one table per record batch, one task per "
-        "file).  DuckDB has no offline IPC reader, so the oracle reads "
-        "the parquet the mirror derives from — certifying the "
-        "datasource + pipeline against the same logical table.",
+        "_read_stream sniffs stream vs FILE/Feather-V2 magic and yields "
+        "one table per record batch, one task per file).  DuckDB has no "
+        "offline IPC reader, so the oracle reads the parquet the mirror "
+        "derives from — certifying the datasource + pipeline against "
+        "the same logical table.",
 )
 def doc_token_counts_ipc(sf_dir: str):
     from xema_ray.sources.ipcfile import mirror_documents_ipc, read_ipc

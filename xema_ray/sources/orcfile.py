@@ -9,16 +9,16 @@ the file's bytes first (``pa.BufferReader`` is seekable).  Mirror
 shards are written one-stripe-per-file and sized to keep that buffer
 small — the same trade the parquet reader's row-group split makes.
 
-``mirror_documents_orc`` writes a deterministic sharded ORC copy of a
-parquet table for tests/oracles (idempotent via a row-count marker).
+``mirror_documents_orc`` writes a deterministic sharded ORC mirror of a
+parquet table (idempotence + staleness semantics in
+:func:`xema_ray.sources.mirror.mirror_sharded`).
 """
 
 from __future__ import annotations
 
-import os
-
 import pyarrow as pa
-import pyarrow.parquet as pq
+
+from xema_ray.sources.mirror import mirror_sharded
 
 
 def mirror_documents_orc(parquet_path: str, out_dir: str,
@@ -28,23 +28,11 @@ def mirror_documents_orc(parquet_path: str, out_dir: str,
     Returns the shard paths (sorted)."""
     import pyarrow.orc as orc
 
-    os.makedirs(out_dir, exist_ok=True)
-    tbl = pq.read_table(parquet_path, columns=list(columns))
-    marker = os.path.join(out_dir, "rows.marker")
-    n_shards = max(1, -(-tbl.num_rows // rows_per_shard))
-    paths = [os.path.join(out_dir, f"part-{i:04d}.orc")
-             for i in range(n_shards)]
-    if (os.path.exists(marker) and open(marker).read() == str(tbl.num_rows)
-            and all(os.path.exists(p) for p in paths)):
-        return paths
-    for i, p in enumerate(paths):
-        shard = tbl.slice(i * rows_per_shard, rows_per_shard)
-        tmp = p + ".tmp"
+    def write_shard(shard: pa.Table, tmp: str) -> None:
         orc.write_table(shard, tmp)
-        os.replace(tmp, p)
-    with open(marker, "w") as f:
-        f.write(str(tbl.num_rows))
-    return paths
+
+    return mirror_sharded(parquet_path, out_dir, "orc", write_shard,
+                          columns, rows_per_shard)
 
 
 def read_orc(paths, **kwargs):
