@@ -796,15 +796,17 @@ def test_neardup_sql_oracles_agree_on_empty_docs(ray_session):
 
     ds = rd.from_pandas(pdf)
     want_ap = run_sql(_ALLPAIRS_SQL)
-    # BOTH verification lanes — production doc_allpairs_jaccard runs
+    # ALL verification lanes — production doc_allpairs_jaccard runs
     # method='hash', so its empty-gram semantics need this pin too
-    for method in ("exact", "hash"):
+    for method, strategy in (("exact", "broadcast"), ("hash", "broadcast"),
+                             ("hash", "bucketed")):
         got_ap = verify_pairs_jaccard(
             allpairs_jaccard_pairs(ds, threshold=0.4), ds,
-            threshold=0.4, fixed_point=True, method=method)
+            threshold=0.4, fixed_point=True, method=method,
+            strategy=strategy)
         got_ap = {(int(r["doc_a"]), int(r["doc_b"]), int(r["j_fp"]))
                   for r in got_ap.take_all()}
-        assert got_ap == want_ap, method
+        assert got_ap == want_ap, (method, strategy)
     # the three zero-token docs pair pairwise at J=1 plus the exact dup
     assert {(1, 2, 1000000), (1, 3, 1000000), (2, 3, 1000000),
             (4, 5, 1000000)} == want_ap
@@ -830,3 +832,103 @@ def test_verify_hash_method_matches_exact(docs_ds):
         cands, ds, threshold=0.5, fixed_point=True,
         method="hash").take_all()}
     assert a == b and a
+
+
+def test_verify_bucketed_matches_broadcast(docs_ds):
+    """The driver-free co-partitioned verification lane (round-4 verdict
+    item #1) returns the identical verified pair set — including the
+    extra pair columns (est_jaccard) — for both fixed_point modes."""
+    ds, _ = docs_ds
+    from xema_ray.stages.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+
+    cands = minhash_lsh_pairs(ds, threshold=0.45)
+    for fp in (False, True):
+        rows = [verify_pairs_jaccard(cands, ds, threshold=0.5,
+                                     fixed_point=fp, method="hash",
+                                     strategy=s).take_all()
+                for s in ("broadcast", "bucketed")]
+        keyed = [sorted(tuple(sorted(r.items())) for r in part)
+                 for part in rows]
+        assert keyed[0] == keyed[1] and keyed[0]
+        # est_jaccard rides through both lanes
+        assert "est_jaccard" in rows[1][0]
+
+
+def test_verify_bucketed_adversarial_high_duplication(ray_session):
+    """Every doc participates in a candidate pair (30 groups x 10
+    near-identical docs): the shape where the broadcast gather's driver
+    dict would approach the corpus.  The bucketed lane — which never
+    builds that dict — still matches the brute-force answer exactly."""
+    import ray.data as rd
+    from xema_ray.stages.dedup import (allpairs_jaccard_pairs,
+                                       ngram_jaccard, verify_pairs_jaccard)
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(300)]
+    ids, texts = [], []
+    for g in range(30):
+        words = list(rng.choice(vocab, size=30))
+        for m in range(10):
+            w = list(words)
+            if m:  # one-word edit per member
+                w[int(rng.integers(len(w)))] = f"e{g}_{m}"
+            ids.append(g * 10 + m)
+            texts.append(" ".join(w))
+    pdf = pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                        "text": texts})
+    ds = rd.from_pandas(pdf)
+    thr = 0.6
+    cands = allpairs_jaccard_pairs(ds, threshold=thr)
+    got = {(r["doc_a"], r["doc_b"]) for r in verify_pairs_jaccard(
+        cands, ds, threshold=thr, method="hash",
+        strategy="bucketed").take_all()}
+    want = set()
+    for i in range(len(pdf)):
+        for j in range(i + 1, len(pdf)):
+            if ids[i] // 10 == ids[j] // 10:  # cross-group J ~ 0
+                if ngram_jaccard(texts[i], texts[j], n=3) >= thr:
+                    want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert got == want and len(want) > 1000
+    # every doc is a candidate endpoint — the adversarial property
+    endpoints = {d for p in want for d in p}
+    assert len(endpoints) == len(pdf)
+
+
+def test_verify_auto_switches_to_bucketed(docs_ds):
+    """strategy='auto' with a zero broadcast budget must route the hash
+    lane through the bucketed exchange and still agree."""
+    ds, _ = docs_ds
+    from xema_ray.stages.dedup import minhash_lsh_pairs, verify_pairs_jaccard
+
+    cands = minhash_lsh_pairs(ds, threshold=0.45)
+    a = {(r["doc_a"], r["doc_b"], r["j_fp"]) for r in verify_pairs_jaccard(
+        cands, ds, threshold=0.5, fixed_point=True,
+        method="hash").take_all()}
+    b = {(r["doc_a"], r["doc_b"], r["j_fp"]) for r in verify_pairs_jaccard(
+        cands, ds, threshold=0.5, fixed_point=True, method="hash",
+        auto_broadcast_docs=0).take_all()}
+    assert a == b and a
+
+
+def test_verify_bucketed_missing_and_empty_ids(ray_session):
+    """Pairs referencing ids absent from the corpus verify against the
+    zero-token gram set in the bucketed lane too (missing, empty) = J=1,
+    (missing, non-empty) = J=0 — identical to the broadcast lanes."""
+    import ray.data as rd
+    from xema_ray.stages.dedup import verify_pairs_jaccard
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": ["a", "b", "c"],
+        "text": ["", "alpha beta gamma delta", ""]}))
+    pairs = rd.from_pandas(pd.DataFrame({
+        "doc_a": ["a", "ghost", "ghost", "a"],
+        "doc_b": ["c", "a", "b", "b"]}))
+    for strategy in ("broadcast", "bucketed"):
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in verify_pairs_jaccard(
+                   pairs, docs, threshold=0.0, method="hash",
+                   strategy=strategy).take_all()}
+        assert got[("a", "c")] == 1.0, strategy
+        assert got[("ghost", "a")] == 1.0, strategy
+        assert got[("ghost", "b")] == 0.0, strategy
+        assert got[("a", "b")] == 0.0, strategy

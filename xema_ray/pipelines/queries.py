@@ -665,8 +665,11 @@ def doc_minhash_pairs(sf_dir: str):
     # estimator-noise candidate volume bounded (r3 bench: 0.35 tripled
     # verification work for zero extra recall on this corpus)
     cands = minhash_lsh_pairs(docs, threshold=0.45)
+    # hash verification (r5): the batched lexsort kernel with the
+    # measured-auto broadcast/bucketed gather — identical gram
+    # semantics, no driver-side text dict
     verified = verify_pairs_jaccard(cands, docs, threshold=0.5,
-                                    fixed_point=True)
+                                    fixed_point=True, method="hash")
     return verified.select_columns(["doc_a", "doc_b", "j_fp"])
 
 
@@ -732,7 +735,7 @@ def doc_dup_clusters(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"], split=True)
     cands = minhash_lsh_pairs(docs, threshold=0.45)
     verified = verify_pairs_jaccard(cands, docs, threshold=0.5,
-                                    fixed_point=True)
+                                    fixed_point=True, method="hash")
     return dup_clusters(verified)
 
 
