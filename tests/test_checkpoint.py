@@ -466,3 +466,87 @@ def test_quarantine_off_still_raises(corpus, tmp_path, ray_session):
         f.write(b"garbage")
     with pytest.raises(Exception):
         run_validation([bad], str(tmp_path / "out"))
+
+
+def test_run_near_dedup_kill_and_resume(ray_session, tmp_path):
+    """r5 (VERDICT item 2): the neardup composition (pairs -> verify ->
+    clusters -> survivors) runs under the manifest/lineage contract — a
+    run killed mid-way resumes to byte-identical output, and unchanged
+    inputs skip both the pair/cluster artifacts and the shard writes."""
+    import glob
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xema_ray.stages.dedup import run_near_dedup
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(300)]
+    ids, texts = [], []
+    for g in range(40):
+        words = list(rng.choice(vocab, size=40))
+        for m in range(3):
+            w = list(words)
+            if m == 2:  # m=1 exact dup of m=0; m=2 one-word edit
+                w[int(rng.integers(len(w)))] = f"e{g}{m}"
+            ids.append(f"d{g:03d}_{m}")
+            texts.append(" ".join(w))
+    src = tmp_path / "src"
+    src.mkdir()
+    for s in range(4):
+        lo, hi = s * 30, (s + 1) * 30
+        pq.write_table(pa.table({"doc_id": ids[lo:hi],
+                                 "text": texts[lo:hi],
+                                 "n": pa.array(range(lo, hi),
+                                               type=pa.int64())}),
+                       str(src / f"shard-{s}.parquet"))
+    paths = sorted(glob.glob(str(src / "*.parquet")))
+    out = str(tmp_path / "out")
+
+    def treehash():
+        h = hashlib.sha256()
+        for f in sorted(glob.glob(os.path.join(out, "survivors",
+                                               "shards", "*"))):
+            h.update(open(f, "rb").read())
+        return h.hexdigest()
+
+    s1 = run_near_dedup(paths, out, threshold=0.8, candidates="allpairs")
+    assert s1.docs == 120 and s1.clusters == 40
+    assert s1.removed == 80 and s1.survivors == 40
+    assert s1.partitions_done == 4 and s1.partitions_skipped == 0
+    # survivors keep ALL original columns (the extra int column rides)
+    shard0 = pq.read_table(os.path.join(out, "survivors", "shards",
+                                        "shard-0.parquet"))
+    assert set(shard0.column_names) == {"doc_id", "text", "n"}
+    h1 = treehash()
+    pairs_mtime = os.stat(os.path.join(out, "pairs.parquet")).st_mtime_ns
+
+    # clean resume: artifacts loaded, every shard skipped
+    s2 = run_near_dedup(paths, out, threshold=0.8, candidates="allpairs")
+    assert s2.partitions_done == 0 and s2.partitions_skipped == 4
+    assert s2.survivors == 40 and treehash() == h1
+    assert os.stat(os.path.join(out, "pairs.parquet")).st_mtime_ns \
+        == pairs_mtime  # pair/cluster phase not recomputed
+
+    # crash simulation: one survivor shard never landed
+    os.remove(os.path.join(out, "survivors", "shards", "shard-2.parquet"))
+    s3 = run_near_dedup(paths, out, threshold=0.8, candidates="allpairs")
+    assert s3.partitions_done == 1 and s3.survivors == 40
+    assert treehash() == h1
+
+    # input-shard rewrite invalidates the artifact signature AND that
+    # shard's survivor write; output stays byte-identical
+    t = pq.read_table(paths[1])
+    pq.write_table(t, paths[1])
+    s4 = run_near_dedup(paths, out, threshold=0.8, candidates="allpairs")
+    assert s4.partitions_done == 1 and s4.partitions_skipped == 3
+    assert treehash() == h1
+
+    # config change (threshold) invalidates everything; at 0.95 only
+    # the exact-dup member of each triple still drops (the one-word
+    # edits fall below the cut)
+    s5 = run_near_dedup(paths, out, threshold=0.95, candidates="allpairs")
+    assert s5.partitions_done == 4
+    assert s5.removed == 40 and s5.survivors == 80

@@ -288,57 +288,28 @@ def cmd_spandedup(args):
 
 
 def cmd_neardup(args):
-    """MinHash-LSH near-dup pipeline over parquet shards: candidate
-    pairs -> exact-Jaccard verification -> connected-component cluster
-    resolution -> survivor corpus (min-id per cluster kept).  Outputs
-    ``<out>/pairs``, ``<out>/clusters`` and ``<out>/survivors`` parquet
-    directories; only the duplicate-membership set (bounded by dup
-    docs, not corpus size) ever reaches the driver."""
+    """Near-dup pipeline over parquet shards: candidate pairs -> exact-
+    Jaccard verification -> connected-component cluster resolution ->
+    survivor corpus (min-id per cluster kept), CHECKPOINTED through the
+    ``state/checkpoint`` manifest contract (r5): pairs/clusters persist
+    as signed artifacts, survivors write per-shard with manifest resume
+    — a killed multi-hour job reruns only what didn't land.  Outputs
+    ``<out>/pairs.parquet``, ``<out>/clusters.parquet`` and
+    ``<out>/survivors/shards/``; only the duplicate-membership set
+    (bounded by dup docs, not corpus size) ever reaches the driver."""
     _init_ray(args.num_cpus)
-    import pyarrow.compute as pc
-    import ray.data as rd
+    import dataclasses
 
-    from xema_ray.stages.cluster import drop_ids_filter, dup_clusters
-    from xema_ray.stages.dedup import (allpairs_jaccard_pairs,
-                                       minhash_lsh_pairs,
-                                       verify_pairs_jaccard)
+    from xema_ray.stages.dedup import run_near_dedup
 
-    paths = _paths(args.input)
-    thin = rd.read_parquet(paths, columns=[args.id_col, args.text_col])
-    if args.candidates == "allpairs":
-        # exact prefix-filtered self-join: recall GUARANTEED at the cut
-        cands = allpairs_jaccard_pairs(thin, col=args.text_col,
-                                       id_col=args.id_col,
-                                       threshold=args.threshold)
-    else:
-        # estimator threshold slightly below the exact cut for candidate
-        # recall (the exact jaccard >= threshold filter defines the output)
-        cands = minhash_lsh_pairs(thin, col=args.text_col,
-                                  id_col=args.id_col,
-                                  threshold=max(0.0, args.threshold - 0.05))
-    pairs = verify_pairs_jaccard(cands, thin, col=args.text_col,
-                                 id_col=args.id_col,
-                                 threshold=args.threshold,
-                                 method=args.verify).materialize()
-    clusters = dup_clusters(pairs).materialize()
-    pairs.write_parquet(os.path.join(args.out, "pairs"))
-    clusters.write_parquet(os.path.join(args.out, "clusters"))
-
-    drop = []  # non-survivor cluster members: bounded by duplicate docs
-    n_clusters = set()
-    for b in clusters.iter_batches(batch_format="pyarrow"):
-        drop.extend(b.filter(pc.equal(b["keep"], 0))["doc_id"].to_pylist())
-        n_clusters.update(b["cluster_id"].to_pylist())
-
-    full = rd.read_parquet(paths)  # all columns for the survivor corpus
-    survivors = drop_ids_filter(full, args.id_col, drop)
-    survivors.write_parquet(os.path.join(args.out, "survivors"))
-    n_docs = full.count()
-    print(json.dumps({
-        "docs": n_docs, "pairs": pairs.count(),
-        "clusters": len(n_clusters), "removed": len(drop),
-        "survivors": n_docs - len(drop), "threshold": args.threshold,
-    }))
+    summary = run_near_dedup(_paths(args.input), args.out,
+                             threshold=args.threshold,
+                             candidates=args.candidates,
+                             verify=args.verify,
+                             text_col=args.text_col, id_col=args.id_col)
+    out = dataclasses.asdict(summary)
+    out["threshold"] = args.threshold
+    print(json.dumps(out))
 
 
 def cmd_bpe(args):

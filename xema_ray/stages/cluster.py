@@ -198,24 +198,32 @@ def dup_clusters(pairs, u_col: str = "doc_a", v_col: str = "doc_b",
         import ray
 
         pairs = pairs.materialize()
-        ids: set = set()
+        # endpoint id set via per-batch pyarrow unique() (r4 advice: no
+        # per-element Python loops, and the decode array rides the
+        # object store instead of the task closures)
+        uniq_parts = []
         for b in pairs.iter_batches(batch_format="pyarrow"):
-            for a, c in zip(b[u_col].to_pylist(), b[v_col].to_pylist()):
-                if a is not None and c is not None:  # match _sym_edges'
-                    ids.add(a)                       # null-endpoint drop
-                    ids.add(c)
-        inv = np.array(sorted(ids, key=str), dtype=object)
-        cref = ray.put({i: k for k, i in enumerate(inv)})
+            both = pa.chunked_array(
+                [b[u_col], b[v_col]]).combine_chunks()
+            uniq_parts.append(pc.unique(both.drop_null()))
+        merged = pc.unique(pa.chunked_array(uniq_parts)
+                           .combine_chunks()) if uniq_parts \
+            else pa.array([], type=pa.string())
+        inv = np.array(sorted(merged.to_pylist(), key=str), dtype=object)
+        code_ref = ray.put(pd.Index(inv))
+        inv_ref = ray.put(inv)
         out_t = typ if isinstance(typ, pa.DataType) else pa.string()
 
         def enc(t: pa.Table) -> pa.Table:
-            c = ray.get(cref)
-            coded = [(c[a], c[v]) for a, v in
-                     zip(t[u_col].to_pylist(), t[v_col].to_pylist())
-                     if a is not None and v is not None]
+            codes = ray.get(code_ref)  # plasma-local read per task
+            keep = pc.and_(pc.is_valid(t[u_col]),
+                           pc.is_valid(t[v_col]))  # match _sym_edges'
+            t = t.filter(keep)                     # null-endpoint drop
+            cu = codes.get_indexer(t[u_col].to_pandas())
+            cv = codes.get_indexer(t[v_col].to_pandas())
             return pa.table({
-                u_col: pa.array([p[0] for p in coded], type=pa.int64()),
-                v_col: pa.array([p[1] for p in coded], type=pa.int64()),
+                u_col: pa.array(cu, type=pa.int64()),
+                v_col: pa.array(cv, type=pa.int64()),
             })
 
         coded = dup_clusters(
@@ -223,12 +231,13 @@ def dup_clusters(pairs, u_col: str = "doc_a", v_col: str = "doc_b",
             u_col, v_col, **kw)
 
         def dec(t: pa.Table) -> pa.Table:
+            inv_ = ray.get(inv_ref)
             # explicit type: an empty object ndarray would infer a
             # null-typed column and break schema unification downstream
             return pa.table({
-                "doc_id": pa.array(inv[t["doc_id"].to_numpy()],
+                "doc_id": pa.array(inv_[t["doc_id"].to_numpy()],
                                    type=out_t),
-                "cluster_id": pa.array(inv[t["cluster_id"].to_numpy()],
+                "cluster_id": pa.array(inv_[t["cluster_id"].to_numpy()],
                                        type=out_t),
                 "keep": t["keep"],
             })

@@ -1772,6 +1772,171 @@ def run_span_dedup(paths, out_dir: str, n: int = 8, min_count: int = 2,
         batch_rows=batch_rows)
 
 
+
+# ----------------------------------------------------------------------
+# checkpointed near-dup runner (pairs -> verify -> clusters -> survivors)
+# ----------------------------------------------------------------------
+
+
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass
+class NearDupSummary:
+    docs: int
+    pairs: int
+    clusters: int
+    removed: int
+    survivors: int
+    partitions_done: int
+    partitions_skipped: int
+    manifest_path: str
+    out_dir: str
+
+
+def _write_ds_parquet_atomic(ds, out_file: str, empty_schema=None):
+    """Stream a Dataset into ONE parquet file atomically (tmp + rename)
+    without driver materialization — batches flow through a
+    ParquetWriter one at a time."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tmp = out_file + ".tmp"
+    writer = None
+    try:
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, b.schema)
+            writer.write_table(b)
+        if writer is None:
+            sch = empty_schema
+            if sch is None:
+                base = ds.schema(fetch_if_missing=True)
+                sch = base.base_schema if base is not None and \
+                    isinstance(base.base_schema, pa.Schema) else \
+                    pa.schema([])
+            pq.write_table(sch.empty_table(), tmp)
+        else:
+            writer.close()
+            writer = None
+    finally:
+        if writer is not None:
+            writer.close()
+    os.replace(tmp, out_file)
+
+
+def _drop_rows_table(t: pa.Table, drop_ids=None, id_col: str = "doc_id"):
+    """Shard-level survivor filter for :func:`run_near_dedup` — a
+    top-level picklable kernel for ``run_map_shards``."""
+    import pyarrow.compute as pc
+
+    if drop_ids is None or not len(drop_ids):
+        return t
+    vs = pa.array(list(drop_ids)).cast(t.schema.field(id_col).type)
+    drop = pc.fill_null(pc.is_in(t[id_col], value_set=vs), False)
+    return t.filter(pc.invert(drop))
+
+
+def run_near_dedup(paths, out_dir: str, threshold: float = 0.8,
+                   candidates: str = "minhash", verify: str = "hash",
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n: int = 3, batch_rows: int = 16384) -> NearDupSummary:
+    """Checkpointed, RESUMABLE near-duplicate dedup — the production
+    runner behind the ``neardup`` CLI (round-4 verdict item #2; mirrors
+    ``run_span_dedup``):
+
+    1. the candidate-pair -> exact-verify -> connected-components chain
+       runs once and persists ``<out_dir>/pairs.parquet`` and
+       ``<out_dir>/clusters.parquet`` (both bounded by duplicate docs,
+       streamed to disk — never driver-materialized) under a signature
+       covering every input shard's lineage + the config; a rerun with
+       unchanged inputs loads them instead of recomputing;
+    2. the survivor filter runs through
+       :func:`~xema_ray.state.checkpoint.run_map_shards` (one Ray task
+       per shard, atomic per-shard parquet under
+       ``<out_dir>/survivors/shards/``, manifest resume) with a digest
+       of the drop-id set in its config signature, so a changed cluster
+       table invalidates exactly the downstream shards.
+
+    A run killed between any two steps resumes to byte-identical output.
+    """
+    import functools
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from xema_ray.stages.cluster import dup_clusters
+    from xema_ray.state.checkpoint import _lineage, run_map_shards
+
+    if candidates not in ("minhash", "allpairs"):
+        raise ValueError(f"unknown candidates {candidates!r}")
+    paths = sorted(paths)
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = {"threshold": threshold, "candidates": candidates,
+           "verify": verify, "text_col": text_col, "id_col": id_col,
+           "n": n}
+    sig = hashlib.md5(json.dumps(
+        [cfg] + [_lineage(p) for p in paths]).encode()).hexdigest()
+    pairs_file = os.path.join(out_dir, "pairs.parquet")
+    clusters_file = os.path.join(out_dir, "clusters.parquet")
+    sig_file = os.path.join(out_dir, "neardup.sig")
+    if not (os.path.exists(pairs_file) and os.path.exists(clusters_file)
+            and os.path.exists(sig_file)
+            and open(sig_file).read() == sig):
+        thin = rd.read_parquet(paths, columns=[id_col, text_col])
+        if candidates == "allpairs":
+            cands = allpairs_jaccard_pairs(thin, col=text_col,
+                                           id_col=id_col, n=n,
+                                           threshold=threshold)
+        else:
+            # estimator threshold below the exact cut for candidate
+            # recall (the exact jaccard >= threshold filter defines the
+            # output set)
+            cands = minhash_lsh_pairs(thin, col=text_col, id_col=id_col,
+                                      shingle=n,
+                                      threshold=max(0.0, threshold - 0.05))
+        pairs_ds = verify_pairs_jaccard(cands, thin, col=text_col,
+                                        id_col=id_col, n=n,
+                                        threshold=threshold,
+                                        method=verify).materialize()
+        clusters_ds = dup_clusters(pairs_ds).materialize()
+        _write_ds_parquet_atomic(pairs_ds, pairs_file)
+        _write_ds_parquet_atomic(clusters_ds, clusters_file)
+        with open(sig_file, "w") as f:
+            f.write(sig)
+
+    # drop set: non-keeper cluster members — bounded by duplicate docs.
+    # An empty pair graph can leave a columnless/zero-row artifact (a
+    # fully-materialized empty Dataset has no schema to write) — treat
+    # it as "no duplicates".
+    ct = pq.read_table(clusters_file)
+    if "keep" in ct.column_names and ct.num_rows:
+        dcol = id_col if id_col in ct.column_names else "doc_id"
+        drop_ids = ct.filter(pc.equal(ct["keep"], 0))[dcol].to_pylist()
+        n_clusters = len(pc.unique(ct["cluster_id"]))
+    else:
+        drop_ids, n_clusters = [], 0
+    drop_sig = hashlib.md5(
+        "\x1f".join(sorted(map(str, drop_ids))).encode()).hexdigest()[:16]
+    fn = functools.partial(_drop_rows_table, drop_ids=drop_ids,
+                           id_col=id_col)
+    ms = run_map_shards(
+        paths, os.path.join(out_dir, "survivors"), fn,
+        cfg_sig=f"neardup:{json.dumps(cfg, sort_keys=True)}"
+                f":drop={drop_sig}",
+        batch_rows=batch_rows)
+    return NearDupSummary(
+        docs=ms.rows_in, pairs=pq.read_metadata(pairs_file).num_rows,
+        clusters=n_clusters, removed=len(drop_ids),
+        survivors=ms.rows_out, partitions_done=ms.partitions_done,
+        partitions_skipped=ms.partitions_skipped,
+        manifest_path=ms.manifest_path, out_dir=out_dir)
+
+
 # ----------------------------------------------------------------------
 # exact set-similarity self-join (AllPairs / PPJoin prefix filtering)
 # ----------------------------------------------------------------------
