@@ -210,3 +210,35 @@ def test_lm_familiarity_empty_reference(ray_session):
             for r in lm_familiarity(rd.from_pandas(pdf),
                                     ref_mod=1000).take_all()}
     assert rows == {1: (2, 2, 0), 3: (2, 2, 0)}
+
+
+def test_lm_familiarity_string_doc_ids(ray_session):
+    """String-id corpora compose with the LM stage (r4 advice): the
+    reference split derives from a stable string hash, scoring matches
+    the same corpus re-keyed so that exactly the hash-selected docs are
+    the integer reference split."""
+    import ray.data as rd
+    from xema_ray.functions.sketches import hash_strings
+    from xema_ray.stages.text import _ref_split_mask, lm_familiarity
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(80)]
+    sids = [f"doc-{i:04d}" for i in range(80)]
+    pdf = pd.DataFrame({"doc_id": sids, "text": texts})
+    got = {r["doc_id"]: (r["n_tri"], r["n_oov"], r["fam_fp"])
+           for r in lm_familiarity(
+               rd.from_pandas(pdf).repartition(3), ref_mod=20).take_all()}
+    assert len(got) == 80  # no crash, every 12-word doc scored
+
+    # differential check: give hash-selected docs integer ids = 0 mod 20
+    mask = _ref_split_mask(pd.Series(sids), 20)
+    assert mask.any() and not mask.all()
+    assert (mask == ((hash_strings(sids) % np.uint64(20)) == 0)).all()
+    ref_ids = np.flatnonzero(mask)
+    int_ids = np.arange(80, dtype=np.int64) * 20 + 7  # none divisible
+    int_ids[ref_ids] = ref_ids * 20                   # ref split only
+    pdf_int = pdf.assign(doc_id=int_ids)
+    want = {sids[int(np.flatnonzero(int_ids == k))]: v
+            for k, v in _py_lm_familiarity(pdf_int, ref_mod=20).items()}
+    assert got == want

@@ -40,9 +40,56 @@ def mirror_documents_ipc(parquet_path: str, out_dir: str,
                           columns, rows_per_shard)
 
 
+class _PrefixedStream:
+    """File-like over (already-read head bytes + the rest of a
+    sequential NativeFile) — lets the magic sniff stay O(8 bytes)
+    while the stream-format reader pulls record batches INCREMENTALLY
+    instead of buffering the whole file."""
+
+    closed = False
+    mode = "rb"
+
+    def __init__(self, head: bytes, f):
+        self._head = head
+        self._f = f
+
+    def readable(self):
+        return True
+
+    def writable(self):
+        return False
+
+    def seekable(self):
+        return False
+
+    def flush(self):
+        pass
+
+    def read(self, n: int = -1) -> bytes:
+        if self._head:
+            if n is None or n < 0:
+                out = self._head + self._f.read()
+                self._head = b""
+                return out
+            out, self._head = self._head[:n], self._head[n:]
+            if len(out) < n:
+                out += self._f.read(n - len(out))
+            return out
+        return self._f.read(n)
+
+    def close(self):
+        pass
+
+
 def read_ipc(paths, **kwargs):
     """Ray Dataset over Arrow IPC files — stream OR file format (one
-    read task per file; record batches stream into downstream stages)."""
+    read task per file; record batches stream into downstream stages).
+
+    Memory bound per read task: the STREAM format is read incrementally
+    (one record batch resident at a time); the FILE format (Feather V2)
+    needs footer seeks on a sequential NativeFile, so its whole file is
+    buffered — size file-format inputs like parquet row groups, or
+    prefer the stream format for multi-GB shards (r4 advice)."""
     import ray.data as rd
     from ray.data.datasource import FileBasedDatasource
 
@@ -50,17 +97,18 @@ def read_ipc(paths, **kwargs):
         _FILE_EXTENSIONS = ["arrow", "ipc", "feather"]
 
         def _read_stream(self, f, path: str):
-            # the NativeFile Ray hands over is sequential-only, so
-            # buffer once and sniff the magic: FILE format (Feather V2)
-            # needs footer seeks, stream format reads straight through
-            buf = pa.BufferReader(f.read())
-            if buf.size() >= len(_FILE_MAGIC) and \
-                    buf.read_at(len(_FILE_MAGIC), 0) == _FILE_MAGIC:
+            # sniff the magic from the first 8 bytes only: FILE format
+            # (Feather V2) needs footer seeks -> buffer it; stream
+            # format reads straight through incrementally
+            head = f.read(len(_FILE_MAGIC))
+            if head == _FILE_MAGIC:
+                buf = pa.BufferReader(head + f.read())
                 reader = pa.ipc.open_file(buf)
                 for i in range(reader.num_record_batches):
                     yield pa.Table.from_batches([reader.get_batch(i)])
             else:
-                with pa.ipc.open_stream(buf) as reader:
+                with pa.ipc.open_stream(_PrefixedStream(head, f)) \
+                        as reader:
                     for batch in reader:
                         yield pa.Table.from_batches([batch])
 

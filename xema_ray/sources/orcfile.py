@@ -37,7 +37,14 @@ def mirror_documents_orc(parquet_path: str, out_dir: str,
 
 def read_orc(paths, **kwargs):
     """Ray Dataset over ORC files (one read task per file; stripes
-    stream out as Arrow tables)."""
+    stream out as Arrow tables).
+
+    Memory bound per read task: the ORC footer/stripe index needs
+    random access and Ray hands a sequential NativeFile, so the whole
+    file is buffered before stripe decode — size ORC inputs like
+    parquet row groups (the mirrors write one stripe per shard); a
+    multi-GB single ORC file costs its full size in task heap
+    (r4 advice)."""
     import ray.data as rd
     from ray.data.datasource import FileBasedDatasource
 

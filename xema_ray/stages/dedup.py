@@ -2047,9 +2047,13 @@ def allpairs_jaccard_pairs(
         # (never smaller prefixes than the bound requires)
         p = sizes - np.ceil(threshold * sizes - eps).astype(np.int64) + 1
         keep = pos < np.repeat(p, sizes)
+        # explicit doc_id type: a zero-row batch's empty object array
+        # would infer a NULL-typed column and break schema unification
+        # with the other blocks (r4 advice)
         return pa.table({
             "gram": pa.array(f2[keep].view(np.int64), type=pa.int64()),
-            "doc_id": pa.array(ids2[keep]),
+            "doc_id": pa.array(ids2[keep],
+                               type=t.schema.field(id_col).type),
             "size": pa.array(sizes.repeat(sizes)[keep].astype(np.int64)),
             "pos": pa.array(pos[keep], type=pa.int64()),
         })

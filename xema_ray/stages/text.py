@@ -590,6 +590,24 @@ def _doc_trigram_strings(batch, text_col: str):
     return rows, tri, ctx, n_per_row
 
 
+def _ref_split_mask(ids, ref_mod: int) -> np.ndarray:
+    """Reference-split membership for the LM-familiarity passes:
+    integer ids use ``doc_id % ref_mod == 0`` (the SQL-oracle-matching
+    lane — the ``== 0`` test is sign-convention-proof, since both
+    numpy's floored and SQL's truncated ``%`` agree on divisibility);
+    non-integer ids fall back to a stable 64-bit string hash mod
+    ``ref_mod`` so the stage composes with string-id corpora
+    (r4 advice)."""
+    arr = ids.to_numpy() if hasattr(ids, "to_numpy") else np.asarray(ids)
+    try:
+        return (arr.astype(np.int64) % ref_mod) == 0
+    except (ValueError, TypeError):
+        from xema_ray.functions.sketches import hash_strings
+
+        h = hash_strings([str(x) for x in arr])
+        return (h % np.uint64(ref_mod)) == 0
+
+
 def ref_trigram_lm(ds, text_col: str = "text", ref_mod: int = 20):
     """Pass 1 of LM-familiarity scoring (CCNet-style reference-LM
     filtering, integer-exact): trigram and context-bigram OCCURRENCE
@@ -609,8 +627,7 @@ def ref_trigram_lm(ds, text_col: str = "text", ref_mod: int = 20):
     import pandas as pd
 
     def partial(batch):
-        keep = (batch["doc_id"].to_numpy().astype(np.int64)
-                % ref_mod) == 0
+        keep = _ref_split_mask(batch["doc_id"], ref_mod)
         rows, tri, _, _ = _doc_trigram_strings(
             batch.loc[keep].reset_index(drop=True), text_col)
         if not len(tri):
