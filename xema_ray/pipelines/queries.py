@@ -4614,36 +4614,32 @@ def events_key_skew(sf_dir: str):
 # in this file groups by topic instead, so reorder the dict in place
 # (in place, not rebound: other modules hold references to QUERIES).
 _DRIVER_PRIORITY = (
-    # core validation / north-rule surface (stats/drift/nested/inrow,
-    # then verdict_by_source/duplicate_doc_ids, rotated OUT in r4 —
-    # they hold official CORRECTNESS_r03 rows; the full sweep record
-    # covers everything every round)
+    # core validation / north-rule surface — always in the sample
     "seq_violations", "seq_referential_violations",
-    # round-4 operator additions (seq_export_pipeline rotated out — it
-    # holds an official CORRECTNESS_r03 row; the full sweep still covers it)
-    "doc_allpairs_jaccard",
+    # r5 rotation (VERDICT item 5): the 19 operators that held NO
+    # official driver CORRECTNESS row across r1-r4 (they had only the
+    # committed full-sweep record) come first so round 5 closes the gap
+    "media_thumbnails", "doc_filter_pipeline", "doc_shuffle_export",
+    "seq_token_chunks", "doc_word_freq", "emb_label_centroids",
+    "doc_token_counts_csv", "doc_token_counts_ipc", "doc_token_counts_orc",
+    "doc_rollup_counts", "doc_lang_pivot", "seq_id_parse",
+    "orders_local_supplier_volume", "doc_feature_hash", "orders_year_spine",
+    "doc_bigram_novelty", "orders_monthly_growth", "lineitem_promo_share",
+    "emb_cluster_quality",
+    # lanes whose implementation changed THIS round (bucketed/vectorized
+    # pair verification, string-id clusters, LM split) — re-certify
+    "doc_minhash_pairs", "doc_dup_clusters", "doc_allpairs_jaccard",
+    "doc_lm_familiarity",
+    # high-value spread filling the 50-slot driver sample
     "doc_dup_spans", "doc_span_scrub", "emb_semantic_dedup",
     "orders_region_revenue", "events_key_skew",
-    "doc_importance_weights", "doc_decontam_fuzzy", "doc_lm_familiarity",
-    # tokenizer training + quantization / ANN index family
+    "doc_importance_weights", "doc_decontam_fuzzy",
     "doc_bpe_merges", "doc_bpe_stats", "emb_quantize", "emb_pq_cells",
-    "emb_knn_pq", "emb_knn_ivfpq", "emb_filtered_knn", "emb_knn_per_label",
+    "emb_knn_pq", "emb_knn_ivfpq", "emb_filtered_knn",
     "emb_mmr_topk", "emb_hard_negatives", "emb_covariance",
-    "emb_kmeans_clusters",
-    # event analytics (window classes + funnels)
     "events_funnel", "events_retention", "events_rolling",
-    "events_daily_active", "events_wau", "events_attribution",
-    "events_decayed_score", "events_transitions",
-    # corpus curation: dedup / quality / mixture
-    "doc_line_dedup", "doc_tfidf", "doc_search_bm25", "doc_best_survivors",
-    "doc_novelty_mixture", "doc_split_assign", "doc_snapshot_diff",
-    "doc_stratified_topk", "doc_shared_passages", "doc_tokenize_ids",
-    "doc_mixture_sample", "seq_top_bigrams", "seq_infer_schema",
-    "seq_outlier_filter", "seq_variance_by_source", "seq_zscore_outliers",
-    "seq_rank_normalize",
-    # relational + multimodal spread
-    "orders_shipping_priority", "orders_no_lineitem",
-    "media_thumbnails",
+    "events_daily_active", "events_attribution",
+    "doc_line_dedup", "doc_tfidf", "doc_search_bm25",
 )
 
 
