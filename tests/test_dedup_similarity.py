@@ -539,7 +539,7 @@ def test_dup_spans_known_passages(ray_session):
     t = pa.table({"doc_id": pa.array(list(docs)),
                   "text": pa.array(list(docs.values()))})
     results = {}
-    for lane in ("fast", "md5"):
+    for lane in ("fast", "md5", "verified"):
         out = dup_spans(rd.from_arrow(t).repartition(3), n=8,
                         min_count=2, hash_fn=lane)
         rows = sorted(
@@ -547,7 +547,7 @@ def test_dup_spans_known_passages(ray_session):
             for b in out.iter_batches(batch_format="pyarrow")
             for r in b.to_pylist())
         results[lane] = rows
-    assert results["fast"] == results["md5"]
+    assert results["fast"] == results["md5"] == results["verified"]
     rows = results["fast"]
     by_doc = {}
     for d, s, e, w in rows:
@@ -675,13 +675,14 @@ def test_dup_spans_randomized_vs_python_reference(ray_session):
         want = sorted((d, s, e, e - s + 1) for d, s, e, _ in want)
         t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
                       "text": pa.array(docs)})
-        out = dup_spans(rd.from_arrow(t).repartition(5), n=n,
-                        min_count=2, hash_fn="fast")
-        got = sorted(
-            (r["doc_id"], r["start_pos"], r["end_pos"], r["n_words"])
-            for b in out.iter_batches(batch_format="pyarrow")
-            for r in b.to_pylist())
-        assert got == want and len(want) > 20
+        for lane in ("fast", "verified"):
+            out = dup_spans(rd.from_arrow(t).repartition(5), n=n,
+                            min_count=2, hash_fn=lane)
+            got = sorted(
+                (r["doc_id"], r["start_pos"], r["end_pos"], r["n_words"])
+                for b in out.iter_batches(batch_format="pyarrow")
+                for r in b.to_pylist())
+            assert got == want and len(want) > 20, lane
 
 
 # ---------------------------------------------------------------------------

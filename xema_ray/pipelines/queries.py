@@ -4291,14 +4291,16 @@ _SQL_DOC_DUP_SPANS = f"""
         "near dedup can't see.  One digest-only counting exchange "
         "(per-batch np.unique partials, bucket-exact sums), broadcast "
         "duplicated-gram set, streaming vectorized mark-and-merge; "
-        "md5 lane for the oracle, splitmix64 engine lane "
-        "(differential-tested)",
+        "'verified' lane (r5): splitmix64 candidate superset through "
+        "the raw-task u64 exchange + exact STRING recount of the few "
+        "candidates — string-identical to the SQL count, ~5x faster "
+        "than the retired per-gram-md5 lane",
 )
 def doc_dup_spans(sf_dir: str):
     from xema_ray.stages.dedup import dup_spans
 
     return dup_spans(_read(sf_dir, "documents", ["doc_id", "text"]),
-                     n=8, min_count=2, hash_fn="md5")
+                     n=8, min_count=2, hash_fn="verified")
 
 
 _SQL_DOC_SPAN_SCRUB = f"""
@@ -4343,7 +4345,7 @@ def doc_span_scrub(sf_dir: str):
     from xema_ray.stages.dedup import dup_spans, remove_spans
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    manifest = dup_spans(docs, n=8, min_count=2, hash_fn="md5")
+    manifest = dup_spans(docs, n=8, min_count=2, hash_fn="verified")
     return remove_spans(_read(sf_dir, "documents", ["doc_id", "text"]),
                         manifest)
 

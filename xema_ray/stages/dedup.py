@@ -1520,6 +1520,62 @@ def duplicated_grams(ds, n: int = 8, min_count: int = 2,
             n_buckets=n_buckets)
         return np.sort(keys)
 
+    if hash_fn == "verified":
+        # STRING-exact lane at u64-exchange speed (r5, VERDICT item 6 —
+        # the md5 lane's per-gram hashlib loop was ~10 s of the 15 s
+        # doc_dup_spans wall at sf0.1): pass A counts splitmix64 keys
+        # through the raw-task exchange — equal strings always share a
+        # key, so the >= min_count cut is a guaranteed SUPERSET of the
+        # true duplicated grams (a cross-string collision only merges
+        # counts upward); pass B streams the corpus once more,
+        # prefilters occurrences against the broadcast candidate keys
+        # and recounts the few candidate gram STRINGS exactly (driver
+        # fold is O(candidate grams), boilerplate-sized).  Returns
+        # ``(strings, stream_hashes)`` — the verified duplicated gram
+        # strings plus their fast-lane hashes (the gram hash combines
+        # WORD hashes, so it can't be recomputed from the joined
+        # string) — exact string semantics, no hash caveat at all.
+        import ray
+
+        cand = duplicated_grams(ds, n=n, min_count=min_count,
+                                text_col=text_col, hash_fn="fast",
+                                n_buckets=n_buckets)
+        empty = (np.empty(0, dtype=object), np.empty(0, np.uint64))
+        if not len(cand):
+            return empty
+        cand_ref = ray.put(cand)
+
+        def str_partials(t: pa.Table) -> pa.Table:
+            texts = t[text_col].to_pandas()
+            words_all = _words_lower(texts)
+            rows, pos, h = _gram_stream(texts, n, "fast",
+                                        words_all=words_all)
+            ck = ray.get(cand_ref)
+            if len(h):
+                i = np.clip(np.searchsorted(ck, h), 0, len(ck) - 1)
+                hit = ck[i] == h
+            else:
+                hit = np.zeros(0, bool)
+            gs = _gram_strings_at(words_all, rows[hit], pos[hit], n)
+            uniq, first, cnts = np.unique(gs, return_index=True,
+                                          return_counts=True)
+            return pa.table({"g": pa.array(uniq, type=pa.string()),
+                             "sh": pa.array(h[hit][first], pa.uint64()),
+                             "c": pa.array(cnts.astype(np.int64))})
+
+        frames = [b.to_pandas() for b in
+                  ds.select_columns([text_col])
+                  .map_batches(str_partials, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow") if b.num_rows]
+        if not frames:
+            return empty
+        agg = pd.concat(frames, ignore_index=True) \
+            .groupby("g", sort=True).agg(c=("c", "sum"),
+                                         sh=("sh", "first"))
+        keep = agg["c"].to_numpy() >= min_count
+        return (agg.index[keep].to_numpy(dtype=object),
+                agg["sh"].to_numpy(dtype=np.uint64)[keep])
+
     if n_buckets is None:
         n_buckets = default_shuffle_buckets()
 
@@ -1554,6 +1610,54 @@ def duplicated_grams(ds, n: int = 8, min_count: int = 2,
     return np.sort(np.asarray([r["h"] for r in rows], dtype=np.uint64))
 
 
+def _gram_strings_at(words_all: pd.Series, rows: np.ndarray,
+                     pos: np.ndarray, n: int) -> np.ndarray:
+    """Reconstruct the gram strings at specific (doc_row, word_pos)
+    occurrences — only ever called on DUPLICATE-candidate hits, so the
+    Python join loop is bounded by duplicated occurrences, not corpus
+    grams."""
+    return np.array([" ".join(words_all.iloc[r][p:p + n])
+                     for r, p in zip(rows, pos)], dtype=object)
+
+
+class _DupGramSet:
+    """Membership tester for a duplicated-gram artifact.  uint64/S32
+    arrays test stream hashes directly (fast/md5 lanes); a VERIFIED
+    ``(strings, stream_hashes)`` tuple tests via a fast-hash prefilter
+    plus string equality on the few candidates — exact, and the
+    expensive stream stays the vectorized fast lane."""
+
+    def __init__(self, dup):
+        self.verified = isinstance(dup, tuple)
+        if self.verified:
+            strings, hashes = dup
+            order = np.argsort(hashes)
+            self.pre = hashes[order]
+            self.index = pd.Index(strings)
+        else:
+            self.dup = dup
+
+    @property
+    def stream_hash_fn(self) -> str:
+        return "fast" if self.verified else \
+            ("md5" if self.dup.dtype.kind == "S" else "fast")
+
+    def hits(self, h: np.ndarray, rows: np.ndarray, pos: np.ndarray,
+             words_all: pd.Series, n: int) -> np.ndarray:
+        table = self.pre if self.verified else self.dup
+        if not (len(h) and len(table)):
+            return np.zeros(len(h), bool)
+        i = np.clip(np.searchsorted(table, h), 0, len(table) - 1)
+        hit = table[i] == h
+        if self.verified and hit.any():
+            at = np.flatnonzero(hit)
+            gs = _gram_strings_at(words_all, rows[at], pos[at], n)
+            ok = self.index.get_indexer(gs) >= 0
+            hit = np.zeros(len(h), bool)
+            hit[at[ok]] = True
+        return hit
+
+
 def dup_spans(ds, n: int = 8, min_count: int = 2, text_col: str = "text",
               id_col: str = "doc_id", hash_fn: str = "fast",
               concurrency=(1, 8)):
@@ -1581,21 +1685,18 @@ def dup_spans(ds, n: int = 8, min_count: int = 2, text_col: str = "text",
 
     class MarkSpans:
         def __init__(self):
-            self.dup = ray.get(dup_ref)  # one plasma read per actor
+            self.dup = _DupGramSet(ray.get(dup_ref))  # one read/actor
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            rows, pos, h = _gram_stream(t[text_col].to_pandas(), n,
-                                        hash_fn)
+            texts = t[text_col].to_pandas()
+            words_all = _words_lower(texts)
+            rows, pos, h = _gram_stream(texts, n,
+                                        self.dup.stream_hash_fn,
+                                        words_all=words_all)
             out_schema = {
                 id_col: t.schema.field(id_col).type,
             }
-            if len(h):
-                i = np.searchsorted(self.dup, h)
-                i = np.clip(i, 0, max(len(self.dup) - 1, 0))
-                hit = (self.dup[i] == h) if len(self.dup) else \
-                    np.zeros(len(h), bool)
-            else:
-                hit = np.zeros(0, bool)
+            hit = self.dup.hits(h, rows, pos, words_all, n)
             rows, pos = rows[hit], pos[hit]
             # maximal runs: a new span starts at a doc change or a
             # position gap (order within a doc is the emission order)
@@ -1692,12 +1793,10 @@ def _span_scrub_table(tbl: pa.Table, dup: np.ndarray, n: int,
     shared state), so a shard task needs no manifest join."""
     texts = tbl[text_col].to_pandas()
     words_all = _words_lower(texts)  # tokenize ONCE; grams reuse it
-    rows, pos, h = _gram_stream(texts, n, "fast", words_all=words_all)
-    if len(h) and len(dup):
-        i = np.clip(np.searchsorted(dup, h), 0, len(dup) - 1)
-        hit = dup[i] == h
-    else:
-        hit = np.zeros(len(h), bool)
+    dset = _DupGramSet(dup)
+    rows, pos, h = _gram_stream(texts, n, dset.stream_hash_fn,
+                                words_all=words_all)
+    hit = dset.hits(h, rows, pos, words_all, n)
     n_words = words_all.str.len().to_numpy(dtype=np.int64)
     drop_masks = [None] * len(words_all)
     for r, p in zip(rows[hit], pos[hit]):
