@@ -101,3 +101,30 @@ def test_token_array_equality_invariant(result, corpus_dir):
         if checked >= 200:
             break
     assert checked > 0
+
+
+def test_task_executor_matches_actor_pool(ray_session, corpus_dir):
+    """executor='tasks' (per-worker cached validator, no actor-pool
+    spin-up — r5 VERDICT item 6) produces identical violations, clean
+    rows and verdicts to the default actor-pool lane."""
+    from xema_ray.pipelines.flagship import (n_tok_invariant,
+                                             sequences_schema)
+    from xema_ray.sources.corpus import corpus_paths
+    from xema_ray.stages.validate import validate_dataset
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(corpus_paths(corpus_dir))
+    outs = {}
+    for ex in ("actors", "tasks"):
+        res = validate_dataset(ds, sequences_schema(),
+                               table_checks=[n_tok_invariant()],
+                               batch_size=4096, executor=ex,
+                               id_col="doc_id")
+        viol = sorted(
+            (str(r["doc_id"]), r["path"], r["keyword"])
+            for r in res.violations().take_all())
+        clean = res.clean().count()
+        outs[ex] = (viol, clean)
+    assert outs["actors"] == outs["tasks"]
+    assert outs["tasks"][0]  # corpus plants violations

@@ -1820,10 +1820,13 @@ def seq_export_pipeline(sf_dir: str):
 
     # batch_size: 4096 measured best at sf0.1/32cpu (default-1024 pays
     # per-batch plan/dispatch overhead; 16384 regresses >2x — a 16k-row
-    # batch of ~300-token lists is ~20 MB and starves the pipeline)
+    # batch of ~300-token lists is ~20 MB and starves the pipeline).
+    # executor="tasks" (r5): per-worker-cached validator, no actor-pool
+    # spin-up — the pool spawn was ~3 s of the validate leg here
     res = validate_dataset(_read_seq(sf_dir), sequences_schema(),
                            table_checks=[n_tok_invariant()],
-                           keep_details=False, batch_size=4096)
+                           keep_details=False, batch_size=4096,
+                           executor="tasks")
     clean = res.clean()
     # ONE pass over the validation chain: digest + thin projection
     # materialize; every later stage (dedup filter, sample, the 3-read

