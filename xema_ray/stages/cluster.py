@@ -103,8 +103,180 @@ def _compress(nodes: np.ndarray, lbl: np.ndarray) -> np.ndarray:
         lbl = nxt
 
 
+def _cc_bucketed(cur, max_rounds: int, n_buckets: int = None):
+    """Connected components with the LABEL TABLE sharded across object-
+    store buckets (r4 verdict item 8 — the opt-in spill path for node
+    sets beyond driver RAM): every round's ``lbl(u) = min(u, nbrs)``
+    merge runs as a raw-task hash exchange on ``u % B`` with
+    ``num_returns=B`` map shards (a reducer pulls only its own bucket's
+    bytes — the :func:`~xema_ray.stages.stats.u64_key_exchange` shape),
+    pointer-jumping compresses per bucket with owner-bucket lookups
+    (labels are node ids and edges are symmetric, so every label lives
+    in its owner bucket), and contraction relabels edge blocks against
+    the bucket refs.  The driver holds ONLY object refs and per-round
+    change counters — never a node or label array; a task holds its own
+    bucket plus zero-copy plasma reads of the owner buckets its labels
+    hash into (at cluster scale it pulls only those buckets' bytes).
+    Returns per-bucket ``(node, lbl)`` Arrow-table refs for the
+    COMPOSED original-node → representative map, or ``None`` for an
+    empty graph.
+    """
+    import ray
+
+    if n_buckets is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_buckets = max(2, cpus // 2)
+    nb = n_buckets
+
+    def _rep_lookup(vals, nodes_refs, lbl_refs):
+        """rep(vals) via owner-bucket lookups; misses keep their value.
+        Runs INSIDE tasks — pulls only the owner buckets it touches."""
+        import ray as _ray
+
+        out = vals.copy()
+        owner = (vals % nb).astype(np.int64)
+        for o in np.unique(owner):
+            nodes_o = _ray.get(nodes_refs[int(o)])
+            if not len(nodes_o):
+                continue
+            lbl_o = _ray.get(lbl_refs[int(o)])
+            m = owner == o
+            idx = np.clip(np.searchsorted(nodes_o, vals[m]), 0,
+                          len(nodes_o) - 1)
+            hit = nodes_o[idx] == vals[m]
+            out[m] = np.where(hit, lbl_o[idx], vals[m])
+        return out
+
+    @ray.remote
+    def hop_map(*tbls):
+        """Per-block (u, min v) partials, hash-split into nb bucket
+        shards returned as SEPARATE objects."""
+        parts = [[] for _ in range(nb)]
+        for t in tbls:
+            if t.num_rows == 0 or "u" not in t.column_names:
+                continue  # zero-row blocks may carry a schemaless shell
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            un, inv = np.unique(u, return_inverse=True)
+            mn = np.full(len(un), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(mn, inv, v)
+            b = (un % nb).astype(np.int64)
+            offs = np.concatenate([[0], np.cumsum(
+                np.bincount(b, minlength=nb))])
+            order = np.argsort(b, kind="stable")
+            us, ms = un[order], mn[order]
+            for i in range(nb):
+                parts[i].append((us[offs[i]:offs[i + 1]],
+                                 ms[offs[i]:offs[i + 1]]))
+        e = np.empty(0, np.int64)
+        return tuple(
+            (np.concatenate([p[0] for p in parts[i]]) if parts[i] else e,
+             np.concatenate([p[1] for p in parts[i]]) if parts[i] else e)
+            for i in range(nb))
+
+    @ray.remote(num_returns=2)
+    def hop_reduce(*parts):
+        """Fold one bucket's (u, min v) shards into sorted
+        ``(nodes, lbl=min(u, min v))`` arrays (two separate objects)."""
+        us = [p[0] for p in parts if len(p[0])]
+        ms = [p[1] for p in parts if len(p[0])]
+        if not us:
+            e = np.empty(0, np.int64)
+            return e, e
+        u = np.concatenate(us)
+        m = np.concatenate(ms)
+        un, inv = np.unique(u, return_inverse=True)
+        mn = np.full(len(un), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, m)
+        return un, np.minimum(un, mn)
+
+    @ray.remote(num_returns=2)
+    def jump(i, nodes_refs, lbl_refs):
+        """One pointer-jump for bucket i: lbl <- lbl(lbl); returns the
+        new labels plus how many changed (the only thing the driver
+        reads)."""
+        import ray as _ray
+
+        lbl_b = _ray.get(lbl_refs[i])
+        new = _rep_lookup(lbl_b, nodes_refs, lbl_refs)
+        return new, int((new != lbl_b).sum())
+
+    @ray.remote
+    def compose(total, nodes_refs, lbl_refs):
+        # ``total`` arrives RESOLVED (top-level ref arg); the per-bucket
+        # label refs stay refs inside the lists for selective pulls
+        return _rep_lookup(total, nodes_refs, lbl_refs)
+
+    @ray.remote
+    def arr_len(a):
+        return len(a)
+
+    @ray.remote
+    def to_table(n, t):
+        return pa.table({"node": n, "lbl": t})
+
+    orig_nodes_refs = None   # per-bucket node-array refs, fixed round 1
+    total_refs = None        # composed orig -> representative, refs
+
+    for _ in range(max_rounds):
+        blocks = cur.to_arrow_refs()
+        if not blocks:
+            break
+        nt = min(len(blocks), max(2, nb // 2))
+        shard_refs = [hop_map.options(num_returns=nb).remote(
+            *blocks[i::nt]) for i in range(nt)]
+        if nb == 1:
+            shard_refs = [[r] for r in shard_refs]
+        out_pairs = [hop_reduce.remote(*[s[i] for s in shard_refs])
+                     for i in range(nb)]
+        nodes_refs = [p[0] for p in out_pairs]
+        lbl_refs = [p[1] for p in out_pairs]
+        if sum(ray.get([arr_len.remote(n) for n in nodes_refs])) == 0:
+            break
+        # pointer jumping to idempotence, per bucket
+        while True:
+            outs = [jump.remote(i, nodes_refs, lbl_refs)
+                    for i in range(nb)]
+            changed = sum(ray.get([o[1] for o in outs]))
+            lbl_refs = [o[0] for o in outs]
+            if not changed:
+                break
+        if orig_nodes_refs is None:
+            orig_nodes_refs = nodes_refs
+            total_refs = lbl_refs
+        else:
+            total_refs = [compose.remote(t, nodes_refs, lbl_refs)
+                          for t in total_refs]
+
+        def contract(t: pa.Table, nr=tuple(nodes_refs),
+                     lr=tuple(lbl_refs)) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            nu = _rep_lookup(u, list(nr), list(lr))
+            nv = _rep_lookup(v, list(nr), list(lr))
+            keep = nu != nv
+            e = np.stack([nu[keep], nv[keep]])
+            if e.shape[1]:
+                e = np.unique(e, axis=1)
+            return pa.table({"u": e[0], "v": e[1]})
+
+        cur = cur.map_batches(contract,
+                              batch_format="pyarrow").materialize()
+        if cur.count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds")
+
+    if orig_nodes_refs is None:
+        return None
+    return [to_table.remote(n, t)
+            for n, t in zip(orig_nodes_refs, total_refs)]
+
+
 def connected_components(pairs, u_col: str = "doc_a", v_col: str = "doc_b",
-                         max_rounds: int = 32, buckets: int = None):
+                         max_rounds: int = 32, buckets: int = None,
+                         labels: str = "driver"):
     """Labels for the connected components of an undirected pair graph.
 
     Returns a Dataset ``(node: int64, lbl: int64)`` with one row per
@@ -112,13 +284,34 @@ def connected_components(pairs, u_col: str = "doc_a", v_col: str = "doc_b",
 
     ``max_rounds`` bounds contraction rounds (~4-5 suffice for any
     measured graph shape; raises RuntimeError rather than returning
-    partial labels).  ``buckets`` is accepted for interface parity but
-    unused — the rounds are shuffle-free.
+    partial labels).  ``buckets`` sizes the sharded label table in the
+    bucketed lane (default cpus/2); unused by the driver lane, whose
+    rounds are shuffle-free.
+
+    ``labels``: ``"driver"`` (default) merges the label table on the
+    driver — right while the node set (the DUPLICATE docs, rare by the
+    exact-dedup rarity contract) fits driver RAM (16 B/node; 50M dups ≈
+    800 MB).  ``"bucketed"`` (r5, opt-in) shards the label table across
+    object-store buckets via :func:`_cc_bucketed` — the spill path for
+    corpora whose dup graph outgrows the driver; differential-tested
+    against the driver lane.
     """
     import ray
     import ray.data as rd
 
     cur = _sym_edges(pairs, u_col, v_col).materialize()
+
+    if labels == "bucketed":
+        tbl_refs = _cc_bucketed(cur, max_rounds, buckets)
+        if not tbl_refs:
+            return rd.from_arrow(pa.table(
+                {"node": pa.array([], type=pa.int64()),
+                 "lbl": pa.array([], type=pa.int64())}))
+        # per-bucket (node, lbl) tables stream straight from the object
+        # store into the Dataset — the driver never holds the label map
+        return rd.from_arrow_refs(tbl_refs)
+    if labels != "driver":
+        raise ValueError(f"unknown labels {labels!r}")
 
     orig_nodes = None   # all endpoints, fixed after round 1
     total = None        # composed orig -> current representative
