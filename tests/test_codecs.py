@@ -443,3 +443,119 @@ def test_jpeg_media_extractor_real_decode(ray_session):
     stub = ext._decode(payload, "application/octet-stream")
     assert not np.allclose(
         feats, stub[:64] / max(np.linalg.norm(stub[:64]), 1e-9))
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2) — r5, VERDICT item 7
+# ---------------------------------------------------------------------------
+
+
+def _smooth_rgb(rng, h, w):
+    base = rng.integers(0, 256, size=(4, 4, 3)).astype(np.float64)
+    img = np.kron(base, np.ones((h // 4 + 1, w // 4 + 1, 1)))[:h, :w, :]
+    return np.clip(img + rng.normal(0, 12, (h, w, 3)), 0, 255) \
+        .astype(np.uint8)
+
+
+def test_progressive_jpeg_matches_baseline_bit_exact():
+    """The progressive encoding quantizes the identical coefficients,
+    so decoding it yields BIT-IDENTICAL pixels to decoding the baseline
+    encoding — across subsampling modes, gray/RGB, odd sizes and
+    quality levels (spectral selection + successive approximation +
+    EOB + ZRL paths all exercised)."""
+    from xema_ray.functions.codecs import (decode_jpeg, encode_jpeg,
+                                           encode_jpeg_progressive)
+
+    rng = np.random.default_rng(3)
+    cases = [((64, 48, 3), "444"), ((33, 57, 3), "420"),
+             ((40, 40, 3), "422"), ((31, 29), "444"), ((8, 8, 3), "444"),
+             ((17, 9), "444")]
+    for shape, sub in cases:
+        if len(shape) == 2:
+            img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        else:
+            img = _smooth_rgb(rng, shape[0], shape[1])
+        for q in (40, 85, 92):
+            b = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+            p = decode_jpeg(encode_jpeg_progressive(
+                img, quality=q, subsampling=sub))
+            assert np.array_equal(b, p), (shape, sub, q)
+
+
+def test_progressive_jpeg_spectral_only_script():
+    """A spectral-selection-only script (no successive approximation)
+    is equally legal and decodes identically."""
+    from xema_ray.functions.codecs import (decode_jpeg, encode_jpeg,
+                                           encode_jpeg_progressive)
+
+    rng = np.random.default_rng(9)
+    img = _smooth_rgb(rng, 24, 40)
+    scans = [([0, 1, 2], 0, 0, 0, 0),
+             ([0], 1, 5, 0, 0), ([0], 6, 63, 0, 0),
+             ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)]
+    b = decode_jpeg(encode_jpeg(img, quality=80))
+    p = decode_jpeg(encode_jpeg_progressive(img, quality=80, scans=scans))
+    assert np.array_equal(b, p)
+
+
+def test_progressive_jpeg_eobrun_spanning_blocks():
+    """EOB runs longer than 1 (our encoder never emits them; foreign
+    encoders do): a hand-built SOF2 stream whose single AC scan covers
+    all three blocks with ONE EOB2 symbol decodes to the flat image."""
+    import struct
+
+    from xema_ray.functions.codecs import (_JH_DC_LUMA, _JZZ,
+                                           decode_jpeg)
+
+    def marker(code, body):
+        return struct.pack(">HH", code, len(body) + 2) + body
+
+    q = np.ones(64, dtype=np.uint8)
+    out = bytearray(b"\xFF\xD8")
+    out += marker(0xFFDB, b"\x00" + bytes(q))
+    out += marker(0xFFC2, struct.pack(">BHHB", 8, 8, 24, 1)
+                  + bytes([1, 0x11, 0]))
+    bits, vals = _JH_DC_LUMA
+    out += marker(0xFFC4, b"\x00" + bytes(bits) + bytes(vals))
+    # custom AC table: single symbol 0x10 (EOBn with r=1) at code length 1
+    ac_bits = [1] + [0] * 15
+    out += marker(0xFFC4, b"\x10" + bytes(ac_bits) + bytes([0x10]))
+    # DC scan: three zero diffs (symbol 0 = code '00') -> 000000 + pad
+    out += marker(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    out += bytes([0b00000011])
+    # AC scan 1..63: EOB2 = code '0' + 1 extra bit '1' -> covers 3 blocks
+    out += marker(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0]))
+    out += bytes([0b01111111])
+    out += b"\xFF\xD9"
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (8, 24)
+    assert (img == 128).all()
+
+
+def test_progressive_jpeg_corrupt_streams_raise():
+    from xema_ray.functions.codecs import (MediaDecodeError, decode_jpeg,
+                                           encode_jpeg_progressive)
+
+    rng = np.random.default_rng(4)
+    img = _smooth_rgb(rng, 16, 16)
+    payload = encode_jpeg_progressive(img, quality=80)
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(payload[:len(payload) // 2])  # truncated mid-scan
+    # flip a byte inside the last scan's entropy data
+    corrupt = bytearray(payload)
+    corrupt[-20] ^= 0xFF
+    try:
+        got = decode_jpeg(bytes(corrupt))
+        assert got.shape == img.shape  # a lucky flip may still decode
+    except MediaDecodeError:
+        pass
+
+
+def test_progressive_jpeg_scan_script_validation():
+    from xema_ray.functions.codecs import encode_jpeg_progressive
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError):  # DC+AC mixed band
+        encode_jpeg_progressive(img, scans=[([0], 0, 5, 0, 0)])
+    with pytest.raises(ValueError):  # 2-bit approximation step
+        encode_jpeg_progressive(img, scans=[([0], 0, 0, 2, 0)])

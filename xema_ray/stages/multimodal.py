@@ -3,10 +3,11 @@ columns with typed metadata.
 
 Decode is REAL for the self-contained formats this environment can parse
 without external libraries: **PPM (P6) images**, **PNG images** (stdlib
-zlib + numpy defiltering), **baseline JPEG** (huffman + dequant + IDCT
-per the public ITU-T T.81 spec) and **PCM WAV audio** (pure-numpy codecs
-in :mod:`xema_ray.functions.codecs`).  Other mimes (mp4/progressive
-jpeg — codecs not present in this sandbox) fall back to a
+zlib + numpy defiltering), **baseline AND progressive JPEG** (huffman +
+dequant + IDCT per the public ITU-T T.81 spec; progressive scans with
+spectral selection + successive approximation, r5) and **PCM WAV audio**
+(pure-numpy codecs in :mod:`xema_ray.functions.codecs`).  Other mimes
+(mp4 — codecs not present in this sandbox) fall back to a
 deterministic byte-derived stub when ``decode_stub=True`` (default) or
 raise ``NotImplementedError`` when ``decode_stub=False``.  Everything
 Ray-side is real and tested: schema (binary + metadata), small
