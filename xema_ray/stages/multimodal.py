@@ -74,13 +74,18 @@ def synthetic_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> 
             mimes.append("audio/wav")
             widths.append(0); heights.append(0)
             durations.append(int(1000 * len(t) / rate))
-        else:  # real baseline JPEG (our own T.81 codec)
-            from xema_ray.functions.codecs import encode_jpeg
+        else:  # real JPEG (our own T.81 codec); every third one is
+            # PROGRESSIVE (SOF2, r5) — same quantized coefficients, so
+            # decoded pixels and the pinned th_sum oracle are unchanged
+            from xema_ray.functions.codecs import (encode_jpeg,
+                                                   encode_jpeg_progressive)
 
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             ss = "420" if (i // 5) % 2 else "444"
-            payloads.append(encode_jpeg(img, quality=85, subsampling=ss))
+            enc = encode_jpeg_progressive if (i // 5) % 3 == 2 \
+                else encode_jpeg
+            payloads.append(enc(img, quality=85, subsampling=ss))
             mimes.append("image/jpeg")
             widths.append(w); heights.append(h); durations.append(0)
     return pa.table({
