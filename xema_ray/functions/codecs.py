@@ -1034,7 +1034,7 @@ def _split_entropy(data: bytes, start: int):
     return [s.replace(b"\xFF\x00", b"\xFF") for s in segs], end
 
 
-def _jpeg_reconstruct(coef, comp_meta, qsel, h, w, mcols, mrows,
+def _jpeg_reconstruct(coef, comp_meta, h, w, mcols, mrows,
                       max_h, max_v):
     """Dequant + batched IDCT per component, assemble, upsample, crop —
     the shared tail of the sequential and progressive decoders.
@@ -1436,5 +1436,5 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                           mcols, mrows, max_h, max_v,
                                           h, w)
 
-    return _jpeg_reconstruct(coef, comps_meta, None, h, w, mcols, mrows,
+    return _jpeg_reconstruct(coef, comps_meta, h, w, mcols, mrows,
                              max_h, max_v)

@@ -727,6 +727,29 @@ def _u64_runs_to_binary(flat: np.ndarray, offs: np.ndarray):
          pa.py_buffer(np.ascontiguousarray(flat).tobytes())])
 
 
+def _dup_content_winner_mask(ids: pd.Series, payloads: pd.Series) -> np.ndarray:
+    """Keep-mask resolving REPEATED doc_ids deterministically: the
+    winner is the row whose packed gram payload compares smallest
+    (bytes order; tie → first position) — a pure function of row
+    CONTENT, so the verified pair set is identical under any shuffle
+    arrival order.  ``payloads`` need only be populated at duplicated
+    positions."""
+    ids = ids.reset_index(drop=True)
+    dup_all = ids.duplicated(keep=False).to_numpy()
+    keep = ~dup_all
+    dup_pos = np.flatnonzero(dup_all)
+    if len(dup_pos):
+        sub = pd.DataFrame({
+            "i": dup_pos,
+            "id": ids.iloc[dup_pos].astype(str).to_numpy(),
+            "g": payloads.reset_index(drop=True).iloc[dup_pos]
+            .to_numpy()})
+        win = sub.sort_values(["g", "i"], kind="stable") \
+            .drop_duplicates("id")["i"].to_numpy()
+        keep[win] = True
+    return keep
+
+
 def _verify_bucketed(pairs_ds, cand, id_col: str, n: int,
                      threshold: float, fixed_point: bool,
                      missing_grams: np.ndarray, n_buckets: int = None,
@@ -765,17 +788,24 @@ def _verify_bucketed(pairs_ds, cand, id_col: str, n: int,
     id_type = pair_schema.field("doc_a").type
     extras = [(f.name, f.type) for f in pair_schema
               if f.name not in ("doc_a", "doc_b")]
+    reserved = {"_vk", "_vg", "_vga", "_vgb", "_vb"}
+    clash = reserved & {nm for nm, _ in extras}
+    if clash:  # fail loudly instead of silently misclassifying rows
+        raise ValueError(
+            f"pair columns {sorted(clash)} collide with the bucketed "
+            "verification lane's internal fields; rename them or use "
+            "strategy='broadcast'")
 
     def gram_rows(t: pa.Table) -> pa.Table:
         flat, offs = _doc_gram_sets(t[gram_col].to_pandas(), n)
-        return pa.table({"k": t[id_col].cast(id_type),
-                         "g": _u64_runs_to_binary(flat, offs)})
+        return pa.table({"_vk": t[id_col].cast(id_type),
+                         "_vg": _u64_runs_to_binary(flat, offs)})
 
     grams = cand.map_batches(gram_rows, batch_format="pyarrow") \
         .materialize()
 
     def with_bucket(t: pa.Table) -> pa.Table:
-        h = hash_strings(t["k"].cast(pa.string()).to_pylist())
+        h = hash_strings(t["_vk"].cast(pa.string()).to_pylist())
         return t.append_column("_vb", pa.array(
             (h % np.uint64(n_buckets)).astype(np.int32)))
 
@@ -785,7 +815,7 @@ def _verify_bucketed(pairs_ds, cand, id_col: str, n: int,
         nrows = t.num_rows
         cols = []
         for f in schema:
-            if f.name == "k":
+            if f.name == "_vk":
                 cols.append(t[key_from].cast(f.type))
             elif f.name in t.column_names:
                 cols.append(t[f.name].cast(f.type))
@@ -797,18 +827,23 @@ def _verify_bucketed(pairs_ds, cand, id_col: str, n: int,
         """Split a bucket group into gram/pair rows and attach the
         ``side`` endpoint's gram bytes as ``out_col`` (vectorized
         indexer + take; missing ids take the sentinel row)."""
-        is_gram = pc.is_valid(gt["g"])
+        is_gram = pc.is_valid(gt["_vg"])
         gr = gt.filter(is_gram)
         pr = gt.filter(pc.invert(is_gram))
         if not pr.num_rows:
             return None, None
-        ids = gr["k"].to_pandas()
-        dup = ids.duplicated(keep="last")
-        if dup.any():                      # repeated doc_ids: last wins,
-            gr = gr.filter(pa.array(~dup.to_numpy()))  # like the dict lanes
-            ids = ids[~dup]
+        ids = gr["_vk"].to_pandas()
+        if ids.duplicated().any():
+            # repeated doc_ids: winner = MIN packed gram bytes per id —
+            # a pure function of content, so the verified pair set is
+            # identical under any shuffle arrival order (r5 review;
+            # "keep last" depended on nondeterministic group row order)
+            keep = _dup_content_winner_mask(
+                ids, gr["_vg"].to_pandas())
+            gr = gr.filter(pa.array(keep))
+            ids = ids[keep]
         gvals = pa.concat_arrays(
-            [gr["g"].combine_chunks(),
+            [gr["_vg"].combine_chunks(),
              pa.array([missing_bytes], type=pa.large_binary())]) \
             if gr.num_rows else \
             pa.array([missing_bytes], type=pa.large_binary())
@@ -817,40 +852,40 @@ def _verify_bucketed(pairs_ds, cand, id_col: str, n: int,
         idx = np.where(idx < 0, len(gvals) - 1, idx)
         return pr, gvals.take(pa.array(idx, type=pa.int64()))
 
-    schema_a = pa.schema([("k", id_type), ("doc_a", id_type),
+    schema_a = pa.schema([("_vk", id_type), ("doc_a", id_type),
                           ("doc_b", id_type), *extras,
-                          ("g", pa.large_binary())])
+                          ("_vg", pa.large_binary())])
     stage_a_in = pairs_ds.map_batches(
         lambda t: align(t, "doc_a", schema_a), batch_format="pyarrow") \
-        .union(grams.map_batches(lambda t: align(t, "k", schema_a),
+        .union(grams.map_batches(lambda t: align(t, "_vk", schema_a),
                                  batch_format="pyarrow")) \
         .map_batches(with_bucket, batch_format="pyarrow")
 
     pair_cols = ["doc_a", "doc_b"] + [nm for nm, _ in extras]
     empty_a = pa.Table.from_arrays(
         [pa.array([], f.type) for f in schema_a
-         if f.name != "k"] + [pa.array([], pa.large_binary())],
-        names=[f.name for f in schema_a if f.name != "k"][:-1]
-        + ["ga", "g"])
+         if f.name != "_vk"] + [pa.array([], pa.large_binary())],
+        names=[f.name for f in schema_a if f.name != "_vk"][:-1]
+        + ["_vga", "_vg"])
 
     def attach_a(gt: pa.Table) -> pa.Table:
-        pr, ga = attach(gt, "doc_a", "ga")
+        pr, ga = attach(gt, "doc_a", "_vga")
         if pr is None:
             return empty_a
-        out = pr.select(pair_cols).append_column("ga", ga)
-        return out.append_column("g", pa.nulls(out.num_rows,
+        out = pr.select(pair_cols).append_column("_vga", ga)
+        return out.append_column("_vg", pa.nulls(out.num_rows,
                                                pa.large_binary()))
 
     stage_a_out = stage_a_in.groupby("_vb").map_groups(
         attach_a, batch_format="pyarrow")
 
-    schema_b = pa.schema([("k", id_type), ("doc_a", id_type),
+    schema_b = pa.schema([("_vk", id_type), ("doc_a", id_type),
                           ("doc_b", id_type), *extras,
-                          ("ga", pa.large_binary()),
-                          ("g", pa.large_binary())])
+                          ("_vga", pa.large_binary()),
+                          ("_vg", pa.large_binary())])
     stage_b_in = stage_a_out.map_batches(
         lambda t: align(t, "doc_b", schema_b), batch_format="pyarrow") \
-        .union(grams.map_batches(lambda t: align(t, "k", schema_b),
+        .union(grams.map_batches(lambda t: align(t, "_vk", schema_b),
                                  batch_format="pyarrow")) \
         .map_batches(with_bucket, batch_format="pyarrow")
 
@@ -864,10 +899,10 @@ def _verify_bucketed(pairs_ds, cand, id_col: str, n: int,
                 score_f]])
 
     def verify_b(gt: pa.Table) -> pa.Table:
-        pr, gb = attach(gt, "doc_b", "gb")
+        pr, gb = attach(gt, "doc_b", "_vgb")
         if pr is None:
             return empty_b
-        fa, oa = _binary_col_runs(pr["ga"])
+        fa, oa = _binary_col_runs(pr["_vga"])
         fb, ob = _binary_col_runs(gb)
         la, lb = np.diff(oa), np.diff(ob)
         ra = np.repeat(np.arange(len(la), dtype=np.int64), la)
@@ -941,13 +976,24 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype=object),
                           "doc_b": pd.Series([], dtype=object),
                           score[0]: score[1]})
-    pairs_ds = pairs_ds.materialize()  # tiny; avoids re-running LSH twice
-    id_rows = pairs_ds.select_columns(["doc_a", "doc_b"]).take_all()
-    if not id_rows:
+    pairs_ds = pairs_ds.materialize()  # avoids re-running LSH twice
+    # distinct candidate endpoints, reduced per batch DISTRIBUTED — the
+    # driver folds small unique arrays, never pair rows as Python dicts
+    # (r5 stress: take_all() of 2M candidate rows was 4 GB driver RSS)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        both = pa.chunked_array(
+            [t["doc_a"], t["doc_b"]]).combine_chunks()
+        return pa.table({"id": pc.unique(both)})
+
+    parts = [b["id"] for b in
+             pairs_ds.select_columns(["doc_a", "doc_b"])
+             .map_batches(endpoints, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not parts:
         return rd.from_pandas(empty)
-    need = pa.array(
-        sorted({r["doc_a"] for r in id_rows} | {r["doc_b"] for r in id_rows},
-               key=str))
+    need = pc.unique(pa.chunked_array(parts).combine_chunks())
+    need = need.take(pc.sort_indices(need))
     need_ref = ray.put(need)
     if strategy == "auto":
         strategy = "broadcast" if len(need) <= auto_broadcast_docs \
@@ -987,9 +1033,17 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
             ids_all = np.concatenate(ids_parts)
             flat_all = np.concatenate(flats)
             lens_all = np.concatenate(lens)
-            # repeated doc_ids: last occurrence wins (dict semantics)
-            keep = ~pd.Index(ids_all).duplicated(keep="last")
-            if not keep.all():
+            # repeated doc_ids: content-determined winner (min packed
+            # gram bytes) — matches the bucketed lane exactly, and is
+            # independent of batch arrival order (r5 review)
+            dup_any = pd.Index(ids_all).duplicated(keep=False)
+            if dup_any.any():
+                offs_tmp = np.r_[0, np.cumsum(lens_all)]
+                pay = pd.Series([None] * len(ids_all), dtype=object)
+                for p in np.flatnonzero(dup_any):  # dup rows only
+                    pay.iloc[p] = flat_all[
+                        offs_tmp[p]:offs_tmp[p + 1]].tobytes()
+                keep = _dup_content_winner_mask(pd.Series(ids_all), pay)
                 vals, _ = _gather_ranges(
                     flat_all,
                     np.r_[0, np.cumsum(lens_all)],

@@ -592,20 +592,22 @@ def _doc_trigram_strings(batch, text_col: str):
 
 def _ref_split_mask(ids, ref_mod: int) -> np.ndarray:
     """Reference-split membership for the LM-familiarity passes:
-    integer ids use ``doc_id % ref_mod == 0`` (the SQL-oracle-matching
-    lane — the ``== 0`` test is sign-convention-proof, since both
-    numpy's floored and SQL's truncated ``%`` agree on divisibility);
-    non-integer ids fall back to a stable 64-bit string hash mod
-    ``ref_mod`` so the stage composes with string-id corpora
-    (r4 advice)."""
+    integer-DTYPE ids use ``doc_id % ref_mod == 0`` in the column's own
+    dtype (no int64 cast — uint64 ids above 2^63 must not wrap; the
+    ``== 0`` test is sign-convention-proof, since both numpy's floored
+    and SQL's truncated ``%`` agree on divisibility); every other dtype
+    — strings, object, mixed — takes a stable 64-bit string hash mod
+    ``ref_mod``.  The lane is a function of the DTYPE alone, never of a
+    batch's values, so membership is identical under any repartitioning
+    (r5 review: a per-batch try/except made numeric-string batches
+    split differently from mixed ones)."""
     arr = ids.to_numpy() if hasattr(ids, "to_numpy") else np.asarray(ids)
-    try:
-        return (arr.astype(np.int64) % ref_mod) == 0
-    except (ValueError, TypeError):
-        from xema_ray.functions.sketches import hash_strings
+    if np.issubdtype(arr.dtype, np.integer):
+        return (arr % arr.dtype.type(ref_mod)) == 0
+    from xema_ray.functions.sketches import hash_strings
 
-        h = hash_strings([str(x) for x in arr])
-        return (h % np.uint64(ref_mod)) == 0
+    h = hash_strings([str(x) for x in arr])
+    return (h % np.uint64(ref_mod)) == 0
 
 
 def ref_trigram_lm(ds, text_col: str = "text", ref_mod: int = 20):

@@ -197,7 +197,7 @@ def validate_dataset(
     table_checks: Optional[list] = None,
     keep_details: bool = True,
     batch_size: Optional[int] = None,
-    concurrency: Any = (1, 8),
+    concurrency: Any = "default",
     num_cpus: float = 1,
     extra_cols: tuple = (),
     executor: str = "actors",
@@ -217,7 +217,13 @@ def validate_dataset(
     amortization, but no actor-pool spin-up — measured 4.3 s → 1.5 s
     for the sf0.1 full-schema pass on this box (r5, VERDICT item 6).
     Worker processes outlive the dataset, which is exactly why the
-    cache works; it is cleared on every new ref to stay O(1)."""
+    cache works; a small per-process bound (not a clear-on-miss) keeps
+    interleaved validations from evicting each other.
+
+    ``concurrency="default"`` resolves per executor: ``(1, 8)`` actors,
+    no cap for tasks (Ray's scheduler sizes the pool).  An EXPLICIT
+    value is honored by both lanes — a tuple caps the tasks lane at its
+    max."""
     kwargs: dict = {"batch_format": "pyarrow"}
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
@@ -240,13 +246,25 @@ def validate_dataset(
             if v is None:
                 import ray as _ray
 
-                _TASK_VALIDATOR_CACHE.clear()
+                # small LRU-ish bound, NOT clear(): two interleaved
+                # tasks-executor validations on one worker must not
+                # evict each other every batch (r5 review)
+                while len(_TASK_VALIDATOR_CACHE) >= 8:
+                    _TASK_VALIDATOR_CACHE.pop(
+                        next(iter(_TASK_VALIDATOR_CACHE)))
                 v = _TASK_VALIDATOR_CACHE[key] = \
                     SchemaValidator(**_ray.get(ref))
             return v(t)
 
+        if concurrency is not None and concurrency != "default":
+            # task pools take a single max-concurrency int; honor the
+            # caller's cap instead of silently dropping it (r5 review)
+            kwargs["concurrency"] = max(concurrency) \
+                if isinstance(concurrency, (tuple, list)) else concurrency
         annotated = ds.map_batches(_validate_batch, **kwargs)
     elif executor == "actors":
+        if concurrency == "default":
+            concurrency = (1, 8)
         if concurrency is not None:
             kwargs["concurrency"] = concurrency
         annotated = ds.map_batches(
