@@ -2427,6 +2427,34 @@ def doc_token_counts_orc(sf_dir: str):
 
 
 @register(
+    "doc_token_counts_avro",
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) "
+    "AS BIGINT) AS n_words, CAST(length(text) AS BIGINT) AS n_chars_text "
+    "FROM documents",
+    doc="SOURCE-FORMAT coverage: token counts over a sharded AVRO "
+        "object-container corpus (`sources/avrofile.py` — pure-stdlib "
+        "decoder for the public Avro 1.x spec subset: zigzag varints, "
+        "null/deflate codecs, nullable unions; one task per file, one "
+        "Arrow table per Avro block, the sequential stream consumed "
+        "incrementally).  Oracle reads the parquet the mirror derives "
+        "from, as with the IPC/ORC lanes (r5).",
+)
+def doc_token_counts_avro(sf_dir: str):
+    from xema_ray.sources.avrofile import mirror_documents_avro, read_avro
+    from xema_ray.stages.text import token_counts
+
+    out_dir = f"/tmp/xema_ray_corpus/documents_avro_sf{sf_of_dir(sf_dir)}"
+    paths = mirror_documents_avro(
+        os.path.join(sf_dir, "documents.parquet"), out_dir,
+        rows_per_shard=200)
+    ds = read_avro(paths)
+    out = token_counts(ds)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_words", "n_chars_text"]),
+        batch_format="pyarrow")
+
+
+@register(
     "doc_tfidf",
     """WITH w AS (SELECT doc_id,
                 unnest(regexp_extract_all(lower(coalesce(text,'')),
@@ -4627,6 +4655,7 @@ _DRIVER_PRIORITY = (
     "media_thumbnails", "doc_filter_pipeline", "doc_shuffle_export",
     "seq_token_chunks", "doc_word_freq", "emb_label_centroids",
     "doc_token_counts_csv", "doc_token_counts_ipc", "doc_token_counts_orc",
+    "doc_token_counts_avro",
     "doc_rollup_counts", "doc_lang_pivot", "seq_id_parse",
     "orders_local_supplier_volume", "doc_feature_hash", "orders_year_spine",
     "doc_bigram_novelty", "orders_monthly_growth", "lineitem_promo_share",

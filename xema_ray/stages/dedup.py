@@ -365,8 +365,11 @@ def _pair_self_join(rows, block_fn, key_cols: list, extra_fields: list,
     auto = strategy == "auto"
     if auto:
         rows = rows.materialize()
+        # BYTE-gated as well as row-gated (r5 stress): MinHash band rows
+        # carry ~1 KB signatures, so 1.6M rows under the row limit were
+        # still a 1.6 GB driver concat on a duplication-heavy corpus
         strategy = "driver" if rows.count() <= auto_driver_limit \
-            else "groupby"
+            and rows.size_bytes() <= (512 << 20) else "groupby"
 
     if strategy == "driver":
         id_type = rows.schema().base_schema.field("doc_id").type
