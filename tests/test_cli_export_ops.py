@@ -203,12 +203,20 @@ def test_cmd_neardup(ray_session, tmp_path, capsys):
     assert rep["removed"] == 2 and rep["survivors"] == 2
     import ray.data as rd
 
+    # r5 checkpointed layout: per-shard survivors + single artifacts
     surv = {r["doc_id"] for r in
-            rd.read_parquet(out + "/survivors").take_all()}
+            rd.read_parquet(out + "/survivors/shards").take_all()}
     assert surv == {"d000", "d003"}  # min-id survivor + the unrelated doc
-    cl = rd.read_parquet(out + "/clusters").take_all()
+    cl = rd.read_parquet(out + "/clusters.parquet").take_all()
     assert {r["doc_id"] for r in cl} == {"d000", "d001", "d002"}
     assert all(r["cluster_id"] == "d000" for r in cl)
+    # resumable: a second run skips every survivor shard
+    cmd_neardup(argparse.Namespace(input=inp, out=out, threshold=0.7,
+                                   text_col="text", id_col="doc_id",
+                                   verify="hash", candidates="allpairs",
+                                   num_cpus=4))
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["partitions_done"] == 0 and rep2["partitions_skipped"] > 0
 
 
 def test_cmd_neardup_clean_corpus(ray_session, tmp_path, capsys):
@@ -225,9 +233,9 @@ def test_cmd_neardup_clean_corpus(ray_session, tmp_path, capsys):
                                    verify="hash", candidates="allpairs",
                                    num_cpus=4))
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rep == {"docs": 3, "pairs": 0, "clusters": 0, "removed": 0,
-                   "survivors": 3, "threshold": 0.8}
+    assert (rep["docs"], rep["pairs"], rep["clusters"]) == (3, 0, 0)
+    assert (rep["removed"], rep["survivors"]) == (0, 3)
     import ray.data as rd
 
-    surv = rd.read_parquet(out + "/survivors")
+    surv = rd.read_parquet(out + "/survivors/shards")
     assert surv.count() == 3
