@@ -933,3 +933,38 @@ def test_verify_bucketed_missing_and_empty_ids(ray_session):
         assert got[("ghost", "a")] == 1.0, strategy
         assert got[("ghost", "b")] == 0.0, strategy
         assert got[("a", "b")] == 0.0, strategy
+
+
+def test_verify_bucketed_sliced_matches_broadcast(ray_session):
+    """A tiny max_payload_bytes forces the MULTI-SLICE bucketed path
+    (r5: each slice is one bounded two-exchange pass so the attached
+    gram payload never outgrows the object store) — verified pair set
+    identical to the broadcast lane on the adversarial fixture."""
+    import ray.data as rd
+    from xema_ray.stages.dedup import (allpairs_jaccard_pairs,
+                                       verify_pairs_jaccard)
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(300)]
+    ids, texts = [], []
+    for g in range(12):
+        words = list(rng.choice(vocab, size=30))
+        for m in range(6):
+            w = list(words)
+            if m:
+                w[int(rng.integers(len(w)))] = f"e{g}_{m}"
+            ids.append(g * 6 + m)
+            texts.append(" ".join(w))
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.array(ids, dtype="int64"), "text": texts}))
+    cands = allpairs_jaccard_pairs(ds, threshold=0.6)
+    ref = {(r["doc_a"], r["doc_b"], r["jaccard"])
+           for r in verify_pairs_jaccard(
+               cands, ds, threshold=0.6, method="hash",
+               strategy="broadcast").take_all()}
+    got = {(r["doc_a"], r["doc_b"], r["jaccard"])
+           for r in verify_pairs_jaccard(
+               cands, ds, threshold=0.6, method="hash",
+               strategy="bucketed",
+               max_payload_bytes=20_000).take_all()}
+    assert got == ref and len(ref) > 100

@@ -320,12 +320,33 @@ def _coarse_groupby(rows, key_cols: list, block_fn,
         .groupby("_cb").map_groups(block_fn, batch_format="pandas")
 
 
+def _pair_hash64(t: pa.Table) -> np.ndarray:
+    """Deterministic uint64 hash of each (doc_a, doc_b) row — vectorized
+    splitmix-style mix for integer ids (the f-string lane cost minutes
+    of pure Python at the 20x stress's 62M emitted pairs, r5), string
+    hashing otherwise.  Shared by the pair-dedupe bucketer and the
+    verification pair SLICER (both only need same-pair → same-value)."""
+    from xema_ray.functions.sketches import hash_strings
+
+    if t.num_rows == 0:
+        return np.empty(0, np.uint64)
+    if pa.types.is_integer(t.schema.field("doc_a").type):
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a + np.uint64(0x9E3779B97F4A7C15)) \
+            * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= (b + np.uint64(0x94D049BB133111EB)) \
+            * np.uint64(0xD6E8FEB86659FD93)
+        return h ^ (h >> np.uint64(29))
+    return hash_strings(
+        [f"{a}\x1f{b}" for a, b in
+         zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist())])
+
+
 def _dedupe_pairs(pairs, keep: list, n_buckets: Optional[int] = None):
     """Distributed (doc_a, doc_b) pair dedupe via the same coarse-bucket
     exchange (duplicates arise only across bands; identical pairs hash to
     the same bucket)."""
-    from xema_ray.functions.sketches import hash_strings
-
     cols = ["doc_a", "doc_b"] + keep
     if n_buckets is None:
         from xema_ray.stages.shuffle import default_shuffle_buckets
@@ -333,25 +354,7 @@ def _dedupe_pairs(pairs, keep: list, n_buckets: Optional[int] = None):
         n_buckets = default_shuffle_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t.append_column("_cb", pa.array([], type=pa.int32()))
-        if pa.types.is_integer(t.schema.field("doc_a").type):
-            # vectorized splitmix-style pair mix for integer ids — the
-            # f-string lane cost minutes of pure Python at the 20x
-            # stress's 62M emitted pairs (r5)
-            a = t["doc_a"].to_numpy(zero_copy_only=False) \
-                .astype(np.uint64)
-            b = t["doc_b"].to_numpy(zero_copy_only=False) \
-                .astype(np.uint64)
-            h = (a + np.uint64(0x9E3779B97F4A7C15)) \
-                * np.uint64(0xBF58476D1CE4E5B9)
-            h ^= (b + np.uint64(0x94D049BB133111EB)) \
-                * np.uint64(0xD6E8FEB86659FD93)
-            h ^= h >> np.uint64(29)
-        else:
-            h = hash_strings(
-                [f"{a}\x1f{b}" for a, b in
-                 zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist())])
+        h = _pair_hash64(t)
         return t.append_column(
             "_cb", pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
 
@@ -771,7 +774,8 @@ def _dup_content_winner_mask(ids: pd.Series, payloads: pd.Series) -> np.ndarray:
 def _verify_bucketed(pairs_ds, cand, id_col: str, n: int,
                      threshold: float, fixed_point: bool,
                      missing_grams: np.ndarray, n_buckets: int = None,
-                     gram_col: str = "text", shingle: int = 3):
+                     gram_col: str = "text", shingle: int = 3,
+                     max_payload_bytes: int = 4 << 30):
     """Distributed pair verification with NO driver-side gram/text dict
     (round-4 verdict item #1): candidate docs' gram sets and the pair
     rows are co-partitioned by doc-hash bucket through TWO exchanges —
@@ -882,70 +886,96 @@ def _verify_bucketed(pairs_ds, cand, id_col: str, n: int,
         idx = np.where(idx < 0, len(gvals) - 1, idx)
         return pr, gvals.take(pa.array(idx, type=pa.int64()))
 
-    schema_a = pa.schema([("_vk", id_type), ("doc_a", id_type),
-                          ("doc_b", id_type), *extras,
-                          ("_vg", pa.large_binary())])
-    stage_a_in = pairs_ds.map_batches(
-        lambda t: align(t, "doc_a", schema_a), batch_format="pyarrow") \
-        .union(grams.map_batches(lambda t: align(t, "_vk", schema_a),
-                                 batch_format="pyarrow")) \
-        .map_batches(with_bucket, batch_format="pyarrow")
+    def _run(pairs_sl):
+        schema_a = pa.schema([("_vk", id_type), ("doc_a", id_type),
+                              ("doc_b", id_type), *extras,
+                              ("_vg", pa.large_binary())])
+        stage_a_in = pairs_sl.map_batches(
+            lambda t: align(t, "doc_a", schema_a), batch_format="pyarrow") \
+            .union(grams.map_batches(lambda t: align(t, "_vk", schema_a),
+                                     batch_format="pyarrow")) \
+            .map_batches(with_bucket, batch_format="pyarrow")
 
-    pair_cols = ["doc_a", "doc_b"] + [nm for nm, _ in extras]
-    empty_a = pa.Table.from_arrays(
-        [pa.array([], f.type) for f in schema_a
-         if f.name != "_vk"] + [pa.array([], pa.large_binary())],
-        names=[f.name for f in schema_a if f.name != "_vk"][:-1]
-        + ["_vga", "_vg"])
+        pair_cols = ["doc_a", "doc_b"] + [nm for nm, _ in extras]
+        empty_a = pa.Table.from_arrays(
+            [pa.array([], f.type) for f in schema_a
+             if f.name != "_vk"] + [pa.array([], pa.large_binary())],
+            names=[f.name for f in schema_a if f.name != "_vk"][:-1]
+            + ["_vga", "_vg"])
 
-    def attach_a(gt: pa.Table) -> pa.Table:
-        pr, ga = attach(gt, "doc_a", "_vga")
-        if pr is None:
-            return empty_a
-        out = pr.select(pair_cols).append_column("_vga", ga)
-        return out.append_column("_vg", pa.nulls(out.num_rows,
-                                               pa.large_binary()))
+        def attach_a(gt: pa.Table) -> pa.Table:
+            pr, ga = attach(gt, "doc_a", "_vga")
+            if pr is None:
+                return empty_a
+            out = pr.select(pair_cols).append_column("_vga", ga)
+            return out.append_column("_vg", pa.nulls(out.num_rows,
+                                                   pa.large_binary()))
 
-    stage_a_out = stage_a_in.groupby("_vb").map_groups(
-        attach_a, batch_format="pyarrow")
+        stage_a_out = stage_a_in.groupby("_vb").map_groups(
+            attach_a, batch_format="pyarrow")
 
-    schema_b = pa.schema([("_vk", id_type), ("doc_a", id_type),
-                          ("doc_b", id_type), *extras,
-                          ("_vga", pa.large_binary()),
-                          ("_vg", pa.large_binary())])
-    stage_b_in = stage_a_out.map_batches(
-        lambda t: align(t, "doc_b", schema_b), batch_format="pyarrow") \
-        .union(grams.map_batches(lambda t: align(t, "_vk", schema_b),
-                                 batch_format="pyarrow")) \
-        .map_batches(with_bucket, batch_format="pyarrow")
+        schema_b = pa.schema([("_vk", id_type), ("doc_a", id_type),
+                              ("doc_b", id_type), *extras,
+                              ("_vga", pa.large_binary()),
+                              ("_vg", pa.large_binary())])
+        stage_b_in = stage_a_out.map_batches(
+            lambda t: align(t, "doc_b", schema_b), batch_format="pyarrow") \
+            .union(grams.map_batches(lambda t: align(t, "_vk", schema_b),
+                                     batch_format="pyarrow")) \
+            .map_batches(with_bucket, batch_format="pyarrow")
 
-    score_f = ("j_fp", pa.int64()) if fixed_point \
-        else ("jaccard", pa.float64())
-    empty_b = pa.Table.from_arrays(
-        [pa.array([], t) for _, t in
-         [("doc_a", id_type), ("doc_b", id_type), *extras, score_f]],
-        names=[nm for nm, _ in
-               [("doc_a", id_type), ("doc_b", id_type), *extras,
-                score_f]])
+        score_f = ("j_fp", pa.int64()) if fixed_point \
+            else ("jaccard", pa.float64())
+        empty_b = pa.Table.from_arrays(
+            [pa.array([], t) for _, t in
+             [("doc_a", id_type), ("doc_b", id_type), *extras, score_f]],
+            names=[nm for nm, _ in
+                   [("doc_a", id_type), ("doc_b", id_type), *extras,
+                    score_f]])
 
-    def verify_b(gt: pa.Table) -> pa.Table:
-        pr, gb = attach(gt, "doc_b", "_vgb")
-        if pr is None:
-            return empty_b
-        fa, oa = _binary_col_runs(pr["_vga"])
-        fb, ob = _binary_col_runs(gb)
-        la, lb = np.diff(oa), np.diff(ob)
-        ra = np.repeat(np.arange(len(la), dtype=np.int64), la)
-        rb = np.repeat(np.arange(len(lb), dtype=np.int64), lb)
-        inter = _pair_intersections(fa, ra, fb, rb, pr.num_rows)
-        union = la + lb - inter
-        ja = np.where(union == 0, 1.0,
-                      inter / np.maximum(union, 1).astype(np.float64))
-        return _append_score(pr.select(pair_cols), ja, fixed_point,
-                             threshold)
+        def verify_b(gt: pa.Table) -> pa.Table:
+            pr, gb = attach(gt, "doc_b", "_vgb")
+            if pr is None:
+                return empty_b
+            fa, oa = _binary_col_runs(pr["_vga"])
+            fb, ob = _binary_col_runs(gb)
+            la, lb = np.diff(oa), np.diff(ob)
+            ra = np.repeat(np.arange(len(la), dtype=np.int64), la)
+            rb = np.repeat(np.arange(len(lb), dtype=np.int64), lb)
+            inter = _pair_intersections(fa, ra, fb, rb, pr.num_rows)
+            union = la + lb - inter
+            ja = np.where(union == 0, 1.0,
+                          inter / np.maximum(union, 1).astype(np.float64))
+            return _append_score(pr.select(pair_cols), ja, fixed_point,
+                                 threshold)
 
-    return stage_b_in.groupby("_vb").map_groups(
-        verify_b, batch_format="pyarrow")
+        return stage_b_in.groupby("_vb").map_groups(
+            verify_b, batch_format="pyarrow")
+
+    # SLICE the pair set so ONE pass's attached gram payload fits the
+    # object store (r5 stress: 11M candidate pairs x ~2 KB gram bytes
+    # was a 26 GB stage output that wedged the union->sort barrier on
+    # one box): slices run sequentially, each a bounded two-exchange
+    # pass; verified outputs are small and union lazily.
+    n_pairs = pairs_ds.count()
+    g_bytes = grams.size_bytes() or 0
+    g_rows = max(1, grams.count())
+    est = int(n_pairs * 2 * (g_bytes / g_rows))
+    n_slices = max(1, -(-est // max_payload_bytes))
+    if n_slices == 1:
+        return _run(pairs_ds)
+    outs = []
+    for s in range(n_slices):
+        def pick(t: pa.Table, s=s) -> pa.Table:
+            return t.filter(pa.array(
+                (_pair_hash64(t) % np.uint64(n_slices)) == s))
+
+        outs.append(_run(pairs_ds.map_batches(
+            pick, batch_format="pyarrow")).materialize())
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
 
 
 def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
@@ -954,7 +984,8 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
                          fixed_point: bool = False,
                          method: str = "exact",
                          strategy: str = "auto",
-                         auto_broadcast_docs: int = 500_000):
+                         auto_broadcast_docs: int = 500_000,
+                         max_payload_bytes: int = 4 << 30):
     """Exact-Jaccard verification of candidate pairs.
 
     Scale shape: the candidate-ID set (small — LSH/prefix-join output)
@@ -1047,7 +1078,8 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
     if method == "hash" and strategy == "bucketed":
         return _verify_bucketed(pairs_ds, cand, id_col, n, threshold,
                                 fixed_point, _MISSING,
-                                gram_col=col)
+                                gram_col=col,
+                                max_payload_bytes=max_payload_bytes)
 
     if method == "hash":
         ids_parts, flats, lens = [], [], []
