@@ -365,6 +365,26 @@ def _dedupe_pairs(pairs, keep: list, n_buckets: Optional[int] = None):
         .groupby("_cb").map_groups(drop, batch_format="pandas")
 
 
+def _pairs_table_to_ds(tbl: pa.Table, target_blocks: int = None):
+    """Driver-fold results enter Ray as MULTIPLE blocks (~cpus/2 slices
+    of the arrow table), not one: a single 576k-row block made the
+    downstream verification stage one serial task — and the batched
+    lexsort kernel is superlinear in batch size on top (r5 bench:
+    76 s vs 2.5 s for doc_allpairs_jaccard's verify)."""
+    import ray
+    import ray.data as rd
+
+    if target_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        target_blocks = max(2, cpus // 2)
+    n = tbl.num_rows
+    if n == 0:
+        return rd.from_arrow(tbl)
+    step = -(-n // target_blocks)
+    return rd.from_arrow([tbl.slice(i, step) for i in range(0, n, step)])
+
+
 def _pair_self_join(rows, block_fn, key_cols: list, extra_fields: list,
                     strategy: str, auto_driver_limit: int):
     """Shared driver/groupby strategy scaffold for pair-generating
@@ -401,7 +421,7 @@ def _pair_self_join(rows, block_fn, key_cols: list, extra_fields: list,
                 {f.name: pa.array([], f.type) for f in schema}))
         pairs_df = block_fn(pd.concat(frames, ignore_index=True))
         pairs_df = pairs_df.drop_duplicates(["doc_a", "doc_b"])
-        return rd.from_arrow(pa.Table.from_pandas(
+        return _pairs_table_to_ds(pa.Table.from_pandas(
             pairs_df.reset_index(drop=True), schema=schema,
             preserve_index=False))
 
@@ -428,7 +448,8 @@ def _pair_self_join(rows, block_fn, key_cols: list, extra_fields: list,
                 .drop_duplicates(["doc_a", "doc_b"])[cols]
             # fold-output schema is already exact (built per-bucket from
             # typed numpy arrays), so round-tripping preserves id types
-            return rd.from_pandas(out.reset_index(drop=True))
+            return _pairs_table_to_ds(pa.Table.from_pandas(
+                out.reset_index(drop=True), preserve_index=False))
     return _dedupe_pairs(pairs, keep=[n for n, _ in extra_fields])
 
 
@@ -1133,7 +1154,10 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, col: str = "text",
                     np.asarray(t["doc_b"].to_pylist(), dtype=object))
                 return _append_score(t, ja, fixed_point, threshold)
 
+        # bounded batch_size: the lexsort kernel is superlinear in batch
+        # size (one 576k-row batch measured 78 s vs 141 x 18 ms at 4096)
         return pairs_ds.map_batches(VerifyHash, batch_format="pyarrow",
+                                    batch_size=4096,
                                     concurrency=(1, 8))
 
     texts: dict = {}
