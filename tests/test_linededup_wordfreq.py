@@ -361,10 +361,11 @@ def test_avro_mirror_roundtrip(tmp_path, ray_session):
     assert mirror_documents_avro(str(src), out, rows_per_shard=3) == paths
 
 
-def test_avro_codec_roundtrip_and_corruption():
+def test_avro_codec_roundtrip_and_corruption(tmp_path):
     """The stdlib Avro encoder/decoder: all supported primitive types,
     nullable unions, deflate + null codecs, multi-block files, and the
     corrupt-sync / truncated-varint error paths."""
+    avro_path = str(tmp_path / "roundtrip.avro")
     import io
 
     from xema_ray.sources.avrofile import (AvroError, iter_avro_blocks,
@@ -380,16 +381,75 @@ def test_avro_codec_roundtrip_and_corruption():
                         type=pa.binary()),
     })
     for codec in ("deflate", "null"):
-        write_avro(t, "/tmp/xr_avro_test.avro", codec=codec,
+        write_avro(t, avro_path, codec=codec,
                    rows_per_block=3)
-        with open("/tmp/xr_avro_test.avro", "rb") as f:
+        with open(avro_path, "rb") as f:
             parts = list(iter_avro_blocks(f))
         assert [p.num_rows for p in parts] == [3, 1]
         got = pa.concat_tables(parts)
         assert got.to_pydict() == t.to_pydict(), codec
-    data = bytearray(open("/tmp/xr_avro_test.avro", "rb").read())
+    data = bytearray(open(avro_path, "rb").read())
     data[-1] ^= 0xFF  # flip a sync byte
     with pytest.raises(AvroError):
         list(iter_avro_blocks(io.BytesIO(bytes(data))))
     with pytest.raises(AvroError):  # truncated mid-block
         list(iter_avro_blocks(io.BytesIO(bytes(data[:-25]))))
+
+
+def test_avro_union_branch_order_and_writer_guards(tmp_path):
+    """Regression (code-review r5): a spec-legal ``[T, "null"]`` union
+    (value branch FIRST) must decode by the header's branch order, not a
+    hardcoded null=0 assumption; the writer must reject unknown codecs
+    up front and nullability pins it cannot honor."""
+    import io
+    import json
+
+    from xema_ray.sources.avrofile import (AvroError, iter_avro_blocks,
+                                           write_avro)
+
+    # build a [T,"null"] file by rewriting the schema of a ["null",T]
+    # one and re-encoding the branch indices (swap 0 <-> 1)
+    t = pa.table({"x": pa.array([7, None, -3], type=pa.int64())})
+    p = str(tmp_path / "u.avro")
+    write_avro(t, p, codec="null", rows_per_block=10)
+    raw = open(p, "rb").read()
+    old = json.dumps({"type": "record", "name": "row", "fields": [
+        {"name": "x", "type": ["null", "long"]}]}).encode()
+    new = json.dumps({"type": "record", "name": "row", "fields": [
+        {"name": "x", "type": ["long", "null"]}]}).encode()
+    assert old in raw and len(old) == len(new)
+    body = raw.replace(old, new)
+    # branch indices live as zigzag varints 0x00 (0) / 0x02 (1) at the
+    # start of each row; rows are (idx[, long]) so swap them in place
+    sync_at = body.rindex(bytes(range(16)))
+    hdr_end = body.index(bytes(range(16))) + 16
+    blk = bytearray(body[hdr_end:sync_at])
+    # block header: count, size varints then rows: 02 0e | 00 | 02 05
+    # (7 zigzag=0x0e, -3 zigzag=0x05); swap the three branch bytes
+    assert bytes(blk[2:]) == b"\x02\x0e\x00\x02\x05"
+    blk[2:] = b"\x00\x0e\x02\x00\x05"
+    fixed = body[:hdr_end] + bytes(blk) + body[sync_at:]
+    got = pa.concat_tables(list(iter_avro_blocks(io.BytesIO(fixed))))
+    assert got["x"].to_pylist() == [7, None, -3]
+
+    with pytest.raises(AvroError):  # unknown codec rejected up front
+        write_avro(t, str(tmp_path / "bad.avro"), codec="snappy")
+    assert not (tmp_path / "bad.avro").exists()
+    with pytest.raises(AvroError):  # pinned non-nullable but has nulls
+        write_avro(t, str(tmp_path / "bad2.avro"),
+                   nullable_cols=frozenset())
+    # pinned nullable on an all-non-null shard: union schema, roundtrips
+    t2 = pa.table({"x": pa.array([1, 2], type=pa.int64())})
+    p2 = str(tmp_path / "pin.avro")
+    write_avro(t2, p2, nullable_cols=frozenset({"x"}))
+    hdr = open(p2, "rb").read()
+    assert b'["null", "long"]' in hdr.replace(b'", "', b'", "') or \
+        b'"type": ["null", "long"]' in hdr
+    with open(p2, "rb") as f:
+        got2 = pa.concat_tables(list(iter_avro_blocks(f)))
+    assert got2["x"].to_pylist() == [1, 2]
+    # missing avro.schema metadata -> AvroError, not KeyError
+    raw2 = open(p2, "rb").read()
+    broken = raw2.replace(b"avro.schema", b"avro.xchema")
+    with pytest.raises(AvroError):
+        list(iter_avro_blocks(io.BytesIO(broken)))

@@ -138,14 +138,26 @@ def _enc_value(out: bytearray, typ: str, v):
 
 
 def write_avro(tbl: pa.Table, path: str, codec: str = "deflate",
-               rows_per_block: int = 1000) -> None:
+               rows_per_block: int = 1000,
+               nullable_cols=None) -> None:
     """Write an Arrow table as an Avro Object Container File (flat
-    record schema; nullable columns become ``["null", T]`` unions)."""
+    record schema; nullable columns become ``["null", T]`` unions).
+
+    ``nullable_cols`` pins which columns get the union schema (so every
+    shard of a mirrored table carries the SAME schema regardless of
+    where the nulls land); default = infer from this table's nulls."""
+    if codec not in ("null", "deflate"):
+        raise AvroError(f"unsupported avro codec {codec!r}")
     fields = []
     col_types = []
     for f in tbl.schema:
         at = _avro_type(f.type)
-        nullable = tbl[f.name].null_count > 0
+        nullable = (tbl[f.name].null_count > 0 if nullable_cols is None
+                    else f.name in nullable_cols)
+        if nullable_cols is not None and f.name not in nullable_cols \
+                and tbl[f.name].null_count > 0:
+            raise AvroError(f"column {f.name} has nulls but was pinned "
+                            "non-nullable")
         fields.append({"name": f.name,
                        "type": ["null", at] if nullable else at})
         col_types.append((f.name, at, nullable))
@@ -196,7 +208,8 @@ def write_avro(tbl: pa.Table, path: str, codec: str = "deflate",
 def _read_header(f):
     """Parse the OCF header from a sequential stream.  Returns
     ``(field_specs, codec, sync)`` where field_specs rows are
-    ``(name, type, nullable)``."""
+    ``(name, type, null_branch)`` — null_branch is the union index of
+    the ``"null"`` branch (0 or 1), or ``None`` for plain fields."""
     if f.read(4) != _MAGIC:
         raise AvroError("not an Avro object container file")
 
@@ -226,28 +239,30 @@ def _read_header(f):
     sync = f.read(16)
     if len(sync) != 16:
         raise AvroError("header sync truncated")
+    if "avro.schema" not in meta:
+        raise AvroError("avro.schema metadata key missing")
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
         raise AvroError(f"unsupported avro codec {codec!r}")
-    if schema.get("type") != "record":
+    if schema.get("type") != "record" or "fields" not in schema:
         raise AvroError("only record-schema avro files are supported")
     specs = []
     for fld in schema["fields"]:
         t = fld["type"]
-        nullable = False
+        null_branch = None
         if isinstance(t, list):  # two-branch null union, either order
             branches = [x for x in t if x != "null"]
             if len(t) != 2 or len(branches) != 1 or \
                     not isinstance(branches[0], str):
                 raise AvroError(f"unsupported union {t}")
+            null_branch = t.index("null")
             t = branches[0]
-            nullable = True
         if not isinstance(t, str) or t not in (
                 "string", "bytes", "long", "int", "double", "float",
                 "boolean"):
             raise AvroError(f"unsupported avro field type {t}")
-        specs.append((fld["name"], t, nullable))
+        specs.append((fld["name"], t, null_branch))
     return specs, codec, sync
 
 
@@ -261,13 +276,13 @@ def _decode_block(payload: bytes, count: int, specs) -> pa.Table:
     rd = _ByteReader(payload)
     cols = [[] for _ in specs]
     for _ in range(count):
-        for ci, (_nm, t, nullable) in enumerate(specs):
-            if nullable:
+        for ci, (_nm, t, null_branch) in enumerate(specs):
+            if null_branch is not None:
                 idx = rd.read_long()
-                if idx == 0:
+                if idx == null_branch:
                     cols[ci].append(None)
                     continue
-                if idx != 1:
+                if idx != 1 - null_branch:
                     raise AvroError("bad union branch index")
             if t == "string":
                 cols[ci].append(rd.read_bytes().decode())
@@ -324,14 +339,39 @@ def iter_avro_blocks(f):
         yield _decode_block(payload, cnt, specs)
 
 
+def _parquet_nullable_cols(parquet_path: str, columns) -> frozenset:
+    """Columns with any null in the parquet file, from FOOTER statistics
+    only (no column read).  A column whose stats are absent is treated
+    as nullable — a union schema holds all-non-null data fine, and the
+    answer stays the same for every shard."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(parquet_path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    nullable = set()
+    for name in columns:
+        ci = idx.get(name)
+        if ci is None:
+            continue  # write_avro will fail on the missing column read
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(ci).statistics
+            if stats is None or stats.null_count is None \
+                    or stats.null_count > 0:
+                nullable.add(name)
+                break
+    return frozenset(nullable)
+
+
 def mirror_documents_avro(parquet_path: str, out_dir: str,
                           columns=("doc_id", "text"),
                           rows_per_shard: int = 25_000) -> list:
     """Deterministic sharded Avro mirror of selected parquet columns.
-    Returns the shard paths (sorted)."""
+    Returns the shard paths (sorted).  Nullability is decided ONCE from
+    the parquet footer so every shard carries the same Avro schema."""
+    nullable_cols = _parquet_nullable_cols(parquet_path, columns)
 
     def write_shard(shard: pa.Table, tmp: str) -> None:
-        write_avro(shard, tmp)
+        write_avro(shard, tmp, nullable_cols=nullable_cols)
 
     return mirror_sharded(parquet_path, out_dir, "avro", write_shard,
                           columns, rows_per_shard)

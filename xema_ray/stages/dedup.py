@@ -28,6 +28,12 @@ import pandas as pd
 import pyarrow as pa
 
 
+# Byte companion to the measured-auto ROW gates (`auto_driver_limit`):
+# a driver fold additionally requires the folded rows to fit this many
+# bytes (MinHash band rows carry ~1 KB signatures, so a row count under
+# the limit can still be a multi-GB driver concat — r5 stress).
+AUTO_DRIVER_BYTES = 512 << 20
+
 # ----------------------------------------------------------------------
 # exact dedup
 # ----------------------------------------------------------------------
@@ -407,7 +413,7 @@ def _pair_self_join(rows, block_fn, key_cols: list, extra_fields: list,
         # carry ~1 KB signatures, so 1.6M rows under the row limit were
         # still a 1.6 GB driver concat on a duplication-heavy corpus
         strategy = "driver" if rows.count() <= auto_driver_limit \
-            and rows.size_bytes() <= (512 << 20) else "groupby"
+            and rows.size_bytes() <= AUTO_DRIVER_BYTES else "groupby"
 
     if strategy == "driver":
         id_type = rows.schema().base_schema.field("doc_id").type
@@ -816,7 +822,7 @@ def _verify_bucketed(pairs_ds, cand, id_col: str, n: int,
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from xema_ray.functions.sketches import hash_strings
+    from xema_ray.functions.sketches import hash_strings, splitmix64
     from xema_ray.stages.shuffle import default_shuffle_buckets
 
     if n_buckets is None:
@@ -831,7 +837,7 @@ def _verify_bucketed(pairs_ds, cand, id_col: str, n: int,
     id_type = pair_schema.field("doc_a").type
     extras = [(f.name, f.type) for f in pair_schema
               if f.name not in ("doc_a", "doc_b")]
-    reserved = {"_vk", "_vg", "_vga", "_vgb", "_vb"}
+    reserved = {"_vk", "_vg", "_vga", "_vgb", "_vb", "_vslice"}
     clash = reserved & {nm for nm, _ in extras}
     if clash:  # fail loudly instead of silently misclassifying rows
         raise ValueError(
@@ -852,13 +858,7 @@ def _verify_bucketed(pairs_ds, cand, id_col: str, n: int,
         if pa.types.is_integer(col.type):
             # vectorized splitmix64 for integer ids; a pure function of
             # the key value, so pair and gram rows co-locate
-            x = col.to_numpy(zero_copy_only=False).astype(np.uint64)
-            x = x + np.uint64(0x9E3779B97F4A7C15)
-            x = (x ^ (x >> np.uint64(30))) \
-                * np.uint64(0xBF58476D1CE4E5B9)
-            x = (x ^ (x >> np.uint64(27))) \
-                * np.uint64(0x94D049BB133111EB)
-            h = x ^ (x >> np.uint64(31))
+            h = splitmix64(col.to_numpy(zero_copy_only=False))
         else:
             h = hash_strings(col.cast(pa.string()).to_pylist())
         return t.append_column("_vb", pa.array(
@@ -985,13 +985,25 @@ def _verify_bucketed(pairs_ds, cand, id_col: str, n: int,
     n_slices = max(1, -(-est // max_payload_bytes))
     if n_slices == 1:
         return _run(pairs_ds)
+
+    # hash ONCE (the string-id lane is a per-row Python fold — repeating
+    # it per slice would scan and re-hash the full pair set n_slices
+    # times, code-review r5): tag each pair with its slice, materialize
+    # the tagged set, then each pass is a cheap column filter
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_vslice", pa.array(
+            (_pair_hash64(t) % np.uint64(n_slices)).astype(np.int32)))
+
+    tagged = pairs_ds.map_batches(tag, batch_format="pyarrow") \
+        .materialize()
     outs = []
     for s in range(n_slices):
         def pick(t: pa.Table, s=s) -> pa.Table:
-            return t.filter(pa.array(
-                (_pair_hash64(t) % np.uint64(n_slices)) == s))
+            import pyarrow.compute as pc
+            return t.filter(pc.equal(t["_vslice"], s)) \
+                .drop_columns(["_vslice"])
 
-        outs.append(_run(pairs_ds.map_batches(
+        outs.append(_run(tagged.map_batches(
             pick, batch_format="pyarrow")).materialize())
     out = outs[0]
     for o in outs[1:]:
