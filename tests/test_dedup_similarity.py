@@ -968,3 +968,55 @@ def test_verify_bucketed_sliced_matches_broadcast(ray_session):
                strategy="bucketed",
                max_payload_bytes=20_000).take_all()}
     assert got == ref and len(ref) > 100
+
+
+def test_est_pair_emission_counts_key_blocks():
+    """Unit: the estimator sums C(m,2) over fine key blocks using the
+    same key combine as the coarse-bucket fold."""
+    from xema_ray.stages.dedup import _est_pair_emission
+
+    df = pd.DataFrame({"gram": np.array([7, 7, 7, 9, 9, 11], np.int64)})
+    # blocks of 3, 2, 1 -> 3 + 1 + 0
+    assert _est_pair_emission(df, ["gram"]) == 4.0
+    two = pd.DataFrame({"band": np.array([0, 0, 1, 1], np.int64),
+                        "band_hash": np.array([5, 5, 5, 5], np.int64)})
+    # (0,5)x2 and (1,5)x2 are DIFFERENT blocks -> 1 + 1
+    assert _est_pair_emission(two, ["band", "band_hash"]) == 2.0
+
+
+def test_pair_self_join_auto_output_gate_routes_to_groupby(
+        ray_session, monkeypatch):
+    """Duplication-heavy corpus: the posting INPUT passes the auto
+    row/byte gates but the per-gram-block pair emission is quadratic —
+    the auto lane must hand the fold to the distributed groupby lane
+    (r5 20x stress: 4M postings under the input gates emitted 123M raw
+    pairs in the driver fold, a 12 GB private driver heap)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages import dedup
+
+    n = 60
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": ["alpha beta gamma delta"] * n})
+    ds = rd.from_arrow(tbl, override_num_blocks=4)
+
+    calls = []
+    real = dedup._coarse_groupby
+
+    def spy(rows, key_cols, block_fn, n_buckets=None):
+        calls.append(key_cols)
+        return real(rows, key_cols, block_fn, n_buckets)
+
+    monkeypatch.setattr(dedup, "_coarse_groupby", spy)
+    # 120 posting rows <= limit 600, but est emission
+    # 2 grams x C(60,2) = 3540 > 4 x 600
+    got = {(r["doc_a"], r["doc_b"]) for r in dedup.allpairs_jaccard_pairs(
+        ds, threshold=0.5, strategy="auto",
+        auto_driver_limit=600).take_all()}
+    assert calls, "auto lane kept the quadratic fold on the driver"
+    want = {(r["doc_a"], r["doc_b"]) for r in dedup.allpairs_jaccard_pairs(
+        ds, threshold=0.5, strategy="driver").take_all()}
+    assert got == want == {(i, j) for i in range(n)
+                           for j in range(i + 1, n)}

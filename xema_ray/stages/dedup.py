@@ -391,6 +391,20 @@ def _pairs_table_to_ds(tbl: pa.Table, target_blocks: int = None):
     return rd.from_arrow([tbl.slice(i, step) for i in range(0, n, step)])
 
 
+def _est_pair_emission(df: pd.DataFrame, key_cols: list) -> float:
+    """Upper bound on the raw pairs a per-key-block all-pairs fold can
+    emit from ``df``: sum of C(m, 2) over the (numeric) key blocks —
+    the same key combine as ``_coarse_groupby``'s bucketer, so the
+    blocks counted here are exactly the fine groups the fold scans."""
+    h = np.zeros(len(df), dtype=np.uint64)
+    for c in key_cols:
+        h = h * np.uint64(1099511628211) \
+            ^ df[c].to_numpy().astype(np.int64).view(np.uint64)
+    _, cnts = np.unique(h, return_counts=True)
+    m = cnts[cnts >= 2].astype(np.float64)
+    return float((m * (m - 1.0) / 2.0).sum())
+
+
 def _pair_self_join(rows, block_fn, key_cols: list, extra_fields: list,
                     strategy: str, auto_driver_limit: int):
     """Shared driver/groupby strategy scaffold for pair-generating
@@ -425,11 +439,25 @@ def _pair_self_join(rows, block_fn, key_cols: list, extra_fields: list,
         if not frames:
             return rd.from_arrow(pa.table(
                 {f.name: pa.array([], f.type) for f in schema}))
-        pairs_df = block_fn(pd.concat(frames, ignore_index=True))
-        pairs_df = pairs_df.drop_duplicates(["doc_a", "doc_b"])
-        return _pairs_table_to_ds(pa.Table.from_pandas(
-            pairs_df.reset_index(drop=True), schema=schema,
-            preserve_index=False))
+        big = pd.concat(frames, ignore_index=True)
+        # OUTPUT gate (auto lane only): the row/byte gates above bound
+        # the INPUT, but pair emission is quadratic in key-block sizes —
+        # on the r5 20x duplication stress, 4M postings under both input
+        # gates emitted 123M raw pairs through block_fn, a 12 GB private
+        # driver heap (pandas drop_duplicates hash state; measured via
+        # smaps_rollup, NOT plasma mapping).  Sum C(m,2) over key blocks
+        # (one np.unique over <= auto_driver_limit rows, milliseconds —
+        # an upper bound: block_fn's size/positional filters only cut)
+        # and hand the fold to the distributed lane when it explodes.
+        if not auto or _est_pair_emission(big, key_cols) \
+                <= 4 * auto_driver_limit:
+            pairs_df = block_fn(big)
+            pairs_df = pairs_df.drop_duplicates(["doc_a", "doc_b"])
+            return _pairs_table_to_ds(pa.Table.from_pandas(
+                pairs_df.reset_index(drop=True), schema=schema,
+                preserve_index=False))
+        del big, frames
+        strategy = "groupby"
 
     if strategy != "groupby":
         raise ValueError(f"unknown strategy {strategy!r}")
