@@ -240,6 +240,26 @@ def test_shared_passage_skew_cap_drops_boilerplate_fp(ray_session):
     assert len(big) == 15   # all C(6,2) pairs share the passage fp
 
 
+def test_shared_passage_distributed_count_matches_driver(ray_session):
+    """auto_driver_limit=0 forces the coarse pair-hash-bucket counting
+    exchange; the (doc_a, doc_b, n_shared) table must equal the driver
+    fold's, including multi-fingerprint intersection counts."""
+    from xema_ray.stages.dedup import shared_passage_pairs
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ds = _ds({"doc_id": [f"d{i}" for i in range(8)],
+              "text": [f"{passage} unique tail {i} marker text" if i < 5
+                       else f"totally disjoint document {i} body words "
+                            f"with nothing shared at all {i}"
+                       for i in range(8)]})
+    drv = shared_passage_pairs(ds, window=4, ngram=3).to_pandas()
+    dist = shared_passage_pairs(ds, window=4, ngram=3,
+                                auto_driver_limit=0).to_pandas()
+    assert list(dist.columns) == list(drv.columns)
+    pd.testing.assert_frame_equal(dist, drv)
+    assert (drv["n_shared"] > 1).any()   # multi-fp counts exercised
+
+
 def test_tokenize_ids_rank_and_roundtrip(ray_session):
     from xema_ray.stages.text import build_rank_vocab, tokenize_ids
 

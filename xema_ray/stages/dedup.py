@@ -1473,7 +1473,8 @@ def _content_hash_partial_from(tbl: pa.Table, h_col: str,
 
 def shared_passage_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                          ngram: int = 3, window: int = 4,
-                         hash_fn: str = "fast", max_bucket: int = 256):
+                         hash_fn: str = "fast", max_bucket: int = 256,
+                         auto_driver_limit: int = 4_000_000):
     """Cross-document SHARED-PASSAGE detection: pairs of docs whose
     winnowing fingerprint sets intersect, with the intersection size.
     By the winnowing guarantee (Schleimer et al. 2003) any two docs
@@ -1487,9 +1488,11 @@ def shared_passage_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     ``max_bucket`` docs per fingerprint (a fp shared by B docs is
     boilerplate, not plagiarism — emitting B² pairs for it would be
     the quadratic blowup every LSH-family stage here guards against).
-    Pair rows are O(near-duplicate pairs); the final per-pair
-    intersection count folds on the driver (documented bound — swap
-    for a coarse-bucket groupby when pairs outgrow the driver).
+    Pair rows are O(near-duplicate pairs); the per-pair intersection
+    count folds on the driver UNDER ``auto_driver_limit`` rows, else
+    through the coarse pair-hash-bucket exchange (same pair → same
+    bucket, so per-bucket counts are global) and the driver only ever
+    folds the REDUCED ``(doc_a, doc_b, n_shared)`` rows.
 
     Returns a pyarrow Table ``(doc_a, doc_b, n_shared)`` with
     ``doc_a < doc_b``.
@@ -1507,7 +1510,33 @@ def shared_passage_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi]})
 
     pair_rows = fps.groupby("fp").map_groups(bucket_pairs,
-                                             batch_format="pandas")
+                                             batch_format="pandas") \
+        .materialize()
+    if pair_rows.count() > auto_driver_limit:
+        from xema_ray.stages.shuffle import default_shuffle_buckets
+
+        n_buckets = default_shuffle_buckets()
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            h = _pair_hash64(t)
+            return t.append_column("_cb", pa.array(
+                (h % np.uint64(n_buckets)).astype(np.int32)))
+
+        def cnt(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(["doc_a", "doc_b"], as_index=False).size() \
+                .rename(columns={"size": "n_shared"})
+            out["n_shared"] = out["n_shared"].astype(np.int64)
+            return out
+
+        pair_rows = pair_rows.map_batches(add_bucket,
+                                          batch_format="pyarrow") \
+            .groupby("_cb").map_groups(cnt, batch_format="pandas")
+        frames = [b.to_pandas() for b in
+                  pair_rows.iter_batches(batch_format="pyarrow")
+                  if b.num_rows]
+        out = pd.concat(frames, ignore_index=True) \
+            .sort_values(["doc_a", "doc_b"], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
     frames = [b.to_pandas() for b in
               pair_rows.iter_batches(batch_format="pyarrow")]
     if not frames:
