@@ -139,6 +139,19 @@ def op_minhash_bucketed():
     return {"pairs": verified.count()}
 
 
+def op_shared_passages():
+    """Winnowing shared-passage pairs at 20x: every base doc's 20-member
+    replica group shares nearly all fingerprints, so raw pair-row
+    emission is ~C(20,2) x fps-per-doc per group — far above
+    auto_driver_limit, forcing the distributed pair-hash-bucket
+    intersection count (the honest test of the r5 emission-count fix)."""
+    from xema_ray.stages.dedup import shared_passage_pairs
+
+    _init()
+    out = shared_passage_pairs(_docs(), as_dataset=True).materialize()
+    return {"pairs": out.count()}
+
+
 def op_lm_familiarity():
     from xema_ray.stages.text import lm_familiarity
 
@@ -220,6 +233,7 @@ OPS = {
     "dup_spans": op_dup_spans,
     "span_scrub": op_span_scrub,
     "allpairs": op_allpairs,
+    "shared_passages": op_shared_passages,
     "minhash_bucketed": op_minhash_bucketed,
     "lm_familiarity": op_lm_familiarity,
     "semantic_dedup": op_semantic_dedup,

@@ -260,6 +260,23 @@ def test_shared_passage_distributed_count_matches_driver(ray_session):
     assert (drv["n_shared"] > 1).any()   # multi-fp counts exercised
 
 
+def test_shared_passage_as_dataset_matches_table(ray_session):
+    """as_dataset=True returns the same (doc_a, doc_b, n_shared) rows
+    as the Table contract on BOTH lanes (driver fold and the forced
+    distributed count), just unordered and driver-free."""
+    from xema_ray.stages.dedup import shared_passage_pairs
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    ds = _ds({"doc_id": [f"d{i}" for i in range(6)],
+              "text": [f"{passage} unique tail {i} marker" for i in range(6)]})
+    want = shared_passage_pairs(ds, window=4, ngram=3).to_pandas()
+    for limit in (4_000_000, 0):
+        got = shared_passage_pairs(
+            ds, window=4, ngram=3, auto_driver_limit=limit,
+            as_dataset=True).to_pandas()             .sort_values(["doc_a", "doc_b"], ignore_index=True)
+        pd.testing.assert_frame_equal(got, want), limit
+
+
 def test_tokenize_ids_rank_and_roundtrip(ray_session):
     from xema_ray.stages.text import build_rank_vocab, tokenize_ids
 

@@ -1474,7 +1474,8 @@ def _content_hash_partial_from(tbl: pa.Table, h_col: str,
 def shared_passage_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                          ngram: int = 3, window: int = 4,
                          hash_fn: str = "fast", max_bucket: int = 256,
-                         auto_driver_limit: int = 4_000_000):
+                         auto_driver_limit: int = 4_000_000,
+                         as_dataset: bool = False):
     """Cross-document SHARED-PASSAGE detection: pairs of docs whose
     winnowing fingerprint sets intersect, with the intersection size.
     By the winnowing guarantee (Schleimer et al. 2003) any two docs
@@ -1495,7 +1496,13 @@ def shared_passage_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     folds the REDUCED ``(doc_a, doc_b, n_shared)`` rows.
 
     Returns a pyarrow Table ``(doc_a, doc_b, n_shared)`` with
-    ``doc_a < doc_b``.
+    ``doc_a < doc_b``, sorted by (doc_a, doc_b).  With
+    ``as_dataset=True`` the reduced rows come back as a Dataset
+    instead (same columns, NO global order) and never land on the
+    driver — the scale entry point: at the 20× duplication stress the
+    RESULT is 106M distinct pairs, driver-sized only because the Table
+    contract collects it (13.5 GB measured; the Dataset lane holds
+    refs only).
     """
     from xema_ray.stages.text import winnow_fingerprints
 
@@ -1531,6 +1538,8 @@ def shared_passage_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         pair_rows = pair_rows.map_batches(add_bucket,
                                           batch_format="pyarrow") \
             .groupby("_cb").map_groups(cnt, batch_format="pandas")
+        if as_dataset:
+            return pair_rows
         frames = [b.to_pandas() for b in
                   pair_rows.iter_batches(batch_format="pyarrow")
                   if b.num_rows]
@@ -1540,13 +1549,19 @@ def shared_passage_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     frames = [b.to_pandas() for b in
               pair_rows.iter_batches(batch_format="pyarrow")]
     if not frames:
-        return pa.table({"doc_a": pa.array([]), "doc_b": pa.array([]),
-                         "n_shared": pa.array([], type=pa.int64())})
-    df = pd.concat(frames, ignore_index=True)
-    out = df.groupby(["doc_a", "doc_b"], sort=True, as_index=False) \
-        .size().rename(columns={"size": "n_shared"})
-    out["n_shared"] = out["n_shared"].astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+        tbl = pa.table({"doc_a": pa.array([]), "doc_b": pa.array([]),
+                        "n_shared": pa.array([], type=pa.int64())})
+    else:
+        df = pd.concat(frames, ignore_index=True)
+        out = df.groupby(["doc_a", "doc_b"], sort=True, as_index=False) \
+            .size().rename(columns={"size": "n_shared"})
+        out["n_shared"] = out["n_shared"].astype(np.int64)
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+    if as_dataset:
+        import ray.data as rd
+
+        return rd.from_arrow(tbl)
+    return tbl
 
 
 # ----------------------------------------------------------------------
