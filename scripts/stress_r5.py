@@ -13,8 +13,8 @@ Each operator runs in its OWN subprocess (fresh Ray session) so
 Usage:
     python scripts/stress_r5.py            # run everything (driver mode)
     python scripts/stress_r5.py <op>       # one op in-process
-Ops: gen dup_spans span_scrub allpairs minhash_bucketed lm_familiarity
-     semantic_dedup cc_10m
+Ops: gen dup_spans span_scrub allpairs shared_passages
+     minhash_bucketed lm_familiarity semantic_dedup cc_10m
 """
 
 from __future__ import annotations

@@ -271,10 +271,26 @@ def test_shared_passage_as_dataset_matches_table(ray_session):
               "text": [f"{passage} unique tail {i} marker" for i in range(6)]})
     want = shared_passage_pairs(ds, window=4, ngram=3).to_pandas()
     for limit in (4_000_000, 0):
-        got = shared_passage_pairs(
+        out = shared_passage_pairs(
             ds, window=4, ngram=3, auto_driver_limit=limit,
-            as_dataset=True).to_pandas()             .sort_values(["doc_a", "doc_b"], ignore_index=True)
-        pd.testing.assert_frame_equal(got, want), limit
+            as_dataset=True)
+        if limit:   # driver lane: multi-block entry via _pairs_table_to_ds
+            assert out.num_blocks() > 1, limit
+        got = out.to_pandas().sort_values(["doc_a", "doc_b"],
+                                          ignore_index=True)
+        pd.testing.assert_frame_equal(got, want, obj=f"limit={limit}")
+
+
+def test_shared_passage_pairs_honors_id_col(ray_session):
+    from xema_ray.stages.dedup import shared_passage_pairs
+
+    passage = "alpha beta gamma delta epsilon zeta"
+    ds = _ds({"page_id": ["p1", "p2"],
+              "text": [f"one unique opening here {passage}",
+                       f"{passage} totally different tail words"]})
+    out = shared_passage_pairs(ds, window=4, ngram=3,
+                               id_col="page_id").to_pandas()
+    assert ("p1", "p2") in set(zip(out["doc_a"], out["doc_b"]))
 
 
 def test_tokenize_ids_rank_and_roundtrip(ray_session):

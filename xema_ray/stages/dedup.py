@@ -349,6 +349,14 @@ def _pair_hash64(t: pa.Table) -> np.ndarray:
          zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist())])
 
 
+def _tag_pair_hash_mod(t: pa.Table, n: int, col: str) -> pa.Table:
+    """Append ``col`` = pair-hash64 % ``n`` (int32) — the shared pair
+    co-location tag (dedupe buckets, verification slices and
+    intersection-count buckets all need only same-pair → same-value)."""
+    return t.append_column(col, pa.array(
+        (_pair_hash64(t) % np.uint64(n)).astype(np.int32)))
+
+
 def _dedupe_pairs(pairs, keep: list, n_buckets: Optional[int] = None):
     """Distributed (doc_a, doc_b) pair dedupe via the same coarse-bucket
     exchange (duplicates arise only across bands; identical pairs hash to
@@ -359,15 +367,12 @@ def _dedupe_pairs(pairs, keep: list, n_buckets: Optional[int] = None):
 
         n_buckets = default_shuffle_buckets()
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        h = _pair_hash64(t)
-        return t.append_column(
-            "_cb", pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
-
     def drop(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["doc_a", "doc_b"])[cols]
 
-    return pairs.map_batches(add_bucket, batch_format="pyarrow") \
+    return pairs.map_batches(
+        lambda t: _tag_pair_hash_mod(t, n_buckets, "_cb"),
+        batch_format="pyarrow") \
         .groupby("_cb").map_groups(drop, batch_format="pandas")
 
 
@@ -391,22 +396,30 @@ def _pairs_table_to_ds(tbl: pa.Table, target_blocks: int = None):
     return rd.from_arrow([tbl.slice(i, step) for i in range(0, n, step)])
 
 
-def _est_pair_emission(df: pd.DataFrame, key_cols: list) -> float:
+def _est_pair_emission(df: pd.DataFrame, key_cols: list,
+                       cap: Optional[int] = None) -> float:
     """Upper bound on the raw pairs a per-key-block all-pairs fold can
-    emit from ``df``: sum of C(m, 2) over the (numeric) key blocks —
-    the same key combine as ``_coarse_groupby``'s bucketer, so the
-    blocks counted here are exactly the fine groups the fold scans."""
+    emit from ``df``: sum of C(min(m, cap), 2) over the (numeric) key
+    blocks — the same key combine as ``_coarse_groupby``'s bucketer, so
+    the blocks counted here are exactly the fine groups the fold scans.
+    ``cap`` is the fold's per-block skew guard (``max_bucket`` /
+    ``max_posting``): a boilerplate block of 100k postings emits at most
+    C(cap, 2) pairs, so estimating the uncapped C(m, 2) would mis-route
+    a driver-sized fold onto the exchanges (code-review r5s2)."""
     h = np.zeros(len(df), dtype=np.uint64)
     for c in key_cols:
         h = h * np.uint64(1099511628211) \
             ^ df[c].to_numpy().astype(np.int64).view(np.uint64)
     _, cnts = np.unique(h, return_counts=True)
     m = cnts[cnts >= 2].astype(np.float64)
+    if cap is not None:
+        m = np.minimum(m, float(cap))
     return float((m * (m - 1.0) / 2.0).sum())
 
 
 def _pair_self_join(rows, block_fn, key_cols: list, extra_fields: list,
-                    strategy: str, auto_driver_limit: int):
+                    strategy: str, auto_driver_limit: int,
+                    block_cap: Optional[int] = None):
     """Shared driver/groupby strategy scaffold for pair-generating
     self-joins (MinHash bands, SimHash bands, AllPairs prefix postings):
     measured-auto lane choice, then either a driver fold with an EXPLICIT
@@ -428,6 +441,24 @@ def _pair_self_join(rows, block_fn, key_cols: list, extra_fields: list,
         # still a 1.6 GB driver concat on a duplication-heavy corpus
         strategy = "driver" if rows.count() <= auto_driver_limit \
             and rows.size_bytes() <= AUTO_DRIVER_BYTES else "groupby"
+        if strategy == "driver":
+            # OUTPUT gate: the gates above bound the INPUT, but pair
+            # emission is quadratic in key-block sizes — on the r5 20x
+            # duplication stress, 4M postings under both input gates
+            # emitted 123M raw pairs through block_fn, a 12 GB private
+            # driver heap (pandas drop_duplicates hash state; measured
+            # via smaps_rollup, NOT plasma mapping).  Estimate from the
+            # KEY columns only (a ~8 B/row driver pull — the full rows
+            # carry ~1 KB band signatures) and hand the fold to the
+            # distributed lane when the capped C(m,2) bound explodes.
+            keys = [b.to_pandas() for b in
+                    rows.select_columns(key_cols)
+                    .iter_batches(batch_format="pyarrow") if b.num_rows]
+            if keys and _est_pair_emission(
+                    pd.concat(keys, ignore_index=True), key_cols,
+                    cap=block_cap) > 4 * auto_driver_limit:
+                strategy = "groupby"
+            del keys
 
     if strategy == "driver":
         id_type = rows.schema().base_schema.field("doc_id").type
@@ -439,25 +470,11 @@ def _pair_self_join(rows, block_fn, key_cols: list, extra_fields: list,
         if not frames:
             return rd.from_arrow(pa.table(
                 {f.name: pa.array([], f.type) for f in schema}))
-        big = pd.concat(frames, ignore_index=True)
-        # OUTPUT gate (auto lane only): the row/byte gates above bound
-        # the INPUT, but pair emission is quadratic in key-block sizes —
-        # on the r5 20x duplication stress, 4M postings under both input
-        # gates emitted 123M raw pairs through block_fn, a 12 GB private
-        # driver heap (pandas drop_duplicates hash state; measured via
-        # smaps_rollup, NOT plasma mapping).  Sum C(m,2) over key blocks
-        # (one np.unique over <= auto_driver_limit rows, milliseconds —
-        # an upper bound: block_fn's size/positional filters only cut)
-        # and hand the fold to the distributed lane when it explodes.
-        if not auto or _est_pair_emission(big, key_cols) \
-                <= 4 * auto_driver_limit:
-            pairs_df = block_fn(big)
-            pairs_df = pairs_df.drop_duplicates(["doc_a", "doc_b"])
-            return _pairs_table_to_ds(pa.Table.from_pandas(
-                pairs_df.reset_index(drop=True), schema=schema,
-                preserve_index=False))
-        del big, frames
-        strategy = "groupby"
+        pairs_df = block_fn(pd.concat(frames, ignore_index=True))
+        pairs_df = pairs_df.drop_duplicates(["doc_a", "doc_b"])
+        return _pairs_table_to_ds(pa.Table.from_pandas(
+            pairs_df.reset_index(drop=True), schema=schema,
+            preserve_index=False))
 
     if strategy != "groupby":
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -565,7 +582,8 @@ def minhash_lsh_pairs(
 
     return _pair_self_join(band_rows, block_pairs, ["band", "band_hash"],
                            [("est_jaccard", pa.float64())],
-                           strategy, auto_driver_limit)
+                           strategy, auto_driver_limit,
+                           block_cap=max_bucket)
 
 
 # ----------------------------------------------------------------------
@@ -674,7 +692,8 @@ def simhash_pairs(ds, col: str = "text", id_col: str = "doc_id",
 
     return _pair_self_join(rows, block_pairs, ["band", "band_key"],
                            [("hamming", pa.int64())],
-                           strategy, auto_driver_limit)
+                           strategy, auto_driver_limit,
+                           block_cap=max_bucket)
 
 
 # ----------------------------------------------------------------------
@@ -1018,12 +1037,9 @@ def _verify_bucketed(pairs_ds, cand, id_col: str, n: int,
     # it per slice would scan and re-hash the full pair set n_slices
     # times, code-review r5): tag each pair with its slice, materialize
     # the tagged set, then each pass is a cheap column filter
-    def tag(t: pa.Table) -> pa.Table:
-        return t.append_column("_vslice", pa.array(
-            (_pair_hash64(t) % np.uint64(n_slices)).astype(np.int32)))
-
-    tagged = pairs_ds.map_batches(tag, batch_format="pyarrow") \
-        .materialize()
+    tagged = pairs_ds.map_batches(
+        lambda t: _tag_pair_hash_mod(t, n_slices, "_vslice"),
+        batch_format="pyarrow").materialize()
     outs = []
     for s in range(n_slices):
         def pick(t: pa.Table, s=s) -> pa.Table:
@@ -1507,7 +1523,8 @@ def shared_passage_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     from xema_ray.stages.text import winnow_fingerprints
 
     fps = winnow_fingerprints(ds, text_col=text_col, ngram=ngram,
-                              window=window, hash_fn=hash_fn)
+                              window=window, hash_fn=hash_fn,
+                              id_col=id_col)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g["doc_id"].to_numpy())
@@ -1524,19 +1541,15 @@ def shared_passage_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
         n_buckets = default_shuffle_buckets()
 
-        def add_bucket(t: pa.Table) -> pa.Table:
-            h = _pair_hash64(t)
-            return t.append_column("_cb", pa.array(
-                (h % np.uint64(n_buckets)).astype(np.int32)))
-
         def cnt(g: pd.DataFrame) -> pd.DataFrame:
             out = g.groupby(["doc_a", "doc_b"], as_index=False).size() \
                 .rename(columns={"size": "n_shared"})
             out["n_shared"] = out["n_shared"].astype(np.int64)
             return out
 
-        pair_rows = pair_rows.map_batches(add_bucket,
-                                          batch_format="pyarrow") \
+        pair_rows = pair_rows.map_batches(
+            lambda t: _tag_pair_hash_mod(t, n_buckets, "_cb"),
+            batch_format="pyarrow") \
             .groupby("_cb").map_groups(cnt, batch_format="pandas")
         if as_dataset:
             return pair_rows
@@ -1558,9 +1571,9 @@ def shared_passage_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         out["n_shared"] = out["n_shared"].astype(np.int64)
         tbl = pa.Table.from_pandas(out, preserve_index=False)
     if as_dataset:
-        import ray.data as rd
-
-        return rd.from_arrow(tbl)
+        # multi-block entry like every driver-fold result (ONE block
+        # would serialize every downstream stage — _pairs_table_to_ds)
+        return _pairs_table_to_ds(tbl)
     return tbl
 
 
@@ -2449,4 +2462,5 @@ def allpairs_jaccard_pairs(
                              "doc_b": np.concatenate(out_b)})
 
     return _pair_self_join(post_rows, block_pairs, ["gram"], [],
-                           strategy, auto_driver_limit)
+                           strategy, auto_driver_limit,
+                           block_cap=max_posting)

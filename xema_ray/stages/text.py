@@ -292,10 +292,11 @@ class WinnowFingerprint:
     """
 
     def __init__(self, text_col: str = "text", ngram: int = 3, window: int = 4,
-                 hash_fn: str = "fast"):
+                 hash_fn: str = "fast", id_col: str = "doc_id"):
         import re
 
         self.text_col = text_col
+        self.id_col = id_col
         self.ngram = ngram
         self.window = window
         self.hash_fn = hash_fn
@@ -362,10 +363,17 @@ class WinnowFingerprint:
             r = np.empty(0, dtype=np.int64)
             f = np.empty(0, dtype=np.uint64)
         df = pd.DataFrame({"r": r, "fp": f}).drop_duplicates()
-        ids = batch["doc_id"].reset_index(drop=True)
+        ids = batch[self.id_col].reset_index(drop=True)
+        # vectorized lowercase hex: big-endian bytes -> hexlify -> 'S16'
+        # view (the f-string loop here was the last per-row Python in
+        # the fingerprint hot path, code-review r5s2)
+        import binascii
+
+        hx = binascii.hexlify(
+            df["fp"].to_numpy().astype(">u8").tobytes())
         out = pd.DataFrame({
             "doc_id": ids.iloc[df["r"]].to_numpy(),
-            "fp": [f"{int(v):016x}" for v in df["fp"]],
+            "fp": np.frombuffer(hx, dtype="S16").astype("U16"),
         })
         return out
 
@@ -729,12 +737,15 @@ def lm_familiarity(ds, text_col: str = "text", ref_mod: int = 20,
 
 def winnow_fingerprints(ds, text_col: str = "text", ngram: int = 3,
                         window: int = 4, hash_fn: str = "fast",
-                        concurrency=(1, 8)):
-    """(doc_id, fp) rows — distinct winnowing fingerprints per document."""
+                        concurrency=(1, 8), id_col: str = "doc_id"):
+    """(doc_id, fp) rows — distinct winnowing fingerprints per document
+    (the output id column is always named ``doc_id``, whatever
+    ``id_col`` names the input's)."""
     return ds.map_batches(
         WinnowFingerprint,
         fn_constructor_kwargs={"text_col": text_col, "ngram": ngram,
-                               "window": window, "hash_fn": hash_fn},
+                               "window": window, "hash_fn": hash_fn,
+                               "id_col": id_col},
         batch_format="pandas", concurrency=concurrency,
     )
 
