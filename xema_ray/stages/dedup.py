@@ -441,24 +441,6 @@ def _pair_self_join(rows, block_fn, key_cols: list, extra_fields: list,
         # still a 1.6 GB driver concat on a duplication-heavy corpus
         strategy = "driver" if rows.count() <= auto_driver_limit \
             and rows.size_bytes() <= AUTO_DRIVER_BYTES else "groupby"
-        if strategy == "driver":
-            # OUTPUT gate: the gates above bound the INPUT, but pair
-            # emission is quadratic in key-block sizes — on the r5 20x
-            # duplication stress, 4M postings under both input gates
-            # emitted 123M raw pairs through block_fn, a 12 GB private
-            # driver heap (pandas drop_duplicates hash state; measured
-            # via smaps_rollup, NOT plasma mapping).  Estimate from the
-            # KEY columns only (a ~8 B/row driver pull — the full rows
-            # carry ~1 KB band signatures) and hand the fold to the
-            # distributed lane when the capped C(m,2) bound explodes.
-            keys = [b.to_pandas() for b in
-                    rows.select_columns(key_cols)
-                    .iter_batches(batch_format="pyarrow") if b.num_rows]
-            if keys and _est_pair_emission(
-                    pd.concat(keys, ignore_index=True), key_cols,
-                    cap=block_cap) > 4 * auto_driver_limit:
-                strategy = "groupby"
-            del keys
 
     if strategy == "driver":
         id_type = rows.schema().base_schema.field("doc_id").type
@@ -470,11 +452,28 @@ def _pair_self_join(rows, block_fn, key_cols: list, extra_fields: list,
         if not frames:
             return rd.from_arrow(pa.table(
                 {f.name: pa.array([], f.type) for f in schema}))
-        pairs_df = block_fn(pd.concat(frames, ignore_index=True))
-        pairs_df = pairs_df.drop_duplicates(["doc_a", "doc_b"])
-        return _pairs_table_to_ds(pa.Table.from_pandas(
-            pairs_df.reset_index(drop=True), schema=schema,
-            preserve_index=False))
+        big = pd.concat(frames, ignore_index=True)
+        # OUTPUT gate (auto lane only): the row/byte gates above bound
+        # the INPUT, but pair emission is quadratic in key-block sizes —
+        # on the r5 20x duplication stress, 4M postings under both input
+        # gates emitted 123M raw pairs through block_fn, a 12 GB private
+        # driver heap (pandas drop_duplicates hash state; measured via
+        # smaps_rollup, NOT plasma mapping).  Estimated from the pulled
+        # frame, NOT a separate key-column pull: a keys-only pre-pull
+        # costs one extra Ray execution on EVERY small-corpus call
+        # (~2-3 s of this box's executor floor, measured on
+        # doc_allpairs_jaccard) to save a transient <= 512 MB pull only
+        # in the rare reroute case.  C(m,2) is capped at the fold's
+        # skew guard so boilerplate blocks don't mis-route (r5 review).
+        if not auto or _est_pair_emission(big, key_cols, cap=block_cap) \
+                <= 4 * auto_driver_limit:
+            pairs_df = block_fn(big)
+            pairs_df = pairs_df.drop_duplicates(["doc_a", "doc_b"])
+            return _pairs_table_to_ds(pa.Table.from_pandas(
+                pairs_df.reset_index(drop=True), schema=schema,
+                preserve_index=False))
+        del big, frames
+        strategy = "groupby"
 
     if strategy != "groupby":
         raise ValueError(f"unknown strategy {strategy!r}")
