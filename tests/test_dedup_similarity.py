@@ -982,6 +982,46 @@ def test_est_pair_emission_counts_key_blocks():
                         "band_hash": np.array([5, 5, 5, 5], np.int64)})
     # (0,5)x2 and (1,5)x2 are DIFFERENT blocks -> 1 + 1
     assert _est_pair_emission(two, ["band", "band_hash"]) == 2.0
+    # cap = the fold's skew guard: a block of 100 postings the fold
+    # truncates to max_bucket=5 emits at most C(5,2), not C(100,2)
+    boiler = pd.DataFrame({"gram": np.full(100, 7, np.int64)})
+    assert _est_pair_emission(boiler, ["gram"]) == 4950.0
+    assert _est_pair_emission(boiler, ["gram"], cap=5) == 10.0
+
+
+def test_minhash_auto_respects_block_cap_in_emission_gate(ray_session):
+    """A boilerplate band bucket larger than max_bucket must NOT trip
+    the emission gate: the fold truncates it to C(max_bucket, 2) pairs,
+    so the capped estimate keeps the measured-auto driver fold."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xema_ray.stages import dedup
+
+    text = "identical boilerplate document body words repeated here"
+    n = 40
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [f"d{i:02d}" for i in range(n)],
+        "text": [text] * n}), override_num_blocks=4)
+
+    calls = []
+    real = dedup._coarse_groupby
+
+    def spy(rows, key_cols, block_fn, n_buckets=None):
+        calls.append(key_cols)
+        return real(rows, key_cols, block_fn, n_buckets)
+
+    # uncapped estimate: 16 bands x C(40,2) = 12480 > 4 x 2000; capped
+    # at max_bucket=5: 16 x C(5,2) = 160 <= 8000 -> driver fold stays
+    import unittest.mock as mock
+    with mock.patch.object(dedup, "_coarse_groupby", spy):
+        out = dedup.minhash_lsh_pairs(ds, threshold=0.5, max_bucket=5,
+                                      strategy="auto",
+                                      auto_driver_limit=2000)
+        got = {(r["doc_a"], r["doc_b"]) for r in out.take_all()}
+    assert not calls, "capped emission estimate still tripped the gate"
+    assert got == {(f"d{i:02d}", f"d{j:02d}")
+                   for i in range(5) for j in range(i + 1, 5)}
 
 
 def test_pair_self_join_auto_output_gate_routes_to_groupby(

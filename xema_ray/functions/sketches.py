@@ -82,6 +82,17 @@ def pack_hex128(h0: np.ndarray, h1: np.ndarray) -> np.ndarray:
     return np.frombuffer(hex_all, dtype="S32")
 
 
+def hex16(h: np.ndarray) -> np.ndarray:
+    """uint64 array → 16-char lowercase hex ('U16'), one buffer pass —
+    the vectorized replacement for per-row ``f"{x:016x}"`` loops,
+    shared by the fingerprint and deterministic-shuffle stages
+    (code-review r5s3: the two inline copies cross-referenced each
+    other)."""
+    hx = np.ascontiguousarray(h.astype(">u8")).tobytes().hex() \
+        .encode("ascii")
+    return np.frombuffer(hx, dtype="S16").astype("U16")
+
+
 def hash_strings_hex128(values) -> np.ndarray:
     """Vectorized 128-bit content digests as 32-char hex keys.
 

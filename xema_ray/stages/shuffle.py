@@ -250,13 +250,9 @@ def deterministic_shuffle(ds, id_col: str = "doc_id", shards: int = 16,
             h = hash_strings([str(v) if v is not None else "" for v in ids],
                              seed=seed)
             shard = (h % np.uint64(shards)).astype(np.int32)
-            # vectorized lowercase hex (big-endian bytes -> hexlify ->
-            # 'S16' view), same kernel as the fingerprint stage
-            import binascii
+            from xema_ray.functions.sketches import hex16
 
-            key = pa.array(np.frombuffer(
-                binascii.hexlify(h.astype(">u8").tobytes()),
-                dtype="S16").astype("U16"), type=pa.string())
+            key = pa.array(hex16(h), type=pa.string())
         t = t.append_column("_sk", key)
         t = t.append_column("shard", pa.array(shard, type=pa.int64()))
         return t.filter(pa.array(shard >= 0))

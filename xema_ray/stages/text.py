@@ -364,16 +364,13 @@ class WinnowFingerprint:
             f = np.empty(0, dtype=np.uint64)
         df = pd.DataFrame({"r": r, "fp": f}).drop_duplicates()
         ids = batch[self.id_col].reset_index(drop=True)
-        # vectorized lowercase hex: big-endian bytes -> hexlify -> 'S16'
-        # view (the f-string loop here was the last per-row Python in
-        # the fingerprint hot path, code-review r5s2)
-        import binascii
+        # vectorized hex (the f-string loop here was the last per-row
+        # Python in the fingerprint hot path, code-review r5s2)
+        from xema_ray.functions.sketches import hex16
 
-        hx = binascii.hexlify(
-            df["fp"].to_numpy().astype(">u8").tobytes())
         out = pd.DataFrame({
             "doc_id": ids.iloc[df["r"]].to_numpy(),
-            "fp": np.frombuffer(hx, dtype="S16").astype("U16"),
+            "fp": hex16(df["fp"].to_numpy()),
         })
         return out
 
